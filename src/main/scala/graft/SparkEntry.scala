@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Fraud, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry maps to.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full enrichment + rule-scoring pipeline (SURVEY §2 C1–C5).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Fraud.scoredTransactions(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Fraud.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+
+  /** DuckDB-equivalent SQL per query; keys absent here (b6_approx,
+    * d3_simhash, e2_ann_lsh, g1_multimodal_meta) get the rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Fraud.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ TextAnalysis.oracles
 }

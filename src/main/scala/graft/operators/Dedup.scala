@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication family over the `documents` corpus — the operators a
+  * large-scale training-data pipeline needs. All of it is built from
+  * codegen'd built-ins (md5 / higher-order array functions) — no UDFs —
+  * so every stage stays inside WholeStageCodegen and the only shuffles
+  * are the keyed ones noted per operator.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup: 1 shuffle keyed on the content digest;
+  *  - MinHash+LSH: per-row sketching is embarrassingly parallel; the
+  *    candidate join shuffles on (band, band_key) buckets only — never
+  *    an O(n²) cross join;
+  *  - verification (n-gram Jaccard) joins only LSH candidates;
+  *  - embedding near-dup keeps the exact all-pairs form for the oracle;
+  *    the scale path is Similarity.annCandidates (bucketed LSH).
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for the hash family
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.table(s, d, name)
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 3-gram shingles (callers must filter size(tokens) >= 3). The
+    * 31-word corpus vocabulary makes unigram sets useless for similarity
+    * — all documents share them — so shingles carry the signal.
+    */
+  def shingles(tok: Column): Column =
+    transform(sequence(lit(0), size(tok) - 3), i =>
+      concat_ws(" ", element_at(tok, i + 1), element_at(tok, i + 2), element_at(tok, i + 3)))
+
+  /** Portable 60-bit shingle hash: leading 15 hex chars of md5, reduced
+    * mod P. md5 is bit-identical across engines, which is what lets the
+    * DuckDB oracle reproduce the sketch exactly (xxhash64 would be faster
+    * but is Spark-private; md5 keeps the whole family engine-portable).
+    */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % P)
+
+  /** k-permutation MinHash signature over the shingle hash set, using the
+    * affine family h_i(x) = (a_i * x + b_i) mod P.
+    */
+  def minhashes(hs: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = (i.cast("long") * lit(2654435761L) + lit(1L)) % P
+      val b = i.cast("long") * lit(40503L) + lit(17L)
+      array_min(transform(hs, x => (a * x + b) % P))
+    })
+
+  /** (doc_id, band_id, band_key) — LSH banding of the MinHash signature:
+    * 4 bands × 4 rows. Docs agreeing on any full band land in the same
+    * bucket; the candidate join is keyed on the bucket.
+    */
+  def lshBands(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = tokens(col(textCol))
+    docs
+      .filter(size(tok) >= 3)
+      .select(col(idCol), minhashes(shingleHashes(shingles(tok))).as("mh"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(3)), j => concat_ws("-",
+          element_at(col("mh"), j * 4 + 1), element_at(col("mh"), j * 4 + 2),
+          element_at(col("mh"), j * 4 + 3), element_at(col("mh"), j * 4 + 4)))))
+      .toDF(idCol, "band_id", "band_key")
+  }
+
+  /** Distinct candidate near-dup pairs from LSH bucket collisions. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = lshBands(docs)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard verification of candidate pairs — joins candidates to
+    * the distinct shingle sets and computes |A∩B| / |A∪B| exactly.
+    */
+  def ngramJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    val sets = docs.filter(size(tok) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(tok)).as("s"))
+    val inter = size(array_intersect(col("sa.s"), col("sb.s")))
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("sa.s")) + size(col("sb.s")) - inter)).as("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprint over distinct token hashes: bit b of the
+    * fingerprint is the sign of Σ±1 across token hashes for that bit
+    * (32 bits keeps the positional fold inside a signed long under ANSI
+    * mode; hamming distance on 32 bits is plenty for near-dup banding).
+    * Spark-only sketch (xxhash64 fast path), rows-only check.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    docs.filter(size(tok) >= 1).select(col("doc_id"),
+      expr(
+        """aggregate(
+          |  sequence(0, 31),
+          |  cast(0 as bigint),
+          |  (fp, b) -> fp * 2 + if(
+          |    aggregate(array_distinct(transform(split(text, ' '), w -> xxhash64(w))),
+          |              cast(0 as bigint),
+          |              (acc, h) -> acc + if(((h >> b) & 1) = 1, 1, -1)) > 0, 1, 0))
+          |""".stripMargin).as("simhash"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D1: exact dedup via content digest — one shuffle keyed on md5(text).
+    "d1_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+
+    // D2: MinHash + LSH banding near-dup candidate pairs.
+    "d2_minhash_lsh" -> ((s, d) => minhashCandidates(t(s, d, "documents"))),
+
+    // D3: SimHash fingerprints (rows-only; hand-computed vectors in spec).
+    "d3_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
+
+    // D4: n-gram Jaccard verification of the D2 candidates.
+    "d4_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ngramJaccard(docs, minhashCandidates(docs))
+    }),
+
+    // D5: embedding-cosine near-dup pairs — exact all-pairs form for the
+    // oracle (the corpus has no >0.52 cosine pairs, so 0.4 marks "most
+    // similar"); at 100 TB the same verification runs only on
+    // Similarity.annCandidates buckets.
+    "d5_embed_neardup" -> ((s, d) => {
+      val e = Similarity.withNorm(t(s, d, "embeddings"))
+      e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim",
+          Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos_sim") > 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+    })
+  )
+
+  /** DuckDB oracles reproduce the md5-based sketches exactly — same
+    * shingling, same 60-bit hash, same affine permutations, same banding.
+    */
+  def oracles: Map[String, String] = {
+    val bandsCte =
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS h
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 16), i ->
+        |           list_min(list_transform(h, x ->
+        |             (((i * 2654435761 + 1) % 2147483647) * x + (i * 40503 + 17)) % 2147483647))) AS m
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, j.j AS band_id,
+        |         CAST(m[j.j*4+1] AS VARCHAR) || '-' || CAST(m[j.j*4+2] AS VARCHAR) || '-' ||
+        |         CAST(m[j.j*4+3] AS VARCHAR) || '-' || CAST(m[j.j*4+4] AS VARCHAR) AS band_key
+        |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS j) j),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+    Map(
+      "d1_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      "d2_minhash_lsh" -> (bandsCte + "\nSELECT doc_a, doc_b FROM cand"),
+
+      "d4_ngram_jaccard" -> (bandsCte +
+        """,
+          |sets AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          |  FROM toks WHERE len(t) >= 3)
+          |SELECT doc_a, doc_b,
+          |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+          |FROM cand
+          |JOIN sets sa ON doc_a = sa.doc_id
+          |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
+
+      "d5_embed_neardup" ->
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |           list_transform(range(1, len(embedding) + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+          |           (x, y) -> x + y)) AS nrm
+          |  FROM embeddings)
+          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |         list_transform(range(1, len(a.embedding) + 1),
+          |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+          |         (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_sim
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE cos_sim > 0.4""".stripMargin
+    )
+  }
+}

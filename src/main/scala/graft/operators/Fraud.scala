@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols._
+import graft.sources.Tables
+
+/** Fraud-domain pipeline — the reference's analytics core re-expressed on
+  * the TPC-H-ish testdata (mapping in SURVEY.md §3):
+  * transactions = lineitem⋈orders, users = customer⋈nation,
+  * products = part, product origin country = lineitem's supplier⋈nation.
+  *
+  * Reference semantics: src/spark/jobs/spark.py process_stream():
+  * rename-conflict handling, left-outer enrichment joins, rule-based
+  * fraud scoring (country_mismatch / high_value_flag / fraud_score /
+  * discounted_price), tumbling-window user-spend and category trends.
+  *
+  * Scale: the fact side (lineitem at ~100 TB) is scanned once and never
+  * shuffled for enrichment — nation/supplier/part are broadcast; customer
+  * is left to Catalyst/AQE (broadcast below the threshold, shuffle-hash
+  * above). Trend aggregations shuffle on (window, key) only with map-side
+  * partials.
+  */
+object Fraud {
+
+  /** Amount above which a transaction is flagged high-value. The reference
+    * used 500 against a 0–1000 amount range (src/spark/jobs/spark.py
+    * high_value_flag); l_extendedprice spans ~900–105000 with a ~53000
+    * median, so 50000 keeps the same "upper half" semantics.
+    */
+  val HighValueThreshold = 50000.0
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.table(s, d, name)
+
+  /** Transactions fact: one row per lineitem, order attributes attached.
+    * Key-to-key inner join on the order key; at scale both sides are
+    * co-partitioned by orderkey (bucketing) so this is shuffle-free.
+    */
+  def transactions(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("transaction_id"),
+        col("o_custkey").as("user_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("supplier_id"),
+        col("l_extendedprice").as("amount"),
+        col("l_discount").as("discount"),
+        col("o_orderpriority").as("payment_method"),
+        col("o_orderdate").as("ts"))
+  }
+
+  /** User dimension with origin country (rename-conflict handling as in
+    * the reference: users country → user_country, name → user_name).
+    */
+  def users(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey").as("user_id"),
+              col("c_name").as("user_name"),
+              col("n_name").as("user_country"),
+              col("c_mktsegment").as("segment"))
+
+  /** Product dimension (category/base price). */
+  def products(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey").as("product_id"),
+              col("p_name").as("product_name"),
+              col("p_type").as("category"),
+              col("p_retailprice").as("base_price"))
+
+  /** Product origin country comes from the shipping supplier's nation. */
+  def supplierCountries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"), "left")
+      .select(col("s_suppkey").as("supplier_id"),
+              col("n_name").as("product_country"))
+
+  /** Left-outer enrichment of the transaction stream/batch against the
+    * dimensions (reference: tx ⋈ users ⋈ products left-outer).
+    */
+  def enrich(tx: DataFrame, users: DataFrame, products: DataFrame,
+             supplierCountries: DataFrame): DataFrame =
+    tx.join(users, Seq("user_id"), "left")
+      .join(broadcast(products), Seq("product_id"), "left")
+      .join(broadcast(supplierCountries), Seq("supplier_id"), "left")
+
+  /** Rule-based fraud scoring (reference: src/spark/jobs/spark.py
+    * country_mismatch / high_value_flag / fraud_score / discounted_price).
+    * Pure codegen'd expressions — no UDFs, stays inside WholeStageCodegen.
+    */
+  def score(enriched: DataFrame): DataFrame =
+    enriched
+      .withColumn("country_mismatch",
+        when(col("user_country") =!= col("product_country"), 1).otherwise(0))
+      .withColumn("high_value_flag",
+        when(col("amount") > HighValueThreshold, 1).otherwise(0))
+      .withColumn("fraud_score",
+        col("country_mismatch") * 0.5 + col("high_value_flag") * 0.5)
+      .withColumn("discounted_price",
+        when(col("base_price").isNotNull && col("discount").isNotNull,
+          col("base_price") * (lit(1.0) - col("discount"))).otherwise(lit(null)))
+
+  /** Full scored enrichment — the pipeline's flagship projection. */
+  def scoredTransactions(s: SparkSession, d: String): DataFrame =
+    score(enrich(transactions(s, d), users(s, d), products(s, d), supplierCountries(s, d)))
+      .select("transaction_id", "user_id", "product_id", "amount",
+        "user_country", "product_country", "category",
+        "country_mismatch", "high_value_flag", "fraud_score", "discounted_price")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C1–C4: enrichment join + rule scoring, full projection.
+    "c1_fraud_enrich" -> ((s, d) => scoredTransactions(s, d)),
+
+    // C5: fraud-records extract (both rules fired) — what the reference
+    // ships to its fraud sink (fraud_score >= 1 ⇒ both flags set).
+    "c5_fraud_score" -> ((s, d) =>
+      scoredTransactions(s, d).filter(col("fraud_score") >= 1.0)),
+
+    // C6: per-user spend trend, tumbling 1-hour event-time windows
+    // (reference: 1-minute windows over the live stream; the batch twin
+    // uses 1 hour over the events table). Exact count distinct for the
+    // oracle; the streaming path uses approx_count_distinct like the
+    // reference.
+    "c6_user_spend_trend" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(dsum6(col("value")).as("total_spent"),
+             countDistinct(col("event_id")).as("num_events"))
+        .select(fmtTs(col("window.start")).as("window_start"),
+                fmtTs(col("window.end")).as("window_end"),
+                col("user_id"), col("total_spent"), col("num_events"))),
+
+    // C7: per-category sales trend, tumbling 1-day windows over the
+    // transaction fact (reference: category trend aggregation).
+    "c7_category_trend" -> ((s, d) => {
+      val tx = transactions(s, d)
+      tx.join(broadcast(products(s, d)), Seq("product_id"), "left")
+        .groupBy(window(col("ts"), "1 day"), col("category"))
+        .agg(dsum2(col("amount")).as("total_sales"),
+             countDistinct(col("transaction_id")).as("num_transactions"))
+        .select(fmtTs(col("window.start")).as("window_start"),
+                fmtTs(col("window.end")).as("window_end"),
+                col("category"), col("total_sales"), col("num_transactions"))
+    }),
+
+    // C10: velocity check — events per user per sliding window; windows
+    // with an elevated count are flagged. Burst detection at scale:
+    // shuffle on (window,user) only.
+    "c10_velocity" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= 2)
+        .select(fmtTs(col("window.start")).as("window_start"),
+                fmtTs(col("window.end")).as("window_end"),
+                col("user_id"), col("n_events"),
+                (col("n_events") >= 4).as("is_burst"))),
+
+    // C11: per-user amount z-score anomaly flag. Moments are computed with
+    // exact decimal sums (order-independent ⇒ cluster-size-independent);
+    // the z formula then runs on exactly-reproducible doubles, so the
+    // oracle matches bit-for-bit. stats side is tiny → broadcast back.
+    "c11_zscore" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s"),
+          sum((col("value") * col("value")).cast("decimal(28,10)")).cast("double").as("s2"))
+        .filter(col("n") >= 2)
+      val mean = col("s") / col("n")
+      val variance = (col("s2") - (col("s") * col("s")) / col("n")) / (col("n") - 1)
+      val z = (col("value") - mean) / sqrt(variance)
+      ev.join(broadcast(stats), Seq("user_id"))
+        .filter(variance > 0)
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 2.0)
+        .select("event_id", "user_id", "value", "z")
+    })
+
+    // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
+  )
+
+  def oracles: Map[String, String] = {
+    val scoredSql =
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS transaction_id,
+        |       o_custkey AS user_id, l_partkey AS product_id, l_extendedprice AS amount,
+        |       un.n_name AS user_country, sn.n_name AS product_country, p_type AS category,
+        |       CASE WHEN un.n_name <> sn.n_name THEN 1 ELSE 0 END AS country_mismatch,
+        |       CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END AS high_value_flag,
+        |       CASE WHEN un.n_name <> sn.n_name THEN 1 ELSE 0 END * CAST(0.5 AS DOUBLE)
+        |         + CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END * CAST(0.5 AS DOUBLE) AS fraud_score,
+        |       CASE WHEN p_retailprice IS NOT NULL AND l_discount IS NOT NULL
+        |            THEN p_retailprice * (CAST(1.0 AS DOUBLE) - l_discount) ELSE NULL END AS discounted_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation un ON c_nationkey = un.n_nationkey
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey""".stripMargin
+    Map(
+      "c1_fraud_enrich" -> scoredSql,
+
+      "c5_fraud_score" ->
+        s"""SELECT * FROM ($scoredSql) scored WHERE fraud_score >= 1.0""".stripMargin,
+
+      "c6_user_spend_trend" ->
+        """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+          |       user_id,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
+          |       count(DISTINCT event_id) AS num_events
+          |FROM events
+          |GROUP BY time_bucket(INTERVAL '1 hour', ts), user_id""".stripMargin,
+
+      "c7_category_trend" ->
+        """SELECT strftime(time_bucket(INTERVAL '1 day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       strftime(time_bucket(INTERVAL '1 day', o_orderdate) + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS window_end,
+          |       p_type AS category,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+          |       count(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS num_transactions
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |LEFT JOIN part ON l_partkey = p_partkey
+          |GROUP BY time_bucket(INTERVAL '1 day', o_orderdate), p_type""".stripMargin,
+
+      "c10_velocity" ->
+        """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+          |       user_id, count(*) AS n_events, count(*) >= 4 AS is_burst
+          |FROM (SELECT e.*, time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS ws
+          |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
+          |GROUP BY ws, user_id
+          |HAVING count(*) >= 2""".stripMargin,
+
+      "c11_zscore" ->
+        """WITH stats AS (
+          |  SELECT user_id, count(*) AS n,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+          |         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+          |  FROM events GROUP BY user_id HAVING count(*) >= 2)
+          |SELECT event_id, e.user_id, value,
+          |       (value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)) AS z
+          |FROM events e JOIN stats ON e.user_id = stats.user_id
+          |WHERE (s2 - (s * s) / n) / (n - 1) > 0
+          |  AND abs((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1))) > CAST(2.0 AS DOUBLE)""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing: image/audio/video payloads ride along as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract runs as a partition-local batched transform.
+  *
+  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
+  * so `stubDecode` produces deterministic fake features from the bytes.
+  * Everything around it is real and is what matters at scale: the schema,
+  * the binary column lifecycle, the mapPartitions batching shape (batch
+  * size bounds peak memory per task — the same shape a Pandas-UDF /
+  * Arrow-batch decode uses), and the fact that payload bytes never pass
+  * through a shuffle or the driver.
+  */
+object Multimodal {
+
+  /** Typed row for the media table: payload + metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], format: String,
+                      width: Int, height: Int)
+
+  /** Decoded feature row (fixed-width, shuffle-friendly — the heavy
+    * payload column is dropped as soon as features are extracted).
+    */
+  case class MediaFeatures(doc_id: Long, format: String, width: Int, height: Int,
+                           n_bytes: Long, feat_mean: Double, feat_first: Double)
+
+  /** Attach a binary payload + typed metadata to each document. Width and
+    * height are deterministic pseudo-metadata derived from the content
+    * hash (a real pipeline reads them from the container header).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("fake/rgb8").as("format"),
+      (pmod(xxhash64(col("text")), lit(960L)) + 64L).cast("int").as("width"),
+      (pmod(xxhash64(col("text"), lit(1L)), lit(960L)) + 64L).cast("int").as("height"))
+
+  /** STUB decode: deterministic fake features standing in for a codec.
+    * ??? would be the real pixel decode; the fake keeps the full
+    * dataflow testable without codec libraries.
+    */
+  private def stubDecode(r: MediaRow): MediaFeatures = {
+    val bytes = r.payload
+    val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    MediaFeatures(r.doc_id, r.format, r.width, r.height, bytes.length.toLong,
+      mean, if (bytes.isEmpty) 0.0 else (bytes(0) & 0xff).toDouble)
+  }
+
+  /** Partition-local batched decode. `batchSize` bounds how many payloads
+    * are resident per task at once — the Arrow/Pandas batch shape — so a
+    * 100 TB corpus streams through fixed memory.
+    */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => batch.map(stubDecode) }
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1: payload + metadata schema and the batched decode plumbing,
+    // end-to-end (rows-only: the stub features have no SQL twin).
+    "g1_multimodal_meta" -> ((s, d) =>
+      decodeFeatures(withPayload(Tables.table(s, d, "documents"))).toDF())
+  )
+
+  def oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols._
+import graft.sources.Tables
+
+/** Relational core — the reference's batch-relational capabilities
+  * (projection/filter, joins of every flavor, aggregation, time windows,
+  * analytic windows, dedup, rollup, upsert) expressed as declarative
+  * DataFrame plans so Catalyst owns pushdown, join strategy selection and
+  * partial (map-side) aggregation.
+  *
+  * Reference semantics: src/spark/jobs/spark.py (joins/aggregates/windows),
+  * src/snowflake (MERGE, incremental load), src/airflow/script
+  * (partition recovery, trend queries).
+  *
+  * Scale notes are per-query, in comments.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.table(s, d, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3: JSON field extraction from raw event payloads
+    // (reference: producer emits JSON transactions; consumer parses —
+    // src/kafka/producer/transaction_producer.py).
+    // Scales: per-row expression, no shuffle; filter pushed past the scan.
+    "a3_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .filter(col("k_val") >= 50)),
+
+    // B1: projection + filter with parquet pushdown. `.explain` shows
+    // PushedFilters on l_shipdate/l_discount and a 4-column ReadSchema.
+    "b1_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // B3a: inner join + aggregate. Shuffle on the join key only; partial
+    // aggregation map-side. At 100 TB AQE picks shuffle-hash/sort-merge.
+    "b3_join_inner" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_value"))
+    }),
+
+    // B3b: left semi — EXISTS semantics without materializing the right side.
+    "b3_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // B3c: left anti — NOT EXISTS.
+    "b3_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // B3d: broadcast dimension join — the 100 TB fact side never shuffles;
+    // `part` ships to every executor. Explicit broadcast() hint.
+    "b3_join_broadcast" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // B5: groupBy aggregate battery (sum/count/avg/min/max). Decimal sums
+    // are order-independent → identical on any cluster size.
+    "b5_agg_basic" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_price"),
+          (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
+
+    // B6 exact twin: exact distinct (expands to two-phase aggregate).
+    "b6_count_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_users"),
+             count(lit(1)).as("n_orders"))),
+
+    // B6: approx_count_distinct (HLL++) — what the reference actually uses
+    // (src/spark/jobs/spark.py approx_count_distinct) and what survives
+    // 100 TB: fixed-size sketch, single aggregation pass, no distinct
+    // shuffle explosion. Rows-only check (sketch internals are
+    // engine-specific, no SQL oracle).
+    "b6_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_users"),
+             count(lit(1)).as("n_orders"))),
+
+    // B8: sliding event-time window (10 min size / 5 min slide): each event
+    // lands in exactly 2 windows. Shuffle on (window,event_type) only.
+    "b8_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("total_value"))
+        .select(
+          fmtTs(col("window.start")).as("window_start"),
+          fmtTs(col("window.end")).as("window_end"),
+          col("event_type"), col("n_events"), col("total_value"))),
+
+    // B9: MERGE/upsert latest-by-key — warehouse-load semantics (reference:
+    // src/snowflake/load_to_snowflake_transction.py). Two halves of the
+    // events table play base vs. updates; Tables.mergeUpsert keeps the
+    // newest row per user. Single shuffle on the merge key.
+    "b9_upsert_latest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val base = ev.filter(col("event_id") % 2 === 0)
+      val updates = ev.filter(col("event_id") % 2 === 1)
+      Tables.mergeUpsert(base, updates, Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+                fmtTs(col("ts")).as("last_ts"))
+    }),
+
+    // B10: date-part derivation (reference: src/spark/jobs/spark.py
+    // year/month/dayofmonth partition columns).
+    "b10_date_parts" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("tx_year"),
+          month(col("o_orderdate")).cast("long").as("tx_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("tx_day"))),
+
+    // B11a: running total + lag per customer. Decimal running sum keeps the
+    // value exact and engine-independent; total ordering via the unique
+    // orderkey tiebreaker makes every row deterministic.
+    "b11_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("run_total"),
+        lag(col("o_totalprice"), 1).over(wl).as("prev_total"))
+    }),
+
+    // B11b: top-N per key via row_number (deterministic tiebreak).
+    "b11_rank_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
+    // B12: global top-k — Spark executes sort+limit as per-partition top-k
+    // then a k-row merge on one reducer; never a full global sort.
+    "b12_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // B13: distinct — hash aggregate with map-side partials.
+    "b13_distinct" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+
+    // B14: rollup — multi-level trend totals in one pass
+    // (reference: warehouse trend queries aggregate at several grains).
+    "b14_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("tx_year", year(col("o_orderdate")).cast("long"))
+        .rollup(col("tx_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_value"))),
+
+    // B15: union of two overlapping incremental loads + whole-row dedup
+    // (reference: incremental loads re-scan overlapping partitions).
+    "b15_union_dedup" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice")
+      val b = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice")
+      a.union(b).distinct()
+    })
+  )
+
+  /** DuckDB-equivalent SQL for the driver's oracle. Every computed column
+    * is aliased identically to the Spark side; money sums use the same
+    * exact-decimal pattern; literals that would default to DECIMAL in
+    * DuckDB are cast to DOUBLE where the Spark side computes doubles.
+    */
+  def oracles: Map[String, String] = Map(
+    "a3_json_extract" ->
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50""".stripMargin,
+
+    "b1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05""".stripMargin,
+
+    "b3_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "b3_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin,
+
+    "b3_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin,
+
+    "b3_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "b5_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "b6_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_users, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "b8_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (SELECT e.*, time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS ws
+        |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
+        |GROUP BY ws, event_type""".stripMargin,
+
+    "b9_upsert_latest" ->
+      """SELECT user_id, event_id, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "b10_date_parts" ->
+      """SELECT o_orderkey, year(o_orderdate) AS tx_year, month(o_orderdate) AS tx_month,
+        |       day(o_orderdate) AS tx_day
+        |FROM orders""".stripMargin,
+
+    "b11_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+        |       lag(o_totalprice, 1) OVER
+        |              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total
+        |FROM orders""".stripMargin,
+
+    "b11_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       row_number() OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |FROM orders
+        |QUALIFY rnk <= 3""".stripMargin,
+
+    "b12_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "b13_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "b14_rollup" ->
+      """SELECT tx_year, o_orderpriority, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT year(o_orderdate) AS tx_year, o_orderpriority, o_totalprice FROM orders) t
+        |GROUP BY ROLLUP(tx_year, o_orderpriority)""".stripMargin,
+
+    "b15_union_dedup" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |UNION
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin
+  )
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float] vectors).
+  *
+  * Exact brute-force cosine top-k is the correctness baseline; the scale
+  * path is random-hyperplane LSH bucketing: sketch each vector to a small
+  * bit signature, shuffle on the bucket key, and search only within the
+  * probed bucket — O(n/buckets) per query instead of O(n), and the bucket
+  * join is an equi-join Catalyst executes as a hash join.
+  *
+  * All vector math is built from zip_with/aggregate higher-order
+  * functions over the array column — codegen'd, no UDFs, no collect.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.table(s, d, name)
+
+  /** Dot product as a left-to-right fold — the explicit fold order (not a
+    * tree reduction) is what makes the value bit-reproducible across
+    * engines for the oracle.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Attach the L2 norm once per vector (cheaper than recomputing it per
+    * candidate pair).
+    */
+  def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+
+  /** Exact cosine top-k for one query vector. The query side is a single
+    * broadcast row; the corpus side is one scan + a global top-k (Spark
+    * runs orderBy+limit as per-partition top-k then a k-row merge).
+    */
+  def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket key: `bits` sign bits, each from the
+    * dot product with a deterministic pseudo-random hyperplane whose
+    * components are derived from xxhash64(plane, dim) — no stored model,
+    * reproducible on any cluster.
+    */
+  def lshBucket(emb: Column, bits: Int = 8): Column =
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, j) => acc * 2 + when(
+        aggregate(sequence(lit(1), size(emb)), lit(0.0),
+          (s, i) => s + element_at(emb, i).cast("double") *
+            ((pmod(xxhash64(j * 131071 + i), lit(2001L)).cast("double") - 1000.0) / 1000.0)
+        ) > 0, 1L).otherwise(0L))
+
+  /** ANN top-k: probe only the query's bucket. Recall < 1 by construction;
+    * the spec checks recall against cosineTopK. At scale the bucket join
+    * replaces the full-corpus scan with ~n/2^bits candidates.
+    */
+  def annTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("embedding")))
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("bucket"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Bucketed candidate pairs for near-dup verification at scale: only
+    * pairs sharing an LSH bucket are emitted — the equi-join shuffles on
+    * the bucket key, never a cross join.
+    */
+  def annCandidates(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1: exact brute-force cosine top-20 for query vector 0.
+    "e1_cosine_topk" -> ((s, d) => cosineTopK(t(s, d, "embeddings"), 0L, 20)),
+
+    // E2: LSH-bucketed ANN top-20 (rows-only; recall vs E1 in the spec).
+    "e2_ann_lsh" -> ((s, d) => annTopK(t(s, d, "embeddings"), 0L, 20))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "e1_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis over the `documents` corpus: language-ID, quality
+  * scoring, token counting, and rolling-hash fingerprinting — the
+  * row-local preprocessing stages of a training-data pipeline.
+  *
+  * Every operator is a pure per-row expression (no shuffle, no UDF):
+  * at 100 TB these run at scan speed inside WholeStageCodegen, and the
+  * scan reads only the `doc_id`/`text` columns (column pruning).
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.table(s, d, name)
+
+  private val enStop = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val esStop = Seq("el", "la", "de", "y", "los", "que", "un")
+  private val zhStop = Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3")
+
+  private def stopHits(tok: Column, words: Seq[String]): Column =
+    size(filter(tok, w => w.isin(words.map(x => x: Any): _*)))
+
+  /** Language-ID by stopword voting with a deterministic tiebreak order
+    * (en > es > zh). An n-gram character model is the richer public
+    * approach; stopword voting is the portable, shuffle-free core.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val tok = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), col("lang"),
+        stopHits(tok, enStop).as("en_hits"),
+        stopHits(tok, esStop).as("es_hits"),
+        stopHits(tok, zhStop).as("zh_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("zh_hits"), "en")
+          .when(col("es_hits") >= col("zh_hits"), "es")
+          .otherwise("zh"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, folded into one bounded score. All ratios are exact
+    * integer counts divided as doubles — deterministic on any engine.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val tok = split(col("text"), " ")
+    docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(tok).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("punct_chars"),
+        stopHits(tok, enStop).cast("long").as("stop_hits"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("word_chars"))
+      .withColumn("punct_ratio", col("punct_chars").cast("double") / col("n_chars_m"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("avg_word_len", col("word_chars").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.4 +
+        col("stop_ratio") * 0.3 +
+        (lit(1.0) - col("punct_ratio")) * 0.3)
+  }
+
+  /** Token counting: whitespace tokens, a BPE-ish regex token count
+    * (letter runs / digit runs / single symbols), and the chars/4
+    * heuristic LLM pipelines use for budget estimates.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("re_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+
+  /** Rolling polynomial fingerprint: fold (acc*31 + codepoint) mod 1e9+7
+    * over the characters. The left fold is order-defined, so the value is
+    * engine-reproducible; the mod keeps it in 30 bits.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(
+        """aggregate(
+          |  filter(split(text, ''), c -> c <> ''),
+          |  cast(0 as bigint),
+          |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin).as("fingerprint"))
+      .withColumn("shard", col("fingerprint") % 1024)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_lang_id" -> ((s, d) => langId(t(s, d, "documents"))),
+    "f2_quality" -> ((s, d) => quality(t(s, d, "documents"))),
+    "f3_token_count" -> ((s, d) => tokenCounts(t(s, d, "documents"))),
+    "f4_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "f1_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(str_split(text, ' '), w -> w IN ('the','a','of','and','in','to','is'))) AS en_hits,
+        |    len(list_filter(str_split(text, ' '), w -> w IN ('el','la','de','y','los','que','un'))) AS es_hits,
+        |    len(list_filter(str_split(text, ' '), w -> w IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS zh_hits
+        |  FROM documents)
+        |SELECT doc_id, lang, en_hits, es_hits, zh_hits,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+        |       WHEN es_hits >= zh_hits THEN 'es' ELSE 'zh' END AS pred_lang,
+        |  (CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+        |        WHEN es_hits >= zh_hits THEN 'es' ELSE 'zh' END) = lang AS is_match
+        |FROM scored""".stripMargin,
+
+    "f2_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct_chars,
+        |    CAST(len(list_filter(str_split(text, ' '), w -> w IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop_hits,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_tokens, punct_chars, stop_hits, word_chars,
+        |  CAST(punct_chars AS DOUBLE) / n_chars_m AS punct_ratio,
+        |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(word_chars AS DOUBLE) / n_tokens AS avg_word_len,
+        |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |    + (CAST(stop_hits AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+        |    + (CAST(1.0 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / n_chars_m) * CAST(0.3 AS DOUBLE) AS quality_score
+        |FROM m""".stripMargin,
+
+    "f3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |  CAST(ceil(length(text) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS est_tokens
+        |FROM documents""".stripMargin,
+
+    "f4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS shard
+        |FROM documents""".stripMargin
+  )
+}

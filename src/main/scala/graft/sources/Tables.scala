@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types._
+
+/** Sources & sinks.
+  *
+  * Capabilities derived from the reference ingest layer:
+  *  - schema'd CSV batch/stream reads (reference: src/spark/jobs/spark.py:100-125)
+  *  - explicit reference schemas  (reference: src/spark/jobs/spark.py:70-97)
+  *  - date-partitioned parquet sink (reference: src/spark/jobs/spark.py foreachBatch,
+  *    partitionBy payment_method/tx_year/tx_month/tx_day)
+  *  - MERGE/upsert warehouse-load semantics (reference:
+  *    src/snowflake/load_to_snowflake_transction.py MERGE ON transaction_id)
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet batch read. Plain `spark.read.parquet` so filter/projection
+    * pushdown and partition pruning are Catalyst's job, not ours.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the source parquet, which Spark's
+    * vectorized reader rejects; it is read as a nanos long and truncated
+    * to microseconds — the same ns→us truncation DuckDB applies.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Transaction event schema (reference: src/spark/jobs/spark.py:70-80). */
+  val transactionSchema: StructType = StructType(Seq(
+    StructField("transaction_id", StringType),
+    StructField("user_id", IntegerType),
+    StructField("product_id", IntegerType),
+    StructField("store_id", StringType),
+    StructField("amount", DoubleType),
+    StructField("payment_method", StringType),
+    StructField("country", StringType),
+    StructField("timestamp", TimestampType)))
+
+  /** User dimension schema (reference: src/spark/jobs/spark.py:82-88). */
+  val userSchema: StructType = StructType(Seq(
+    StructField("user_id", IntegerType),
+    StructField("name", StringType),
+    StructField("email", StringType),
+    StructField("country", StringType),
+    StructField("signup_date", TimestampType)))
+
+  /** Product dimension schema (reference: src/spark/jobs/spark.py:90-97). */
+  val productSchema: StructType = StructType(Seq(
+    StructField("product_id", IntegerType),
+    StructField("name", StringType),
+    StructField("category", StringType),
+    StructField("base_price", DoubleType),
+    StructField("supplier", StringType),
+    StructField("country", StringType),
+    StructField("in_stock", BooleanType),
+    StructField("discount", DoubleType)))
+
+  /** Schema'd CSV batch read — never infer on a 100 TB path. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Schema'd streaming file read. `maxFilesPerTrigger` bounds micro-batch
+    * size the way the reference consumer bounds its buffer (reference:
+    * src/kafka/consumer/consumer.py BATCH_SIZE/FLUSH_INTERVAL).
+    */
+  def readCsvStream(spark: SparkSession, path: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .csv(path)
+
+  /** Schema'd streaming JSON read (producer-side payload shape,
+    * reference: src/kafka/producer/transaction_producer.py).
+    */
+  def readJsonStream(spark: SparkSession, path: String, schema: StructType,
+                     maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .json(path)
+
+  /** Date-partitioned parquet sink (reference: src/spark/jobs/spark.py
+    * fraud sink partitioned by payment_method/tx_year/tx_month/tx_day).
+    *
+    * Repartitions by the partition columns first so each partition
+    * directory receives one file per shuffle partition instead of one per
+    * upstream task — at 1000 executors an unrepartitioned partitionBy
+    * write produces tasks×partitions small files and melts the namenode.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String,
+                           extraPartitionCols: Seq[String] = Seq("payment_method")): Unit = {
+    val withParts = df
+      .withColumn("tx_year", year(col(tsCol)))
+      .withColumn("tx_month", month(col(tsCol)))
+      .withColumn("tx_day", dayofmonth(col(tsCol)))
+    val partCols = extraPartitionCols ++ Seq("tx_year", "tx_month", "tx_day")
+    withParts
+      .repartition(partCols.map(col): _*)
+      .write.mode("append").partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Read back a date-partitioned sink; partition columns are recovered
+    * from directory paths (reference: src/airflow/script scripts recover
+    * year/month/day from object paths). Filters on partition columns
+    * prune directories, not data.
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Distributed MERGE: latest-row-per-key upsert (reference:
+    * src/snowflake/load_to_snowflake_transction.py MERGE ON
+    * transaction_id,timestamp via a staging table).
+    *
+    * Spark-first: union base + updates, then keep the newest row per key
+    * with a single row_number over (key, version desc). One shuffle on the
+    * key — the same plan a warehouse MERGE compiles to — and scales to any
+    * number of executors; ties broken by the trailing version columns so
+    * the result is deterministic.
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                  versionDesc: Seq[Column]): DataFrame = {
+    val unioned = base.unionByName(updates)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionDesc.map(_.desc): _*)
+    unioned
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+}
