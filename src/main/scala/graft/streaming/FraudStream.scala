@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.Tables
+
+/** Structured-Streaming assembly of the reference pipeline
+  * (reference: src/spark/jobs/spark.py process_stream / write_streams):
+  * schema'd streaming file read → 15-min watermark → stream-static
+  * left-outer enrichment joins → rule scoring → 1-minute tumbling
+  * windowed aggregations (approx distinct, like the reference) →
+  * foreachBatch sinks writing date-partitioned parquet.
+  *
+  * Scale: the stream side carries the watermark and all state is
+  * windowed+watermarked, so state store size is bounded; dimension sides
+  * are static and broadcast; the partitioned sink repartitions by its
+  * partition columns before writing (no small-file explosion).
+  */
+object FraudStream {
+
+  /** Stream-static enrichment + fraud scoring on reference-schema
+    * transactions. Keeps the reference's literal rule constants
+    * (amount > 500, percent discount) because this path consumes the
+    * reference's own CSV schema.
+    */
+  def scoredStream(tx: DataFrame, users: DataFrame, products: DataFrame,
+                   watermark: String = "15 minutes"): DataFrame = {
+    val u = users
+      .withColumnRenamed("country", "user_country")
+      .withColumnRenamed("name", "user_name")
+    val p = products
+      .withColumnRenamed("country", "product_country")
+      .withColumnRenamed("name", "product_name")
+    tx.withWatermark("timestamp", watermark)
+      .join(u, Seq("user_id"), "left_outer")
+      .join(p, Seq("product_id"), "left_outer")
+      .withColumn("country_mismatch",
+        when(col("user_country") =!= col("product_country"), 1).otherwise(0))
+      .withColumn("high_value_flag", when(col("amount") > 500, 1).otherwise(0))
+      .withColumn("fraud_score",
+        col("country_mismatch") * 0.5 + col("high_value_flag") * 0.5)
+      .withColumn("discounted_price",
+        when(col("base_price").isNotNull && col("discount").isNotNull,
+          col("base_price") - col("base_price") * col("discount") / 100)
+          .otherwise(lit(null)))
+  }
+
+  /** Per-user spend trend over tumbling windows — streaming twin of
+    * c6_user_spend_trend, with the reference's approx_count_distinct.
+    */
+  def userSpendTrend(scored: DataFrame, windowLen: String = "1 minute"): DataFrame =
+    scored
+      .groupBy(window(col("timestamp"), windowLen), col("user_id"))
+      .agg(sum(col("amount")).as("total_spent"),
+           approx_count_distinct(col("transaction_id")).as("num_transactions"))
+      .withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("window_end", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+
+  /** Per-category sales trend — streaming twin of c7_category_trend. */
+  def categoryTrend(scored: DataFrame, windowLen: String = "1 minute"): DataFrame =
+    scored
+      .groupBy(window(col("timestamp"), windowLen), col("category"))
+      .agg(sum(col("amount")).as("total_sales"),
+           approx_count_distinct(col("transaction_id")).as("num_transactions"))
+      .withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("window_end", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("window")
+
+  /** Streaming dedup within the watermark: late duplicates of a key seen
+    * inside the watermark horizon are dropped; state is GC'd past it
+    * (reference capability: exactly-once upsert keyed on transaction_id).
+    */
+  def dedupWithinWatermark(tx: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    tx.withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("transaction_id")
+
+  /** End-to-end pipeline start (reference: write_streams foreachBatch):
+    * scored records land in a date-partitioned parquet sink keyed by
+    * payment_method/tx_year/tx_month/tx_day; AvailableNow makes the same
+    * query usable for backfills and for deterministic tests.
+    */
+  def start(spark: SparkSession, inputPath: String, users: DataFrame,
+            products: DataFrame, sinkPath: String, checkpointPath: String,
+            availableNow: Boolean = true): StreamingQuery = {
+    val tx = Tables.readCsvStream(spark, inputPath, Tables.transactionSchema)
+    val scored = scoredStream(tx, users, products)
+    val writer = scored.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Tables.writeDatePartitioned(batch, "timestamp", sinkPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

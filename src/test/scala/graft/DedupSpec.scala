@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup family semantics on crafted documents (SURVEY §2 D1–D4). */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "key agg row scan slow fast table value part hash merge batch spark window"
+  private val nearDup = "key agg row scan slow fast table value part hash merge batch spark query"
+  private val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+
+  test("D2 MinHash+LSH surfaces the near-duplicate pair, not the unrelated one") {
+    val cand = Dedup.minhashCandidates(docs(1L -> base, 2L -> nearDup, 3L -> other))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"expected (1,2) in $cand")
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)), cand)
+  }
+
+  test("D4 Jaccard verification scores the candidate pair high") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val j = Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(j((1L, 2L)) > 0.7, j)
+  }
+
+  test("D2 identical documents always collide (Jaccard 1 ⇒ all bands equal)") {
+    val cand = Dedup.minhashCandidates(docs(1L -> base, 2L -> base))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === Set((1L, 2L)))
+  }
+
+  test("D3 SimHash: identical text ⇒ identical fingerprint; disjoint text differs") {
+    val fp = Dedup.simhash(docs(1L -> base, 2L -> base, 3L -> other))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(fp(1L) >= 0 && fp(1L) < (1L << 32))
+  }
+
+  test("D3 SimHash near-dup is hamming-close") {
+    val fp = Dedup.simhash(docs(1L -> base, 2L -> nearDup, 3L -> other))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+    assert(ham(fp(1L), fp(2L)) <= 8, s"near-dup hamming ${ham(fp(1L), fp(2L))}")
+  }
+
+  test("D1 exact dedup groups by content hash") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val groups = d.groupBy(org.apache.spark.sql.functions.md5($"text"))
+      .count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq === Seq(1L, 2L))
+  }
+}

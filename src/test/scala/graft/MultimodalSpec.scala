@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal payload plumbing (SURVEY §2 G1): binary lifecycle, typed
+  * metadata, batched partition-local decode (stubbed codec).
+  */
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("G1 payload schema: binary column + typed metadata") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, "worlds!")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs)
+    val schema = media.schema.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") === "binary")
+    assert(schema("width") === "integer" && schema("height") === "integer")
+    val r = media.filter($"doc_id" === 1L).collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") === "hello")
+    val w = r.getAs[Int]("width")
+    assert(w >= 64 && w < 1024)
+  }
+
+  test("G1 batched decode preserves rows, is deterministic, drops payloads") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"document number $i")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs), batchSize = 16)
+    assert(feats.count() === 200)
+    assert(!feats.columns.contains("payload"), "feature rows must not carry payload bytes")
+    val a = feats.filter(_.doc_id == 7L).collect()(0)
+    val b = Multimodal.decodeFeatures(Multimodal.withPayload(docs)).filter(_.doc_id == 7L).collect()(0)
+    assert(a === b)
+    assert(a.n_bytes === "document number 7".getBytes("UTF-8").length.toLong)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Plan-shape and semantics checks for the relational core (SURVEY §2 B*).
+  * Value-level correctness is the DuckDB oracle's job (Verify harness);
+  * these specs assert the *plans* scale: pushdown reaches the scan and
+  * the dimension join broadcasts.
+  */
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("B1 filter+projection push down to the parquet scan") {
+    val df = Relational.queries("b1_filter_project")(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // projection pruned to the 4 selected + 2 filter columns
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"), plan)
+  }
+
+  test("B3d dimension join is a broadcast join (fact side unshuffled)") {
+    val df = Relational.queries("b3_join_broadcast")(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("B3b/B3c semi and anti partition the customer set") {
+    val semi = Relational.queries("b3_join_semi")(spark, SF).count()
+    val anti = Relational.queries("b3_join_anti")(spark, SF).count()
+    val all = graft.sources.Tables.table(spark, SF, "customer").count()
+    assert(semi + anti === all)
+    assert(semi > 0 && anti > 0)
+  }
+
+  test("B9 merge-upsert keeps exactly one (latest) row per key") {
+    val df = Relational.queries("b9_upsert_latest")(spark, SF)
+    val users = df.select("user_id").distinct().count()
+    assert(df.count() === users)
+  }
+
+  test("B12 top-k is ordered and bounded") {
+    val rows = Relational.queries("b12_topk")(spark, SF).collect()
+    assert(rows.length === 100)
+    val prices = rows.map(_.getAs[Double]("l_extendedprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+}

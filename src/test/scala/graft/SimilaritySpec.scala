@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Similarity search semantics (SURVEY §2 E1–E2). */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("E1 exact top-k ranks by cosine") {
+    val e = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),  // nearly parallel
+      2L -> Seq(0f, 1f, 0f, 0f),      // orthogonal
+      3L -> Seq(-1f, 0f, 0f, 0f))     // opposite
+    val top = Similarity.cosineTopK(e, 0L, 3).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(top(0).getAs[Double]("score") > 0.99)
+    assert(math.abs(top(1).getAs[Double]("score")) < 1e-9)
+    assert(top(2).getAs[Double]("score") === -1.0)
+  }
+
+  test("E2 ANN finds a same-direction near-duplicate (same LSH bucket by construction)") {
+    // A scaled copy of the query has identical hyperplane signs, so it
+    // must share the bucket and be returned first.
+    val e = vecs(
+      0L -> Seq(0.3f, -0.7f, 0.2f, 0.9f),
+      1L -> Seq(0.6f, -1.4f, 0.4f, 1.8f), // 2× query: same direction
+      2L -> Seq(0.31f, -0.72f, 0.21f, 0.93f)) // tiny perturbation
+    val ann = Similarity.annTopK(e, 0L, 5).collect()
+    assert(ann.map(_.getLong(0)).contains(1L))
+    assert(ann.head.getAs[Double]("score") > 0.999)
+  }
+
+  test("E2 ANN recall vs E1 on real embeddings is measurable and bounded") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(e, 0L, 20).collect()
+    assert(ann.length <= 20)
+    val scores = ann.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores must be ranked")
+    val recall = ann.map(_.getLong(0)).count(exact.contains) / 20.0
+    info(s"ANN recall@20 = $recall over ${ann.length} bucket candidates")
+  }
+
+  test("E2 candidate pairs stay within buckets (no cross join)") {
+    val e = vecs(
+      0L -> Seq(1f, 1f, 1f, 1f),
+      1L -> Seq(2f, 2f, 2f, 2f),
+      2L -> Seq(-1f, -1f, -1f, -1f))
+    val pairs = Similarity.annCandidates(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))   // parallel ⇒ same bucket
+    assert(!pairs.contains((0L, 2L))) // antipodal ⇒ all sign bits flip
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Ingest & sink capabilities (SURVEY §2 A1, A6, A7) and the MERGE
+  * upsert (C9).
+  */
+class SourcesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("A1 schema'd CSV batch read applies the reference schemas") {
+    val dir = tmpDir("graft_csv")
+    Files.writeString(Paths.get(dir, "users.csv"),
+      "user_id,name,email,country,signup_date\n" +
+        "1,Ada,ada@x.com,FRANCE,2024-01-01T00:00:00.000Z\n" +
+        "2,Bo,bo@x.com,KENYA,2024-02-01T00:00:00.000Z\n")
+    val df = Tables.readCsv(spark, dir, Tables.userSchema)
+    assert(df.schema === Tables.userSchema)
+    assert(df.count() === 2)
+    assert(df.filter(col("country") === "FRANCE").count() === 1)
+  }
+
+  test("A6/A7 date-partitioned sink round-trips and prunes partitions") {
+    import spark.implicits._
+    val dir = tmpDir("graft_sink")
+    val df = Seq(
+      ("t1", "card", 10.0, java.sql.Timestamp.valueOf("2024-01-15 10:00:00")),
+      ("t2", "cash", 20.0, java.sql.Timestamp.valueOf("2024-02-20 11:00:00")),
+      ("t3", "card", 30.0, java.sql.Timestamp.valueOf("2024-02-20 12:00:00")))
+      .toDF("transaction_id", "payment_method", "amount", "timestamp")
+    Tables.writeDatePartitioned(df, "timestamp", dir)
+
+    // partition directories exist (reference layout: payment_method/year/month/day)
+    assert(Files.exists(Paths.get(dir, "payment_method=card", "tx_year=2024",
+      "tx_month=1", "tx_day=15")))
+
+    val back = Tables.readPartitioned(spark, dir)
+    assert(back.count() === 3)
+    // partition columns recovered from paths
+    assert(back.columns.toSet.contains("tx_year"))
+
+    // a filter on partition columns prunes directories, not rows
+    val pruned = back.filter(col("tx_month") === 2 && col("payment_method") === "card")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() === 1)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("tx_month"), plan)
+  }
+
+  test("C9 mergeUpsert is idempotent and keeps the newest version") {
+    import spark.implicits._
+    val base = Seq((1, "old", 1L), (2, "keep", 5L)).toDF("id", "v", "version")
+    val updates = Seq((1, "new", 2L), (3, "ins", 1L)).toDF("id", "v", "version")
+    val merged = Tables.mergeUpsert(base, updates, Seq("id"), Seq(col("version")))
+    val m = merged.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m === Map(1 -> "new", 2 -> "keep", 3 -> "ins"))
+    // re-applying the same updates changes nothing (idempotent MERGE)
+    val again = Tables.mergeUpsert(merged, updates, Seq("id"), Seq(col("version")))
+    assert(again.collect().map(r => r.getInt(0) -> r.getString(1)).toMap === m)
+  }
+}

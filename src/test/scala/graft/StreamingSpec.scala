@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.{FraudStream, Stateful}
+
+/** Structured-streaming pipeline (SURVEY §2 A2, A5, H1–H3). */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeTxCsv(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.writeString(Paths.get(dir, name),
+      ("transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp"
+        +: rows).mkString("", "\n", "\n"))
+
+  private def usersDf = {
+    import spark.implicits._
+    Seq((1, "Ada", "a@x", "FRANCE", "2024-01-01 00:00:00"),
+        (2, "Bo", "b@x", "KENYA", "2024-01-01 00:00:00"))
+      .toDF("user_id", "name", "email", "country", "signup_date")
+  }
+
+  private def productsDf = {
+    import spark.implicits._
+    Seq((10, "Watch", "gadgets", 1000.0, "acme", "FRANCE", true, 10.0),
+        (20, "Pen", "office", 2.0, "acme", "KENYA", true, 0.0))
+      .toDF("product_id", "name", "category", "base_price", "supplier",
+            "country", "in_stock", "discount")
+  }
+
+  test("H1 end-to-end: stream read → enrich → score → partitioned sink") {
+    val in = tmpDir("graft_stream_in")
+    val sink = tmpDir("graft_stream_sink")
+    val ckpt = tmpDir("graft_stream_ckpt")
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,20,s1,600.0,card,FRANCE,2024-03-01T10:00:00.000Z", // mismatch + high value
+      "t2,2,20,s1,5.0,cash,KENYA,2024-03-01T10:00:30.000Z"))   // neither
+
+    val q = FraudStream.start(spark, in, usersDf, productsDf, sink, ckpt)
+    q.awaitTermination()
+
+    val out = Tables.readPartitioned(spark, sink)
+    assert(out.count() === 2)
+    val byId = out.collect().map(r => r.getAs[String]("transaction_id") -> r).toMap
+    assert(byId("t1").getAs[Double]("fraud_score") === 1.0)
+    assert(byId("t2").getAs[Double]("fraud_score") === 0.0)
+    // reference sink layout: payment_method + date parts from event time
+    assert(Files.exists(Paths.get(sink, "payment_method=card", "tx_year=2024",
+      "tx_month=3", "tx_day=1")))
+    // discounted_price: base 2.0, discount 0% (reference percent semantics)
+    assert(byId("t1").getAs[Double]("discounted_price") === 2.0)
+  }
+
+  test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
+    val in = tmpDir("graft_mb_in")
+    val ckpt = tmpDir("graft_mb_ckpt")
+    (0 until 4).foreach { i =>
+      writeTxCsv(in, s"b$i.csv",
+        Seq(s"t$i,1,10,s1,10.0,card,FRANCE,2024-03-01T10:0$i:00.000Z"))
+    }
+    var batches = Vector.empty[Long]
+    val q = Tables.readCsvStream(spark, in, Tables.transactionSchema, maxFilesPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches = batches :+ b.count())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.sum === 4)
+    assert(batches.length === 4, s"expected 4 single-file micro-batches, got $batches")
+  }
+
+  test("H2 streaming dedup within watermark drops replayed keys") {
+    val in = tmpDir("graft_dd_in")
+    val ckpt = tmpDir("graft_dd_ckpt")
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z",
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:05.000Z", // replay
+      "t2,1,10,s1,20.0,card,FRANCE,2024-03-01T10:01:00.000Z"))
+    val q = FraudStream.dedupWithinWatermark(
+        Tables.readCsvStream(spark, in, Tables.transactionSchema))
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.sql("SELECT transaction_id FROM dedup_out")
+      .collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("t1", "t2"))
+  }
+
+  test("H3 stateful velocity alerts fire once per threshold crossing") {
+    val in = tmpDir("graft_vel_in")
+    val ckpt = tmpDir("graft_vel_ckpt")
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z",
+      "t2,1,10,s1,20.0,card,FRANCE,2024-03-01T10:00:10.000Z",
+      "t3,1,10,s1,30.0,card,FRANCE,2024-03-01T10:00:20.000Z",
+      "t4,2,10,s1,40.0,card,FRANCE,2024-03-01T10:00:30.000Z"))
+    import spark.implicits._
+    val txs = Tables.readCsvStream(spark, in, Tables.transactionSchema)
+      .select(col("user_id"), col("amount"), col("timestamp").as("ts"))
+      .as[Stateful.Tx]
+    val q = Stateful.velocityAlerts(txs, threshold = 3)
+      .writeStream.format("memory").queryName("vel_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val alerts = spark.sql("SELECT * FROM vel_out").collect()
+    assert(alerts.length === 1)
+    assert(alerts(0).getAs[Int]("user_id") === 1)
+    assert(alerts(0).getAs[Long]("n") === 3L)
+    assert(alerts(0).getAs[Double]("total") === 60.0)
+  }
+
+  test("H1 trend aggregation over the stream (windowed, approx distinct)") {
+    val in = tmpDir("graft_tr_in")
+    val ckpt = tmpDir("graft_tr_ckpt")
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,100.0,card,FRANCE,2024-03-01T10:00:10.000Z",
+      "t2,1,10,s1,50.0,card,FRANCE,2024-03-01T10:00:40.000Z",
+      "t3,2,10,s1,70.0,card,KENYA,2024-03-01T10:02:00.000Z"))
+    val scored = FraudStream.scoredStream(
+      Tables.readCsvStream(spark, in, Tables.transactionSchema), usersDf, productsDf)
+    val q = FraudStream.userSpendTrend(scored)
+      .writeStream.format("memory").queryName("trend_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT user_id, total_spent, num_transactions, window_start FROM trend_out")
+      .collect()
+    val u1 = rows.filter(_.getInt(0) == 1)
+    assert(u1.length === 1)
+    assert(u1(0).getAs[Double]("total_spent") === 150.0)
+    assert(u1(0).getAs[Long]("num_transactions") === 2L)
+    assert(u1(0).getAs[String]("window_start") === "2024-03-01 10:00:00")
+  }
+}
