@@ -1,24 +1,66 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall seconds.
+  *
+  * Each query is fully materialized through the `noop` sink — a plain
+  * count() would let Catalyst prune the very expressions being measured
+  * (e.g. the fraud-score projection collapses to a join-count).
+  */
 object Bench {
+
+  /** Headline set: one representative per operator family, weighted
+    * toward the scan/join/agg shapes that dominate at 100 TB.
+    */
+  val headline: Seq[String] = Seq(
+    "b1_filter_project", "b3_join_inner", "b3_join_broadcast",
+    "b5_agg_basic", "b6_approx_distinct", "b8_sliding_window",
+    "b9_upsert_latest", "b11_rank_topn",
+    "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
+    "c7_category_trend", "c11_zscore",
+    "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
+    "e1_cosine_topk", "e2_ann_lsh",
+    "f2_quality", "f3_token_count", "f4_fingerprint",
+    "g1_multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // one warm-up pass over a cheap query so JIT/codegen cost doesn't
+    // land on the first measured entry
+    SparkEntry.queries("b13_distinct")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> -1.0
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

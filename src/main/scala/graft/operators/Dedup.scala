@@ -56,41 +56,75 @@ object Dedup {
       array_min(transform(hs, x => (a * x + b) % P))
     })
 
+  /** Spread an expression-heavy narrow stage across the cluster: a small
+    * file count must not serialize CPU-bound sketching onto few cores
+    * (locally: the single-file documents table would otherwise sketch on
+    * one thread; at scale: the tail of small input splits).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Tokens → shingles → hashes → signature, one projection per stage.
+    *
+    * Each stage MUST be its own projection: Spark's higher-order lambdas
+    * inline whatever expression tree they reference, so composing these
+    * as nested Columns re-evaluates split()/md5() per element per
+    * permutation — a combinatorial blowup (observed ~1000× on the
+    * 16-permutation sketch). As separate projections each lambda
+    * references a materialized attribute, and CollapseProject keeps
+    * multiply-referenced non-cheap aliases un-inlined.
+    */
+  private def withMinhashes(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(docs)
+      .select(col(idCol), tokens(col(textCol)).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col(idCol), shingles(col("tok")).as("sh"))
+      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
+      .select(col(idCol), minhashes(col("hs")).as("mh"))
+
   /** (doc_id, band_id, band_key) — LSH banding of the MinHash signature:
     * 4 bands × 4 rows. Docs agreeing on any full band land in the same
     * bucket; the candidate join is keyed on the bucket.
     */
-  def lshBands(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = tokens(col(textCol))
-    docs
-      .filter(size(tok) >= 3)
-      .select(col(idCol), minhashes(shingleHashes(shingles(tok))).as("mh"))
+  def lshBands(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    withMinhashes(docs, textCol, idCol)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(3)), j => concat_ws("-",
           element_at(col("mh"), j * 4 + 1), element_at(col("mh"), j * 4 + 2),
           element_at(col("mh"), j * 4 + 3), element_at(col("mh"), j * 4 + 4)))))
       .toDF(idCol, "band_id", "band_key")
-  }
 
-  /** Distinct candidate near-dup pairs from LSH bucket collisions. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = lshBands(docs)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Distinct candidate near-dup pairs from LSH bucket collisions.
+    *
+    * Grouped-bucket pair expansion instead of a self-join: the corpus is
+    * sketched ONCE, shuffled once on (band, band_key), and pairs are
+    * expanded inside each bucket (a self-join would run the full MinHash
+    * pipeline twice and shuffle both copies). Bucket sizes are bounded by
+    * near-dup cluster sizes; a pathological mega-cluster (e.g. billions
+    * of empty documents) should be pre-filtered by exact dedup (D1)
+    * upstream — the standard MinHash-at-scale composition.
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    lshBands(docs)
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-  }
 
   /** n-gram Jaccard verification of candidate pairs — joins candidates to
     * the distinct shingle sets and computes |A∩B| / |A∪B| exactly.
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val tok = tokens(col("text"))
-    val sets = docs.filter(size(tok) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(tok)).as("s"))
+    val sets = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("tok"))).as("s"))
     val inter = size(array_intersect(col("sa.s"), col("sb.s")))
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -105,19 +139,23 @@ object Dedup {
     * mode; hamming distance on 32 bits is plenty for near-dup banding).
     * Spark-only sketch (xxhash64 fast path), rows-only check.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = tokens(col("text"))
-    docs.filter(size(tok) >= 1).select(col("doc_id"),
-      expr(
-        """aggregate(
-          |  sequence(0, 31),
-          |  cast(0 as bigint),
-          |  (fp, b) -> fp * 2 + if(
-          |    aggregate(array_distinct(transform(split(text, ' '), w -> xxhash64(w))),
-          |              cast(0 as bigint),
-          |              (acc, h) -> acc + if(((h >> b) & 1) = 1, 1, -1)) > 0, 1, 0))
-          |""".stripMargin).as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 1)
+      // token hashes materialized once; the 32-bit fold then only re-reads
+      // the attribute (inlining the hash expr would recompute it per bit)
+      .select(col("doc_id"),
+        array_distinct(transform(col("tok"), w => xxhash64(w))).as("hs"))
+      .select(col("doc_id"),
+        expr(
+          """aggregate(
+            |  sequence(0, 31),
+            |  cast(0 as bigint),
+            |  (fp, b) -> fp * 2 + if(
+            |    aggregate(hs, cast(0 as bigint),
+            |              (acc, h) -> acc + if(((h >> b) & 1) = 1, 1, -1)) > 0, 1, 0))
+            |""".stripMargin).as("simhash"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -30,12 +30,14 @@ object TextAnalysis {
     * approach; stopword voting is the portable, shuffle-free core.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val tok = split(col("text"), " ")
     docs
+      // tokenization materialized once; the three stopword filters then
+      // read the attribute instead of re-splitting per language
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("lang"),
-        stopHits(tok, enStop).as("en_hits"),
-        stopHits(tok, esStop).as("es_hits"),
-        stopHits(tok, zhStop).as("zh_hits"))
+        stopHits(col("tok"), enStop).as("en_hits"),
+        stopHits(col("tok"), esStop).as("es_hits"),
+        stopHits(col("tok"), zhStop).as("zh_hits"))
       .withColumn("pred_lang",
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("zh_hits"), "en")
           .when(col("es_hits") >= col("zh_hits"), "es")
@@ -48,13 +50,13 @@ object TextAnalysis {
     * integer counts divided as doubles — deterministic on any engine.
     */
   def quality(docs: DataFrame): DataFrame = {
-    val tok = split(col("text"), " ")
     docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
-        size(tok).cast("long").as("n_tokens"),
+        size(col("tok")).cast("long").as("n_tokens"),
         length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("punct_chars"),
-        stopHits(tok, enStop).cast("long").as("stop_hits"),
+        stopHits(col("tok"), enStop).cast("long").as("stop_hits"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("word_chars"))
       .withColumn("punct_ratio", col("punct_chars").cast("double") / col("n_chars_m"))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
