@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Fraud, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fraud, FraudModel, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry maps to.
@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Fraud.queries ++ Dedup.queries ++
+    Relational.queries ++ Fraud.queries ++ FraudModel.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
 
   /** DuckDB-equivalent SQL per query; keys absent here (b6_approx,

@@ -93,12 +93,51 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
+  /** IVF-style ANN: vectors are routed to their nearest of `nCentroids`
+    * deterministic seed centroids (one broadcast pass, no shuffle of the
+    * corpus); a query probes only its `nProbes` closest cells. The scale
+    * path for repeated queries: the assignment is computed once and
+    * reused, and each probe touches ~nProbes/nCentroids of the corpus.
+    * (A production IVF learns centroids with k-means; seeded centroids
+    * keep this deterministic and model-free.)
+    */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              nCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+              col("nrm").as("cent_nrm"))
+    def cellOf(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .drop("cent_emb", "cent_nrm", "cent_cos", "__rk")
+    }
+    val assigned = cellOf(e, 1)
+    val probeCells = cellOf(e.filter(col("vec_id") === queryVecId), nProbes)
+      .select(col("cent_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probeCells), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: exact brute-force cosine top-20 for query vector 0.
     "e1_cosine_topk" -> ((s, d) => cosineTopK(t(s, d, "embeddings"), 0L, 20)),
 
     // E2: LSH-bucketed ANN top-20 (rows-only; recall vs E1 in the spec).
-    "e2_ann_lsh" -> ((s, d) => annTopK(t(s, d, "embeddings"), 0L, 20))
+    "e2_ann_lsh" -> ((s, d) => annTopK(t(s, d, "embeddings"), 0L, 20)),
+
+    // E2b: IVF-style centroid-routed ANN top-20 (rows-only).
+    "e3_ann_ivf" -> ((s, d) => ivfTopK(t(s, d, "embeddings"), 0L, 20))
   )
 
   def oracles: Map[String, String] = Map(

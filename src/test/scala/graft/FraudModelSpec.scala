@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Fraud, FraudModel}
+
+/** MLlib risk model sanity (batch DataFrame + MLlib capability). */
+class FraudModelSpec extends AnyFunSuite with SparkTestBase {
+
+  test("C13 learned score separates rule-flagged transactions") {
+    val scored = Fraud.scoredTransactions(spark, SF)
+    val model = FraudModel.train(scored)
+    val out = FraudModel.score(model, scored)
+      .select("fraud_score", "model_score").collect()
+    val hot = out.filter(_.getDouble(0) >= 1.0).map(_.getDouble(1))
+    val cold = out.filter(_.getDouble(0) === 0.0).map(_.getDouble(1))
+    assert(hot.nonEmpty && cold.nonEmpty)
+    val hotAvg = hot.sum / hot.length
+    val coldAvg = cold.sum / cold.length
+    assert(hotAvg > coldAvg + 0.2,
+      s"model failed to separate: hot=$hotAvg cold=$coldAvg")
+    assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("E3 IVF ANN probes a bounded set of cells and ranks by cosine") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val ivf = graft.operators.Similarity.ivfTopK(e, 0L, 20).collect()
+    assert(ivf.length <= 20 && ivf.nonEmpty)
+    // probed at most nProbes distinct cells
+    assert(ivf.map(_.getAs[Long]("cent_id")).distinct.length <= 2)
+    val scores = ivf.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Salted-join equivalence: spreading hot keys must never change the
+  * join result, only the partitioning.
+  */
+class SkewSpec extends AnyFunSuite with SparkTestBase {
+
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    // key 1 is pathologically hot
+    val big = ((1 to 500).map(i => (1, i)) ++ Seq((2, 9001), (3, 9002)))
+      .toDF("k", "line")
+    val small = Seq((1, "hot"), (2, "cold"), (4, "unused")).toDF("k", "v")
+
+    val plain = big.join(small, Seq("k")).select("k", "line", "v")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), col("line"), buckets = 8)
+      .select("k", "line", "v")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("salted left join keeps unmatched fact rows") {
+    import spark.implicits._
+    val big = Seq((1, 10), (9, 20)).toDF("k", "line")
+    val small = Seq((1, "x")).toDF("k", "v")
+    val rows = Skew.saltedJoin(big, small, Seq("k"), col("line"), 4, "left")
+      .collect().map(r => (r.getInt(0), r.isNullAt(2))).toSet
+    assert(rows === Set((1, false), (9, true)))
+  }
+
+  test("salt actually spreads the hot key across buckets") {
+    import spark.implicits._
+    val big = (1 to 100).map(i => (1, i)).toDF("k", "line")
+    val salts = big.withColumn("s", pmod(xxhash64(col("line")), lit(8L)))
+      .select("s").distinct().count()
+    assert(salts > 4, s"hot key only reached $salts of 8 buckets")
+  }
+}
