@@ -21,7 +21,7 @@ object Bench {
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     "c7_category_trend", "c11_zscore",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
-    "e1_cosine_topk", "e2_ann_lsh",
+    "d5_embed_neardup", "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf",
     "f2_quality", "f3_token_count", "f4_fingerprint",
     "g1_multimodal_meta")
 

@@ -21,13 +21,14 @@ object Similarity {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.table(s, d, name)
 
-  /** Dot product as a left-to-right fold — the explicit fold order (not a
-    * tree reduction) is what makes the value bit-reproducible across
-    * engines for the oracle.
+  /** Dot product via the native codegen'd [[graft.functions.FloatVecDot]]
+    * expression: identical left-to-right double accumulation as the
+    * `aggregate(zip_with(...))` fold (bit-reproducible against the
+    * DuckDB oracle), but a primitive loop inside WholeStageCodegen
+    * instead of interpreted per-element closures.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Attach the L2 norm once per vector (cheaper than recomputing it per
     * candidate pair).
