@@ -24,7 +24,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftSparkExtensions)
       .getOrCreate()
+    // getOrCreate may have returned a pre-existing session whose
+    // extensions were fixed at creation — register directly as well.
+    graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook exposing graft's native expressions to
+  * SQL. On a cluster: `--conf spark.sql.extensions=
+  * graft.functions.GraftSparkExtensions`. For an existing session
+  * (notebooks, the driver's own session): `GraftFunctions.register`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (c: Seq[Expression]) => FloatVecDot(c(0), c(1))),
+    (FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (c: Seq[Expression]) => Md5Prefix60(c.head)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      GraftShims.registerFunction(spark, id.funcName, builder)
+    }
+}

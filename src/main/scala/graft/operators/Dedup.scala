@@ -42,9 +42,12 @@ object Dedup {
     * mod P. md5 is bit-identical across engines, which is what lets the
     * DuckDB oracle reproduce the sketch exactly (xxhash64 would be faster
     * but is Spark-private; md5 keeps the whole family engine-portable).
+    * Computed by the native [[graft.functions.Md5Prefix60]] — value-equal
+    * to `conv(substr(md5(x),1,15),16,10)` without the hex-string
+    * round-trip.
     */
   def shingleHashes(sh: Column): Column =
-    transform(sh, x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % P)
+    transform(sh, x => graft.functions.HashFunctions.md5Prefix60(x) % P)
 
   /** k-permutation MinHash signature over the shingle hash set, using the
     * affine family h_i(x) = (a_i * x + b_i) mod P.
