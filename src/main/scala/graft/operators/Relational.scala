@@ -188,6 +188,48 @@ object Relational {
         .rollup(col("tx_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_value"))),
 
+    // B16: session windows — gaps-and-islands sessionization as a single
+    // native operator; at scale this shuffles once on the user key and
+    // sessionizes within partitions (vs. the window-function islands
+    // formulation, which needs the same shuffle plus two window passes).
+    "b16_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("total_value"))
+        .select(
+          fmtTs(col("session_window.start")).as("window_start"),
+          fmtTs(col("session_window.end")).as("window_end"),
+          col("user_id"), col("n_events"), col("total_value"))),
+
+    // B17: pivot — per-priority yearly totals as a crosstab (warehouse
+    // trend report shape). Pivot values are enumerated, so this stays a
+    // single pass with map-side partial aggregation.
+    "b17_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("tx_year", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("tx_year", Seq(1995L, 1996L, 1997L, 1998L, 1999L, 2000L, 2001L))
+        .agg(dsum2(col("o_totalprice")))),
+
+    // B18: conditional aggregation — rule-style measures in one pass.
+    "b18_conditional_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(when(col("o_totalprice") > 250000, 1)).as("n_large"),
+          sum(when(col("o_totalprice") > 250000, col("o_totalprice")).otherwise(0)
+            .cast("decimal(18,2)")).cast("double").as("large_value"),
+          (count(when(col("o_totalprice") > 250000, 1)).cast("double") /
+            count(lit(1))).as("large_share"))),
+
+    // B14b: cube — all grouping-set combinations in one pass.
+    "b14_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("tx_year", year(col("o_orderdate")).cast("long"))
+        .cube(col("tx_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_value"))),
+
     // B15: union of two overlapping incremental loads + whole-row dedup
     // (reference: incremental loads re-scan overlapping partitions).
     "b15_union_dedup" -> ((s, d) => {
@@ -296,6 +338,52 @@ object Relational {
 
     "b13_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    // Session semantics mirror Spark's session_window: an event extends
+    // the session when it arrives strictly inside [start, last + gap);
+    // window_end = last event + gap.
+    "b16_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |       user_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    "b17_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS "1995",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 1996) AS DOUBLE) AS "1996",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE) AS "1997",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 1998) AS DOUBLE) AS "1998",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 1999) AS DOUBLE) AS "1999",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 2000) AS DOUBLE) AS "2000",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE year(o_orderdate) = 2001) AS DOUBLE) AS "2001"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "b18_conditional_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       count(CASE WHEN o_totalprice > 250000 THEN 1 END) AS n_large,
+        |       CAST(SUM(CAST(CASE WHEN o_totalprice > 250000 THEN o_totalprice ELSE 0 END
+        |                     AS DECIMAL(18,2))) AS DOUBLE) AS large_value,
+        |       CAST(count(CASE WHEN o_totalprice > 250000 THEN 1 END) AS DOUBLE) / count(*) AS large_share
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "b14_cube" ->
+      """SELECT tx_year, o_orderstatus, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT year(o_orderdate) AS tx_year, o_orderstatus, o_totalprice FROM orders) t
+        |GROUP BY CUBE(tx_year, o_orderstatus)""".stripMargin,
 
     "b14_rollup" ->
       """SELECT tx_year, o_orderpriority, count(*) AS n_orders,

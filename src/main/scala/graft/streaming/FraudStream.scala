@@ -77,6 +77,41 @@ object FraudStream {
     tx.withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("transaction_id")
 
+  /** Stream-stream correlation: join the transaction stream with a
+    * second event stream on user within a bounded event-time lag. Both
+    * sides carry watermarks and the join condition bounds event time
+    * relative to transaction time, so Spark can GC join state — without
+    * the time bound, stream-stream join state grows forever.
+    */
+  def correlateStreams(tx: DataFrame, events: DataFrame,
+                       watermark: String = "15 minutes",
+                       maxLag: String = "10 minutes"): DataFrame = {
+    val t = tx.withWatermark("timestamp", watermark)
+    val e = events
+      .select(col("user_id").as("e_user_id"), col("ts").as("event_ts"),
+              col("event_type"))
+      .withWatermark("event_ts", watermark)
+    t.join(e,
+        col("user_id") === col("e_user_id") &&
+        col("event_ts") >= col("timestamp") &&
+        col("event_ts") <= col("timestamp") + expr(s"INTERVAL $maxLag"))
+      .drop("e_user_id")
+  }
+
+  /** Per-user session spend over the stream: `session_window` with the
+    * watermark bounding session state (a session closes — and emits, in
+    * append mode — once the watermark passes its end + gap).
+    */
+  def userSessions(tx: DataFrame, gap: String = "1 minute",
+                   watermark: String = "1 minute"): DataFrame =
+    tx.withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap), col("user_id"))
+      .agg(sum(col("amount")).as("total_spent"), count(lit(1)).as("n_tx"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("total_spent"), col("n_tx"))
+
   /** End-to-end pipeline start (reference: write_streams foreachBatch):
     * scored records land in a date-partitioned parquet sink keyed by
     * payment_method/tx_year/tx_month/tx_day; AvailableNow makes the same

@@ -120,6 +120,78 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(alerts(0).getAs[Double]("total") === 60.0)
   }
 
+  test("H1 checkpoint recovery: restart resumes without reprocessing") {
+    val in = tmpDir("graft_ck_in")
+    val sink = tmpDir("graft_ck_sink")
+    val ckpt = tmpDir("graft_ck_ckpt")
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z"))
+    FraudStream.start(spark, in, usersDf, productsDf, sink, ckpt).awaitTermination()
+    // new data lands between runs; same checkpoint, new query instance
+    writeTxCsv(in, "b1.csv", Seq(
+      "t2,2,20,s1,20.0,cash,KENYA,2024-03-01T10:05:00.000Z"))
+    FraudStream.start(spark, in, usersDf, productsDf, sink, ckpt).awaitTermination()
+    val ids = Tables.readPartitioned(spark, sink)
+      .select("transaction_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("t1", "t2"), "each batch exactly once across restarts")
+  }
+
+  test("H4 streaming session windows close as the watermark advances") {
+    val in = tmpDir("graft_sw_in")
+    val ckpt = tmpDir("graft_sw_ckpt")
+    // user 1: two sessions (gap > 1 min); a later anchor batch advances
+    // the watermark past both session ends so append mode emits them
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z",
+      "t2,1,10,s1,15.0,card,FRANCE,2024-03-01T10:00:30.000Z",
+      "t3,1,10,s1,40.0,card,FRANCE,2024-03-01T10:05:00.000Z"))
+    writeTxCsv(in, "b1.csv", Seq(
+      "t9,2,10,s1,1.0,card,FRANCE,2024-03-01T10:30:00.000Z"))
+    val tx = Tables.readCsvStream(spark, in, Tables.transactionSchema, maxFilesPerTrigger = 1)
+    val q = FraudStream.userSessions(tx)
+      .writeStream.format("memory").queryName("sessions_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT session_start, session_end, user_id, total_spent, n_tx FROM sessions_out WHERE user_id = 1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.length === 2, s"two closed sessions expected, got ${rows.mkString(";")}")
+    assert(rows(0) === ("2024-03-01 10:00:00", "2024-03-01 10:01:30", 25.0, 2L))
+    assert(rows(1) === ("2024-03-01 10:05:00", "2024-03-01 10:06:00", 40.0, 1L))
+  }
+
+  test("H5 stream-stream join correlates within the time bound only") {
+    val txIn = tmpDir("graft_ss_tx")
+    val evIn = tmpDir("graft_ss_ev")
+    val ckpt = tmpDir("graft_ss_ckpt")
+    writeTxCsv(txIn, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z"))
+    Files.writeString(Paths.get(evIn, "e0.csv"),
+      "event_id,user_id,ts,event_type\n" +
+        "1,1,2024-03-01T10:02:00.000Z,click\n" +   // within 10 min → joins
+        "2,1,2024-03-01T10:30:00.000Z,click\n" +   // too late → dropped
+        "3,2,2024-03-01T10:01:00.000Z,click\n")    // other user → dropped
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val joined = FraudStream.correlateStreams(
+      Tables.readCsvStream(spark, txIn, Tables.transactionSchema),
+      Tables.readCsvStream(spark, evIn, evSchema))
+    val q = joined.writeStream.format("memory").queryName("corr_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT transaction_id, event_ts FROM corr_out").collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    assert(rows(0).getString(0) === "t1")
+  }
+
   test("H1 trend aggregation over the stream (windowed, approx distinct)") {
     val in = tmpDir("graft_tr_in")
     val ckpt = tmpDir("graft_tr_ckpt")
