@@ -218,8 +218,8 @@ object Relational {
         .agg(
           count(lit(1)).as("n_orders"),
           count(when(col("o_totalprice") > 250000, 1)).as("n_large"),
-          sum(when(col("o_totalprice") > 250000, col("o_totalprice")).otherwise(0)
-            .cast("decimal(18,2)")).cast("double").as("large_value"),
+          dsum2(when(col("o_totalprice") > 250000, col("o_totalprice")).otherwise(0))
+            .as("large_value"),
           (count(when(col("o_totalprice") > 250000, 1)).cast("double") /
             count(lit(1))).as("large_share"))),
 

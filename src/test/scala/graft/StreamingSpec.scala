@@ -120,7 +120,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(alerts(0).getAs[Double]("total") === 60.0)
   }
 
-  test("H1 checkpoint recovery: restart resumes without reprocessing") {
+  test("H6 checkpoint recovery: restart resumes without reprocessing") {
     val in = tmpDir("graft_ck_in")
     val sink = tmpDir("graft_ck_sink")
     val ckpt = tmpDir("graft_ck_ckpt")
