@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Fraud, FraudModel, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fraud, FraudModel, Multimodal, Profile, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry maps to.
@@ -18,12 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Fraud.queries ++ FraudModel.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++ Profile.queries
 
   /** DuckDB-equivalent SQL per query; keys absent here (b6_approx,
     * d3_simhash, e2_ann_lsh, g1_multimodal_meta) get the rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Fraud.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ Profile.oracles
 }
