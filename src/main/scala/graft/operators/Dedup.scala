@@ -180,6 +180,22 @@ object Dedup {
       ngramJaccard(docs, minhashCandidates(docs))
     }),
 
+    // D6: edit-distance verification of LSH candidates — levenshtein is
+    // O(len²) per pair, affordable exactly because it only runs on the
+    // LSH-blocked candidate set, never all pairs.
+    "d6_edit_distance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val texts = docs.select(col("doc_id"), col("text"))
+      minhashCandidates(docs)
+        .join(texts.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(texts.as("tb"), col("doc_b") === col("tb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta.text"), col("tb.text")).as("edit_dist"),
+          (lit(1.0) - levenshtein(col("ta.text"), col("tb.text")
+            ).cast("double") / greatest(length(col("ta.text")), length(col("tb.text"))))
+            .as("edit_sim"))
+    }),
+
     // D5: embedding-cosine near-dup pairs — exact all-pairs form for the
     // oracle (the corpus has no >0.52 cosine pairs, so 0.4 marks "most
     // similar"); at 100 TB the same verification runs only on
@@ -244,6 +260,16 @@ object Dedup {
           |FROM cand
           |JOIN sets sa ON doc_a = sa.doc_id
           |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
+
+      "d6_edit_distance" -> (bandsCte +
+        """
+          |SELECT doc_a, doc_b,
+          |       levenshtein(ta.text, tb.text) AS edit_dist,
+          |       CAST(1.0 AS DOUBLE) - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+          |         / greatest(length(ta.text), length(tb.text)) AS edit_sim
+          |FROM cand
+          |JOIN documents ta ON doc_a = ta.doc_id
+          |JOIN documents tb ON doc_b = tb.doc_id""".stripMargin),
 
       "d5_embed_neardup" ->
         """WITH e AS (

@@ -223,6 +223,60 @@ object Relational {
           (count(when(col("o_totalprice") > 250000, 1)).cast("double") /
             count(lit(1))).as("large_share"))),
 
+    // B19: exact quantiles per group (sort-based percentile).
+    "b19_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n_rows"))),
+
+    // B20: correlation from exact decimal moments — the same
+    // order-independence trick as the z-score: every sum is exact, the
+    // final arithmetic runs on reproducible doubles, so the coefficient
+    // is identical on any cluster size (corr()'s streaming update order
+    // would not be).
+    "b20_corr" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("l_discount").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(28,10)")).cast("double").as("sxy"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,6)")).cast("double").as("sx2"),
+        sum((col("l_discount") * col("l_discount")).cast("decimal(28,12)")).cast("double").as("sy2"))
+      // moments wider than double's 15-17 significant digits convert
+      // differently across engines and the covariance cancellation
+      // amplifies that last-ulp gap, so the coefficient is pinned to
+      // 7 decimals — far beyond any analytical use of a correlation
+      .withColumn("corr_price_discount",
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 7))
+      .select("n", "corr_price_discount")),
+
+    // B21: histogram bucketing — fixed-width value distribution.
+    "b21_histogram" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("bucket_value"))),
+
+    // B22: as-of join — each event paired with the user's latest order at
+    // or before the event time. Composed from an equi-join on the user
+    // key (the shuffle) + a time filter + latest-per-event rank — plan
+    // (a) of the custom-operator ladder; no custom physical op needed.
+    "b22_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events"); val o = t(s, d, "orders")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("event_ts"),
+                col("o_orderkey").as("last_orderkey"),
+                fmtTs(col("o_orderdate")).as("last_orderdate"))
+    }),
+
     // B14b: cube — all grouping-set combinations in one pass.
     "b14_cube" -> ((s, d) =>
       t(s, d, "orders")
@@ -378,6 +432,41 @@ object Relational {
         |                     AS DECIMAL(18,2))) AS DOUBLE) AS large_value,
         |       CAST(count(CASE WHEN o_totalprice > 250000 THEN 1 END) AS DOUBLE) / count(*) AS large_share
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "b19_quantiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "b20_corr" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+        |         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,12))) AS DOUBLE) AS sy2
+        |  FROM lineitem)
+        |SELECT n, round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+        |               7) AS corr_price_discount
+        |FROM m""".stripMargin,
+
+    "b21_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        |       count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "b22_asof_join" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       o_orderkey AS last_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate
+        |FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |             row_number() OVER (PARTITION BY e.event_id
+        |                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |      FROM events e LEFT JOIN orders o
+        |        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1""".stripMargin,
 
     "b14_cube" ->
       """SELECT tx_year, o_orderstatus, count(*) AS n_orders,
