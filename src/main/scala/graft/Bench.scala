@@ -17,7 +17,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "b1_filter_project", "b3_join_inner", "b3_join_broadcast",
     "b5_agg_basic", "b6_approx_distinct", "b8_sliding_window",
-    "b9_upsert_latest", "b11_rank_topn",
+    "b9_upsert_latest", "b11_rank_topn", "b16_session_window", "b22_asof_join",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     "c7_category_trend", "c11_zscore",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",

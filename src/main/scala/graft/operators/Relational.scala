@@ -33,7 +33,9 @@ object Relational {
     "a3_json_extract" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_val"))
         .filter(col("k_val") >= 50)),
 
     // B1: projection + filter with parquet pushdown. `.explain` shows

@@ -192,6 +192,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0).getString(0) === "t1")
   }
 
+  test("A2b schema'd JSON stream read (producer payload shape)") {
+    val in = tmpDir("graft_js_in")
+    val ckpt = tmpDir("graft_js_ckpt")
+    Files.writeString(Paths.get(in, "b0.json"),
+      """{"transaction_id":"t1","user_id":1,"product_id":10,"store_id":"s1","amount":42.5,"payment_method":"card","country":"FRANCE","timestamp":"2024-03-01T10:00:00.000Z"}
+        |{"transaction_id":"t2","user_id":2,"product_id":20,"store_id":"s2","amount":7.0,"payment_method":"cash","country":"KENYA","timestamp":"2024-03-01T10:01:00.000Z"}
+        |""".stripMargin)
+    val q = Tables.readJsonStream(spark, in, Tables.transactionSchema)
+      .writeStream.format("memory").queryName("json_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT transaction_id, amount, timestamp FROM json_out ORDER BY transaction_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "t1" && rows(0).getDouble(1) === 42.5)
+    assert(!rows(0).isNullAt(2), "timestamp must parse to a typed column")
+  }
+
   test("H1 trend aggregation over the stream (windowed, approx distinct)") {
     val in = tmpDir("graft_tr_in")
     val ckpt = tmpDir("graft_tr_ckpt")
