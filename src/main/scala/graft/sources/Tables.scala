@@ -120,6 +120,22 @@ object Tables {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed table write: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on the bucket key is shuffle-free —
+    * the co-located-join strategy for the repeatedly-joined 100 TB fact
+    * tables (lineitem⋈orders on the order key). Both sides must use the
+    * same bucket count; `sortBy` makes the per-bucket merge join
+    * sort-free too.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Distributed MERGE: latest-row-per-key upsert (reference:
     * src/snowflake/load_to_snowflake_transction.py MERGE ON
     * transaction_id,timestamp via a staging table).
