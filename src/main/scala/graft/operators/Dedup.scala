@@ -82,8 +82,10 @@ object Dedup {
       .select(col(idCol), tokens(col(textCol)).as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col(idCol), shingles(col("tok")).as("sh"))
-      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
-      .select(col(idCol), minhashes(col("hs")).as("mh"))
+      // native one-pass signature; minhashes(shingleHashes(_)) is the
+      // value-identical composable reference form (equivalence spec'd)
+      .select(col(idCol),
+        graft.functions.MinHashFunctions.minhashSig(col("sh")).as("mh"))
 
   /** (doc_id, band_id, band_key) — LSH banding of the MinHash signature:
     * 4 bands × 4 rows. Docs agreeing on any full band land in the same

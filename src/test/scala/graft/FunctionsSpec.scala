@@ -32,6 +32,27 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
            java.lang.Double.doubleToLongBits(r.getDouble(1)))
   }
 
+  test("minhash_sig equals the composable shingleHashes∘minhashes form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "key agg row scan slow fast table value part hash merge batch"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Dedup.shingles(
+        graft.operators.Dedup.tokens(col("text"))).as("sh"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhashSig(col("sh")).as("mh")).collect()
+    val composable = docs
+      .select(col("doc_id"), graft.operators.Dedup.shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), graft.operators.Dedup.minhashes(col("hs")).as("mh")).collect()
+    val n = native.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c = composable.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n === c)
+    assert(n(1L).length === 16)
+  }
+
   test("null inputs propagate") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
