@@ -56,11 +56,65 @@ object Bench {
         }
       }
     }
-    val qs = results
+    val streaming = streamingThroughput(spark, sfDir)
+    val all = results ++ streaming
+    val qs = all
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end streaming measure: the transaction fact rendered to CSV
+    * (the reference's wire format), streamed through watermark +
+    * stream-static enrichment + rule scoring into a noop sink. Reported
+    * as `h1_stream_pipeline` seconds for the full table.
+    */
+  private def streamingThroughput(spark: SparkSession,
+                                  sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Fraud
+    import graft.sources.Tables
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+      val users = graft.sources.Tables.table(spark, sfDir, "customer")
+        .join(broadcast(Tables.table(spark, sfDir, "nation")),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey").cast("int").as("user_id"),
+          col("c_name").as("name"), lit("u@x").as("email"),
+          col("n_name").as("country"),
+          lit("2020-01-01 00:00:00").cast("timestamp").as("signup_date"))
+      val products = Tables.table(spark, sfDir, "part")
+        .select(col("p_partkey").cast("int").as("product_id"),
+          col("p_name").as("name"), col("p_type").as("category"),
+          col("p_retailprice").as("base_price"), lit("acme").as("supplier"),
+          lit("FRANCE").as("country"), lit(true).as("in_stock"),
+          (col("p_retailprice") % 30).as("discount"))
+      Fraud.transactions(spark, sfDir)
+        .select(col("transaction_id"), col("user_id").cast("int"),
+          col("product_id").cast("int"), lit("s1").as("store_id"),
+          col("amount"), col("payment_method"), lit("FRANCE").as("country"),
+          col("ts").as("timestamp"))
+        .repartition(16)
+        .write.option("header", "true").csv(s"$tmp/in")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.FraudStream
+        .scoredStream(Tables.readCsvStream(spark, s"$tmp/in",
+          Tables.transactionSchema, maxFilesPerTrigger = 4), users, products)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Seq("h1_stream_pipeline" -> (System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] h1_stream_pipeline failed: ${e.getMessage}")
+        Seq("h1_stream_pipeline" -> -1.0)
+    }
   }
 }
