@@ -198,6 +198,29 @@ object Dedup {
             .as("edit_sim"))
     }),
 
+    // D7: full near-dup verification report — ONE candidate-generation
+    // pass feeding both verifiers (Jaccard + edit similarity) plus the
+    // keep/drop verdict; running d4 and d6 separately would sketch the
+    // corpus twice.
+    "d7_neardup_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sets = spread(docs)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 3)
+        .select(col("doc_id"), col("text"), array_distinct(shingles(col("tok"))).as("s"))
+      val inter = size(array_intersect(col("sa.s"), col("sb.s")))
+      val editDist = levenshtein(col("sa.text"), col("sb.text"))
+      minhashCandidates(docs)
+        .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (inter.cast("double") /
+            (size(col("sa.s")) + size(col("sb.s")) - inter)).as("jaccard"),
+          (lit(1.0) - editDist.cast("double") /
+            greatest(length(col("sa.text")), length(col("sb.text")))).as("edit_sim"))
+        .withColumn("is_duplicate", col("jaccard") >= 0.8 || col("edit_sim") >= 0.9)
+    }),
+
     // D5: embedding-cosine near-dup pairs — exact all-pairs form for the
     // oracle (the corpus has no >0.52 cosine pairs, so 0.4 marks "most
     // similar"); at 100 TB the same verification runs only on
@@ -272,6 +295,26 @@ object Dedup {
           |FROM cand
           |JOIN documents ta ON doc_a = ta.doc_id
           |JOIN documents tb ON doc_b = tb.doc_id""".stripMargin),
+
+      "d7_neardup_report" -> (bandsCte +
+        """,
+          |sets AS (
+          |  SELECT doc_id, text, list_distinct(list_transform(range(1, len(t) - 1),
+          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          |  FROM (SELECT d.doc_id, d.text, str_split(d.text, ' ') AS t FROM documents d)
+          |  WHERE len(t) >= 3)
+          |SELECT doc_a, doc_b,
+          |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard,
+          |       CAST(1.0 AS DOUBLE) - CAST(levenshtein(sa.text, sb.text) AS DOUBLE)
+          |         / greatest(length(sa.text), length(sb.text)) AS edit_sim,
+          |       (CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8)
+          |       OR (CAST(1.0 AS DOUBLE) - CAST(levenshtein(sa.text, sb.text) AS DOUBLE)
+          |         / greatest(length(sa.text), length(sb.text)) >= 0.9) AS is_duplicate
+          |FROM cand
+          |JOIN sets sa ON doc_a = sa.doc_id
+          |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
 
       "d5_embed_neardup" ->
         """WITH e AS (

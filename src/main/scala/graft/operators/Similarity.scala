@@ -130,6 +130,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with LEARNED centroids: MLlib k-means replaces the seed
+    * centroids — better-balanced cells on clustered corpora, same probe
+    * interface. The model's centers are the only driver-side state (k
+    * small vectors); assignment and probing stay distributed.
+    */
+  def ivfTopKLearned(embeddings: DataFrame, queryVecId: Long, k: Int,
+                     nCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(embeddings)
+      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
+      .fit(e)
+    val assigned = model.transform(e)
+      .withColumnRenamed("prediction", "cell").drop("fv")
+    val qRow = assigned.filter(col("vec_id") === queryVecId)
+      .select("embedding", "nrm").head()
+    val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbes).map(_._1)
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    assigned.filter(col("vec_id") =!= queryVecId && col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: exact brute-force cosine top-20 for query vector 0.
     "e1_cosine_topk" -> ((s, d) => cosineTopK(t(s, d, "embeddings"), 0L, 20)),
@@ -138,7 +173,10 @@ object Similarity {
     "e2_ann_lsh" -> ((s, d) => annTopK(t(s, d, "embeddings"), 0L, 20)),
 
     // E2b: IVF-style centroid-routed ANN top-20 (rows-only).
-    "e3_ann_ivf" -> ((s, d) => ivfTopK(t(s, d, "embeddings"), 0L, 20))
+    "e3_ann_ivf" -> ((s, d) => ivfTopK(t(s, d, "embeddings"), 0L, 20)),
+
+    // E4: IVF with k-means-learned centroids (rows-only).
+    "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20))
   )
 
   def oracles: Map[String, String] = Map(
