@@ -57,7 +57,7 @@ object Similarity {
     * components are derived from xxhash64(plane, dim) — no stored model,
     * reproducible on any cluster.
     */
-  def lshBucket(emb: Column, bits: Int = 8): Column =
+  def lshBucket(emb: Column, bits: Int = 6): Column =
     aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0L),
