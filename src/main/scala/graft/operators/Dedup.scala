@@ -147,7 +147,6 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame =
     spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("tok"))
-      .filter(size(col("tok")) >= 1)
       // token hashes materialized once; the 32-bit fold then only re-reads
       // the attribute (inlining the hash expr would recompute it per bit)
       .select(col("doc_id"),
@@ -323,7 +322,8 @@ object Dedup {
           |           list_transform(range(1, len(embedding) + 1),
           |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
           |           (x, y) -> x + y)) AS nrm
-          |  FROM embeddings)
+          |  FROM embeddings
+          |  WHERE nrm > 0)
           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
           |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
           |         list_transform(range(1, len(a.embedding) + 1),

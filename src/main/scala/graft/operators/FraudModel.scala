@@ -47,14 +47,14 @@ object FraudModel {
       .setRegParam(0.01)
       .fit(assemble(features(scored)))
 
-  /** Attach the model's fraud probability as `model_score`. */
-  def score(model: LogisticRegressionModel, scored: DataFrame): DataFrame = {
-    val withProb = model.transform(assemble(features(scored)))
-    val prob = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
-    withProb
-      .withColumn("model_score", prob(col("probability")))
+  /** Attach the model's fraud probability as `model_score`
+    * (vector_to_array element access — no UDF in the scoring path).
+    */
+  def score(model: LogisticRegressionModel, scored: DataFrame): DataFrame =
+    model.transform(assemble(features(scored)))
+      .withColumn("model_score",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
       .drop("features_vec", "rawPrediction", "probability", "prediction")
-  }
 
   /** Train on the scored batch and score it — the batch-ML capability
     * as a single queryable operator (rows-only: solver internals have

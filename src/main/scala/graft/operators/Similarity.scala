@@ -31,10 +31,13 @@ object Similarity {
     graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Attach the L2 norm once per vector (cheaper than recomputing it per
-    * candidate pair).
+    * candidate pair). Zero vectors are dropped: a 0 norm would divide by
+    * zero under ANSI mode (and a zero vector has no defined direction to
+    * rank by). The oracles carry the same `nrm > 0` guard.
     */
   def withNorm(e: DataFrame): DataFrame =
     e.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0)
 
   /** Exact cosine top-k for one query vector. The query side is a single
     * broadcast row; the corpus side is one scan + a global top-k (Spark
@@ -83,16 +86,24 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucketed candidate pairs for near-dup verification at scale: only
-    * pairs sharing an LSH bucket are emitted — the equi-join shuffles on
-    * the bucket key, never a cross join.
+  /** Bucketed candidate pairs for near-dup verification at scale:
+    * grouped-bucket pair expansion — the corpus is sketched ONCE and
+    * shuffled once on the bucket key (same pattern as
+    * Dedup.minhashCandidates; a self-join would sketch and shuffle both
+    * copies).
     */
-  def annCandidates(embeddings: DataFrame): DataFrame = {
-    val e = embeddings.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-  }
+  def annCandidates(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS vec_a, element_at(ids, j) AS vec_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
 
   /** IVF-style ANN: vectors are routed to their nearest of `nCentroids`
     * deterministic seed centroids (one broadcast pass, no shuffle of the
@@ -104,28 +115,39 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
               nCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(embeddings)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-              col("nrm").as("cent_nrm"))
-    def cellOf(df: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= keep)
-        .drop("cent_emb", "cent_nrm", "cent_cos", "__rk")
+    // seed centroids: the first nCentroids vectors by id — a handful of
+    // small rows collected to the driver (the IVF "model"), like k-means
+    // centers would be. Assignment is then a pure per-row argmax
+    // projection: NO shuffle and no row blowup on the corpus side.
+    val cents = e.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
+    require(cents.nonEmpty, "corpus has no non-zero vectors to seed centroids")
+    def centScores(embCol: Column, nrmCol: Column): Column = array(
+      cents.map { case (cv, cn) =>
+        dot(embCol, typedLit(cv.toSeq)) / (nrmCol * lit(cn))
+      }: _*)
+    val qRows = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).take(1)
+    if (qRows.isEmpty) {
+      return e.select(col("vec_id"), lit(0).as("cell"), lit(0.0).as("score")).limit(0)
     }
-    val assigned = cellOf(e, 1)
-    val probeCells = cellOf(e.filter(col("vec_id") === queryVecId), nProbes)
-      .select(col("cent_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    assigned.filter(col("vec_id") =!= queryVecId)
-      .join(broadcast(probeCells), Seq("cent_id"))
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+    val qVec = qRows(0).getSeq[Float](0).toArray
+    val qNrm = qRows(0).getDouble(1)
+    val probeCells = cents.zipWithIndex.map { case ((cv, cn), i) =>
+      val d = cv.zip(qVec).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qNrm)
+      (i, d)
+    }.sortBy { case (i, d) => (-d, i) }.take(nProbes).map(_._1)
+    e.filter(col("vec_id") =!= queryVecId)
+      // materialize the score array once, then argmax reads the attribute
+      // (argmax with first-match ⇒ lowest cell id on ties)
+      .withColumn("cs", centScores(col("embedding"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), typedLit(qVec.toSeq)) / (col("nrm") * lit(qNrm))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -144,17 +166,23 @@ object Similarity {
     val model = new KMeans()
       .setK(nCentroids).setSeed(42L).setMaxIter(10).setFeaturesCol("fv")
       .fit(e)
+    // cache: the assignment feeds both the query lookup and the probe
+    // scan — without it the KMeans transform would run per action
     val assigned = model.transform(e)
       .withColumnRenamed("prediction", "cell").drop("fv")
-    val qRow = assigned.filter(col("vec_id") === queryVecId)
-      .select("embedding", "nrm").head()
-    val qVec = qRow.getSeq[Float](0).map(_.toDouble).toArray
+      .persist()
+    val qRows = assigned.filter(col("vec_id") === queryVecId)
+      .select("embedding", "nrm").take(1)
+    if (qRows.isEmpty) {
+      return assigned.select(col("vec_id"), col("cell"), lit(0.0).as("score")).limit(0)
+    }
+    val qVec = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
     val probeCells = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }
-      .sortBy(_._2).take(nProbes).map(_._1)
+      .sortBy(_._2).take(nProbes).map(_._1).toSeq
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     assigned.filter(col("vec_id") =!= queryVecId && col("cell").isin(probeCells: _*))
@@ -187,7 +215,8 @@ object Similarity {
         |           list_transform(range(1, len(embedding) + 1),
         |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
         |           (x, y) -> x + y)) AS nrm
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE nrm > 0),
         |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
         |SELECT e.vec_id,
         |       list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -58,7 +58,10 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("punct_chars"),
         stopHits(col("tok"), enStop).cast("long").as("stop_hits"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("word_chars"))
-      .withColumn("punct_ratio", col("punct_chars").cast("double") / col("n_chars_m"))
+      // empty text would divide by zero under ANSI mode; score it 0
+      .withColumn("punct_ratio",
+        when(col("n_chars_m") > 0,
+          col("punct_chars").cast("double") / col("n_chars_m")).otherwise(0.0))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .withColumn("avg_word_len", col("word_chars").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
@@ -122,12 +125,15 @@ object TextAnalysis {
         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars
         |  FROM documents)
         |SELECT doc_id, n_chars_m, n_tokens, punct_chars, stop_hits, word_chars,
-        |  CAST(punct_chars AS DOUBLE) / n_chars_m AS punct_ratio,
+        |  CASE WHEN n_chars_m > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars_m
+        |       ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
         |  CAST(word_chars AS DOUBLE) / n_tokens AS avg_word_len,
         |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
         |    + (CAST(stop_hits AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
-        |    + (CAST(1.0 AS DOUBLE) - CAST(punct_chars AS DOUBLE) / n_chars_m) * CAST(0.3 AS DOUBLE) AS quality_score
+        |    + (CAST(1.0 AS DOUBLE) - CASE WHEN n_chars_m > 0
+        |         THEN CAST(punct_chars AS DOUBLE) / n_chars_m
+        |         ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE) AS quality_score
         |FROM m""".stripMargin,
 
     "f3_token_count" ->

@@ -148,11 +148,16 @@ object Tables {
     */
   def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
                   versionDesc: Seq[Column]): DataFrame = {
-    val unioned = base.unionByName(updates)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionDesc.map(_.desc): _*)
+    // MERGE semantics: on a full version tie the UPDATE wins over the
+    // base row (a warehouse MERGE always applies the matched update),
+    // so the result is deterministic even without a unique tiebreaker.
+    val unioned = base.withColumn("__graft_upd", lit(0))
+      .unionByName(updates.withColumn("__graft_upd", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(versionDesc.map(_.desc) :+ col("__graft_upd").desc: _*)
     unioned
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+      .drop("__graft_rn", "__graft_upd")
   }
 }

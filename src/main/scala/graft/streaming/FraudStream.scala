@@ -47,27 +47,26 @@ object FraudStream {
           .otherwise(lit(null)))
   }
 
-  /** Per-user spend trend over tumbling windows — streaming twin of
-    * c6_user_spend_trend, with the reference's approx_count_distinct.
+  /** Shared trend scaffold: tumbling window × key, amount sum + the
+    * reference's approx_count_distinct, formatted window bounds.
     */
-  def userSpendTrend(scored: DataFrame, windowLen: String = "1 minute"): DataFrame =
+  private def trend(scored: DataFrame, keyCol: String, sumAlias: String,
+                    windowLen: String): DataFrame =
     scored
-      .groupBy(window(col("timestamp"), windowLen), col("user_id"))
-      .agg(sum(col("amount")).as("total_spent"),
+      .groupBy(window(col("timestamp"), windowLen), col(keyCol))
+      .agg(sum(col("amount")).as(sumAlias),
            approx_count_distinct(col("transaction_id")).as("num_transactions"))
       .withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("window_end", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
       .drop("window")
 
+  /** Per-user spend trend — streaming twin of c6_user_spend_trend. */
+  def userSpendTrend(scored: DataFrame, windowLen: String = "1 minute"): DataFrame =
+    trend(scored, "user_id", "total_spent", windowLen)
+
   /** Per-category sales trend — streaming twin of c7_category_trend. */
   def categoryTrend(scored: DataFrame, windowLen: String = "1 minute"): DataFrame =
-    scored
-      .groupBy(window(col("timestamp"), windowLen), col("category"))
-      .agg(sum(col("amount")).as("total_sales"),
-           approx_count_distinct(col("transaction_id")).as("num_transactions"))
-      .withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"))
-      .withColumn("window_end", date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss"))
-      .drop("window")
+    trend(scored, "category", "total_sales", windowLen)
 
   /** Streaming dedup within the watermark: late duplicates of a key seen
     * inside the watermark horizon are dropped; state is GC'd past it

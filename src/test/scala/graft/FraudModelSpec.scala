@@ -27,7 +27,7 @@ class FraudModelSpec extends AnyFunSuite with SparkTestBase {
     val ivf = graft.operators.Similarity.ivfTopK(e, 0L, 20).collect()
     assert(ivf.length <= 20 && ivf.nonEmpty)
     // probed at most nProbes distinct cells
-    assert(ivf.map(_.getAs[Long]("cent_id")).distinct.length <= 2)
+    assert(ivf.map(_.getAs[Int]("cell")).distinct.length <= 2)
     val scores = ivf.map(_.getAs[Double]("score"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
