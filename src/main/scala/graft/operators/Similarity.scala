@@ -70,18 +70,31 @@ object Similarity {
             ((pmod(xxhash64(j * 131071 + i), lit(2001L)).cast("double") - 1000.0) / 1000.0)
         ) > 0, 1L).otherwise(0L))
 
-  /** ANN top-k: probe only the query's bucket. Recall < 1 by construction;
-    * the spec checks recall against cosineTopK. At scale the bucket join
-    * replaces the full-corpus scan with ~n/2^bits candidates.
+  /** Multi-probe ANN top-k: probes the query's bucket plus every bucket
+    * at hamming distance 1 (one flipped hyperplane sign) — the standard
+    * multi-probe LSH recall boost: near neighbors that landed just
+    * across one hyperplane are recovered at (bits+1)/2^bits of the
+    * corpus instead of a full scan. Recall < 1 by construction; the
+    * spec measures it against cosineTopK.
     */
-  def annTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val e = withNorm(embeddings).withColumn("bucket", lshBucket(col("embedding")))
-    val q = e.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("bucket"))
-    e.filter(col("vec_id") =!= queryVecId)
-      .join(broadcast(q), Seq("bucket"))
+  def annTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              bits: Int = 6, multiProbe: Boolean = true): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("bucket", lshBucket(col("embedding"), bits))
+    val qRows = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm"), col("bucket")).take(1)
+    if (qRows.isEmpty) {
+      return e.select(col("vec_id"), col("bucket"), lit(0.0).as("score")).limit(0)
+    }
+    val qVec = qRows(0).getSeq[Float](0)
+    val qNrm = qRows(0).getDouble(1)
+    val qBucket = qRows(0).getLong(2)
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until bits).map(i => qBucket ^ (1L << i))
+      else Seq(qBucket)
+    e.filter(col("vec_id") =!= queryVecId && col("bucket").isin(probes: _*))
       .select(col("vec_id"), col("bucket"),
-        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+        (dot(col("embedding"), typedLit(qVec)) / (col("nrm") * lit(qNrm))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

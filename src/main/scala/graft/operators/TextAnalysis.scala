@@ -93,7 +93,23 @@ object TextAnalysis {
           |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin).as("fingerprint"))
       .withColumn("shard", col("fingerprint") % 1024)
 
+  /** Normalization pipeline: lowercase → strip non-alphanumerics →
+    * collapse whitespace → drop stopwords. The canonical pre-tokenization
+    * cleanup pass; pure per-row string expressions.
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        split(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " "), " ").as("tok"))
+      .select(col("doc_id"),
+        array_join(filter(col("tok"),
+          w => !w.isin((enStop :+ "") .map(x => x: Any): _*)), " ").as("normalized"),
+        size(filter(col("tok"),
+          w => !w.isin((enStop :+ "").map(x => x: Any): _*))).cast("long").as("n_kept"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f5_normalize" -> ((s, d) => normalize(t(s, d, "documents"))),
     "f1_lang_id" -> ((s, d) => langId(t(s, d, "documents"))),
     "f2_quality" -> ((s, d) => quality(t(s, d, "documents"))),
     "f3_token_count" -> ((s, d) => tokenCounts(t(s, d, "documents"))),
@@ -101,6 +117,19 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "f5_normalize" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         str_split(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |       array_to_string(list_filter(tok,
+        |         w -> w NOT IN ('the','a','of','and','in','to','is','')), ' ') AS normalized,
+        |       CAST(len(list_filter(tok,
+        |         w -> w NOT IN ('the','a','of','and','in','to','is',''))) AS BIGINT) AS n_kept
+        |FROM tk""".stripMargin,
+
     "f1_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -120,6 +120,31 @@ object Tables {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Exactly-once variant of the date-partitioned sink for foreachBatch:
+    * the micro-batch id is the leading partition column and the write is
+    * a DYNAMIC partition overwrite, so a replayed batch (crash between
+    * sink write and checkpoint commit) replaces its own partition subtree
+    * instead of appending duplicates. Trades the reference's pure
+    * payment_method-first layout for idempotence; `readPartitioned`
+    * still prunes on all partition columns.
+    */
+  def writeDatePartitionedExactlyOnce(df: DataFrame, tsCol: String, path: String,
+                                      batchId: Long,
+                                      extraPartitionCols: Seq[String] = Seq("payment_method")): Unit = {
+    val withParts = df
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("tx_year", year(col(tsCol)))
+      .withColumn("tx_month", month(col(tsCol)))
+      .withColumn("tx_day", dayofmonth(col(tsCol)))
+    val partCols = Seq("batch_id") ++ extraPartitionCols ++ Seq("tx_year", "tx_month", "tx_day")
+    withParts
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
   /** Bucketed table write: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on the bucket key is shuffle-free —
     * the co-located-join strategy for the repeatedly-joined 100 TB fact

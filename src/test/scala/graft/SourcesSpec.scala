@@ -51,6 +51,22 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("tx_month"), plan)
   }
 
+  test("A6b exactly-once sink: replaying a batch leaves no duplicates") {
+    import spark.implicits._
+    val dir = tmpDir("graft_eo_sink")
+    val b0 = Seq(("t1", "card", 10.0, java.sql.Timestamp.valueOf("2024-01-15 10:00:00")))
+      .toDF("transaction_id", "payment_method", "amount", "timestamp")
+    Tables.writeDatePartitionedExactlyOnce(b0, "timestamp", dir, batchId = 0)
+    // crash-replay of the same micro-batch id must overwrite, not append
+    Tables.writeDatePartitionedExactlyOnce(b0, "timestamp", dir, batchId = 0)
+    val b1 = Seq(("t2", "cash", 20.0, java.sql.Timestamp.valueOf("2024-01-16 10:00:00")))
+      .toDF("transaction_id", "payment_method", "amount", "timestamp")
+    Tables.writeDatePartitionedExactlyOnce(b1, "timestamp", dir, batchId = 1)
+    val back = Tables.readPartitioned(spark, dir)
+    assert(back.count() === 2, "replayed batch appended duplicates")
+    assert(back.select("transaction_id").distinct().count() === 2)
+  }
+
   test("C9 mergeUpsert is idempotent and keeps the newest version") {
     import spark.implicits._
     val base = Seq((1, "old", 1L), (2, "keep", 5L)).toDF("id", "v", "version")
@@ -61,5 +77,13 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     // re-applying the same updates changes nothing (idempotent MERGE)
     val again = Tables.mergeUpsert(merged, updates, Seq("id"), Seq(col("version")))
     assert(again.collect().map(r => r.getInt(0) -> r.getString(1)).toMap === m)
+  }
+
+  test("C9b mergeUpsert prefers the update when versions tie (MERGE semantics)") {
+    import spark.implicits._
+    val base = Seq((1, "old", 2L)).toDF("id", "v", "version")
+    val updates = Seq((1, "new", 2L)).toDF("id", "v", "version")
+    val merged = Tables.mergeUpsert(base, updates, Seq("id"), Seq(col("version")))
+    assert(merged.collect().map(_.getString(1)).toSeq === Seq("new"))
   }
 }
