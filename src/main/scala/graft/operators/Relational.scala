@@ -279,6 +279,26 @@ object Relational {
                 fmtTs(col("o_orderdate")).as("last_orderdate"))
     }),
 
+    // B23: range (interval) join — events against a derived calendar of
+    // month intervals. The interval dim is tiny and broadcast, so the
+    // range predicate evaluates map-side on the fact scan — the right
+    // plan when one side is an interval table; an equi-bucket prejoin
+    // (b8-style window expansion) is the alternative when both sides are
+    // huge.
+    "b23_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val months = t(s, d, "events")
+        .select(date_trunc("month", col("ts")).as("month_start"))
+        .distinct()
+        .withColumn("month_end", add_months(col("month_start"), 1))
+      ev.join(broadcast(months),
+          col("ts") >= col("month_start") && col("ts") < col("month_end"))
+        .groupBy(col("month_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("total_value"))
+        .select(fmtTs(col("month_start")).as("month_start"),
+                col("event_type"), col("n_events"), col("total_value"))
+    }),
+
     // B14b: cube — all grouping-set combinations in one pass.
     "b14_cube" -> ((s, d) =>
       t(s, d, "orders")
@@ -469,6 +489,18 @@ object Relational {
         |      FROM events e LEFT JOIN orders o
         |        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
         |WHERE rn = 1""".stripMargin,
+
+    "b23_range_join" ->
+      """WITH months AS (
+        |  SELECT DISTINCT date_trunc('month', ts) AS month_start,
+        |         date_trunc('month', ts) + INTERVAL '1 month' AS month_end
+        |  FROM events)
+        |SELECT strftime(month_start, '%Y-%m-%d %H:%M:%S') AS month_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN months m
+        |  ON e.ts >= m.month_start AND e.ts < m.month_end
+        |GROUP BY m.month_start, event_type""".stripMargin,
 
     "b14_cube" ->
       """SELECT tx_year, o_orderstatus, count(*) AS n_orders,
