@@ -64,11 +64,53 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes pixels and rescales; the
+    * stub halves the metadata dims and subsamples the payload bytes
+    * proportionally. The Spark-side shape is the real thing: a pure
+    * per-row binary transform whose output payload is strictly smaller —
+    * the size-reduction contract downstream stages rely on.
+    */
+  def resize(media: DataFrame, factor: Int = 2): DataFrame =
+    media.select(
+      col("doc_id"), col("format"),
+      (col("width") / factor).cast("int").as("width"),
+      (col("height") / factor).cast("int").as("height"),
+      expr(s"substring(payload, 1, greatest(1, ceil(length(payload) / ${factor * factor})))")
+        .as("payload"))
+
+  /** Frame sampling: the payload treated as a fixed-frame-size container;
+    * every `every`-th frame is exploded into its own row. Pure
+    * expressions — the per-row frame index sequence is generated and
+    * pruned before any bytes move, and each output row carries only its
+    * own frame slice (never the whole payload through the shuffle).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame =
+    media
+      .select(col("doc_id"), col("payload"),
+        expr(s"filter(sequence(0, greatest(0, cast(ceil(length(payload) / $frameBytes) as int) - 1)), i -> i % $every = 0)")
+          .as("frame_ids"))
+      .select(col("doc_id"), col("payload"), explode(col("frame_ids")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"),
+        expr(s"length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
+          .cast("long").as("frame_bytes"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1: payload + metadata schema and the batched decode plumbing,
     // end-to-end (rows-only: the stub features have no SQL twin).
     "g1_multimodal_meta" -> ((s, d) =>
-      decodeFeatures(withPayload(Tables.table(s, d, "documents"))).toDF())
+      decodeFeatures(withPayload(Tables.table(s, d, "documents"))).toDF()),
+
+    // G2: resize plumbing (stub codec) — dims + payload shrink.
+    "g2_resize" -> ((s, d) =>
+      resize(withPayload(Tables.table(s, d, "documents")))
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("n_bytes"))),
+
+    // G3: frame sampling — exploded frame rows with bounded slices.
+    "g3_frame_sample" -> ((s, d) =>
+      frameSample(withPayload(Tables.table(s, d, "documents")))
+        .select("doc_id", "frame_idx", "frame_bytes"))
   )
 
   def oracles: Map[String, String] = Map.empty

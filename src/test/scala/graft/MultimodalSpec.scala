@@ -22,6 +22,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(w >= 64 && w < 1024)
   }
 
+  test("G2 resize halves dims and shrinks the payload") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 400)).toDF("doc_id", "text")
+    val r = Multimodal.resize(Multimodal.withPayload(docs)).collect()(0)
+    val orig = Multimodal.withPayload(docs).collect()(0)
+    assert(r.getAs[Int]("width") === orig.getAs[Int]("width") / 2)
+    assert(r.getAs[Array[Byte]]("payload").length === 100) // 400 / 2²
+  }
+
+  test("G3 frame sampling emits every 4th fixed-size frame") {
+    import spark.implicits._
+    val docs = Seq((1L, "y" * 520)).toDF("doc_id", "text") // 9 frames of 64B
+    val frames = Multimodal.frameSample(Multimodal.withPayload(docs)).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq === Seq(0, 4, 8))
+    val byIdx = frames.map(f => f.getAs[Int]("frame_idx") -> f.getAs[Long]("frame_bytes")).toMap
+    assert(byIdx(0) === 64L && byIdx(4) === 64L)
+    assert(byIdx(8) === 8L) // 520 - 8*64 = tail frame
+  }
+
   test("G1 batched decode preserves rows, is deterministic, drops payloads") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"document number $i")).toDF("doc_id", "text")
