@@ -87,7 +87,10 @@ object Multimodal {
   def frameSample(media: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame =
     media
       .select(col("doc_id"), col("payload"),
-        expr(s"filter(sequence(0, greatest(0, cast(ceil(length(payload) / $frameBytes) as int) - 1)), i -> i % $every = 0)")
+        // empty payload ⇒ zero frames (sequence(0,0) would fabricate one)
+        when(length(col("payload")) === 0, expr("array()"))
+          .otherwise(expr(
+            s"filter(sequence(0, cast(ceil(length(payload) / $frameBytes) as int) - 1), i -> i % $every = 0)"))
           .as("frame_ids"))
       .select(col("doc_id"), col("payload"), explode(col("frame_ids")).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),

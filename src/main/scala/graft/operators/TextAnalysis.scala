@@ -102,11 +102,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         split(regexp_replace(regexp_replace(lower(col("text")),
           "[^a-z0-9 ]", " "), " +", " "), " ").as("tok"))
+      // filtered tokens materialized once; both outputs read the attribute
       .select(col("doc_id"),
-        array_join(filter(col("tok"),
-          w => !w.isin((enStop :+ "") .map(x => x: Any): _*)), " ").as("normalized"),
-        size(filter(col("tok"),
-          w => !w.isin((enStop :+ "").map(x => x: Any): _*))).cast("long").as("n_kept"))
+        filter(col("tok"),
+          w => !w.isin((enStop :+ "").map(x => x: Any): _*)).as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("normalized"),
+        size(col("kept")).cast("long").as("n_kept"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f5_normalize" -> ((s, d) => normalize(t(s, d, "documents"))),

@@ -101,15 +101,26 @@ object Tables {
     * write produces tasks×partitions small files and melts the namenode.
     */
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String,
-                           extraPartitionCols: Seq[String] = Seq("payment_method")): Unit = {
+                           extraPartitionCols: Seq[String] = Seq("payment_method")): Unit =
+    writeDateParts(df, tsCol, path, extraPartitionCols, "append", dynamicOverwrite = false)
+
+  /** Shared date-partition derivation + small-file-avoidance repartition
+    * for both sink variants — one place owns the layout.
+    */
+  private def writeDateParts(df: DataFrame, tsCol: String, path: String,
+                             leadingCols: Seq[String], mode: String,
+                             dynamicOverwrite: Boolean): Unit = {
     val withParts = df
       .withColumn("tx_year", year(col(tsCol)))
       .withColumn("tx_month", month(col(tsCol)))
       .withColumn("tx_day", dayofmonth(col(tsCol)))
-    val partCols = extraPartitionCols ++ Seq("tx_year", "tx_month", "tx_day")
-    withParts
+    val partCols = leadingCols ++ Seq("tx_year", "tx_month", "tx_day")
+    val writer = withParts
       .repartition(partCols.map(col): _*)
-      .write.mode("append").partitionBy(partCols: _*).parquet(path)
+      .write.mode(mode)
+    (if (dynamicOverwrite) writer.option("partitionOverwriteMode", "dynamic") else writer)
+      .partitionBy(partCols: _*)
+      .parquet(path)
   }
 
   /** Read back a date-partitioned sink; partition columns are recovered
@@ -130,20 +141,9 @@ object Tables {
     */
   def writeDatePartitionedExactlyOnce(df: DataFrame, tsCol: String, path: String,
                                       batchId: Long,
-                                      extraPartitionCols: Seq[String] = Seq("payment_method")): Unit = {
-    val withParts = df
-      .withColumn("batch_id", lit(batchId))
-      .withColumn("tx_year", year(col(tsCol)))
-      .withColumn("tx_month", month(col(tsCol)))
-      .withColumn("tx_day", dayofmonth(col(tsCol)))
-    val partCols = Seq("batch_id") ++ extraPartitionCols ++ Seq("tx_year", "tx_month", "tx_day")
-    withParts
-      .repartition(partCols.map(col): _*)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(path)
-  }
+                                      extraPartitionCols: Seq[String] = Seq("payment_method")): Unit =
+    writeDateParts(df.withColumn("batch_id", lit(batchId)), tsCol, path,
+      Seq("batch_id") ++ extraPartitionCols, "overwrite", dynamicOverwrite = true)
 
   /** Bucketed table write: pre-shuffles once at write time so every
     * subsequent equi-join/aggregation on the bucket key is shuffle-free —
