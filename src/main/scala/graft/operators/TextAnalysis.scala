@@ -110,7 +110,28 @@ object TextAnalysis {
         array_join(col("kept"), " ").as("normalized"),
         size(col("kept")).cast("long").as("n_kept"))
 
+  /** TF-IDF weights per (document, term) — the classic corpus-statistics
+    * join: term frequencies shuffle on (doc, term), document frequencies
+    * on term, and the corpus size rides along as a broadcast scalar (no
+    * driver-side count action). ln() outputs are pinned to 8 decimals so
+    * the value is libm-implementation-independent for the oracle.
+    */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(col("tok")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 8))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 8))
+      .select("doc_id", "term", "tf", "df", "idf", "tfidf")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f6_tfidf" -> ((s, d) => tfIdf(t(s, d, "documents"))),
     "f5_normalize" -> ((s, d) => normalize(t(s, d, "documents"))),
     "f1_lang_id" -> ((s, d) => langId(t(s, d, "documents"))),
     "f2_quality" -> ((s, d) => quality(t(s, d, "documents"))),
@@ -119,6 +140,18 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "f6_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, tf.term, tf, df.df,
+        |       round(ln((n_docs + CAST(1.0 AS DOUBLE)) / (df.df + CAST(1.0 AS DOUBLE))), 8) AS idf,
+        |       round(tf * round(ln((n_docs + CAST(1.0 AS DOUBLE)) / (df.df + CAST(1.0 AS DOUBLE))), 8), 8) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin,
     "f5_normalize" ->
       """WITH tk AS (
         |  SELECT doc_id,
