@@ -225,6 +225,33 @@ object Relational {
           (count(when(col("o_totalprice") > 250000, 1)).cast("double") /
             count(lit(1))).as("large_share"))),
 
+    // B24: distribution ranking — spend quartiles + percentile position
+    // per customer. Global ordered window ⇒ a range-partitioned sort at
+    // scale (1 row per customer post-aggregation, so the sort input is
+    // the dimension cardinality, not the fact).
+    "b24_ntile" -> ((s, d) => {
+      val totals = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum2(col("o_totalprice")).as("total_spent"))
+      val w = Window.orderBy(col("total_spent").desc, col("o_custkey"))
+      totals.select(col("o_custkey"), col("total_spent"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+    }),
+
+    // B19b: approx quantiles (fixed-size sketch) — the 100 TB path for
+    // B19: exact per-group percentiles sort every group; the sketch is
+    // one aggregation pass with bounded memory. Rows-only (sketch
+    // internals are engine-specific).
+    "b19_quantiles_approx" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), array(lit(0.5), lit(0.9)), lit(10000))
+          .as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p50_qty"),
+          element_at(col("q"), 2).as("p90_qty"))),
+
     // B19: exact quantiles per group (sort-based percentile).
     "b19_quantiles" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -454,6 +481,16 @@ object Relational {
         |                     AS DECIMAL(18,2))) AS DOUBLE) AS large_value,
         |       CAST(count(CASE WHEN o_totalprice > 250000 THEN 1 END) AS DOUBLE) / count(*) AS large_share
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "b24_ntile" ->
+      """WITH totals AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, total_spent,
+        |       ntile(4) OVER (ORDER BY total_spent DESC, o_custkey) AS quartile,
+        |       percent_rank() OVER (ORDER BY total_spent DESC, o_custkey) AS pct_rank
+        |FROM totals""".stripMargin,
 
     "b19_quantiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty,

@@ -42,6 +42,14 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() === users)
   }
 
+  test("B23 range join broadcasts the interval dim (no corpus shuffle for the join)") {
+    val plan = Relational.queries("b23_range_join")(spark, SF)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("B12 top-k is ordered and bounded") {
     val rows = Relational.queries("b12_topk")(spark, SF).collect()
     assert(rows.length === 100)
