@@ -176,7 +176,11 @@ object Fraud {
         .filter(col("n") >= 2)
       val mean = col("s") / col("n")
       val variance = (col("s2") - (col("s") * col("s")) / col("n")) / (col("n") - 1)
-      val z = (col("value") - mean) / sqrt(variance)
+      // z pinned to 8dp: at large n the decimal moments exceed double's
+      // exact range and engines' decimal→double conversions differ in
+      // the last ulp (observed at sf0.1); filtering on the pinned value
+      // keeps row membership engine-identical too
+      val z = round((col("value") - mean) / sqrt(variance), 8)
       ev.join(broadcast(stats), Seq("user_id"))
         .filter(variance > 0)
         .withColumn("z", z)
@@ -247,10 +251,10 @@ object Fraud {
           |         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
           |  FROM events GROUP BY user_id HAVING count(*) >= 2)
           |SELECT event_id, e.user_id, value,
-          |       (value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)) AS z
+          |       round((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 8) AS z
           |FROM events e JOIN stats ON e.user_id = stats.user_id
           |WHERE (s2 - (s * s) / n) / (n - 1) > 0
-          |  AND abs((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1))) > CAST(2.0 AS DOUBLE)""".stripMargin
+          |  AND abs(round((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 8)) > CAST(2.0 AS DOUBLE)""".stripMargin
     )
   }
 }

@@ -333,6 +333,20 @@ object Relational {
         .cube(col("tx_year"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_value"))),
 
+    // B25: set operations — intersect/except between two incremental
+    // load slices (which orders appear in both loads / only in the
+    // first). Both compile to aggregate-based set ops, shuffled on the
+    // full row — the relational complement to B15's union-dedup.
+    "b25_setops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderstatus")
+      val b = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderstatus")
+      a.intersect(b).withColumn("src", lit("both"))
+        .union(a.except(b).withColumn("src", lit("first_only")))
+    }),
+
     // B15: union of two overlapping incremental loads + whole-row dedup
     // (reference: incremental loads re-scan overlapping partitions).
     "b15_union_dedup" -> ((s, d) => {
@@ -554,6 +568,15 @@ object Relational {
     "b15_union_dedup" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
         |UNION
-        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "b25_setops" ->
+      """WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |     b AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        |SELECT o_orderkey, o_orderstatus, 'both' AS src FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t1
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, 'first_only' AS src FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t2""".stripMargin
   )
 }
