@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Property-style checks over generated corpora (fixed-seed scalacheck
+  * generators, so runs are reproducible): the native sketch must agree
+  * with its composable reference form on arbitrary inputs, and the
+  * verification metrics must satisfy their mathematical invariants.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+    "value", "part", "hash", "merge", "batch", "spark", "window", "join")
+
+  private def genDocs(n: Int, seed: Long): Seq[(Long, String)] = {
+    val gen = Gen.listOfN(n,
+      Gen.chooseNum(3, 40).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+    val lists = gen.apply(Gen.Parameters.default, Seed(seed)).get
+    lists.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+  }
+
+  test("native minhash_sig equals the composable form on 60 random docs") {
+    import spark.implicits._
+    val docs = (genDocs(30, 7L) ++ genDocs(30, 99L).map { case (i, t) => (i + 100, t) })
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text"))).as("sh"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhashSig(col("sh")).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composable = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), Dedup.minhashes(col("hs")).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === composable)
+  }
+
+  test("jaccard over random candidates stays in [0,1] and hits 1 only for equal sets") {
+    import spark.implicits._
+    val docs = genDocs(40, 13L).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs)
+    val verified = Dedup.ngramJaccard(docs, cand).collect()
+    verified.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $r")
+    }
+    // identical docs always produce a jaccard-1 candidate pair
+    val dup = (Seq((900L, "key agg row scan slow fast"), (901L, "key agg row scan slow fast")))
+      .toDF("doc_id", "text")
+    val dj = Dedup.ngramJaccard(dup, Dedup.minhashCandidates(dup)).collect()
+    assert(dj.exists(r => r.getAs[Double]("jaccard") === 1.0))
+  }
+
+  test("minhash candidate pairs are ordered, distinct, and id-bounded") {
+    import spark.implicits._
+    val docs = genDocs(50, 21L).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b }, "pairs must be ordered a < b")
+    assert(pairs.distinct.length === pairs.length, "pairs must be distinct")
+    assert(pairs.forall { case (a, b) => a >= 0 && b < 50 })
+  }
+}
