@@ -55,6 +55,26 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(dj.exists(r => r.getAs[Double]("jaccard") === 1.0))
   }
 
+  test("I2/I3: split assignment is total+stable; stratified sample respects fractions") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val assigned = graft.operators.Profile.splitAssign(docs, "doc_id")
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === docs.count())
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // stability: re-running assigns identical splits
+    val a1 = assigned.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = graft.operators.Profile.splitAssign(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a1 === a2)
+
+    val strata = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = docs.stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1), 42L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sampled.foreach { case (lang, n) => assert(n <= strata(lang)) }
+    assert(math.abs(sampled("en").toDouble / strata("en") - 0.5) < 0.15)
+  }
+
   test("minhash candidate pairs are ordered, distinct, and id-bounded") {
     import spark.implicits._
     val docs = genDocs(50, 21L).toDF("doc_id", "text")
