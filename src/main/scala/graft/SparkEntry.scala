@@ -20,8 +20,9 @@ object SparkEntry {
     Relational.queries ++ Fraud.queries ++ FraudModel.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++ Profile.queries
 
-  /** DuckDB-equivalent SQL per query; keys absent here (b6_approx,
-    * d3_simhash, e2_ann_lsh, g1_multimodal_meta) get the rows-only check.
+  /** DuckDB-equivalent SQL per query; any `queries` key absent here is
+    * not SQL-expressible (sketches, ML, ANN, multimodal stubs) and gets
+    * the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Fraud.oracles ++ Dedup.oracles ++

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * The composable form walks the shingle array k+1 times through
   * interpreted lambda closures (one boxed Long per element per
   * permutation); this walks it ONCE, hashing each shingle a single time
-  * and updating k primitive accumulators. Empty input yields an empty
-  * signature (callers filter to ≥3 tokens first).
+  * and updating k primitive accumulators. Empty input yields k nulls —
+  * exactly what the composable form produces (array_min over an empty
+  * slice is null) — so the two forms agree on ALL inputs, not just the
+  * ≥3-token-filtered ones.
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
@@ -30,7 +32,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
         s"$prettyName requires array<string> input, got $other")
     }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def prettyName: String = "minhash_sig"
 
@@ -49,7 +51,7 @@ object MinHashSig {
 
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
     val acc = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {

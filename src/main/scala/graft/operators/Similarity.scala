@@ -168,12 +168,16 @@ object Similarity {
   /** IVF with LEARNED centroids: MLlib k-means replaces the seed
     * centroids — better-balanced cells on clustered corpora, same probe
     * interface. The model's centers are the only driver-side state (k
-    * small vectors); assignment and probing stay distributed.
+    * small vectors); assignment and probing stay distributed. The
+    * corpus-wide assignment cache is dropped before returning — the ≤k
+    * result rows come back as a local DataFrame, so no cached blocks
+    * outlive the call.
     */
   def ivfTopKLearned(embeddings: DataFrame, queryVecId: Long, k: Int,
                      nCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
     val e = withNorm(embeddings)
       .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans()
@@ -184,26 +188,34 @@ object Similarity {
     val assigned = model.transform(e)
       .withColumnRenamed("prediction", "cell").drop("fv")
       .persist()
-    val qRows = assigned.filter(col("vec_id") === queryVecId)
-      .select("embedding", "nrm").take(1)
-    if (qRows.isEmpty) {
-      return assigned.select(col("vec_id"), col("cell"), lit(0.0).as("score")).limit(0)
-    }
-    val qVec = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbes).map(_._1).toSeq
-    val q = assigned.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    assigned.filter(col("vec_id") =!= queryVecId && col("cell").isin(probeCells: _*))
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("cell"),
-        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    try {
+      val qRows = assigned.filter(col("vec_id") === queryVecId)
+        .select("embedding", "nrm").take(1)
+      val resPlan =
+        if (qRows.isEmpty)
+          assigned.select(col("vec_id"), col("cell"), lit(0.0).as("score")).limit(0)
+        else {
+          val qVec = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
+          val probeCells = model.clusterCenters.zipWithIndex
+            .map { case (c, i) =>
+              val d = c.toArray.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum
+              (i, d)
+            }
+            .sortBy(_._2).take(nProbes).map(_._1).toSeq
+          val q = assigned.filter(col("vec_id") === queryVecId)
+            .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+          assigned.filter(col("vec_id") =!= queryVecId && col("cell").isin(probeCells: _*))
+            .crossJoin(broadcast(q))
+            .select(col("vec_id"), col("cell"),
+              (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+            .orderBy(col("score").desc, col("vec_id"))
+            .limit(k)
+        }
+      // materialize the tiny top-k while the cache is live, then return it
+      // as a local frame (schema preserved) so the cache can be released
+      val rows = java.util.Arrays.asList(resPlan.collect(): _*)
+      spark.createDataFrame(rows, resPlan.schema)
+    } finally assigned.unpersist()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -25,6 +25,11 @@ object Skew {
                  saltFrom: Column, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // For right/full joins an unmatched small-side row would surface once
+    // per salt replica — the equivalence contract only holds inner/left.
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer" || joinType == "leftouter",
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltedBig = big.withColumn("__graft_salt",
       pmod(xxhash64(saltFrom), lit(buckets.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__graft_salt",

@@ -27,10 +27,12 @@ object Tables {
     *
     * `events.ts` is TIMESTAMP(NANOS) in the source parquet, which Spark's
     * vectorized reader rejects; it is read as a nanos long and truncated
-    * to microseconds — the same ns→us truncation DuckDB applies.
+    * to microseconds — the same ns→us truncation DuckDB applies. The
+    * session must set `spark.sql.legacy.parquet.nanosAsLong=true` at
+    * build time (GraftSession/Bench/Verify all do) — no per-call config
+    * mutation here.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
