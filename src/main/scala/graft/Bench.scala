@@ -38,10 +38,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warm-up pass over a cheap query so JIT/codegen cost doesn't
-    // land on the first measured entry
-    SparkEntry.queries("b13_distinct")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Full untimed warm-up pass: whole-stage-codegen class generation +
+    // JIT compilation is a one-time per-plan cost (~8s observed on the
+    // minhash sketch) that would otherwise land on whichever query runs
+    // it first. Same data dir so AQE re-plans identically and the second
+    // (measured) pass reuses the compiled classes — steady-state numbers.
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
