@@ -21,9 +21,10 @@ object Bench {
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     "c7_category_trend", "c11_zscore",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
-    "d5_embed_neardup", "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf",
-    "f2_quality", "f3_token_count", "f4_fingerprint",
-    "g1_multimodal_meta")
+    "d5_embed_neardup", "d8_dedup_clusters",
+    "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
+    "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
+    "f8_pii_redact", "g1_multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

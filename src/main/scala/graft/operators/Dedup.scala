@@ -161,7 +161,67 @@ object Dedup {
             |              (acc, h) -> acc + if(((h >> b) & 1) = 1, 1, -1)) > 0, 1, 0))
             |""".stripMargin).as("simhash"))
 
+  /** Connected components over the near-dup candidate graph: each doc's
+    * cluster id is the smallest doc_id reachable through candidate pairs
+    * (transitively — A~B, B~C puts A,B,C in one cluster even if A,C never
+    * collided in any band), plus a canonical-keeper flag. This is the step
+    * that turns pairwise near-dup evidence into the keep/drop list a
+    * training-data pipeline actually applies.
+    *
+    * Distributed min-label propagation: every iteration each vertex takes
+    * the min of its own label and its neighbors' labels — one equi-join +
+    * one keyed aggregation per round, converging in O(component diameter)
+    * rounds (near-dup clusters are shallow; maxIter bounds pathology).
+    * Loop state goes through eager `localCheckpoint`: lineage is cut each
+    * round (no exponentially growing plan) and the backing RDD blocks are
+    * released by Spark's ContextCleaner once unreferenced — no cache
+    * entries outlive the call. On a multi-node cluster substitute
+    * `checkpoint` with a reliable dir for executor-loss resilience.
+    */
+  def dedupClusters(docs: DataFrame, maxIter: Int = 20): DataFrame =
+    clustersFromPairs(docs, minhashCandidates(docs), maxIter)
+
+  /** Min-label propagation over an explicit pair list (`doc_a`,`doc_b`) —
+    * the component core of [[dedupClusters]], usable with any candidate
+    * generator (LSH bands, SimHash hamming buckets, embedding ANN).
+    */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
+                        maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("vid"), col("comp")), col("v") === col("vid"))
+        .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels.join(neighborMin, col("id") === col("u"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("comp") =!= col("prev")).count()
+      labels = stepped.select("id", "comp")
+      iter += 1
+    }
+    val assigned = docs.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    assigned
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D8: near-dup cluster resolution — candidate pairs → connected
+    // components → canonical keeper per cluster.
+    "d8_dedup_clusters" -> ((s, d) => dedupClusters(t(s, d, "documents"))),
 
     // D1: exact dedup via content digest — one shuffle keyed on md5(text).
     "d1_dedup_exact" -> ((s, d) =>
@@ -271,6 +331,26 @@ object Dedup {
           |FROM documents GROUP BY md5(text)""".stripMargin,
 
       "d2_minhash_lsh" -> (bandsCte + "\nSELECT doc_a, doc_b FROM cand"),
+
+      // Transitive closure via recursive CTE reproduces the label
+      // propagation fixpoint: cluster id = min doc_id reachable.
+      "d8_dedup_clusters" -> (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |edges AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM cand
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM cand),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          |comp AS (
+          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+          |SELECT d.doc_id,
+          |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+          |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS cluster_size,
+          |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
 
       "d4_ngram_jaccard" -> (bandsCte +
         """,

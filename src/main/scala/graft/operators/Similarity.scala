@@ -218,7 +218,35 @@ object Similarity {
     } finally assigned.unpersist()
   }
 
+  /** Batch kNN join: exact cosine top-k for a SET of query vectors in one
+    * corpus scan — the shape a real pipeline runs (kNN for every probe /
+    * eval vector), not one query at a time. The query side broadcasts;
+    * the corpus side is scanned once and scored against all queries
+    * map-side. The `row_number <= k` filter triggers Spark's
+    * WindowGroupLimit pushdown: each map partition keeps only its local
+    * top-k per query BEFORE the shuffle, so the exchange carries
+    * O(k × partitions) rows per query, not the full scored corpus.
+    * For huge query sets, swap the broadcast for lshBucket equi-joins
+    * (the E2 path) — same output contract.
+    */
+  def knnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E5: batch kNN join — top-10 neighbors for query vectors 0..7.
+    "e5_knn_join" -> ((s, d) => knnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
     // E1: exact brute-force cosine top-20 for query vector 0.
     "e1_cosine_topk" -> ((s, d) => cosineTopK(t(s, d, "embeddings"), 0L, 20)),
 
@@ -233,6 +261,29 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "e5_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |  FROM e, q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, score, rnk FROM (
+        |  SELECT q_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10""".stripMargin,
+
     "e1_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -130,7 +130,71 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "idf", "tfidf")
   }
 
+  /** Repetition scoring (Gopher-style quality signals): duplicate-token
+    * ratio and the fraction of all bigrams taken by the single most
+    * frequent bigram — the standard detectors for looping/boilerplate
+    * text. Per-doc token stats are row-local; the bigram mode needs two
+    * keyed aggregations ((doc, gram) counts, then per-doc max/sum) — both
+    * map-side-combined, shuffling only counted grams, never raw text.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"),
+        size(col("tok")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tok"))).cast("long").as("n_distinct"))
+    val gramStats = toks.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("tok")) - 2), i =>
+          concat_ws(" ", element_at(col("tok"), i + 1), element_at(col("tok"), i + 2)))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_gram_count"), sum(col("c")).as("n_grams"))
+    toks.select("doc_id", "n_tokens", "n_distinct")
+      .withColumn("dup_token_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+      .join(gramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("dup_token_ratio"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+      .withColumn("top_gram_frac",
+        when(col("n_grams") > 0,
+          col("top_gram_count").cast("double") / col("n_grams")).otherwise(0.0))
+      .withColumn("is_repetitive",
+        col("dup_token_ratio") > 0.8 || col("top_gram_frac") > 0.1)
+  }
+
+  private val emailRe = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[A-Za-z]+"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  /** PII detection + redaction. The corpus is synthetic word-soup with no
+    * real PII, so each row first gets a deterministic PII suffix derived
+    * from its own columns (email from `source`, IP and phone from
+    * `doc_id`) — the detect/redact regexes are then genuinely exercised
+    * and oracle-checkable. The regex subset (character classes, counted
+    * repetition, literals) parses identically under Java regex and
+    * DuckDB's RE2. Row-local, scan-speed, no shuffle.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact "), col("source"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 call 555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")).as("pii_text"))
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii_text"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("pii_text"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>").as("redacted"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f7_repetition" -> ((s, d) => repetition(t(s, d, "documents"))),
+    "f8_pii_redact" -> ((s, d) => piiRedact(t(s, d, "documents"))),
     "f6_tfidf" -> ((s, d) => tfIdf(t(s, d, "documents"))),
     "f5_normalize" -> ((s, d) => normalize(t(s, d, "documents"))),
     "f1_lang_id" -> ((s, d) => langId(t(s, d, "documents"))),
@@ -140,6 +204,51 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "f7_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks WHERE len(t) >= 2),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+        |gs AS (
+        |  SELECT doc_id, max(c) AS top_gram_count, CAST(sum(c) AS BIGINT) AS n_grams
+        |  FROM gc GROUP BY doc_id)
+        |SELECT base.doc_id, n_tokens, n_distinct,
+        |       CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+        |       coalesce(top_gram_count, CAST(0 AS BIGINT)) AS top_gram_count,
+        |       coalesce(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |       CASE WHEN coalesce(n_grams, 0) > 0
+        |            THEN CAST(coalesce(top_gram_count, 0) AS DOUBLE) / coalesce(n_grams, 0)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS top_gram_frac,
+        |       (CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens) > 0.8
+        |       OR (CASE WHEN coalesce(n_grams, 0) > 0
+        |            THEN CAST(coalesce(top_gram_count, 0) AS DOUBLE) / coalesce(n_grams, 0)
+        |            ELSE CAST(0.0 AS DOUBLE) END) > 0.1 AS is_repetitive
+        |FROM base LEFT JOIN gs ON base.doc_id = gs.doc_id""".stripMargin,
+
+    "f8_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact ' || source || '@example.com from 10.0.' ||
+        |         CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-' ||
+        |         CAST(1000 + doc_id % 9000 AS VARCHAR) AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(pii_text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |    '[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM p""".stripMargin,
     "f6_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),

@@ -60,4 +60,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .count().collect().map(_.getLong(1)).sorted
     assert(groups.toSeq === Seq(1L, 2L))
   }
+
+  test("D8 clusters are transitive closures with min-id canonical keeper") {
+    // 1~2 and 2~3 collide (identical text); 4 is unrelated — one cluster
+    // {1,2,3} labeled by its min id, plus the singleton.
+    val d = docs(1L -> base, 2L -> base, 3L -> base, 4L -> other)
+    val rows = Dedup.dedupClusters(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(1L) === ((1L, 3L, true)))
+    assert(rows(2L) === ((1L, 3L, false)))
+    assert(rows(3L) === ((1L, 3L, false)))
+    assert(rows(4L) === ((4L, 1L, true)))
+  }
+
+  test("D8 propagation crosses chained pairs (A~B, B~C but never A~C directly)") {
+    import spark.implicits._
+    // Long chain 10-20-30-40-50 plus isolated pair 60-70: min label must
+    // travel the full diameter (several propagation rounds), not one hop.
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L), (60L, 70L))
+      .toDF("doc_a", "doc_b")
+    val d = docs(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L).map(_ -> base): _*)
+    val rows = Dedup.clustersFromPairs(d, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (id <- Seq(10L, 20L, 30L, 40L, 50L)) assert(rows(id) === ((10L, 5L)), s"id $id")
+    for (id <- Seq(60L, 70L)) assert(rows(id) === ((60L, 2L)), s"id $id")
+    assert(rows(80L) === ((80L, 1L)))
+  }
 }

@@ -48,6 +48,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     info(s"ANN recall@20 = $recall over ${ann.length} bucket candidates")
   }
 
+  test("E5 batch kNN join agrees with per-query exact top-k") {
+    val e = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0f, 0f),
+      4L -> Seq(0.5f, 0.5f, 0f, 0f))
+    val batch = Similarity.knnJoin(e, Seq(0L, 2L), 3).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rnk")).map(_.getLong(1)).toSeq }
+    for (q <- Seq(0L, 2L)) {
+      val solo = Similarity.cosineTopK(e, q, 3).collect().map(_.getLong(0)).toSeq
+      assert(batch(q) === solo, s"query $q")
+    }
+  }
+
   test("E2 candidate pairs stay within buckets (no cross join)") {
     val e = vecs(
       0L -> Seq(1f, 1f, 1f, 1f),

@@ -43,4 +43,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("word_chars") === 10) // "thecatsat."
     assert(math.abs(r.getAs[Double]("avg_word_len") - 10.0 / 3) < 1e-12)
   }
+
+  test("F7 repetition flags looping text and passes varied text") {
+    val out = TextAnalysis.repetition(docs(
+      1L -> "spam spam spam spam",   // 1 distinct token, one bigram 3x
+      2L -> "the quick brown fox jumps"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val loop = out(1L)
+    assert(loop.getAs[Long]("n_tokens") === 4)
+    assert(loop.getAs[Long]("n_distinct") === 1)
+    assert(math.abs(loop.getAs[Double]("dup_token_ratio") - 0.75) < 1e-12)
+    assert(loop.getAs[Long]("top_gram_count") === 3)
+    assert(loop.getAs[Long]("n_grams") === 3)
+    assert(loop.getAs[Double]("top_gram_frac") === 1.0)
+    assert(loop.getAs[Boolean]("is_repetitive"))
+    val ok = out(2L)
+    assert(ok.getAs[Double]("dup_token_ratio") === 0.0)
+    // 4 distinct bigrams, each once: top frac 0.25 — above the bigram
+    // threshold only for genuinely short docs, but dup_token_ratio 0
+    assert(math.abs(ok.getAs[Double]("top_gram_frac") - 0.25) < 1e-12)
+  }
+
+  test("F8 synthesized PII is counted and redacted") {
+    import spark.implicits._
+    val d = Seq((42L, "hello world", "en", "srcA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.piiRedact(d).collect()(0)
+    assert(r.getAs[Long]("n_emails") === 1)
+    assert(r.getAs[Long]("n_ips") === 1)
+    assert(r.getAs[Long]("n_phones") === 1)
+    val red = r.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+    assert(!red.contains("@example.com") && !red.contains("10.0."))
+  }
 }
