@@ -280,6 +280,24 @@ object Dedup {
         .withColumn("is_duplicate", col("jaccard") >= 0.8 || col("edit_sim") >= 0.9)
     }),
 
+    // D9: semantic dedup clusters — the D5 cosine pairs fed through the
+    // same connected-components core as D8 (clustersFromPairs composes
+    // with any candidate generator). At 100 TB the pair source swaps to
+    // Similarity.annCandidates (bucketed, never all-pairs).
+    "d9_embed_clusters" -> ((s, d) => {
+      val e = Similarity.withNorm(t(s, d, "embeddings"))
+      val pairs = e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim",
+          Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos_sim") > 0.4)
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      clustersFromPairs(
+          t(s, d, "embeddings").select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("cluster_size"), col("is_canonical"))
+    }),
+
     // D5: embedding-cosine near-dup pairs — exact all-pairs form for the
     // oracle (the corpus has no >0.52 cosine pairs, so 0.4 marks "most
     // similar"); at 100 TB the same verification runs only on
@@ -394,6 +412,38 @@ object Dedup {
           |FROM cand
           |JOIN sets sa ON doc_a = sa.doc_id
           |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
+
+      "d9_embed_clusters" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT vec_id, embedding,
+          |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |           list_transform(range(1, len(embedding) + 1),
+          |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+          |           (x, y) -> x + y)) AS nrm
+          |  FROM embeddings
+          |  WHERE nrm > 0),
+          |p AS (
+          |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |  WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |          list_transform(range(1, len(a.embedding) + 1),
+          |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+          |          (x, y) -> x + y) / (a.nrm * b.nrm) > 0.4),
+          |edges AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM p
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM p),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+          |comp AS (
+          |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+          |SELECT emb.vec_id,
+          |       coalesce(c.cluster_id, emb.vec_id) AS cluster_id,
+          |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, emb.vec_id)) AS cluster_size,
+          |       emb.vec_id = coalesce(c.cluster_id, emb.vec_id) AS is_canonical
+          |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
 
       "d5_embed_neardup" ->
         """WITH e AS (

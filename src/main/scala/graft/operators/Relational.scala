@@ -136,6 +136,39 @@ object Relational {
                 fmtTs(col("ts")).as("last_ts"))
     }),
 
+    // I4: incremental-load diff — two deterministic slices of orders play
+    // "yesterday's load" vs "today's" (keys %3/%5 drop different rows;
+    // %7 doubles a price), and the report classifies every key as
+    // added / removed / changed(+which columns). One full-outer join.
+    "i4_load_diff" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val load1 = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val load2 = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Tables.loadDiff(load1, load2, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"))
+        .filter(col("change_type") =!= "unchanged")
+    }),
+
+    // B28: mergeable distinct-count sketches — per-year HLL sketches of
+    // the customer key, then a sketch-union to the global estimate. The
+    // 100 TB incremental pattern: each load materializes its own sketch;
+    // re-aggregation merges sketches instead of rescanning history
+    // (approx_count_distinct can't merge across runs). Rows-only; the
+    // estimate-vs-exact bound is asserted in RelationalSpec.
+    "b28_hll_merge" -> ((s, d) => {
+      val perYear = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      perYear.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct_custkeys"),
+        sum(col("n_rows")).as("total_rows"),
+        count(lit(1)).as("n_sketches"))
+    }),
+
     // B10: date-part derivation (reference: src/spark/jobs/spark.py
     // year/month/dayofmonth partition columns).
     "b10_date_parts" -> ((s, d) =>
@@ -430,6 +463,36 @@ object Relational {
       """SELECT o_orderkey, year(o_orderdate) AS tx_year, month(o_orderdate) AS tx_month,
         |       day(o_orderdate) AS tx_day
         |FROM orders""".stripMargin,
+
+    "i4_load_diff" ->
+      """WITH load1 AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |load2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |            WHEN n.o_orderkey IS NULL THEN 'removed'
+        |            WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |              OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |       CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+        |            THEN concat_ws(',',
+        |              CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |                   THEN 'o_totalprice' END,
+        |              CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |                   THEN 'o_orderstatus' END)
+        |            ELSE '' END AS changed_cols
+        |FROM load1 o FULL OUTER JOIN load2 n ON o.o_orderkey = n.o_orderkey
+        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |           WHEN n.o_orderkey IS NULL THEN 'removed'
+        |           WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |             OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'changed'
+        |           ELSE 'unchanged' END <> 'unchanged'""".stripMargin,
 
     "b11_running_sum" ->
       """SELECT o_custkey, o_orderkey,

@@ -173,6 +173,30 @@ object Tables {
     * number of executors; ties broken by the trailing version columns so
     * the result is deterministic.
     */
+  /** Keyed diff between two load slices — the audit report an incremental
+    * warehouse load produces before a MERGE: per key, was the row added,
+    * removed, changed (and in which columns), or unchanged. One
+    * shuffle per side on the key (a full-outer equi-join); null-safe
+    * comparison so a column going to/from NULL counts as changed.
+    */
+  def loadDiff(base: DataFrame, updated: DataFrame, key: String,
+               compareCols: Seq[String]): DataFrame = {
+    val b = base.select((key +: compareCols).map(col): _*).as("o")
+    val n = updated.select((key +: compareCols).map(col): _*).as("n")
+    val joined = b.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+    val colChanged = compareCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+    joined.select(
+      coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+      when(col(s"o.$key").isNull, "added")
+        .when(col(s"n.$key").isNull, "removed")
+        .when(colChanged.reduce(_ || _), "changed")
+        .otherwise("unchanged").as("change_type"),
+      // concat_ws skips NULLs: only the names of changed columns remain
+      when(col(s"o.$key").isNotNull && col(s"n.$key").isNotNull,
+        concat_ws(",", compareCols.zip(colChanged).map { case (c, chg) =>
+          when(chg, lit(c)) }: _*)).otherwise("").as("changed_cols"))
+  }
+
   def mergeUpsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
                   versionDesc: Seq[Column]): DataFrame = {
     // MERGE semantics: on a full version tie the UPDATE wins over the

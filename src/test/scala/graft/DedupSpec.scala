@@ -86,4 +86,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     for (id <- Seq(60L, 70L)) assert(rows(id) === ((60L, 2L)), s"id $id")
     assert(rows(80L) === ((80L, 1L)))
   }
+
+  test("D9 semantic clusters group parallel embeddings, split orthogonal ones") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),   // ~parallel to 0
+      (2L, Seq(0f, 1f, 0f, 0f)),       // orthogonal
+      (3L, Seq(0f, 0.9f, 0.1f, 0f)))   // ~parallel to 2
+      .toDF("vec_id", "embedding")
+    val pairs = e.as("a").join(e.as("b"),
+        org.apache.spark.sql.functions.col("a.vec_id") <
+          org.apache.spark.sql.functions.col("b.vec_id"))
+      .withColumn("cos", graft.operators.Similarity.dot(
+        org.apache.spark.sql.functions.col("a.embedding"),
+        org.apache.spark.sql.functions.col("b.embedding")))
+      .filter(org.apache.spark.sql.functions.col("cos") > 0.4)
+      .select(org.apache.spark.sql.functions.col("a.vec_id").as("doc_a"),
+        org.apache.spark.sql.functions.col("b.vec_id").as("doc_b"))
+    val rows = Dedup.clustersFromPairs(
+        e.select(org.apache.spark.sql.functions.col("vec_id").as("doc_id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) === 0L && rows(1L) === 0L)
+    assert(rows(2L) === 2L && rows(3L) === 2L)
+  }
 }

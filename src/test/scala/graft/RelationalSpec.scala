@@ -56,4 +56,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val prices = rows.map(_.getAs[Double]("l_extendedprice"))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
+
+  test("B28 merged HLL estimate tracks the exact distinct count") {
+    val est = Relational.queries("b28_hll_merge")(spark, SF).collect()(0)
+      .getAs[Long]("merged_distinct_custkeys")
+    val exact = graft.sources.Tables.table(spark, SF, "orders")
+      .select("o_custkey").distinct().count()
+    assert(math.abs(est - exact) <= 0.05 * exact,
+      s"estimate $est vs exact $exact drifts > 5%")
+  }
+
+  test("I4 load diff classifies added/removed/changed with column lists") {
+    import spark.implicits._
+    val load1 = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status")
+    val load2 = Seq((2L, 20.0, "B"), (3L, 35.0, "X"), (4L, 40.0, "D"))
+      .toDF("k", "price", "status")
+    val out = graft.sources.Tables.loadDiff(load1, load2, "k", Seq("price", "status"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) === (("removed", "")))
+    assert(out(2L) === (("unchanged", "")))
+    assert(out(3L) === (("changed", "price,status")))
+    assert(out(4L) === (("added", "")))
+  }
 }
