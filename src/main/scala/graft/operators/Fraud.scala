@@ -44,6 +44,12 @@ object Fraud {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(
         concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("transaction_id"),
+        // the numeric halves of transaction_id ride along: distinct-counts
+        // on (tx_okey, tx_lineno) equal distinct transaction_id but skip
+        // per-row string building in hot aggregations; column pruning
+        // drops them when unused
+        col("l_orderkey").as("tx_okey"),
+        col("l_linenumber").as("tx_lineno"),
         col("o_custkey").as("user_id"),
         col("l_partkey").as("product_id"),
         col("l_suppkey").as("supplier_id"),
@@ -144,7 +150,7 @@ object Fraud {
       tx.join(broadcast(products(s, d)), Seq("product_id"), "left")
         .groupBy(window(col("ts"), "1 day"), col("category"))
         .agg(dsum2(col("amount")).as("total_sales"),
-             countDistinct(col("transaction_id")).as("num_transactions"))
+             countDistinct(col("tx_okey"), col("tx_lineno")).as("num_transactions"))
         .select(fmtTs(col("window.start")).as("window_start"),
                 fmtTs(col("window.end")).as("window_end"),
                 col("category"), col("total_sales"), col("num_transactions"))
@@ -229,7 +235,7 @@ object Fraud {
           |       strftime(time_bucket(INTERVAL '1 day', o_orderdate) + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS window_end,
           |       p_type AS category,
           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
-          |       count(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS num_transactions
+          |       count(DISTINCT (l_orderkey, l_linenumber)) AS num_transactions
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |LEFT JOIN part ON l_partkey = p_partkey

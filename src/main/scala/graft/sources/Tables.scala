@@ -173,6 +173,39 @@ object Tables {
     * number of executors; ties broken by the trailing version columns so
     * the result is deterministic.
     */
+  /** Parquet read with schema merging across files — incremental loads
+    * evolve (a new column appears in this month's slice); merged read
+    * unions the per-file schemas and null-backfills older files.
+    * Merge-on-read costs a footer pass per file; at 100 TB prefer a
+    * table format or an explicit unified schema once it stabilizes.
+    */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** foreachBatch MERGE into a parquet warehouse table: read current
+    * state, upsert the micro-batch (latest-per-key), atomically replace.
+    * The read-modify-write is safe because the merge result is
+    * materialized (localCheckpoint) BEFORE the overwrite touches the
+    * input path. Replaying a micro-batch is idempotent — the reference's
+    * staging-table MERGE contract (src/snowflake/load_to_snowflake_
+    * transction.py). At 100 TB scope the rewrite to touched partitions
+    * (writeDatePartitionedExactlyOnce) instead of the whole table.
+    */
+  def mergeIntoWarehouse(batch: DataFrame, dir: String, keys: Seq[String],
+                         versionDesc: Seq[Column]): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      if (new java.io.File(dir).exists() &&
+          new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(dir))
+      else None
+    val merged = existing match {
+      case Some(base) => mergeUpsert(base, batch, keys, versionDesc)
+      case None => mergeUpsert(batch.limit(0), batch, keys, versionDesc)
+    }
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(dir)
+  }
+
   /** Keyed diff between two load slices — the audit report an incremental
     * warehouse load produces before a MERGE: per key, was the row added,
     * removed, changed (and in which columns), or unchanged. One

@@ -22,6 +22,14 @@ class FraudModelSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("C14 model AUC beats chance by a wide margin on the rule label") {
+    val scored = graft.operators.Fraud.scoredTransactions(spark, SF)
+    val withModel = graft.operators.FraudModel.score(
+      graft.operators.FraudModel.train(scored), scored)
+    val auc = graft.operators.FraudModel.evaluate(withModel)
+    assert(auc > 0.95, s"AUC $auc — the learned weighting should separate rule labels")
+  }
+
   test("E3 IVF ANN probes a bounded set of cells and ranks by cosine") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val ivf = graft.operators.Similarity.ivfTopK(e, 0L, 20).collect()

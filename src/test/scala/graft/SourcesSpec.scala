@@ -67,6 +67,20 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(back.select("transaction_id").distinct().count() === 2)
   }
 
+  test("A8 merged-schema read unions evolving load slices") {
+    import spark.implicits._
+    val dir = tmpDir("graft_evolve")
+    Seq((1L, 10.0)).toDF("k", "amount")
+      .write.parquet(s"$dir/load=1")
+    Seq((2L, 20.0, "card")).toDF("k", "amount", "payment_method")
+      .write.parquet(s"$dir/load=2")
+    val merged = graft.sources.Tables.readMergedSchema(spark, dir)
+    assert(merged.columns.toSet === Set("k", "amount", "payment_method", "load"))
+    val byK = merged.collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(byK(1L).getAs[String]("payment_method") === null) // backfilled
+    assert(byK(2L).getAs[String]("payment_method") === "card")
+  }
+
   test("C9 mergeUpsert is idempotent and keeps the newest version") {
     import spark.implicits._
     val base = Seq((1, "old", 1L), (2, "keep", 5L)).toDF("id", "v", "version")

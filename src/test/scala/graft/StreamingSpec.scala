@@ -75,6 +75,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batches.length === 4, s"expected 4 single-file micro-batches, got $batches")
   }
 
+  test("H7 foreachBatch MERGE into warehouse is idempotent and keeps latest") {
+    val in = tmpDir("graft_mrg_in")
+    val ckpt = tmpDir("graft_mrg_ckpt")
+    val wh = tmpDir("graft_mrg_wh") + "/tbl"
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z",
+      "t2,1,10,s1,20.0,card,FRANCE,2024-03-01T10:01:00.000Z"))
+    writeTxCsv(in, "b1.csv", Seq(
+      "t1,1,10,s1,99.0,card,FRANCE,2024-03-01T10:05:00.000Z", // newer t1
+      "t3,1,10,s1,30.0,card,FRANCE,2024-03-01T10:06:00.000Z"))
+    def run(): Unit = {
+      val q = Tables.readCsvStream(spark, in, Tables.transactionSchema, maxFilesPerTrigger = 1)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Tables.mergeIntoWarehouse(b, wh, Seq("transaction_id"), Seq(col("timestamp"))))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val rows = spark.read.parquet(wh).collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(rows === Map("t1" -> 99.0, "t2" -> 20.0, "t3" -> 30.0))
+    // replay the whole stream against the same warehouse (fresh
+    // checkpoint = every batch re-delivered): MERGE keeps it identical
+    val ckpt2 = tmpDir("graft_mrg_ckpt2")
+    val q2 = Tables.readCsvStream(spark, in, Tables.transactionSchema)
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Tables.mergeIntoWarehouse(b, wh, Seq("transaction_id"), Seq(col("timestamp"))))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val replayed = spark.read.parquet(wh).collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(replayed === rows)
+  }
+
   test("H2 streaming dedup within watermark drops replayed keys") {
     val in = tmpDir("graft_dd_in")
     val ckpt = tmpDir("graft_dd_ckpt")
