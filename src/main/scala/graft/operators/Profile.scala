@@ -26,7 +26,46 @@ object Profile {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
 
+  /** Expectation-style constraint audit: each rule evaluates to one row
+    * (constraint, observed, passed). Single-table rules share one
+    * aggregation pass; the referential rule is a left-anti count. The
+    * report is what gates a load before MERGE — at 100 TB every rule is
+    * still one scan + scalar, nothing collected.
+    */
+  def qualityAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val single = orders.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("o_custkey"))).as("custkey_nulls"),
+      countDistinct(col("o_orderkey")).as("orderkey_distinct"))
+    val orphans = lineitem
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val discounts = lineitem.agg(
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+        .otherwise(0L)).as("n_bad_discount"))
+    single.crossJoin(orphans).crossJoin(discounts).select(
+      explode(array(
+        struct(lit("custkey_not_null").as("constraint"),
+          col("custkey_nulls").cast("long").as("observed"),
+          (col("custkey_nulls") === 0).as("passed")),
+        struct(lit("orderkey_unique").as("constraint"),
+          (col("n_rows") - col("orderkey_distinct")).cast("long").as("observed"),
+          (col("n_rows") === col("orderkey_distinct")).as("passed")),
+        struct(lit("lineitem_fk_orders").as("constraint"),
+          col("n_orphans").cast("long").as("observed"),
+          (col("n_orphans") === 0).as("passed")),
+        struct(lit("discount_in_range").as("constraint"),
+          col("n_bad_discount").cast("long").as("observed"),
+          (col("n_bad_discount") === 0).as("passed")))).as("c"))
+      .select(col("c.constraint"), col("c.observed"), col("c.passed"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I5: expectation-style data-quality audit over the load tables.
+    "i5_quality_audit" -> ((s, d) =>
+      qualityAudit(Tables.table(s, d, "orders"), Tables.table(s, d, "lineitem"))),
 
     // I2: deterministic dataset split + per-split counts.
     "i2_split" -> ((s, d) =>
@@ -57,6 +96,30 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    "i5_quality_audit" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(*) - count(o_custkey) AS custkey_nulls,
+        |         count(DISTINCT o_orderkey) AS orderkey_distinct
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |disc AS (
+        |  SELECT CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_discount
+        |  FROM lineitem)
+        |SELECT 'custkey_not_null' AS constraint, custkey_nulls AS observed,
+        |       custkey_nulls = 0 AS passed FROM s
+        |UNION ALL
+        |SELECT 'orderkey_unique', n_rows - orderkey_distinct,
+        |       n_rows = orderkey_distinct FROM s
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders', n_orphans, n_orphans = 0 FROM orph
+        |UNION ALL
+        |SELECT 'discount_in_range', n_bad_discount, n_bad_discount = 0 FROM disc""".stripMargin,
+
     "i2_split" ->
       """WITH assigned AS (
         |  SELECT doc_id,

@@ -169,6 +169,30 @@ object Relational {
         count(lit(1)).as("n_sketches"))
     }),
 
+    // B30: time-series gap filling — daily sales per priority with every
+    // missing (day, priority) cell emitted as an explicit zero row. The
+    // generated day×priority dim is tiny (span × 5); the only fact-side
+    // work is the daily aggregation, so gap filling costs one extra
+    // small join regardless of corpus size.
+    "b30_gapfill" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val daily = orders
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("day_sales"),
+             count(lit(1)).as("n_orders"))
+      val days = orders
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+             to_date(max(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val dims = orders.select(col("o_orderpriority")).distinct()
+      days.crossJoin(dims)
+        .join(daily, Seq("day", "o_orderpriority"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("o_orderpriority"),
+          coalesce(col("day_sales"), lit(0.0)).as("day_sales"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
     // B10: date-part derivation (reference: src/spark/jobs/spark.py
     // year/month/dayofmonth partition columns).
     "b10_date_parts" -> ((s, d) =>
@@ -463,6 +487,26 @@ object Relational {
       """SELECT o_orderkey, year(o_orderdate) AS tx_year, month(o_orderdate) AS tx_month,
         |       day(o_orderdate) AS tx_day
         |FROM orders""".stripMargin,
+
+    "b30_gapfill" ->
+      """WITH span AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |dims AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_sales,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT strftime(days.day, '%Y-%m-%d') AS day, dims.o_orderpriority,
+        |       coalesce(daily.day_sales, CAST(0.0 AS DOUBLE)) AS day_sales,
+        |       coalesce(daily.n_orders, CAST(0 AS BIGINT)) AS n_orders
+        |FROM days CROSS JOIN dims
+        |LEFT JOIN daily ON days.day = daily.day
+        |               AND dims.o_orderpriority = daily.o_orderpriority""".stripMargin,
 
     "i4_load_diff" ->
       """WITH load1 AS (

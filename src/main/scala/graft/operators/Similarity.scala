@@ -126,21 +126,44 @@ object Similarity {
     * (A production IVF learns centroids with k-means; seeded centroids
     * keep this deterministic and model-free.)
     */
-  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-              nCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
-    val e = withNorm(embeddings)
-    // seed centroids: the first nCentroids vectors by id — a handful of
-    // small rows collected to the driver (the IVF "model"), like k-means
-    // centers would be. Assignment is then a pure per-row argmax
-    // projection: NO shuffle and no row blowup on the corpus side.
+  /** Seed centroids: the first nCentroids vectors by id — a handful of
+    * small rows collected to the driver (the IVF "model"), like k-means
+    * centers would be.
+    */
+  private def seedCentroids(e: DataFrame, nCentroids: Int): Array[(Array[Float], Double)] = {
     val cents = e.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id"), col("embedding"), col("nrm")).collect()
       .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
     require(cents.nonEmpty, "corpus has no non-zero vectors to seed centroids")
-    def centScores(embCol: Column, nrmCol: Column): Column = array(
-      cents.map { case (cv, cn) =>
-        dot(embCol, typedLit(cv.toSeq)) / (nrmCol * lit(cn))
-      }: _*)
+    cents
+  }
+
+  /** Cosine of each centroid against the row's vector, as one array
+    * column (literal centroid vectors — no join, no shuffle).
+    */
+  private def centScores(cents: Array[(Array[Float], Double)],
+                         embCol: Column, nrmCol: Column): Column = array(
+    cents.map { case (cv, cn) =>
+      dot(embCol, typedLit(cv.toSeq)) / (nrmCol * lit(cn))
+    }: _*)
+
+  /** The query's nProbes closest cells, computed driver-side from the
+    * collected centroid model.
+    */
+  private def probeCellsFor(cents: Array[(Array[Float], Double)],
+                            qVec: Array[Float], qNrm: Double,
+                            nProbes: Int): Seq[Int] =
+    cents.zipWithIndex.map { case ((cv, cn), i) =>
+      val d = cv.zip(qVec).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qNrm)
+      (i, d)
+    }.sortBy { case (i, d) => (-d, i) }.take(nProbes).map(_._1).toSeq
+
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              nCentroids: Int = 16, nProbes: Int = 2): DataFrame = {
+    val e = withNorm(embeddings)
+    // Assignment is a pure per-row argmax projection: NO shuffle and no
+    // row blowup on the corpus side.
+    val cents = seedCentroids(e, nCentroids)
     val qRows = e.filter(col("vec_id") === queryVecId)
       .select(col("embedding"), col("nrm")).take(1)
     if (qRows.isEmpty) {
@@ -148,18 +171,66 @@ object Similarity {
     }
     val qVec = qRows(0).getSeq[Float](0).toArray
     val qNrm = qRows(0).getDouble(1)
-    val probeCells = cents.zipWithIndex.map { case ((cv, cn), i) =>
-      val d = cv.zip(qVec).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qNrm)
-      (i, d)
-    }.sortBy { case (i, d) => (-d, i) }.take(nProbes).map(_._1)
+    val probeCells = probeCellsFor(cents, qVec, qNrm, nProbes)
     e.filter(col("vec_id") =!= queryVecId)
       // materialize the score array once, then argmax reads the attribute
       // (argmax with first-match ⇒ lowest cell id on ties)
-      .withColumn("cs", centScores(col("embedding"), col("nrm")))
+      .withColumn("cs", centScores(cents, col("embedding"), col("nrm")))
       .withColumn("cell",
         (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), typedLit(qVec.toSeq)) / (col("nrm") * lit(qNrm))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** E6: persisted IVF index — build once, probe many times. The corpus
+    * is assigned to cells ONCE and written `partitionBy("cell")`, so a
+    * probe reads only its nProbes cell directories (partition pruning —
+    * probe I/O is nProbes/nCentroids of the corpus, the on-disk analogue
+    * of the in-memory IVF routing). The centroid model is a tiny parquet
+    * table alongside.
+    */
+  def buildIvfIndex(embeddings: DataFrame, dir: String,
+                    nCentroids: Int = 16): Unit = {
+    val e = withNorm(embeddings)
+    val cents = seedCentroids(e, nCentroids)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case ((cv, cn), i) => (i, cv.toSeq, cn) }.toSeq
+      .toDF("cent_id", "embedding", "nrm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    e.withColumn("cs", centScores(cents, col("embedding"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .drop("cs")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted IVF index: route the query to its nProbes cells
+    * from the (collected, tiny) centroid table, then scan ONLY those
+    * cell partitions. Same scoring and ordering as [[ivfTopK]] — on an
+    * index built with the same nCentroids the results are identical.
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String, queryVecId: Long,
+                    k: Int, nProbes: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cent_id")).collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val qRows = vectors.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).take(1)
+    if (qRows.isEmpty) {
+      return vectors.select(col("vec_id"), col("cell"), lit(0.0).as("score")).limit(0)
+    }
+    val qVec = qRows(0).getSeq[Float](0).toArray
+    val qNrm = qRows(0).getDouble(1)
+    val probeCells = probeCellsFor(cents, qVec, qNrm, nProbes)
+    vectors
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
         (dot(col("embedding"), typedLit(qVec.toSeq)) / (col("nrm") * lit(qNrm))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)

@@ -192,9 +192,23 @@ object TextAnalysis {
             ipRe, "<IP>"),
           phoneRe, "<PHONE>").as("redacted"))
 
+  /** Top-k keyword extraction per document: the TF-IDF stage ranked
+    * within each doc. `row_number <= k` compiles to WindowGroupLimit, so
+    * each partition keeps k rows per doc before the per-doc shuffle.
+    */
+  def keywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tfIdf(docs)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tfidf", "rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f7_repetition" -> ((s, d) => repetition(t(s, d, "documents"))),
     "f8_pii_redact" -> ((s, d) => piiRedact(t(s, d, "documents"))),
+    "f10_keywords" -> ((s, d) => keywords(t(s, d, "documents"))),
     "f6_tfidf" -> ((s, d) => tfIdf(t(s, d, "documents"))),
     "f5_normalize" -> ((s, d) => normalize(t(s, d, "documents"))),
     "f1_lang_id" -> ((s, d) => langId(t(s, d, "documents"))),
@@ -203,7 +217,28 @@ object TextAnalysis {
     "f4_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")))
   )
 
+  private val tfidfSql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT doc_id, tf.term, tf, df.df,
+      |       round(ln((n_docs + CAST(1.0 AS DOUBLE)) / (df.df + CAST(1.0 AS DOUBLE))), 8) AS idf,
+      |       round(tf * round(ln((n_docs + CAST(1.0 AS DOUBLE)) / (df.df + CAST(1.0 AS DOUBLE))), 8), 8) AS tfidf
+      |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "f10_keywords" ->
+      s"""SELECT doc_id, term, tfidf, rnk FROM (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, term) AS rnk
+         |  FROM ($tfidfSql))
+         |WHERE rnk <= 5""".stripMargin,
+
     "f7_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
@@ -249,18 +284,7 @@ object TextAnalysis {
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM p""".stripMargin,
-    "f6_tfidf" ->
-      """WITH terms AS (
-        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
-        |df AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
-        |SELECT doc_id, tf.term, tf, df.df,
-        |       round(ln((n_docs + CAST(1.0 AS DOUBLE)) / (df.df + CAST(1.0 AS DOUBLE))), 8) AS idf,
-        |       round(tf * round(ln((n_docs + CAST(1.0 AS DOUBLE)) / (df.df + CAST(1.0 AS DOUBLE))), 8), 8) AS tfidf
-        |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin,
+    "f6_tfidf" -> tfidfSql,
     "f5_normalize" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -64,6 +64,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("E6 persisted IVF index probes match in-memory IVF and prune partitions") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val dir = tmpDir("graft_ivf_idx")
+    graft.operators.Similarity.buildIvfIndex(e, dir)
+    val probed = graft.operators.Similarity.probeIvfIndex(spark, dir, 0L, 20)
+    val inMem = graft.operators.Similarity.ivfTopK(e, 0L, 20)
+    val pr = probed.collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    val im = inMem.collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    assert(pr.map(_._1).toSeq === im.map(_._1).toSeq)
+    pr.zip(im).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    // the probe plan prunes to the probed cell partitions
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
   test("E2 candidate pairs stay within buckets (no cross join)") {
     val e = vecs(
       0L -> Seq(1f, 1f, 1f, 1f),
