@@ -20,11 +20,13 @@ object Bench {
     "b9_upsert_latest", "b11_rank_topn", "b16_session_window", "b22_asof_join",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     "c7_category_trend", "c11_zscore",
+    "b30_gapfill", "i4_load_diff", "i5_quality_audit",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
-    "d5_embed_neardup", "d8_dedup_clusters",
+    "d5_embed_neardup", "d8_dedup_clusters", "d9_embed_clusters",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
-    "f8_pii_redact", "g1_multimodal_meta")
+    "f8_pii_redact", "f10_keywords", "g1_multimodal_meta",
+    "g4_embed_batched")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -98,7 +98,49 @@ object Multimodal {
         expr(s"length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
           .cast("long").as("frame_bytes"))
 
+  /** Output row of the batched encoder: the vector plus the size of the
+    * batch it was computed in (observable batching contract).
+    */
+  case class DocVec(doc_id: Long, embedding: Seq[Float], batch_size: Int)
+
+  /** STUB batch encoder: one call per BATCH (not per row) — the contract
+    * a model server / ONNX session needs. Deterministic 4-dim fake
+    * features from byte statistics stand in for the real forward pass.
+    */
+  private def stubEncode(payloads: Seq[Array[Byte]]): Seq[Seq[Float]] =
+    payloads.map { b =>
+      if (b.isEmpty) Seq(0f, 0f, 0f, 0f)
+      else Seq(
+        b.length.toFloat,
+        (b(0) & 0xff).toFloat,
+        (b(b.length - 1) & 0xff).toFloat,
+        (b.map(x => (x & 0xff).toLong).sum % 997L).toFloat)
+    }
+
+  /** G4: batched embedding inference plumbing. Rows are grouped into
+    * fixed-size batches per partition and the encoder is invoked once
+    * per batch with the whole batch — amortizing per-call overhead
+    * (model-server round trip, GPU kernel launch) exactly like an
+    * Arrow/Pandas batch UDF. `batchSize` bounds resident payload bytes
+    * per task; the binary column never crosses a shuffle.
+    */
+  def embedBatched(media: DataFrame, batchSize: Int = 32): Dataset[DocVec] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = stubEncode(batch.map(_.payload))
+        batch.zip(vecs).map { case (r, v) => DocVec(r.doc_id, v, batch.size) }
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G4: batched inference plumbing (rows-only: stub encoder).
+    "g4_embed_batched" -> ((s, d) =>
+      embedBatched(withPayload(Tables.table(s, d, "documents"))).toDF()
+        .select(col("doc_id"), size(col("embedding")).as("dims"),
+          col("batch_size"))),
     // G1: payload + metadata schema and the batched decode plumbing,
     // end-to-end (rows-only: the stub features have no SQL twin).
     "g1_multimodal_meta" -> ((s, d) =>

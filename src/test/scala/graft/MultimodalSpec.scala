@@ -52,4 +52,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(a === b)
     assert(a.n_bytes === "document number 7".getBytes("UTF-8").length.toLong)
   }
+
+  test("G4 batched inference fills batches and encodes deterministically") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"document number $i")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs).repartition(2)
+    val out = Multimodal.embedBatched(media, batchSize = 32).collect()
+    assert(out.length === 200)
+    // every batch is full except possibly one trailing partial per partition
+    val sizes = out.map(_.batch_size)
+    assert(sizes.count(_ === 32) >= 200 - 2 * 31, sizes.groupBy(identity).view.mapValues(_.length).toMap.toString)
+    assert(out.forall(_.embedding.length === 4))
+    // determinism: same doc -> same vector across runs
+    val again = Multimodal.embedBatched(media, batchSize = 32).collect()
+      .map(v => v.doc_id -> v.embedding).toMap
+    assert(out.forall(v => again(v.doc_id) === v.embedding))
+  }
 }
