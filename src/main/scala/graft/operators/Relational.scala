@@ -169,6 +169,33 @@ object Relational {
         count(lit(1)).as("n_sketches"))
     }),
 
+    // B31: funnel analysis — per user, the earliest view, the earliest
+    // click AFTER that view, the earliest purchase AFTER that click
+    // (strict event-order attribution). Three chained unordered window
+    // minima over the same user partitioning ⇒ ONE shuffle for the whole
+    // funnel; no self-joins.
+    "b31_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      t(s, d, "events")
+        .withColumn("view_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("click_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("view_ts"),
+            col("ts"))).over(w))
+        .withColumn("purchase_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("click_ts"),
+            col("ts"))).over(w))
+        .select(col("user_id"),
+          fmtTs(col("view_ts")).as("view_ts"),
+          fmtTs(col("click_ts")).as("click_ts"),
+          fmtTs(col("purchase_ts")).as("purchase_ts"),
+          when(col("purchase_ts").isNotNull, "purchase")
+            .when(col("click_ts").isNotNull, "click")
+            .when(col("view_ts").isNotNull, "view")
+            .otherwise("none").as("stage"))
+        .distinct()
+    }),
+
     // B30: time-series gap filling — daily sales per priority with every
     // missing (day, priority) cell emitted as an explicit zero row. The
     // generated day×priority dim is tiny (span × 5); the only fact-side
@@ -487,6 +514,32 @@ object Relational {
       """SELECT o_orderkey, year(o_orderdate) AS tx_year, month(o_orderdate) AS tx_month,
         |       day(o_orderdate) AS tx_day
         |FROM orders""".stripMargin,
+
+    "b31_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS view_ts
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_type, view_ts,
+        |         min(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+        |           OVER (PARTITION BY user_id) AS click_ts
+        |  FROM v),
+        |p AS (
+        |  SELECT user_id, view_ts, click_ts,
+        |         min(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+        |           OVER (PARTITION BY user_id) AS purchase_ts
+        |  FROM c)
+        |SELECT DISTINCT user_id,
+        |       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       CASE WHEN purchase_ts IS NOT NULL THEN 'purchase'
+        |            WHEN click_ts IS NOT NULL THEN 'click'
+        |            WHEN view_ts IS NOT NULL THEN 'view'
+        |            ELSE 'none' END AS stage
+        |FROM p""".stripMargin,
 
     "b30_gapfill" ->
       """WITH span AS (

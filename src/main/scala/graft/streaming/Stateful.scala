@@ -18,6 +18,47 @@ object Stateful {
   case class VelocityState(n: Long, total: Double)
   case class VelocityAlert(user_id: Int, n: Long, total: Double)
 
+  case class AnomalyState(n: Long, mean: Double, m2: Double)
+  case class AnomalyAlert(user_id: Int, amount: Double, zscore: Double, n_prior: Long)
+
+  /** H8: streaming per-user amount anomaly — Welford's online mean/
+    * variance per key (numerically stable, O(1) state per user), alerting
+    * when an amount is > `zThreshold` standard deviations from the
+    * user's running mean. The streaming twin of the batch z-score
+    * operator (c11): state is three doubles per user, so 10⁹ users fit
+    * comfortably in distributed state stores.
+    */
+  def anomalyAlerts(ds: Dataset[Tx], zThreshold: Double,
+                    minPrior: Long = 3): Dataset[AnomalyAlert] = {
+    implicit val alertEnc = Encoders.product[AnomalyAlert]
+    implicit val stateEnc = Encoders.product[AnomalyState]
+    implicit val keyEnc = Encoders.scalaInt
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Int, txs: Iterator[Tx], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
+          // event-time order within the batch so alerts are deterministic
+          val alerts = txs.toSeq.sortBy(t => (t.ts.getTime, t.amount)).flatMap { t =>
+            val alert =
+              if (st.n >= minPrior && st.m2 > 0) {
+                val sd = math.sqrt(st.m2 / st.n)
+                val z = (t.amount - st.mean) / sd
+                if (math.abs(z) > zThreshold)
+                  Some(AnomalyAlert(uid, t.amount, z, st.n))
+                else None
+              } else None
+            val n1 = st.n + 1
+            val d = t.amount - st.mean
+            val mean1 = st.mean + d / n1
+            st = AnomalyState(n1, mean1, st.m2 + d * (t.amount - mean1))
+            alert
+          }
+          state.update(st)
+          alerts.iterator
+      }
+  }
+
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {
     implicit val alertEnc = Encoders.product[VelocityAlert]
     implicit val stateEnc = Encoders.product[VelocityState]

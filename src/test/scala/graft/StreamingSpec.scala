@@ -160,6 +160,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(alerts(0).getAs[Double]("total") === 60.0)
   }
 
+  test("H8 stateful z-score anomaly alerts on the outlier only") {
+    val in = tmpDir("graft_an_in")
+    val ckpt = tmpDir("graft_an_ckpt")
+    // user 1: four ~10.0 amounts establish stats, then a 500.0 outlier;
+    // user 2: steady amounts, no alert
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z",
+      "t2,1,10,s1,11.0,card,FRANCE,2024-03-01T10:00:10.000Z",
+      "t3,1,10,s1,9.0,card,FRANCE,2024-03-01T10:00:20.000Z",
+      "t4,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:30.000Z",
+      "t5,1,10,s1,500.0,card,FRANCE,2024-03-01T10:00:40.000Z",
+      "t6,2,10,s1,20.0,card,FRANCE,2024-03-01T10:00:50.000Z",
+      "t7,2,10,s1,21.0,card,FRANCE,2024-03-01T10:01:00.000Z"))
+    import spark.implicits._
+    val txs = Tables.readCsvStream(spark, in, Tables.transactionSchema)
+      .select(col("user_id"), col("amount"), col("timestamp").as("ts"))
+      .as[Stateful.Tx]
+    val q = Stateful.anomalyAlerts(txs, zThreshold = 5.0)
+      .writeStream.format("memory").queryName("anom_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val alerts = spark.sql("SELECT * FROM anom_out").collect()
+    assert(alerts.length === 1, alerts.mkString(";"))
+    assert(alerts(0).getAs[Int]("user_id") === 1)
+    assert(alerts(0).getAs[Double]("amount") === 500.0)
+    assert(alerts(0).getAs[Long]("n_prior") === 4L)
+    assert(alerts(0).getAs[Double]("zscore") > 100.0)
+  }
+
   test("H6 checkpoint recovery: restart resumes without reprocessing") {
     val in = tmpDir("graft_ck_in")
     val sink = tmpDir("graft_ck_sink")
