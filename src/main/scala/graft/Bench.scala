@@ -49,7 +49,10 @@ object Bench {
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+        }
       }
     }
 

@@ -184,9 +184,16 @@ object Dedup {
   /** Min-label propagation over an explicit pair list (`doc_a`,`doc_b`) —
     * the component core of [[dedupClusters]], usable with any candidate
     * generator (LSH bands, SimHash hamming buckets, embedding ANN).
+    *
+    * Each round combines one-hop neighbor propagation with pointer
+    * jumping (every vertex also adopts its current label's label), so
+    * convergence is O(log diameter) rounds, not O(diameter) — a
+    * million-doc chain converges in ~20 rounds. Throws if `maxIter`
+    * rounds don't reach the fixpoint rather than silently returning
+    * split clusters (a wrong keep/drop list must not look like success).
     */
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -200,14 +207,26 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("vid"), col("comp")), col("v") === col("vid"))
         .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
-      val stepped = labels.join(neighborMin, col("id") === col("u"), "left")
+      val parentComp = labels
+        .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
+          col("comp") === col("pid"))
+        .select(col("id").as("jid"), col("pcomp"))
+      val stepped = labels
+        .join(neighborMin, col("id") === col("u"), "left")
+        .join(parentComp, col("id") === col("jid"), "left")
         .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"),
+            coalesce(col("ncomp"), col("comp")),
+            coalesce(col("pcomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       changed = stepped.filter(col("comp") =!= col("prev")).count()
       labels = stepped.select("id", "comp")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clustersFromPairs did not converge in $maxIter rounds " +
+          "(component diameter too large) — raise maxIter")
     val assigned = docs.select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -215,6 +234,21 @@ object Dedup {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Exact cosine near-dup pairs above `threshold` — the shared
+    * candidate source for D5 (pair report) and D9 (clusters). All-pairs
+    * is the oracle form; at 100 TB block with Similarity.annCandidates
+    * first and verify only within buckets.
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = Similarity.withNorm(embeddings)
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,13 +319,8 @@ object Dedup {
     // with any candidate generator). At 100 TB the pair source swaps to
     // Similarity.annCandidates (bucketed, never all-pairs).
     "d9_embed_clusters" -> ((s, d) => {
-      val e = Similarity.withNorm(t(s, d, "embeddings"))
-      val pairs = e.as("a")
-        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_sim",
-          Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-        .filter(col("cos_sim") > 0.4)
-        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      val pairs = cosinePairs(t(s, d, "embeddings"), 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       clustersFromPairs(
           t(s, d, "embeddings").select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"),
@@ -302,15 +331,7 @@ object Dedup {
     // oracle (the corpus has no >0.52 cosine pairs, so 0.4 marks "most
     // similar"); at 100 TB the same verification runs only on
     // Similarity.annCandidates buckets.
-    "d5_embed_neardup" -> ((s, d) => {
-      val e = Similarity.withNorm(t(s, d, "embeddings"))
-      e.as("a")
-        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_sim",
-          Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-        .filter(col("cos_sim") > 0.4)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
-    })
+    "d5_embed_neardup" -> ((s, d) => cosinePairs(t(s, d, "embeddings"), 0.4))
   )
 
   /** DuckDB oracles reproduce the md5-based sketches exactly — same

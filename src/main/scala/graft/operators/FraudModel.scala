@@ -56,17 +56,18 @@ object FraudModel {
         org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
       .drop("features_vec", "rawPrediction", "probability", "prediction")
 
-  /** Area under the ROC curve of `model_score` against the rule label —
-    * the standard held-out evaluation step of the batch-ML leg. The
-    * evaluator is a distributed computation over (score, label) pairs.
+  /** Area under the ROC curve of `model_score` against the `label`
+    * column that [[score]] output already carries (defined once, in
+    * [[features]]). The evaluator is a distributed computation over
+    * (score, label) pairs; pass a frame the model did NOT train on for
+    * a held-out number (see FraudModelSpec C14).
     */
   def evaluate(scoredWithModel: DataFrame): Double =
     new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
       .setRawPredictionCol("model_score")
       .setLabelCol("label")
       .setMetricName("areaUnderROC")
-      .evaluate(scoredWithModel.withColumn("label",
-        when(col("fraud_score") >= 1.0, 1.0).otherwise(0.0)))
+      .evaluate(scoredWithModel)
 
   /** Train on the scored batch and score it — the batch-ML capability
     * as a single queryable operator (rows-only: solver internals have

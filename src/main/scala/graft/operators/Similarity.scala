@@ -209,31 +209,47 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
-  /** Probe a persisted IVF index: route the query to its nProbes cells
-    * from the (collected, tiny) centroid table, then scan ONLY those
-    * cell partitions. Same scoring and ordering as [[ivfTopK]] — on an
-    * index built with the same nCentroids the results are identical.
+  /** Probe a persisted IVF index with an external query vector: the
+    * query routes through the (collected, tiny) centroid table to its
+    * nProbes cells, and ONLY those cell partitions are scanned — the
+    * fully pruned path, probe I/O = nProbes/nCentroids of the corpus.
+    * Same scoring and ordering as [[ivfTopK]].
     */
-  def probeIvfIndex(spark: SparkSession, dir: String, queryVecId: Long,
-                    k: Int, nProbes: Int = 2): DataFrame = {
+  def probeIvfIndexVec(spark: SparkSession, dir: String, qVec: Array[Float],
+                       k: Int, nProbes: Int = 2,
+                       excludeVecId: Option[Long] = None): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cent_id")).collect()
       .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val vectors = spark.read.parquet(s"$dir/vectors")
-    val qRows = vectors.filter(col("vec_id") === queryVecId)
-      .select(col("embedding"), col("nrm")).take(1)
-    if (qRows.isEmpty) {
-      return vectors.select(col("vec_id"), col("cell"), lit(0.0).as("score")).limit(0)
-    }
-    val qVec = qRows(0).getSeq[Float](0).toArray
-    val qNrm = qRows(0).getDouble(1)
+    val qNrm = math.sqrt(qVec.map(x => x.toDouble * x.toDouble).sum)
+    require(qNrm > 0, "query vector has zero norm")
     val probeCells = probeCellsFor(cents, qVec, qNrm, nProbes)
-    vectors
-      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryVecId)
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val excluded = excludeVecId
+      .map(id => vectors.filter(col("vec_id") =!= id)).getOrElse(vectors)
+    excluded
+      .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         (dot(col("embedding"), typedLit(qVec.toSeq)) / (col("nrm") * lit(qNrm))).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Probe by the id of an indexed vector. The id→vector lookup is one
+    * un-pruned (row-group-stat-filtered) scan of the index before the
+    * pruned probe — when the caller already has the vector, use
+    * [[probeIvfIndexVec]] to keep the whole probe at nProbes cells.
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String, queryVecId: Long,
+                    k: Int, nProbes: Int = 2): DataFrame = {
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val qRows = vectors.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).take(1)
+    if (qRows.isEmpty) {
+      return vectors.select(col("vec_id"), col("cell"), lit(0.0).as("score")).limit(0)
+    }
+    probeIvfIndexVec(spark, dir, qRows(0).getSeq[Float](0).toArray, k,
+      nProbes, excludeVecId = Some(queryVecId))
   }
 
   /** IVF with LEARNED centroids: MLlib k-means replaces the seed

@@ -194,11 +194,13 @@ object Tables {
   def mergeIntoWarehouse(batch: DataFrame, dir: String, keys: Seq[String],
                          versionDesc: Seq[Column]): Unit = {
     val spark = batch.sparkSession
+    // Existence check through Spark's reader (not java.io.File): works on
+    // any Hadoop filesystem (hdfs://, s3a://, ...) and any layout —
+    // a local-FS check would misread a remote table as absent and the
+    // overwrite below would destroy it.
     val existing =
-      if (new java.io.File(dir).exists() &&
-          new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
-        Some(spark.read.parquet(dir))
-      else None
+      try Some(spark.read.parquet(dir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     val merged = existing match {
       case Some(base) => mergeUpsert(base, batch, keys, versionDesc)
       case None => mergeUpsert(batch.limit(0), batch, keys, versionDesc)

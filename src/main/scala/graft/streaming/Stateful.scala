@@ -42,7 +42,9 @@ object Stateful {
           val alerts = txs.toSeq.sortBy(t => (t.ts.getTime, t.amount)).flatMap { t =>
             val alert =
               if (st.n >= minPrior && st.m2 > 0) {
-                val sd = math.sqrt(st.m2 / st.n)
+                // sample variance (n-1), matching the batch c11 z-score —
+                // the twins must classify identically
+                val sd = math.sqrt(st.m2 / (st.n - 1))
                 val z = (t.amount - st.mean) / sd
                 if (math.abs(z) > zThreshold)
                   Some(AnomalyAlert(uid, t.amount, z, st.n))

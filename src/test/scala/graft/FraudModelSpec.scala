@@ -22,12 +22,17 @@ class FraudModelSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
-  test("C14 model AUC beats chance by a wide margin on the rule label") {
-    val scored = graft.operators.Fraud.scoredTransactions(spark, SF)
-    val withModel = graft.operators.FraudModel.score(
-      graft.operators.FraudModel.train(scored), scored)
-    val auc = graft.operators.FraudModel.evaluate(withModel)
-    assert(auc > 0.95, s"AUC $auc — the learned weighting should separate rule labels")
+  test("C14 held-out AUC beats chance by a wide margin on the rule label") {
+    // genuine held-out split: train on the hash-assigned train rows,
+    // evaluate on the disjoint val+test rows
+    val scored = graft.operators.Profile.splitAssign(
+      graft.operators.Fraud.scoredTransactions(spark, SF), "transaction_id")
+    val train = scored.filter(org.apache.spark.sql.functions.col("split") === "train")
+    val heldOut = scored.filter(org.apache.spark.sql.functions.col("split") =!= "train")
+    val model = graft.operators.FraudModel.train(train)
+    val auc = graft.operators.FraudModel.evaluate(
+      graft.operators.FraudModel.score(model, heldOut))
+    assert(auc > 0.95, s"held-out AUC $auc — the learned weighting should separate rule labels")
   }
 
   test("E3 IVF ANN probes a bounded set of cells and ranks by cosine") {
