@@ -75,6 +75,47 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(sampled("en").toDouble / strata("en") - 0.5) < 0.15)
   }
 
+  test("D8 clusters match a driver-side union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(5L, 17L, 23L)) {
+      val n = 60
+      val edgeGen = Gen.listOfN(80,
+        Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+      val rawEdges = edgeGen.apply(Gen.Parameters.default, Seed(seed)).get
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference: plain union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      rawEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> {
+        // canonical label = min id in the component
+        val root = find(i)
+        (0 until n).filter(j => find(j) == root).min.toLong
+      }).toMap
+      val docs = (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val pairs = rawEdges.toDF("doc_a", "doc_b")
+      val got = Dedup.clustersFromPairs(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("I4 loadDiff(a, a) reports nothing; removed side is total") {
+    val orders = graft.sources.Tables.table(spark, SF, "orders")
+    val self = graft.sources.Tables.loadDiff(orders, orders, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+      .filter(col("change_type") =!= "unchanged")
+    assert(self.count() === 0, "identical loads must diff clean")
+    val empty = orders.limit(0)
+    val gone = graft.sources.Tables.loadDiff(orders, empty, "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus"))
+    assert(gone.filter(col("change_type") === "removed").count() === orders.count())
+  }
+
   test("minhash candidate pairs are ordered, distinct, and id-bounded") {
     import spark.implicits._
     val docs = genDocs(50, 21L).toDF("doc_id", "text")
