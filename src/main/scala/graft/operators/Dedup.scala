@@ -211,9 +211,12 @@ object Dedup {
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the (possibly expensive) candidate generator ONCE —
+    // the two union branches below would otherwise each recompute it
+    val p = checkpointFresh(pairs)
     val edges = checkpointFresh(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+      p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     var labels = checkpointFresh(
       edges.select(col("u").as("id")).distinct()
         .select(col("id"), col("id").as("comp")))
