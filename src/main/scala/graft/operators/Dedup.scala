@@ -269,7 +269,37 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
   }
 
+  /** The 100 TB form of D9: LSH-bucketed candidate pairs (never
+    * all-pairs), exact-cosine verification ONLY within buckets, then the
+    * shared component core. Blocked edges are a subset of the exact
+    * edge set, so blocked clusters REFINE the exact clusters (asserted
+    * in DedupSpec) — recall is bounded by the LSH bucket recall, which
+    * is high for true near-duplicates (cosine ≥ 0.9, small angles that
+    * rarely cross a hyperplane) and deliberately low at the 0.4 demo
+    * threshold this synthetic corpus forces (no real near-dups exist in
+    * it; 0.4 ≈ 66° crosses most hyperplanes).
+    */
+  def embedClustersBlocked(embeddings: DataFrame,
+                           threshold: Double = 0.4): DataFrame = {
+    val e = Similarity.withNorm(embeddings)
+    val verified = Similarity.annCandidates(embeddings)
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+      .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")) > threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    clustersFromPairs(embeddings.select(col("vec_id").as("doc_id")), verified)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D10: ANN-blocked semantic clusters — the scale path (rows-only;
+    // refinement-vs-exact property in DedupSpec).
+    "d10_embed_clusters_blocked" -> ((s, d) =>
+      embedClustersBlocked(t(s, d, "embeddings"))),
 
     // D8: near-dup cluster resolution — candidate pairs → connected
     // components → canonical keeper per cluster.

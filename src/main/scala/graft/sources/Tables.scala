@@ -208,6 +208,35 @@ object Tables {
     merged.localCheckpoint(true).write.mode("overwrite").parquet(dir)
   }
 
+  /** Project `df` onto `target`: columns missing from df are
+    * null-backfilled, extra columns dropped, matching columns cast to
+    * the target type — the schema-alignment step of a warehouse load
+    * (reference: src/airflow/script schema handling before MERGE).
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** The reference's warehouse-load job (src/airflow/dags/
+    * load_to_snowflake.py + scripts) as ONE idempotent library call:
+    * read the date-partitioned sink (partition columns recovered from
+    * paths, schemas merged across slices), align to the warehouse
+    * schema if the table exists, and MERGE on the key. Re-running the
+    * same load leaves the warehouse unchanged (the MERGE keeps
+    * newest-per-key), which is the property the orchestration retry
+    * loop relies on.
+    */
+  def incrementalLoad(spark: SparkSession, sinkDir: String, warehouseDir: String,
+                      keys: Seq[String], versionDesc: Seq[Column]): Unit = {
+    val batch = readMergedSchema(spark, sinkDir)
+    val aligned =
+      try alignTo(batch, spark.read.parquet(warehouseDir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => batch }
+    mergeIntoWarehouse(aligned, warehouseDir, keys, versionDesc)
+  }
+
   /** Keyed diff between two load slices — the audit report an incremental
     * warehouse load produces before a MERGE: per key, was the row added,
     * removed, changed (and in which columns), or unchanged. One

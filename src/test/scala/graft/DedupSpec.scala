@@ -87,6 +87,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(80L) === ((80L, 1L)))
   }
 
+  test("D10 blocked clusters refine the exact clusters (never merge across them)") {
+    val emb = graft.sources.Tables.table(spark, SF, "embeddings")
+    val exact = graft.operators.Dedup.queries("d9_embed_clusters")(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = Dedup.embedClustersBlocked(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blocked.keySet === exact.keySet)
+    // refinement: two vecs in one blocked cluster must share an exact cluster
+    blocked.groupBy(_._2).values.foreach { members =>
+      val exactIds = members.keys.map(exact).toSet
+      assert(exactIds.size === 1,
+        s"blocked cluster spans exact clusters $exactIds")
+    }
+    // recall report: how many exact non-singleton co-cluster pairs survive blocking
+    val exactPairs = exact.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(m => m.keys.toSeq.sorted.combinations(2)).map(_.toSeq).toSet
+    val blockedPairs = blocked.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(m => m.keys.toSeq.sorted.combinations(2)).map(_.toSeq).toSet
+    if (exactPairs.nonEmpty)
+      info(f"blocked cluster-pair recall = ${blockedPairs.intersect(exactPairs).size.toDouble / exactPairs.size}%.2f")
+  }
+
   test("D9 semantic clusters group parallel embeddings, split orthogonal ones") {
     import spark.implicits._
     val e = Seq(

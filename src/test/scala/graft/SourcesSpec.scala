@@ -81,6 +81,38 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(byK(2L).getAs[String]("payment_method") === "card")
   }
 
+  test("I6 incrementalLoad: sink -> schema-align -> MERGE, idempotent across reruns") {
+    import spark.implicits._
+    val sink = tmpDir("graft_il_sink")
+    val wh = tmpDir("graft_il_wh") + "/tbl"
+    val batch1 = Seq(
+      ("t1", 10.0, "card", java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      ("t2", 20.0, "cash", java.sql.Timestamp.valueOf("2024-03-01 11:00:00")))
+      .toDF("transaction_id", "amount", "payment_method", "ts")
+    graft.sources.Tables.writeDatePartitioned(batch1, "ts", sink)
+    graft.sources.Tables.incrementalLoad(spark, sink, wh,
+      Seq("transaction_id"), Seq(col("ts")))
+    // a later slice updates t2 and adds t3; its schema gained a column
+    val batch2 = Seq(
+      ("t2", 99.0, "cash", java.sql.Timestamp.valueOf("2024-03-02 09:00:00"), "mobile"),
+      ("t3", 30.0, "card", java.sql.Timestamp.valueOf("2024-03-02 10:00:00"), "web"))
+      .toDF("transaction_id", "amount", "payment_method", "ts", "channel")
+    val sink2 = tmpDir("graft_il_sink2")
+    graft.sources.Tables.writeDatePartitioned(batch2, "ts", sink2)
+    graft.sources.Tables.incrementalLoad(spark, sink2, wh,
+      Seq("transaction_id"), Seq(col("ts")))
+    def state() = spark.read.parquet(wh).collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    val afterTwo = state()
+    assert(afterTwo === Map("t1" -> 10.0, "t2" -> 99.0, "t3" -> 30.0))
+    // the new column was dropped by alignment (warehouse schema wins)
+    assert(!spark.read.parquet(wh).columns.contains("channel"))
+    // rerunning the same load (orchestrator retry) changes nothing
+    graft.sources.Tables.incrementalLoad(spark, sink2, wh,
+      Seq("transaction_id"), Seq(col("ts")))
+    assert(state() === afterTwo)
+  }
+
   test("C9 mergeUpsert is idempotent and keeps the newest version") {
     import spark.implicits._
     val base = Seq((1, "old", 1L), (2, "keep", 5L)).toDF("id", "v", "version")
