@@ -61,6 +61,43 @@ object Stateful {
       }
   }
 
+  case class SpendTotal(user_id: Int, n: Long, total: Double)
+
+  /** H9: the same running-spend state as [[velocityAlerts]] on the
+    * Spark 4 `transformWithState` API — typed per-key `ValueState`
+    * handles backed by RocksDB, the operator Spark is converging
+    * stateful processing on (state schema evolution, TTL, timers).
+    * Emits the updated running total per key per micro-batch.
+    */
+  class SpendTracker extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Int, Tx, SpendTotal] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("spend",
+        Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[Tx],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendTotal] = {
+      val prev = if (state.exists()) state.get() else (0L, 0.0)
+      val batch = rows.toSeq
+      val next = (prev._1 + batch.size, prev._2 + batch.map(_.amount).sum)
+      state.update(next)
+      Iterator.single(SpendTotal(key, next._1, next._2))
+    }
+  }
+
+  def runningSpend(ds: Dataset[Tx]): Dataset[SpendTotal] = {
+    implicit val outEnc = Encoders.product[SpendTotal]
+    implicit val keyEnc = Encoders.scalaInt
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SpendTracker,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {
     implicit val alertEnc = Encoders.product[VelocityAlert]
     implicit val stateEnc = Encoders.product[VelocityState]

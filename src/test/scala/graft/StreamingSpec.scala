@@ -192,6 +192,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(alerts(0).getAs[Double]("zscore") > 100.0)
   }
 
+  test("H9 transformWithState running spend accumulates across micro-batches") {
+    val in = tmpDir("graft_tws_in")
+    val ckpt = tmpDir("graft_tws_ckpt")
+    writeTxCsv(in, "b0.csv", Seq(
+      "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z",
+      "t2,1,10,s1,20.0,card,FRANCE,2024-03-01T10:00:10.000Z"))
+    writeTxCsv(in, "b1.csv", Seq(
+      "t3,1,10,s1,30.0,card,FRANCE,2024-03-01T10:01:00.000Z",
+      "t4,2,10,s1,40.0,card,FRANCE,2024-03-01T10:01:10.000Z"))
+    // transformWithState requires the RocksDB state store; scope the
+    // provider change to this test
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val txs = Tables.readCsvStream(spark, in, Tables.transactionSchema, maxFilesPerTrigger = 1)
+        .select(col("user_id"), col("amount"), col("timestamp").as("ts"))
+        .as[Stateful.Tx]
+      val q = Stateful.runningSpend(txs)
+        .writeStream.format("memory").queryName("tws_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // last emitted total per user reflects ALL their rows across batches
+      val last = spark.sql("SELECT * FROM tws_out").collect()
+        .groupBy(_.getAs[Int]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("n")) }
+      assert(last(1).getAs[Long]("n") === 3L)
+      assert(last(1).getAs[Double]("total") === 60.0)
+      assert(last(2).getAs[Long]("n") === 1L)
+      assert(last(2).getAs[Double]("total") === 40.0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("H6 checkpoint recovery: restart resumes without reprocessing") {
     val in = tmpDir("graft_ck_in")
     val sink = tmpDir("graft_ck_sink")
