@@ -85,7 +85,11 @@ object Bench {
   /** End-to-end streaming measure: the transaction fact rendered to CSV
     * (the reference's wire format), streamed through watermark +
     * stream-static enrichment + rule scoring into a noop sink. Reported
-    * as `h1_stream_pipeline` seconds for the full table.
+    * as `h1_stream_pipeline` seconds for the full table, plus
+    * `h1_stream_bigbatch` with 4× the micro-batch size — the
+    * batch-size/latency trade (fewer, larger batches amortize per-batch
+    * planning; the reference's consumer makes the same trade with its
+    * BATCH_SIZE knob).
     */
   private def streamingThroughput(spark: SparkSession,
                                   sfDir: String): Seq[(String, Double)] = {
@@ -114,22 +118,25 @@ object Bench {
           col("ts").as("timestamp"))
         .repartition(16)
         .write.option("header", "true").csv(s"$tmp/in")
-      val t0 = System.nanoTime()
-      val q = graft.streaming.FraudStream
-        .scoredStream(Tables.readCsvStream(spark, s"$tmp/in",
-          Tables.transactionSchema, maxFilesPerTrigger = 4), users, products)
-        .writeStream
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.write.format("noop").mode("overwrite").save()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Seq("h1_stream_pipeline" -> (System.nanoTime() - t0) / 1e9)
+      def run(label: String, maxFilesPerTrigger: Int): (String, Double) = {
+        val t0 = System.nanoTime()
+        val q = graft.streaming.FraudStream
+          .scoredStream(Tables.readCsvStream(spark, s"$tmp/in",
+            Tables.transactionSchema, maxFilesPerTrigger), users, products)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt_$label")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.format("noop").mode("overwrite").save()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        label -> (System.nanoTime() - t0) / 1e9
+      }
+      Seq(run("h1_stream_pipeline", 4), run("h1_stream_bigbatch", 16))
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] h1_stream_pipeline failed: ${e.getMessage}")
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
         Seq("h1_stream_pipeline" -> -1.0)
     }
   }

@@ -22,7 +22,11 @@ object GraftFunctions {
       (c: Seq[Expression]) => FloatVecDot(c(0), c(1))),
     (FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
-      (c: Seq[Expression]) => Md5Prefix60(c.head)))
+      (c: Seq[Expression]) => Md5Prefix60(c.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (c: Seq[Expression]) => MinHashSig(c(0),
+        if (c.size > 1) c(1).eval(null).asInstanceOf[Number].intValue else 16)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, _, builder) =>
