@@ -84,6 +84,45 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** Synthetic transaction stream — the reference's Kafka producer
+    * (src/kafka/producer/transaction_producer.py) re-expressed on the
+    * built-in `rate` source: deterministic payloads derived from the
+    * monotonically increasing `value`, at a bounded rows/second. Useful
+    * for load tests and demos where no topic exists; the schema matches
+    * [[transactionSchema]].
+    */
+  def syntheticTxStream(spark: SparkSession, rowsPerSecond: Int = 1000): DataFrame = {
+    val methods = typedLit(Seq("card", "cash", "mobile"))
+    val countries = typedLit(Seq("FRANCE", "KENYA", "BRAZIL", "INDIA", "PERU"))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        concat(lit("t"), col("value")).as("transaction_id"),
+        (col("value") % 500).cast("int").as("user_id"),
+        (col("value") % 2000).cast("int").as("product_id"),
+        concat(lit("s"), col("value") % 10).as("store_id"),
+        (pmod(xxhash64(col("value")), lit(100000L)).cast("double") / 100.0).as("amount"),
+        element_at(methods, (col("value") % 3 + 1).cast("int")).as("payment_method"),
+        element_at(countries, (col("value") % 5 + 1).cast("int")).as("country"),
+        col("timestamp"))
+  }
+
+  /** Malformed-row policy for schema'd CSV reads: PERMISSIVE parsing
+    * with the corrupt line captured in `_corrupt_record` — the
+    * quarantine-not-crash behavior the reference consumer needs for bad
+    * wire messages. Filter `_corrupt_record IS NOT NULL` into a
+    * dead-letter sink; at 100 TB a single bad row must never fail a
+    * load.
+    */
+  def readCsvQuarantined(spark: SparkSession, path: String,
+                         schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", StringType))
+      .csv(path)
+
   /** Schema'd streaming JSON read (producer-side payload shape,
     * reference: src/kafka/producer/transaction_producer.py).
     */

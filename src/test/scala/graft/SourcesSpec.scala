@@ -81,6 +81,52 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(byK(2L).getAs[String]("payment_method") === "card")
   }
 
+  test("A9 synthetic transaction stream produces the reference payload shape") {
+    val ckpt = tmpDir("graft_rate_ckpt")
+    val q = graft.sources.Tables.syntheticTxStream(spark, rowsPerSecond = 500)
+      .writeStream.format("memory").queryName("synth_tx")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      eventually(q)
+      val rows = spark.sql("SELECT * FROM synth_tx").collect()
+      assert(rows.nonEmpty)
+      val r = rows.head
+      assert(r.getAs[String]("transaction_id").startsWith("t"))
+      assert(Set("card", "cash", "mobile").contains(r.getAs[String]("payment_method")))
+      val amounts = rows.map(_.getAs[Double]("amount"))
+      assert(amounts.forall(a => a >= 0.0 && a < 1000.0))
+      // deterministic payload: same value -> same derived fields on replay
+      val ids = rows.map(_.getAs[String]("transaction_id"))
+      assert(ids.distinct.length === ids.length)
+    } finally q.stop()
+  }
+
+  private def eventually(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val deadline = System.currentTimeMillis() + 20000
+    while (System.currentTimeMillis() < deadline &&
+           spark.sql("SELECT * FROM synth_tx").isEmpty) Thread.sleep(200)
+  }
+
+  test("A10 malformed CSV rows quarantine instead of failing the load") {
+    val dir = tmpDir("graft_badcsv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"),
+      """transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp
+        |t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z
+        |t2,not_an_int,10,s1,oops,card,FRANCE,2024-03-01T10:01:00.000Z
+        |t3,2,20,s2,30.0,cash,KENYA,2024-03-01T10:02:00.000Z
+        |""".stripMargin)
+    // Spark disallows querying ONLY the corrupt column off raw files —
+    // materialize the parsed rows first (what a dead-letter split does)
+    val out = graft.sources.Tables.readCsvQuarantined(spark, dir,
+      graft.sources.Tables.transactionSchema).collect()
+    val (bad, good) = out.partition(r => r.getAs[String]("_corrupt_record") != null)
+    assert(good.length === 2)
+    assert(bad.length === 1)
+    assert(bad(0).getAs[String]("_corrupt_record").contains("not_an_int"))
+  }
+
   test("I6 incrementalLoad: sink -> schema-align -> MERGE, idempotent across reruns") {
     import spark.implicits._
     val sink = tmpDir("graft_il_sink")
