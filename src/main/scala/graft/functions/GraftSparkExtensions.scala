@@ -25,8 +25,21 @@ object GraftFunctions {
       (c: Seq[Expression]) => Md5Prefix60(c.head)),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (c: Seq[Expression]) => MinHashSig(c(0),
-        if (c.size > 1) c(1).eval(null).asInstanceOf[Number].intValue else 16)))
+      (c: Seq[Expression]) => {
+        require(c.size == 1 || c.size == 2,
+          s"minhash_sig expects (shingles[, k]), got ${c.size} arguments")
+        val k =
+          if (c.size == 1) 16
+          else {
+            require(c(1).foldable, "minhash_sig: k must be an integer literal")
+            c(1).eval(null) match {
+              case n: Number if n.intValue > 0 => n.intValue
+              case other => throw new IllegalArgumentException(
+                s"minhash_sig: k must be a positive integer literal, got $other")
+            }
+          }
+        MinHashSig(c(0), k)
+      }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, _, builder) =>

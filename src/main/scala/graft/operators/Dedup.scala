@@ -181,17 +181,6 @@ object Dedup {
   def dedupClusters(docs: DataFrame, maxIter: Int = 20): DataFrame =
     clustersFromPairs(docs, minhashCandidates(docs), maxIter)
 
-  /** Min-label propagation over an explicit pair list (`doc_a`,`doc_b`) —
-    * the component core of [[dedupClusters]], usable with any candidate
-    * generator (LSH bands, SimHash hamming buckets, embedding ANN).
-    *
-    * Each round combines one-hop neighbor propagation with pointer
-    * jumping (every vertex also adopts its current label's label), so
-    * convergence is O(log diameter) rounds, not O(diameter) — a
-    * million-doc chain converges in ~20 rounds. Throws if `maxIter`
-    * rounds don't reach the fixpoint rather than silently returning
-    * split clusters (a wrong keep/drop list must not look like success).
-    */
   /** Eager localCheckpoint + STATS RESET. localCheckpoint's LogicalRDD
     * inherits the child plan's *estimated* sizeInBytes; in an iterative
     * loop whose rounds join the previous result with itself, those
@@ -208,6 +197,17 @@ object Dedup {
     df.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Min-label propagation over an explicit pair list (`doc_a`,`doc_b`) —
+    * the component core of [[dedupClusters]], usable with any candidate
+    * generator (LSH bands, SimHash hamming buckets, embedding ANN).
+    *
+    * Each round combines one-hop neighbor propagation with pointer
+    * jumping (every vertex also adopts its current label's label), so
+    * convergence is O(log diameter) rounds, not O(diameter) — a
+    * million-doc chain converges in ~20 rounds. Throws if `maxIter`
+    * rounds don't reach the fixpoint rather than silently returning
+    * split clusters (a wrong keep/drop list must not look like success).
+    */
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -252,11 +252,18 @@ object Tables {
     * the target type — the schema-alignment step of a warehouse load
     * (reference: src/airflow/script schema handling before MERGE).
     */
-  def alignTo(df: DataFrame, target: StructType): DataFrame =
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    // case-insensitive source lookup, matching Spark's default column
+    // resolution — an exact-match here would null-backfill `amount`
+    // when the slice carries `Amount` and silently wipe warehouse data
+    val byLower = df.columns.groupBy(_.toLowerCase).view.mapValues(_.head)
     df.select(target.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byLower.get(f.name.toLowerCase) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
+  }
 
   /** The reference's warehouse-load job (src/airflow/dags/
     * load_to_snowflake.py + scripts) as ONE idempotent library call:
@@ -270,9 +277,12 @@ object Tables {
   def incrementalLoad(spark: SparkSession, sinkDir: String, warehouseDir: String,
                       keys: Seq[String], versionDesc: Seq[Column]): Unit = {
     val batch = readMergedSchema(spark, sinkDir)
-    val aligned =
-      try alignTo(batch, spark.read.parquet(warehouseDir).schema)
-      catch { case _: org.apache.spark.sql.AnalysisException => batch }
+    // only the warehouse-existence probe may fail soft; an alignment
+    // error must surface, not silently merge the unaligned batch
+    val warehouseSchema =
+      try Some(spark.read.parquet(warehouseDir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val aligned = warehouseSchema.map(alignTo(batch, _)).getOrElse(batch)
     mergeIntoWarehouse(aligned, warehouseDir, keys, versionDesc)
   }
 

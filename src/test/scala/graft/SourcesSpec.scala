@@ -89,7 +89,7 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
       .start()
     try {
-      eventually(q)
+      awaitRows("synth_tx")
       val rows = spark.sql("SELECT * FROM synth_tx").collect()
       assert(rows.nonEmpty)
       val r = rows.head
@@ -103,10 +103,10 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  private def eventually(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val deadline = System.currentTimeMillis() + 20000
+  private def awaitRows(queryName: String, timeoutMs: Long = 20000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
     while (System.currentTimeMillis() < deadline &&
-           spark.sql("SELECT * FROM synth_tx").isEmpty) Thread.sleep(200)
+           spark.sql(s"SELECT * FROM $queryName").isEmpty) Thread.sleep(200)
   }
 
   test("A10 malformed CSV rows quarantine instead of failing the load") {
