@@ -169,6 +169,19 @@ object Relational {
         count(lit(1)).as("n_sketches"))
     }),
 
+    // I7: CDC changelog apply — events play an I/U/D change stream on
+    // the user key (deterministic op from the event id); the newest
+    // change wins, trailing deletes drop the key. The MERGE…DELETE
+    // pattern an incremental warehouse needs beyond plain upsert.
+    "i7_cdc_apply" -> ((s, d) => {
+      val changes = t(s, d, "events")
+        .withColumn("op", when(col("event_id") % 10 < 2, "D").otherwise("U"))
+      Tables.applyCdc(changes, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "op")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), fmtTs(col("ts")).as("last_ts"), col("op"))
+    }),
+
     // B31: funnel analysis — per user, the earliest view, the earliest
     // click AFTER that view, the earliest purchase AFTER that click
     // (strict event-order attribution). Three chained unordered window
@@ -514,6 +527,18 @@ object Relational {
       """SELECT o_orderkey, year(o_orderdate) AS tx_year, month(o_orderdate) AS tx_month,
         |       day(o_orderdate) AS tx_day
         |FROM orders""".stripMargin,
+
+    "i7_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |         CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, op
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |        AND op <> 'D'""".stripMargin,
 
     "b31_funnel" ->
       """WITH v AS (

@@ -202,6 +202,22 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** CDC changelog apply: compact an insert/update/delete change stream
+    * to final state — the newest change per key wins and a trailing
+    * delete removes the key entirely (MERGE ... WHEN MATCHED AND op='D'
+    * THEN DELETE semantics). One shuffle on the key; WindowGroupLimit
+    * keeps per-partition candidates to one row per key pre-shuffle.
+    */
+  def applyCdc(changes: DataFrame, keys: Seq[String], versionDesc: Seq[Column],
+               opCol: String = "op", deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(versionDesc.map(_.desc): _*)
+    changes
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__graft_rn")
+  }
+
   /** Distributed MERGE: latest-row-per-key upsert (reference:
     * src/snowflake/load_to_snowflake_transction.py MERGE ON
     * transaction_id,timestamp via a staging table).

@@ -66,6 +66,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"estimate $est vs exact $exact drifts > 5%")
   }
 
+  test("I7 CDC apply keeps latest change and honors trailing deletes") {
+    import spark.implicits._
+    val changes = Seq(
+      (1, "U", 10.0, "2024-01-01 10:00:00"),
+      (1, "U", 20.0, "2024-01-01 11:00:00"),  // latest for key 1
+      (2, "U", 30.0, "2024-01-01 10:00:00"),
+      (2, "D", 0.0, "2024-01-01 12:00:00"),   // trailing delete
+      (3, "D", 0.0, "2024-01-01 10:00:00"),
+      (3, "U", 40.0, "2024-01-01 11:00:00"))  // re-insert after delete
+      .toDF("k", "op", "v", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.sources.Tables.applyCdc(changes, Seq("k"), Seq($"ts"), "op")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out === Map(1 -> 20.0, 3 -> 40.0))
+  }
+
   test("I4 load diff classifies added/removed/changed with column lists") {
     import spark.implicits._
     val load1 = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
