@@ -116,6 +116,36 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(gone.filter(col("change_type") === "removed").count() === orders.count())
   }
 
+  test("I7 applyCdc equals a driver-side fold on random change streams") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 11L)) {
+      val gen = Gen.listOfN(120, Gen.zip(
+        Gen.chooseNum(0, 9), Gen.oneOf("U", "U", "U", "D"), Gen.chooseNum(1, 999)))
+      val changes = gen.apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((k, op, v), i) => (k, op, v.toDouble, i.toLong) }
+      // reference: fold in version order, delete removes the key
+      val expected = changes.sortBy(_._4).foldLeft(Map.empty[Int, Double]) {
+        case (m, (k, "D", _, _)) => m - k
+        case (m, (k, _, v, _)) => m.updated(k, v)
+      }
+      val got = graft.sources.Tables.applyCdc(
+          changes.toDF("k", "op", "v", "ver"), Seq("k"),
+          Seq(org.apache.spark.sql.functions.col("ver")), "op")
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("B30 gap-fill emits exactly span-days x dims rows, zeros where empty") {
+    val out = graft.operators.Relational.queries("b30_gapfill")(spark, SF)
+    val days = out.select("day").distinct().count()
+    val dims = out.select("o_orderpriority").distinct().count()
+    assert(out.count() === days * dims, "every (day, dim) cell present exactly once")
+    val zeros = out.filter(col("n_orders") === 0)
+    assert(zeros.count() > 0, "sf0.001 must have empty cells")
+    assert(zeros.filter(col("day_sales") =!= 0.0).count() === 0)
+  }
+
   test("minhash candidate pairs are ordered, distinct, and id-bounded") {
     import spark.implicits._
     val docs = genDocs(50, 21L).toDF("doc_id", "text")
