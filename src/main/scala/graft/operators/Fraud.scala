@@ -192,6 +192,23 @@ object Fraud {
         .withColumn("z", z)
         .filter(abs(col("z")) > 2.0)
         .select("event_id", "user_id", "value", "z")
+    }),
+
+    // C15: trailing-interval window features — per event, the user's
+    // spend over the PRECEDING 7 days (RANGE frame on event time, not
+    // row count): the classic fraud feature "how much has this user
+    // spent recently". One shuffle on user_id; the frame is defined on
+    // epoch seconds so row membership is engine-identical.
+    "c15_trailing_window" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("secs"))
+        .rangeBetween(-604800L, 0L)
+      t(s, d, "events")
+        .withColumn("secs", col("ts").cast("long"))
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("event_ts"), col("value"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("t7_sum"),
+          count(lit(1)).over(w).as("t7_n"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -260,7 +277,17 @@ object Fraud {
           |       round((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 8) AS z
           |FROM events e JOIN stats ON e.user_id = stats.user_id
           |WHERE (s2 - (s * s) / n) / (n - 1) > 0
-          |  AND abs(round((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 8)) > CAST(2.0 AS DOUBLE)""".stripMargin
+          |  AND abs(round((value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 8)) > CAST(2.0 AS DOUBLE)""".stripMargin,
+
+      // floor(epoch(ts)) matches Spark's timestamp→long cast (truncation
+      // toward -inf for positive epochs); DuckDB's bare CAST would round.
+      "c15_trailing_window" ->
+        """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts, value,
+          |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS t7_sum,
+          |       count(*) OVER w AS t7_n
+          |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY secs
+          |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin
     )
   }
 }
