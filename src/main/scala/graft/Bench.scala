@@ -19,7 +19,7 @@ object Bench {
     "b5_agg_basic", "b6_approx_distinct", "b8_sliding_window",
     "b9_upsert_latest", "b11_rank_topn", "b16_session_window", "b22_asof_join",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
-    "c7_category_trend", "c11_zscore",
+    "c7_category_trend", "c11_zscore", "c15_trailing_window",
     "b30_gapfill", "i4_load_diff", "i5_quality_audit",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
     "d5_embed_neardup", "d8_dedup_clusters", "d9_embed_clusters",
