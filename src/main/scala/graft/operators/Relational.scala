@@ -169,6 +169,25 @@ object Relational {
         count(lit(1)).as("n_sketches"))
     }),
 
+    // B32: exact heavy hitters — order keys appearing ≥ 8 times in
+    // lineitem (frequency skew detection: hot keys drive join salting
+    // decisions). Two-phase count, one shuffle.
+    "b32_heavy_hitters" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") >= 8)),
+
+    // B32b: approximate frequent items via the single-pass Karp-style
+    // sketch (DataFrameStatFunctions.freqItems) — the fixed-memory scale
+    // path; guaranteed a SUPERSET of the true frequent items at the
+    // support (spec asserts containment vs B32). Rows-only.
+    "b32_heavy_hitters_approx" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .stat.freqItems(Seq("l_orderkey"), 0.001)
+        .select(explode(col("l_orderkey_freqItems")).as("candidate_key"))
+        .orderBy(col("candidate_key"))),
+
     // I7: CDC changelog apply — events play an I/U/D change stream on
     // the user key (deterministic op from the event id); the newest
     // change wins, trailing deletes drop the key. The MERGE…DELETE
@@ -527,6 +546,10 @@ object Relational {
       """SELECT o_orderkey, year(o_orderdate) AS tx_year, month(o_orderdate) AS tx_month,
         |       day(o_orderdate) AS tx_day
         |FROM orders""".stripMargin,
+
+    "b32_heavy_hitters" ->
+      """SELECT l_orderkey, count(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 8""".stripMargin,
 
     "i7_cdc_apply" ->
       """WITH c AS (

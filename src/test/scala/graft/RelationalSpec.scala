@@ -66,6 +66,16 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"estimate $est vs exact $exact drifts > 5%")
   }
 
+  test("B32 approx frequent items contain every exact heavy hitter") {
+    val exact = Relational.queries("b32_heavy_hitters")(spark, SF)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Relational.queries("b32_heavy_hitters_approx")(spark, SF)
+      .collect().map(_.getLong(0)).toSet
+    // freqItems guarantees a superset of items above the support
+    assert(exact.subsetOf(approx),
+      s"missing hitters: ${exact.diff(approx)}")
+  }
+
   test("I7 CDC apply keeps latest change and honors trailing deletes") {
     import spark.implicits._
     val changes = Seq(
