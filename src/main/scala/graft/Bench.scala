@@ -18,11 +18,20 @@ object Bench {
     "b1_filter_project", "b3_join_inner", "b3_join_broadcast",
     "b5_agg_basic", "b6_approx_distinct", "b8_sliding_window",
     "b9_upsert_latest", "b11_rank_topn", "b16_session_window", "b22_asof_join",
+    "b24_ntile_approx",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
-    "c7_category_trend", "c11_zscore", "c15_trailing_window",
+    // exact c7 kept next to its approx twin so the sketch-vs-distinct
+    // trade is measured in the SAME run (host CPU swings across runs)
+    "c7_category_trend", "c7_category_trend_approx",
+    "c11_zscore", "c15_trailing_window",
     "b30_gapfill", "i4_load_diff", "i5_quality_audit",
+    "c1_skew_plain", "c1_skew_salted",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
-    "d5_embed_neardup", "d8_dedup_clusters", "d9_embed_clusters",
+    // the blocked (LSH-bucketed) dedup forms are what gets measured —
+    // the all-pairs d5/d9 BNLJ forms are oracle-only (Verify still runs
+    // them): an O(n²) pair enumeration must never be the headline plan
+    "d5_embed_neardup_blocked", "d8_dedup_clusters",
+    "d10_embed_clusters_blocked",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f10_keywords", "g1_multimodal_meta",
@@ -82,72 +91,113 @@ object Bench {
     spark.stop()
   }
 
-  /** End-to-end streaming measure: the transaction fact rendered to CSV
-    * (the reference's wire format), streamed through watermark +
-    * stream-static enrichment + rule scoring into a noop sink. Reported
-    * as `h1_stream_pipeline` seconds for the full table, plus
-    * `h1_stream_bigbatch` with 4× the micro-batch size — the
-    * batch-size/latency trade (fewer, larger batches amortize per-batch
-    * planning; the reference's consumer makes the same trade with its
-    * BATCH_SIZE knob).
+  /** Streaming throughput scaling study: the transaction fact rendered
+    * to CSV (the reference's wire format, 16 input files), streamed
+    * through watermark + stream-static enrichment + rule scoring into a
+    * noop sink.
+    *
+    * Two axes, reported as bench entries over the same input:
+    *  - micro-batch size (`maxFilesPerTrigger` 1 / 4 / 16 →
+    *    `h1_stream_smallbatch` / `h1_stream_pipeline` /
+    *    `h1_stream_bigbatch`): fewer, larger batches amortize per-batch
+    *    planning/commit overhead — the trade the reference consumer
+    *    makes with its BATCH_SIZE knob;
+    *  - shuffle/state partition count for the STATEFUL path
+    *    (`h1_trend_sp32` / `h1_trend_sp8`): the windowed trend
+    *    aggregation adds a state-store shuffle whose partition count is
+    *    `spark.sql.shuffle.partitions` at first batch; at small batch
+    *    volumes per-partition state overhead dominates, so fewer state
+    *    partitions can win — the knee to find before sizing a cluster.
     */
+  private val streamingVariants: Seq[String] = Seq(
+    "h1_stream_smallbatch", "h1_stream_pipeline", "h1_stream_bigbatch",
+    "h1_trend_sp32", "h1_trend_sp8")
+
   private def streamingThroughput(spark: SparkSession,
                                   sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import graft.operators.Fraud
     import graft.sources.Tables
-    try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
-      val users = graft.sources.Tables.table(spark, sfDir, "customer")
-        .join(broadcast(Tables.table(spark, sfDir, "nation")),
-          col("c_nationkey") === col("n_nationkey"), "left")
-        .select(col("c_custkey").cast("int").as("user_id"),
-          col("c_name").as("name"), lit("u@x").as("email"),
-          col("n_name").as("country"),
-          lit("2020-01-01 00:00:00").cast("timestamp").as("signup_date"))
-      val products = Tables.table(spark, sfDir, "part")
-        .select(col("p_partkey").cast("int").as("product_id"),
-          col("p_name").as("name"), col("p_type").as("category"),
-          col("p_retailprice").as("base_price"), lit("acme").as("supplier"),
-          lit("FRANCE").as("country"), lit(true).as("in_stock"),
-          (col("p_retailprice") % 30).as("discount"))
-      Fraud.transactions(spark, sfDir)
-        .select(col("transaction_id"), col("user_id").cast("int"),
-          col("product_id").cast("int"), lit("s1").as("store_id"),
-          col("amount"), col("payment_method"), lit("FRANCE").as("country"),
-          col("ts").as("timestamp"))
-        .repartition(16)
-        .write.option("header", "true").csv(s"$tmp/in")
-      def run(label: String, maxFilesPerTrigger: Int): (String, Double) =
-        try {
-          val t0 = System.nanoTime()
-          val q = graft.streaming.FraudStream
-            .scoredStream(Tables.readCsvStream(spark, s"$tmp/in",
-              Tables.transactionSchema, maxFilesPerTrigger), users, products)
-            .writeStream
-            .option("checkpointLocation", s"$tmp/ckpt_$label")
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.write.format("noop").mode("overwrite").save()
+    // Setup (the CSV render) is the only section allowed to fail the
+    // whole study; each measured variant catches its own failure so one
+    // bad run can't discard completed measurements.
+    val setup: Option[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+        val users = Tables.table(spark, sfDir, "customer")
+          .join(broadcast(Tables.table(spark, sfDir, "nation")),
+            col("c_nationkey") === col("n_nationkey"), "left")
+          .select(col("c_custkey").cast("int").as("user_id"),
+            col("c_name").as("name"), lit("u@x").as("email"),
+            col("n_name").as("country"),
+            lit("2020-01-01 00:00:00").cast("timestamp").as("signup_date"))
+        val products = Tables.table(spark, sfDir, "part")
+          .select(col("p_partkey").cast("int").as("product_id"),
+            col("p_name").as("name"), col("p_type").as("category"),
+            col("p_retailprice").as("base_price"), lit("acme").as("supplier"),
+            lit("FRANCE").as("country"), lit(true).as("in_stock"),
+            (col("p_retailprice") % 30).as("discount"))
+        Fraud.transactions(spark, sfDir)
+          .select(col("transaction_id"), col("user_id").cast("int"),
+            col("product_id").cast("int"), lit("s1").as("store_id"),
+            col("amount"), col("payment_method"), lit("FRANCE").as("country"),
+            col("ts").as("timestamp"))
+          .repartition(16)
+          .write.option("header", "true").csv(s"$tmp/in")
+        Some((tmp, users, products))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] streaming setup failed: ${e.getMessage}")
+          None
+      }
+    setup match {
+      case None => streamingVariants.map(_ -> -1.0)
+      case Some((tmp, users, products)) =>
+        def run(label: String, maxFilesPerTrigger: Int,
+                trend: Boolean = false,
+                shufflePartitions: Option[Int] = None): (String, Double) =
+          try {
+            val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+            shufflePartitions.foreach(n =>
+              spark.conf.set("spark.sql.shuffle.partitions", n))
+            try {
+              val t0 = System.nanoTime()
+              val scored = graft.streaming.FraudStream
+                .scoredStream(Tables.readCsvStream(spark, s"$tmp/in",
+                  Tables.transactionSchema, maxFilesPerTrigger), users, products)
+              val out =
+                if (trend) graft.streaming.FraudStream.userSpendTrend(scored)
+                else scored
+              val writer = out.writeStream
+                .option("checkpointLocation", s"$tmp/ckpt_$label")
+                .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.write.format("noop").mode("overwrite").save()
+                }
+              val q = (if (trend) writer.outputMode("update") else writer)
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              q.awaitTermination()
+              label -> (System.nanoTime() - t0) / 1e9
+            } finally {
+              spark.conf.set("spark.sql.shuffle.partitions", prevSp)
             }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          label -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $label failed: ${e.getMessage}")
-            label -> -1.0
-        }
-      // untimed warm-up run: the streaming plan pays the same one-time
-      // codegen/JIT cost as the batch queries — without this the first
-      // measured variant absorbs it and the batch-size comparison is
-      // an ordering artifact
-      run("warmup", 16)
-      Seq(run("h1_stream_pipeline", 4), run("h1_stream_bigbatch", 16))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
-        Seq("h1_stream_pipeline" -> -1.0, "h1_stream_bigbatch" -> -1.0)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] $label failed: ${e.getMessage}")
+              label -> -1.0
+          }
+        // untimed warm-up runs (one per plan shape): the streaming plans
+        // pay the same one-time codegen/JIT cost as the batch queries —
+        // without this the first measured variant absorbs it and the
+        // comparison is an ordering artifact
+        run("warmup", 16)
+        run("warmup_trend", 16, trend = true)
+        Seq(
+          run("h1_stream_smallbatch", 1),
+          run("h1_stream_pipeline", 4),
+          run("h1_stream_bigbatch", 16),
+          run("h1_trend_sp32", 16, trend = true),
+          run("h1_trend_sp8", 16, trend = true, shufflePartitions = Some(8)))
     }
   }
 }

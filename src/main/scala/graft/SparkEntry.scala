@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Fraud, FraudModel, Multimodal, Profile, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Fraud, FraudModel, Multimodal, Profile, Relational, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry maps to.
@@ -18,7 +18,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Fraud.queries ++ FraudModel.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++ Profile.queries
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Profile.queries ++ Skew.queries
 
   /** DuckDB-equivalent SQL per query; any `queries` key absent here is
     * not SQL-expressible (sketches, ML, ANN, multimodal stubs) and gets
@@ -26,5 +27,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Fraud.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ Profile.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ Profile.oracles ++
+      Skew.oracles
 }

@@ -168,17 +168,17 @@ object Dedup {
     * that turns pairwise near-dup evidence into the keep/drop list a
     * training-data pipeline actually applies.
     *
-    * Distributed min-label propagation: every iteration each vertex takes
-    * the min of its own label and its neighbors' labels — one equi-join +
-    * one keyed aggregation per round, converging in O(component diameter)
-    * rounds (near-dup clusters are shallow; maxIter bounds pathology).
+    * Distributed min-label propagation with pointer jumping (see
+    * [[clustersFromPairs]]): one equi-join + one keyed aggregation per
+    * round, converging in O(log component diameter) rounds (near-dup
+    * clusters are shallow; maxIter bounds pathology).
     * Loop state goes through eager `localCheckpoint`: lineage is cut each
     * round (no exponentially growing plan) and the backing RDD blocks are
     * released by Spark's ContextCleaner once unreferenced — no cache
     * entries outlive the call. On a multi-node cluster substitute
     * `checkpoint` with a reliable dir for executor-loss resilience.
     */
-  def dedupClusters(docs: DataFrame, maxIter: Int = 20): DataFrame =
+  def dedupClusters(docs: DataFrame, maxIter: Int = 25): DataFrame =
     clustersFromPairs(docs, minhashCandidates(docs), maxIter)
 
   /** Eager localCheckpoint + STATS RESET. localCheckpoint's LogicalRDD
@@ -269,6 +269,26 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
   }
 
+  /** Exact cosine verification of an explicit candidate pair list
+    * (`vec_a`,`vec_b`) — the blocked twin of [[cosinePairs]]: the
+    * verification join touches only candidates, so cost is
+    * O(|candidates|), never O(n²). Shared by D5b (pair report) and D10
+    * (clusters).
+    */
+  def cosineVerify(embeddings: DataFrame, candidates: DataFrame,
+                   threshold: Double): DataFrame = {
+    val e = Similarity.withNorm(embeddings)
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos_sim",
+        Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
   /** The 100 TB form of D9: LSH-bucketed candidate pairs (never
     * all-pairs), exact-cosine verification ONLY within buckets, then the
     * shared component core. Blocked edges are a subset of the exact
@@ -281,14 +301,9 @@ object Dedup {
     */
   def embedClustersBlocked(embeddings: DataFrame,
                            threshold: Double = 0.4): DataFrame = {
-    val e = Similarity.withNorm(embeddings)
-    val verified = Similarity.annCandidates(embeddings)
-      .join(e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
-      .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")) > threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val verified =
+      cosineVerify(embeddings, Similarity.annCandidates(embeddings), threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     clustersFromPairs(embeddings.select(col("vec_id").as("doc_id")), verified)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"), col("is_canonical"))
@@ -378,8 +393,16 @@ object Dedup {
     // D5: embedding-cosine near-dup pairs — exact all-pairs form for the
     // oracle (the corpus has no >0.52 cosine pairs, so 0.4 marks "most
     // similar"); at 100 TB the same verification runs only on
-    // Similarity.annCandidates buckets.
-    "d5_embed_neardup" -> ((s, d) => cosinePairs(t(s, d, "embeddings"), 0.4))
+    // Similarity.annCandidates buckets (D5b below).
+    "d5_embed_neardup" -> ((s, d) => cosinePairs(t(s, d, "embeddings"), 0.4)),
+
+    // D5b: the 100 TB form of D5 — LSH-bucketed candidate pairs, exact
+    // cosine verification ONLY within buckets. One sketch pass + one
+    // shuffle on the bucket key; never O(n²). Rows-only; DedupSpec
+    // asserts the result is a subset of D5 with identical scores.
+    "d5_embed_neardup_blocked" -> ((s, d) =>
+      cosineVerify(t(s, d, "embeddings"),
+        Similarity.annCandidates(t(s, d, "embeddings")), 0.4))
   )
 
   /** DuckDB oracles reproduce the md5-based sketches exactly — same

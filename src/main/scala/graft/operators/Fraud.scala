@@ -156,6 +156,28 @@ object Fraud {
                 col("category"), col("total_sales"), col("num_transactions"))
     }),
 
+    // C7b: the 100 TB form of the category trend — approx_count_distinct
+    // (HLL++) instead of exact two-column countDistinct, mirroring the
+    // reference's own choice (src/spark/jobs/spark.py:195
+    // approx_count_distinct). The exact form expands every row per
+    // distinct key and shuffles the full fact twice (distinct-expand +
+    // final agg); the sketch is ONE aggregation pass with fixed-size
+    // state per (window, category) group — the plan that survives 100×.
+    // Sketch input is xxhash64 of the two key halves (no per-row string
+    // concat). Rows-only: estimates are engine-specific; exact C7 stays
+    // as the oracle twin.
+    "c7_category_trend_approx" -> ((s, d) => {
+      val tx = transactions(s, d)
+      tx.join(broadcast(products(s, d)), Seq("product_id"), "left")
+        .groupBy(window(col("ts"), "1 day"), col("category"))
+        .agg(dsum2(col("amount")).as("total_sales"),
+             approx_count_distinct(xxhash64(col("tx_okey"), col("tx_lineno")))
+               .as("num_transactions"))
+        .select(fmtTs(col("window.start")).as("window_start"),
+                fmtTs(col("window.end")).as("window_end"),
+                col("category"), col("total_sales"), col("num_transactions"))
+    }),
+
     // C10: velocity check — events per user per sliding window; windows
     // with an elevated count are flagged. Burst detection at scale:
     // shuffle on (window,user) only.

@@ -355,6 +355,32 @@ object Relational {
         percent_rank().over(w).as("pct_rank"))
     }),
 
+    // B24b: the distributed form of B24 — quartile thresholds from one
+    // percentile_approx aggregation (fixed-size sketch), broadcast back
+    // and compared per row. No global single-partition ordered window:
+    // at a billion customers B24's Window.orderBy funnels every row
+    // through one reducer; this plan is two ordinary aggregations + a
+    // map-side comparison, fully parallel at any cardinality. Rows-only
+    // (sketch boundaries are engine-specific); RelationalSpec asserts
+    // quartile agreement with exact ntile away from the boundary values.
+    "b24_ntile_approx" -> ((s, d) => {
+      val totals = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum2(col("o_totalprice")).as("total_spent"))
+      val thresholds = totals.agg(
+        percentile_approx(col("total_spent"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        .select(element_at(col("q"), 1).as("q25"),
+                element_at(col("q"), 2).as("q50"),
+                element_at(col("q"), 3).as("q75"))
+      totals.crossJoin(broadcast(thresholds))
+        .select(col("o_custkey"), col("total_spent"),
+          when(col("total_spent") >= col("q75"), 1)
+            .when(col("total_spent") >= col("q50"), 2)
+            .when(col("total_spent") >= col("q25"), 3)
+            .otherwise(4).as("quartile"))
+    }),
+
     // B19b: approx quantiles (fixed-size sketch) — the 100 TB path for
     // B19: exact per-group percentiles sort every group; the sketch is
     // one aggregation pass with bounded memory. Rows-only (sketch

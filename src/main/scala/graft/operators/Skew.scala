@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Cols._
 
 /** Skew mitigation for pathological key distributions.
   *
@@ -37,5 +39,61 @@ object Skew {
     saltedBig
       .join(replicatedSmall, keys :+ "__graft_salt", joinType)
       .drop("__graft_salt")
+  }
+
+  /** Synthetic hot-key fact for the skew study: 80% of transactions
+    * remapped to one user — the "single merchant carries most of the
+    * volume" pathology. Deterministic (modulo of the order key), so the
+    * plain and salted variants below are comparable AND both can
+    * hash-match the same DuckDB oracle.
+    */
+  private def skewedTx(s: SparkSession, d: String): DataFrame =
+    Fraud.transactions(s, d)
+      .withColumn("user_id",
+        when(pmod(col("tx_okey"), lit(5)) < 4, lit(1L)).otherwise(col("user_id")))
+
+  /** Per-country spend over the skewed fact. `shuffle_hash`-hinted dim:
+    * the demo models the regime where the user dim exceeds the broadcast
+    * threshold (billions of users), because a broadcast join is immune to
+    * key skew — there'd be nothing to measure.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Plain shuffle join: every hot-key row lands in ONE reducer
+    // partition — the task that never finishes at 100 TB. (AQE's skew
+    // split only engages past its 256 MB partition threshold, and it
+    // splits the build-side scan, not the single hot key.)
+    "c1_skew_plain" -> ((s, d) =>
+      skewedTx(s, d)
+        .join(Fraud.users(s, d).hint("shuffle_hash"), Seq("user_id"), "left")
+        .groupBy(col("user_country"))
+        .agg(count(lit(1)).as("n_tx"), dsum2(col("amount")).as("total_amount"))),
+
+    // Salted: the hot key is spread over 16 salt buckets (deterministic
+    // salt from the row's own keys), the dim replicated once per salt —
+    // row-for-row equivalent, and the hot key's work is parallel again.
+    "c1_skew_salted" -> ((s, d) =>
+      saltedJoin(skewedTx(s, d), Fraud.users(s, d).hint("shuffle_hash"),
+          Seq("user_id"),
+          saltFrom = col("tx_okey") * 8 + col("tx_lineno"), buckets = 16,
+          joinType = "left")
+        .groupBy(col("user_country"))
+        .agg(count(lit(1)).as("n_tx"), dsum2(col("amount")).as("total_amount")))
+  )
+
+  /** Both variants hash-match the SAME oracle — the equivalence claim of
+    * [[saltedJoin]] checked end-to-end, not just in SkewSpec.
+    */
+  def oracles: Map[String, String] = {
+    val sql =
+      """SELECT un.n_name AS user_country, count(*) AS n_tx,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+        |FROM (SELECT CASE WHEN l_orderkey % 5 < 4 THEN 1 ELSE o_custkey END AS user_id,
+        |             l_extendedprice
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) tx
+        |LEFT JOIN customer ON tx.user_id = c_custkey
+        |LEFT JOIN nation un ON c_nationkey = un.n_nationkey
+        |GROUP BY un.n_name""".stripMargin
+    Map("c1_skew_plain" -> sql, "c1_skew_salted" -> sql)
   }
 }

@@ -113,6 +113,14 @@ object Tables {
     * wire messages. Filter `_corrupt_record IS NOT NULL` into a
     * dead-letter sink; at 100 TB a single bad row must never fail a
     * load.
+    *
+    * Spark restriction: a query that references ONLY `_corrupt_record`
+    * (and no data column) of a raw CSV read raises AnalysisException —
+    * callers splitting off the dead-letter stream must `.cache()` (or
+    * otherwise materialize) the returned frame first, then derive both
+    * the clean and quarantine sides from the cached frame (see
+    * SourcesSpec A10). Not cached here: the helper sits on full-load
+    * paths where an implicit 100 TB cache would be a footgun.
     */
   def readCsvQuarantined(spark: SparkSession, path: String,
                          schema: StructType): DataFrame =
@@ -238,12 +246,18 @@ object Tables {
     spark.read.option("mergeSchema", "true").parquet(path)
 
   /** foreachBatch MERGE into a parquet warehouse table: read current
-    * state, upsert the micro-batch (latest-per-key), atomically replace.
-    * The read-modify-write is safe because the merge result is
-    * materialized (localCheckpoint) BEFORE the overwrite touches the
-    * input path. Replaying a micro-batch is idempotent — the reference's
-    * staging-table MERGE contract (src/snowflake/load_to_snowflake_
-    * transction.py). At 100 TB scope the rewrite to touched partitions
+    * state, upsert the micro-batch (latest-per-key), replace via a
+    * staging-dir swap. The merged result is fully written to a sibling
+    * temp directory FIRST; only then is the live table deleted and the
+    * temp dir renamed into place — a crash mid-merge-write leaves the
+    * existing table untouched, and a crash between delete and rename
+    * leaves the complete staging dir next to the target for recovery
+    * (the rename window is metadata-only; a plain
+    * `mode("overwrite")` would delete-then-write and a mid-write crash
+    * would destroy the table with nothing to recover). Replaying a
+    * micro-batch is idempotent — the reference's staging-table MERGE
+    * contract (src/snowflake/load_to_snowflake_transction.py). At
+    * 100 TB scope the rewrite to touched partitions
     * (writeDatePartitionedExactlyOnce) instead of the whole table.
     */
   def mergeIntoWarehouse(batch: DataFrame, dir: String, keys: Seq[String],
@@ -260,7 +274,16 @@ object Tables {
       case Some(base) => mergeUpsert(base, batch, keys, versionDesc)
       case None => mergeUpsert(batch.limit(0), batch, keys, versionDesc)
     }
-    merged.localCheckpoint(true).write.mode("overwrite").parquet(dir)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__graft_staging")
+    fs.delete(staging, true) // leftover from a previous crashed swap
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"warehouse swap failed: staging data is intact at $staging")
   }
 
   /** Project `df` onto `target`: columns missing from df are

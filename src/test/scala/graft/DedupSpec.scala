@@ -109,6 +109,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       info(f"blocked cluster-pair recall = ${blockedPairs.intersect(exactPairs).size.toDouble / exactPairs.size}%.2f")
   }
 
+  test("D5b blocked near-dup pairs ⊆ exact pairs, with identical scores") {
+    val exact = graft.operators.Dedup.queries("d5_embed_neardup")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = graft.operators.Dedup.queries("d5_embed_neardup_blocked")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked.nonEmpty, "blocking surfaced no candidate pairs at all")
+    blocked.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"blocked pair $pair not in exact set")
+      assert(score === exact(pair), s"score drift on $pair")
+    }
+    info(f"blocked pair recall = ${blocked.size.toDouble / exact.size}%.2f " +
+      s"(${blocked.size}/${exact.size})")
+  }
+
   test("D9 semantic clusters group parallel embeddings, split orthogonal ones") {
     import spark.implicits._
     val e = Seq(

@@ -76,6 +76,26 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"missing hitters: ${exact.diff(approx)}")
   }
 
+  test("B24b approx quartiles agree with exact ntile away from boundaries") {
+    val exact = Relational.queries("b24_ntile")(spark, SF)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
+    val approx = Relational.queries("b24_ntile_approx")(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(exact.length === approx.size)
+    // the sketch may misplace customers whose totals sit exactly at a
+    // quartile boundary (ties / interpolation); everyone else must agree
+    val boundary = exact.map(_._2._1).sorted.reverse
+    val qVals = Seq(1, 2, 3).map(q => boundary((boundary.length * q / 4.0).toInt - 1)).toSet
+    val (checked, mismatched) = exact.foldLeft((0, 0)) {
+      case ((c, m), (key, (total, q))) =>
+        if (qVals.exists(v => math.abs(v - total) < 1e-6)) (c, m)
+        else (c + 1, if (approx(key) == q) m else m + 1)
+    }
+    assert(checked > exact.length / 2, s"boundary exclusion ate the sample: $checked")
+    assert(mismatched.toDouble / checked <= 0.02,
+      s"$mismatched of $checked off-boundary customers disagree with exact ntile")
+  }
+
   test("I7 CDC apply keeps latest change and honors trailing deletes") {
     import spark.implicits._
     val changes = Seq(

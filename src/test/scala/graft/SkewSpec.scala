@@ -41,4 +41,14 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .select("s").distinct().count()
     assert(salts > 4, s"hot key only reached $salts of 8 buckets")
   }
+
+  test("c1_skew_salted ≡ c1_skew_plain on the synthetic hot-key enrich") {
+    val plain = Skew.queries("c1_skew_plain")(spark, SF)
+    val salted = Skew.queries("c1_skew_salted")(spark, SF)
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // the hot key really is hot: one country carries ≥ 70% of rows
+    val counts = plain.collect().map(r => r.getLong(1))
+    assert(counts.max.toDouble / counts.sum > 0.7, counts.mkString(","))
+  }
 }
