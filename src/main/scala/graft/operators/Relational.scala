@@ -433,19 +433,43 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("bucket_value"))),
 
     // B22: as-of join — each event paired with the user's latest order at
-    // or before the event time. Composed from an equi-join on the user
-    // key (the shuffle) + a time filter + latest-per-event rank — plan
-    // (a) of the custom-operator ladder; no custom physical op needed.
+    // or before the event time, as a union + sorted fill-forward: both
+    // sides are tagged and unioned, shuffled ONCE on the user key, sorted
+    // by (time, tag), and each event row picks up the last non-null order
+    // struct before it (`last(..., ignoreNulls)` over the running frame).
+    // ZERO join expansion — the hot-key cost is sorting the user's own
+    // rows (events + orders), never their cross product: a user with 10⁴
+    // events × 10³ orders costs 1.1×10⁴ sorted rows here vs the 10⁷
+    // joined-then-ranked rows of the equi-join + rank-1 formulation
+    // (which this replaced; a month-bucket equi-prejoin would merely
+    // bound that expansion — the sort removes it). Orders sort before
+    // events at equal timestamps (tag 0 < 1), making the match
+    // inclusive; ties among same-date orders resolve to the max order
+    // key, matching the (date desc, key desc) rank of the oracle.
     "b22_asof_join" -> ((s, d) => {
-      val ev = t(s, d, "events"); val o = t(s, d, "orders")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"), "left")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      val orderSide = t(s, d, "orders").select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("sort_ts"),
+        lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("timestamp").as("ts"),
+        struct(col("o_orderdate"), col("o_orderkey")).as("ord"))
+      val eventSide = t(s, d, "events").select(
+        col("user_id"),
+        col("ts").as("sort_ts"),
+        lit(1).as("tag"),
+        col("event_id"),
+        col("ts"),
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sort_ts"), col("tag"), col("ord.o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orderSide.unionByName(eventSide)
+        .withColumn("last_ord", last(col("ord"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
         .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("event_ts"),
-                col("o_orderkey").as("last_orderkey"),
-                fmtTs(col("o_orderdate")).as("last_orderdate"))
+                col("last_ord.o_orderkey").as("last_orderkey"),
+                fmtTs(col("last_ord.o_orderdate")).as("last_orderdate"))
     }),
 
     // B23: range (interval) join — events against a derived calendar of
