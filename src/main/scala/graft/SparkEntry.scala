@@ -27,6 +27,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Fraud.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ Profile.oracles ++
-      Skew.oracles
+      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
+      Profile.oracles ++ Skew.oracles
 }

@@ -30,16 +30,20 @@ object Multimodal {
                            n_bytes: Long, feat_mean: Double, feat_first: Double)
 
   /** Attach a binary payload + typed metadata to each document. Width and
-    * height are deterministic pseudo-metadata derived from the content
-    * hash (a real pipeline reads them from the container header).
+    * height are deterministic pseudo-metadata derived from the doc id and
+    * payload byte length (a real pipeline reads them from the container
+    * header); the derivation is plain integer arithmetic so the resize /
+    * frame-sample plumbing downstream has an exact SQL oracle twin.
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").cast("long").as("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       lit("fake/rgb8").as("format"),
-      (pmod(xxhash64(col("text")), lit(960L)) + 64L).cast("int").as("width"),
-      (pmod(xxhash64(col("text"), lit(1L)), lit(960L)) + 64L).cast("int").as("height"))
+      (pmod(col("doc_id") * 131L + octet_length(col("text")) * 7L, lit(896L)) + 64L)
+        .cast("int").as("width"),
+      (pmod(col("doc_id") * 239L + octet_length(col("text")) * 11L, lit(896L)) + 64L)
+        .cast("int").as("height"))
 
   /** STUB decode: deterministic fake features standing in for a codec.
     * ??? would be the real pixel decode; the fake keeps the full
@@ -158,5 +162,25 @@ object Multimodal {
         .select("doc_id", "frame_idx", "frame_bytes"))
   )
 
-  def oracles: Map[String, String] = Map.empty
+  /** DuckDB twins for the stub-free plumbing outputs: g2/g3 emit only
+    * size/index arithmetic over the UTF-8 byte length (strlen in DuckDB
+    * = octet_length in Spark), so the resize contract and the frame
+    * index/slice math get exact oracle checks. g1/g4 stay rows-only —
+    * their feature values come from the stub codec, which has no SQL
+    * analogue by construction.
+    */
+  def oracles: Map[String, String] = Map(
+    "g2_resize" ->
+      """SELECT doc_id,
+        |       CAST(((doc_id*131 + strlen(text)*7) % 896 + 64) // 2 AS INT) AS width,
+        |       CAST(((doc_id*239 + strlen(text)*11) % 896 + 64) // 2 AS INT) AS height,
+        |       CAST(CEIL(strlen(text) / 4.0) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "g3_frame_sample" ->
+      """SELECT doc_id,
+        |       CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(LEAST(64, nb - frame_idx*64) AS BIGINT) AS frame_bytes
+        |FROM (SELECT doc_id, strlen(text) AS nb,
+        |             unnest(range(0, CAST(CEIL(strlen(text) / 64.0) AS INT), 4)) AS frame_idx
+        |      FROM documents)""".stripMargin)
 }

@@ -107,6 +107,79 @@ object Tables {
         col("timestamp"))
   }
 
+  /** The fixed record shape the `kafka` source emits (one row per
+    * consumed record) — what [[parseTxWire]] consumes. Declared here so
+    * the parse stage is unit-testable against hand-built frames without
+    * a broker: the sandbox has no Kafka cluster (or connector jar), so
+    * the broker round-trip itself can only be compile-tested, but
+    * everything after `.load()` is exercised for real.
+    */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Kafka value-parse stage (reference: the consumer json.loads()es each
+    * message value — src/kafka/consumer/consumer.py — of the payload the
+    * producer emits in src/kafka/producer/transaction_producer.py):
+    * JSON `value` bytes → typed columns via `from_json` in PERMISSIVE
+    * mode, so a malformed payload yields a row with null fields and the
+    * raw text in `_corrupt_record` (quarantine, never crash — one bad
+    * wire message must not fail a 100 TB ingest). Kafka coordinates
+    * (topic, partition, offset) ride along for provenance / replay
+    * audit. A null `value` (tombstone) parses to an all-null row with a
+    * null `_corrupt_record`; filter on a required field if tombstones
+    * should drop. Pure expressions — streams and batches identically.
+    */
+  def parseTxWire(wire: DataFrame,
+                  schema: StructType = transactionSchema): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    wire.select(
+      from_json(col("value").cast("string"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("v"),
+      col("topic"), col("partition"), col("offset"))
+      .select((withCorrupt.fieldNames.map(f => col(s"v.$f")) ++
+        Seq(col("topic"), col("partition"), col("offset"))).toIndexedSeq: _*)
+  }
+
+  /** Transaction-stream ingest with a source-format switch — the code
+    * path a user of the reference runs first is
+    * `readStream.format("kafka")` + the JSON value parse; the file
+    * formats are the broker-less stand-ins with identical downstream
+    * schema. All branches return exactly [[transactionSchema]]'s columns
+    * (the kafka branch drops quarantined rows and provenance — call
+    * [[parseTxWire]] directly to keep them and split a dead-letter
+    * stream).
+    *
+    * `location` is the bootstrap-servers list for kafka, the input
+    * directory for csv/json.
+    */
+  def readTxStream(spark: SparkSession, format: String, location: String,
+                   topic: String = "transactions",
+                   maxFilesPerTrigger: Int = 16): DataFrame = format match {
+    case "kafka" =>
+      val wire = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", location)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+      parseTxWire(wire)
+        .filter(col("_corrupt_record").isNull && col("transaction_id").isNotNull)
+        .select(transactionSchema.fieldNames.map(col).toIndexedSeq: _*)
+    case "csv" =>
+      readCsvStream(spark, location, transactionSchema, maxFilesPerTrigger)
+    case "json" =>
+      readJsonStream(spark, location, transactionSchema, maxFilesPerTrigger)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown tx-stream format '$other' (expected kafka | csv | json)")
+  }
+
   /** Malformed-row policy for schema'd CSV reads: PERMISSIVE parsing
     * with the corrupt line captured in `_corrupt_record` — the
     * quarantine-not-crash behavior the reference consumer needs for bad

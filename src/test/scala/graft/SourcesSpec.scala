@@ -109,6 +109,65 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
            spark.sql(s"SELECT * FROM $queryName").isEmpty) Thread.sleep(200)
   }
 
+  test("A2b kafka value-parse stage: typed columns, quarantine, provenance") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:05")
+    def b(s: String): Array[Byte] = if (s == null) null else s.getBytes("UTF-8")
+    val good =
+      """{"transaction_id":"t1","user_id":1,"product_id":10,"store_id":"s1",
+        |"amount":10.5,"payment_method":"card","country":"FRANCE",
+        |"timestamp":"2024-03-01T10:00:00.000Z"}""".stripMargin.replace("\n", "")
+    val wire = spark.createDataFrame(Seq(
+      Row(b("k1"), b(good), "tx", 0, 0L, ts, 0),
+      Row(b("k2"), b("not json at all"), "tx", 0, 1L, ts, 0),
+      Row(b("k3"), null, "tx", 1, 2L, ts, 0) // tombstone
+    ).asJava, Tables.kafkaWireSchema)
+    val parsed = Tables.parseTxWire(wire).collect()
+      .map(r => r.getAs[Long]("offset") -> r).toMap
+    val ok = parsed(0L)
+    assert(ok.getAs[String]("transaction_id") === "t1")
+    assert(ok.getAs[Int]("user_id") === 1)
+    assert(ok.getAs[Double]("amount") === 10.5)
+    assert(ok.getAs[java.sql.Timestamp]("timestamp") ===
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00"))
+    assert(ok.getAs[String]("_corrupt_record") === null)
+    assert(ok.getAs[String]("topic") === "tx")
+    val bad = parsed(1L)
+    assert(bad.getAs[String]("transaction_id") === null)
+    assert(bad.getAs[String]("_corrupt_record") === "not json at all")
+    val tomb = parsed(2L)
+    assert(tomb.getAs[String]("transaction_id") === null)
+    assert(tomb.getAs[String]("_corrupt_record") === null)
+    assert(tomb.getAs[Int]("partition") === 1)
+  }
+
+  test("A2c readTxStream format switch: file branches share the tx schema; kafka branch wires up") {
+    val dir = tmpDir("graft_txstream")
+    Files.writeString(Paths.get(dir, "t.csv"),
+      "transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp\n" +
+        "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z\n")
+    val csv = Tables.readTxStream(spark, "csv", dir)
+    assert(csv.isStreaming && csv.schema === Tables.transactionSchema)
+    val json = Tables.readTxStream(spark, "json", dir)
+    assert(json.isStreaming && json.schema === Tables.transactionSchema)
+    assertThrows[IllegalArgumentException] {
+      Tables.readTxStream(spark, "xml", dir)
+    }
+    // no broker/connector in the sandbox: the kafka branch must reach the
+    // source-resolution step (a kafka-shaped error), not a MatchError or
+    // a parse-stage error — with the connector on the classpath the same
+    // call returns a streaming frame with the tx schema
+    try {
+      val k = Tables.readTxStream(spark, "kafka", "localhost:9092")
+      assert(k.isStreaming && k.schema === Tables.transactionSchema)
+    } catch {
+      case e: Exception =>
+        assert(e.getMessage != null && e.getMessage.toLowerCase.contains("kafka"),
+          s"unexpected failure shape: $e")
+    }
+  }
+
   test("A10 malformed CSV rows quarantine instead of failing the load") {
     val dir = tmpDir("graft_badcsv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"),
