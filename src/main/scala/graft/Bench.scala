@@ -31,11 +31,11 @@ object Bench {
     // the all-pairs d5/d9 BNLJ forms are oracle-only (Verify still runs
     // them): an O(n²) pair enumeration must never be the headline plan
     "d5_embed_neardup_blocked", "d8_dedup_clusters",
-    "d10_embed_clusters_blocked",
+    "d10_embed_clusters_blocked", "d11_decontaminate",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f10_keywords", "g1_multimodal_meta",
-    "g4_embed_batched")
+    "g4_embed_batched", "i8_mixture_sample", "i9_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

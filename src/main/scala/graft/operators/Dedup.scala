@@ -309,7 +309,54 @@ object Dedup {
         col("cluster_size"), col("is_canonical"))
   }
 
+  /** D11: benchmark decontamination — flag corpus documents that share
+    * any `n`-word shingle with a benchmark (eval-set) document, the
+    * standard guard against test-set leakage into training data
+    * (GPT-3/PaLM-style n-gram overlap checks; n=8 here, between PaLM's 8
+    * and GPT-3's 13).
+    *
+    * Scale shape: the benchmark side (eval sets are thousands of docs —
+    * tiny next to a 100 TB corpus) is gram-exploded, deduped, and
+    * BROADCAST; corpus grams are deduped per-row with `array_distinct`
+    * (no corpus-wide distinct shuffle) and stream map-side through the
+    * broadcast hash join, so the only corpus shuffle is the per-doc hit
+    * count, map-side combined. Gram staging follows the
+    * one-HOF-stage-per-projection rule (SURVEY §6b).
+    */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"),
+          // guard: sequence(1, k) with k < 1 would count DOWN in Spark
+          when(size(col("tok")) >= n,
+            transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+              i => array_join(slice(col("tok"), i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>")).as("grams"))
+        .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+    val benchGrams = grams(benchmark)
+      .select(col("doc_id").as("bench_id"), col("gram").as("bgram"))
+    val hits = grams(docs)
+      .join(broadcast(benchGrams),
+        col("gram") === col("bgram") && col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hit_grams"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D11: eval-set decontamination — 8-gram overlap vs a benchmark set
+    // (stand-in: every doc with doc_id % 10 = 3; no eval set ships with
+    // the testdata).
+    "d11_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      contaminationReport(docs, docs.filter(col("doc_id") % 10 === 3))
+    }),
 
     // D10: ANN-blocked semantic clusters — the scale path (rows-only;
     // refinement-vs-exact property in DedupSpec).
@@ -436,6 +483,25 @@ object Dedup {
         |  FROM bands a JOIN bands b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
     Map(
+      "d11_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+          |grams AS (
+          |  SELECT doc_id,
+          |         unnest(list_distinct(list_transform(range(1, len(t) - 6), i ->
+          |           array_to_string(list_slice(t, i, i + 7), ' ')))) AS gram
+          |  FROM toks),
+          |bench AS (
+          |  SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 10 = 3),
+          |hits AS (
+          |  SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
+          |  FROM grams g JOIN bench b
+          |    ON g.gram = b.gram AND g.doc_id <> b.bench_id
+          |  GROUP BY g.doc_id)
+          |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+          |       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
       "d1_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text)""".stripMargin,

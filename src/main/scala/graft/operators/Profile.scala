@@ -61,7 +61,65 @@ object Profile {
       .select(col("c.constraint"), col("c.observed"), col("c.passed"))
   }
 
+  /** I8: deterministic mixture sampling — hit a target per-source rate
+    * (the domain-mixing step that rebalances web/books/code before
+    * training) by keeping a row iff its salted md5 bucket falls under
+    * the source's percentage. Content-hash gating, not rng: replayable
+    * across runs/engines/cluster sizes, and independent of the
+    * [[splitAssign]] buckets thanks to the salt. Pure scan + one
+    * map-side-combined aggregation for the report.
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Int],
+                    defaultPct: Int): DataFrame = {
+    val bucket = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+    val target = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): org.apache.spark.sql.Column) {
+      case (acc, (src, pct)) => when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs
+      .select(col("source"), target.as("target_pct"),
+        (bucket < target).as("keep"))
+      .groupBy(col("source"), col("target_pct"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("achieved_frac",
+        round(col("n_kept").cast("double") / col("n_total"), 8))
+  }
+
+  /** I9: sequence packing (concat-and-chunk) — assign each document its
+    * start position in fixed-token-budget training sequences, packed in
+    * doc_id order WITHIN a shard. Sharding keeps the running-sum window
+    * partitioned (never a global single-partition sort — the b24
+    * anti-pattern); each shard packs independently, which is exactly how
+    * a 100 TB corpus packs on 1000 executors. Token counts use the
+    * whitespace tokenizer (F3); a doc may straddle a boundary — this is
+    * the GPT-style concatenate-then-cut layout, not per-sequence bin
+    * packing.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512,
+                    shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("prior") / budget).cast("long").as("seq_id"),
+        (col("prior") % budget).as("seq_offset"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I8: deterministic per-source mixture sampling report.
+    "i8_mixture_sample" -> ((s, d) =>
+      mixtureSample(Tables.table(s, d, "documents"),
+        Map("src0" -> 80, "src5" -> 50, "src10" -> 25), defaultPct = 10)),
+
+    // I9: fixed-budget sequence packing (sharded running sum).
+    "i9_pack_sequences" -> ((s, d) =>
+      packSequences(Tables.table(s, d, "documents"))),
 
     // I5: expectation-style data-quality audit over the load tables.
     "i5_quality_audit" -> ((s, d) =>
@@ -96,6 +154,35 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    "i8_mixture_sample" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         CASE WHEN source = 'src0' THEN 80
+        |              WHEN source = 'src5' THEN 50
+        |              WHEN source = 'src10' THEN 25 ELSE 10 END AS target_pct,
+        |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source, target_pct, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 8) AS achieved_frac
+        |FROM b GROUP BY source, target_pct""".stripMargin,
+
+    "i9_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(prior // 512 AS BIGINT) AS seq_id,
+        |       CAST(prior % 512 AS BIGINT) AS seq_offset
+        |FROM p""".stripMargin,
+
     "i5_quality_audit" ->
       """WITH s AS (
         |  SELECT count(*) AS n_rows,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Profile}
+
+/** Corpus-curation operators (SURVEY §2 D11, I8, I9): benchmark
+  * decontamination, deterministic mixture sampling, sequence packing.
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("D11 contamination flags shared 8-grams, excludes self, skips short docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "x0 w1 w2 w3 w4 w5 w6 w7 w8 tail", // shares exactly 1 gram (w1..w8)
+      2L -> "a b c d e f g h i",               // disjoint vocabulary
+      3L -> "short text",                      // < 8 words -> no grams
+      4L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",      // identical -> both grams hit
+      100L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9"     // the benchmark doc itself: self-excluded
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationReport(corpus, bench).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_hit_grams"), x.getAs[Boolean]("contaminated"))).toMap
+    assert(r(1L) === ((1L, true)))
+    assert(r(2L) === ((0L, false)))
+    assert(r(3L) === ((0L, false)))
+    assert(r(4L) === ((2L, true)))
+    assert(r(100L) === ((0L, false)), "a benchmark doc must not be flagged by its own grams")
+    assert(r.size === 5, "report must cover every corpus doc")
+  }
+
+  test("I8 mixture sampling honors 0 and 100 percent exactly and is deterministic") {
+    import spark.implicits._
+    val docs = (1L to 300L)
+      .map(i => (i, s"src${i % 3}", s"text $i")).toDF("doc_id", "source", "text")
+    val r = Profile.mixtureSample(docs,
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 50).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_total"), x.getAs[Long]("n_kept"))).toMap
+    assert(r("src0") === ((100L, 100L)))
+    assert(r("src1") === ((100L, 0L)))
+    val (t2, k2) = r("src2")
+    assert(t2 === 100L && k2 > 20L && k2 < 80L, s"50% target landed at $k2/100")
+    // content-hash gating: a re-run keeps the identical rows
+    val again = Profile.mixtureSample(docs,
+      Map("src0" -> 100, "src1" -> 0), defaultPct = 50).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("n_kept")).toMap
+    assert(again("src2") === k2)
+  }
+
+  test("I9 sequence packing: running offsets within a shard, cut at the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t t t t"),      // 4 tokens, prior 0  -> seq 0 offset 0
+      (2L, "t t t t t"),    // 5 tokens, prior 4  -> seq 0 offset 4
+      (3L, "t t t"),        // 3 tokens, prior 9  -> seq 0 offset 9
+      (4L, "t t")           // 2 tokens, prior 12 -> seq 1 offset 2
+    ).toDF("doc_id", "text")
+    val r = Profile.packSequences(docs, budget = 10, shards = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("seq_id"), x.getAs[Long]("seq_offset"))).toMap
+    assert(r(1L) === ((0L, 0L)))
+    assert(r(2L) === ((0L, 4L)))
+    assert(r(3L) === ((0L, 9L)))
+    assert(r(4L) === ((1L, 2L)))
+    // sharding: each shard packs independently from offset 0
+    val sharded = Profile.packSequences(docs, budget = 10, shards = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("shard"), x.getAs[Long]("seq_offset"))).toMap
+    assert(sharded(1L) === ((1L, 0L))) // shard 1: docs 1,3 -> priors 0,4
+    assert(sharded(3L) === ((1L, 4L)))
+    assert(sharded(2L) === ((0L, 0L))) // shard 0: docs 2,4 -> priors 0,5
+    assert(sharded(4L) === ((0L, 5L)))
+  }
+}
