@@ -43,14 +43,23 @@ object Skew {
 
   /** Synthetic hot-key fact for the skew study: 80% of transactions
     * remapped to one user — the "single merchant carries most of the
-    * volume" pathology. Deterministic (modulo of the order key), so the
-    * plain and salted variants below are comparable AND both can
-    * hash-match the same DuckDB oracle.
+    * volume" pathology — then amplified `amp`× with an explode replica
+    * index. The amplification stands in for scale: at sf0.1 the raw hot
+    * key holds only ~480k cheap probe rows, so the straggler penalty
+    * drowns in fixed costs and the study would measure nothing; at 8×
+    * the hot reducer carries ~3.8M rows — still 25000× short of the
+    * 100 TB pathology, but past the crossover where one task's work
+    * visibly outweighs the salting overhead. Deterministic (modulo of
+    * the order key, dense replica index), so plain and salted variants
+    * are comparable AND both hash-match the same DuckDB oracle (counts
+    * and sums scale exactly `amp`×).
     */
+  private[operators] val amp = 8
   private def skewedTx(s: SparkSession, d: String): DataFrame =
     Fraud.transactions(s, d)
       .withColumn("user_id",
         when(pmod(col("tx_okey"), lit(5)) < 4, lit(1L)).otherwise(col("user_id")))
+      .withColumn("__rep", explode(sequence(lit(0), lit(amp - 1))))
 
   /** Per-country spend over the skewed fact. `shuffle_hash`-hinted dim:
     * the demo models the regime where the user dim exceeds the broadcast
@@ -75,8 +84,10 @@ object Skew {
     "c1_skew_salted" -> ((s, d) =>
       saltedJoin(skewedTx(s, d), Fraud.users(s, d).hint("shuffle_hash"),
           Seq("user_id"),
-          saltFrom = col("tx_okey") * 8 + col("tx_lineno"), buckets = 16,
-          joinType = "left")
+          // (okey, lineno 1..7, rep 0..7) pack densely -> replicas of one
+          // source row land in DIFFERENT salt buckets, which is the point
+          saltFrom = col("tx_okey") * 64 + col("tx_lineno") * 8 + col("__rep"),
+          buckets = 16, joinType = "left")
         .groupBy(col("user_country"))
         .agg(count(lit(1)).as("n_tx"), dsum2(col("amount")).as("total_amount")))
   )
@@ -86,8 +97,8 @@ object Skew {
     */
   def oracles: Map[String, String] = {
     val sql =
-      """SELECT un.n_name AS user_country, count(*) AS n_tx,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+      s"""SELECT un.n_name AS user_country, count(*) * $amp AS n_tx,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * $amp AS DOUBLE) AS total_amount
         |FROM (SELECT CASE WHEN l_orderkey % 5 < 4 THEN 1 ELSE o_custkey END AS user_id,
         |             l_extendedprice
         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) tx
