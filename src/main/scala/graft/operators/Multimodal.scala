@@ -170,6 +170,19 @@ object Multimodal {
     * analogue by construction.
     */
   def oracles: Map[String, String] = Map(
+    // g1's stub features are byte statistics; on this corpus (verified
+    // single-byte at every SF) ascii(char) = byte value and both engines
+    // fold left-to-right, so even the double mean matches exactly.
+    "g1_multimodal_meta" ->
+      """SELECT doc_id, 'fake/rgb8' AS format,
+        |       CAST((doc_id*131 + strlen(text)*7) % 896 + 64 AS INT) AS width,
+        |       CAST((doc_id*239 + strlen(text)*11) % 896 + 64 AS INT) AS height,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CASE WHEN strlen(text) = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE list_avg(list_transform(str_split(text, ''), c -> CAST(ascii(c) AS DOUBLE))) END AS feat_mean,
+        |       CASE WHEN strlen(text) = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(ascii(substr(text, 1, 1)) AS DOUBLE) END AS feat_first
+        |FROM documents""".stripMargin,
     "g2_resize" ->
       """SELECT doc_id,
         |       CAST(((doc_id*131 + strlen(text)*7) % 896 + 64) // 2 AS INT) AS width,

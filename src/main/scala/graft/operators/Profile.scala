@@ -70,16 +70,17 @@ object Profile {
     * map-side-combined aggregation for the report.
     */
   def mixtureSample(docs: DataFrame, rates: Map[String, Int],
-                    defaultPct: Int): DataFrame = {
+                    defaultPct: Int,
+                    stratumCol: String = "source"): DataFrame = {
     val bucket = graft.functions.HashFunctions
       .md5Prefix60(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
     val target = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): org.apache.spark.sql.Column) {
-      case (acc, (src, pct)) => when(col("source") === src, lit(pct)).otherwise(acc)
+      case (acc, (src, pct)) => when(col(stratumCol) === src, lit(pct)).otherwise(acc)
     }
     docs
-      .select(col("source"), target.as("target_pct"),
+      .select(col(stratumCol), target.as("target_pct"),
         (bucket < target).as("keep"))
-      .groupBy(col("source"), col("target_pct"))
+      .groupBy(col(stratumCol), col("target_pct"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("achieved_frac",
@@ -140,6 +141,14 @@ object Profile {
           Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1), seed = 42L)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))),
 
+    // I3b: the deterministic twin of I3 — same strata and fractions,
+    // gated by a salted content hash instead of rng, so the sample is
+    // replayable across runs/retries/engines and hash-matches an oracle.
+    "i3_stratified_hash" -> ((s, d) =>
+      mixtureSample(Tables.table(s, d, "documents"),
+        Map("en" -> 50, "es" -> 25, "zh" -> 10), defaultPct = 0,
+        stratumCol = "lang")),
+
     "i1_profile" -> ((s, d) =>
       Tables.table(s, d, "orders").agg(
         count(lit(1)).as("n_rows"),
@@ -154,6 +163,19 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    "i3_stratified_hash" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         CASE WHEN lang = 'en' THEN 50
+        |              WHEN lang = 'es' THEN 25
+        |              WHEN lang = 'zh' THEN 10 ELSE 0 END AS target_pct,
+        |         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang, target_pct, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 8) AS achieved_frac
+        |FROM b GROUP BY lang, target_pct""".stripMargin,
+
     "i8_mixture_sample" ->
       """WITH b AS (
         |  SELECT source,
