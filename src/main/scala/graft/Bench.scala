@@ -79,7 +79,8 @@ object Bench {
       }
     }
     val streaming = streamingThroughput(spark, sfDir)
-    val all = results ++ streaming
+    val bucketed = bucketedJoinStudy(spark, sfDir)
+    val all = results ++ streaming ++ bucketed
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -89,6 +90,64 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Bucketed co-located join study: the fact-fact lineitem⋈orders join
+    * (the one unavoidable shuffle in the enrich pipeline — PLANS.md) run
+    * twice over identical data: from plain parquet (both sides shuffle
+    * on the order key at query time) and from tables bucketed+sorted on
+    * the join key (`Tables.writeBucketed`), where the same join plans
+    * with NO Exchange — the write-once-join-many deployment for 100 TB
+    * facts. Bucket write time is setup, not measured: it amortizes over
+    * every subsequent join. Reported as `j1_factjoin_shuffle` /
+    * `j1_factjoin_bucketed` over the same aggregation.
+    */
+  private def bucketedJoinStudy(spark: SparkSession,
+                                sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def joined(li: org.apache.spark.sql.DataFrame,
+               o: org.apache.spark.sql.DataFrame) =
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("v"))
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_bench_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_bench_o_bkt")
+      Tables.writeBucketed(Tables.table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_extendedprice"), "graft_bench_li_bkt",
+        "l_orderkey", buckets = 32)
+      Tables.writeBucketed(Tables.table(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus"), "graft_bench_o_bkt",
+        "o_orderkey", buckets = 32)
+      val runs = for (label <- Seq("warmup_shuffle", "j1_factjoin_shuffle",
+                                   "warmup_bucketed", "j1_factjoin_bucketed"))
+        yield label match {
+          case l if l.endsWith("shuffle") => time(l) {
+            joined(Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice"),
+                   Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          case l => time(l) {
+            joined(spark.table("graft_bench_li_bkt"), spark.table("graft_bench_o_bkt"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      runs.filterNot(_._1.startsWith("warmup"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bucketed study setup failed: ${e.getMessage}")
+        Seq("j1_factjoin_shuffle" -> -1.0, "j1_factjoin_bucketed" -> -1.0)
+    }
   }
 
   /** Streaming throughput scaling study: the transaction fact rendered
