@@ -286,6 +286,23 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     }),
 
+    // B33: lead/lag event sequencing — inter-event gap (exact
+    // microseconds), next event type, and a gap-based session-start
+    // flag. One shuffle on the user key; the window frame is row-local
+    // after the per-user sort. (user, us-timestamp) is unique in the
+    // data, so the ordering is total and engine-independent.
+    "b33_event_gaps" -> ((s, d) => {
+      val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(
+          col("user_id"), col("event_id"), fmtTs(col("ts")).as("event_ts"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wl)))
+            .as("prev_gap_us"),
+          lead(col("event_type"), 1).over(wl).as("next_type"))
+        .withColumn("is_new_session",
+          col("prev_gap_us").isNull || col("prev_gap_us") > 1800L * 1000000L)
+    }),
+
     // B12: global top-k — Spark executes sort+limit as per-partition top-k
     // then a k-row merge on one reducer; never a full global sort.
     "b12_topk" -> ((s, d) =>
@@ -704,6 +721,19 @@ object Relational {
         |                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |FROM orders
         |QUALIFY rnk <= 3""".stripMargin,
+
+    "b33_event_gaps" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_gap_us,
+        |         lead(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       prev_gap_us, next_type,
+        |       (prev_gap_us IS NULL OR prev_gap_us > 1800000000) AS is_new_session
+        |FROM w""".stripMargin,
 
     "b12_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
