@@ -18,7 +18,11 @@ object Bench {
     "b1_filter_project", "b3_join_inner", "b3_join_broadcast",
     "b5_agg_basic", "b6_approx_distinct", "b8_sliding_window",
     "b9_upsert_latest", "b11_rank_topn", "b16_session_window", "b22_asof_join",
-    "b24_ntile_approx",
+    "b24_ntile_approx", "b33_event_gaps",
+    // same result, same oracle — the bloom twin prices the 4.3x
+    // fact-shuffle-volume cut (wall-clock parity expected at sf0.1:
+    // local exchanges are RAM-speed; the cut matters on a network)
+    "b34_semi_plain", "b34_bloom_prejoin",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     // exact c7 kept next to its approx twin so the sketch-vs-distinct
     // trade is measured in the SAME run (host CPU swings across runs)

@@ -303,6 +303,48 @@ object Relational {
           col("prev_gap_us").isNull || col("prev_gap_us") > 1800L * 1000000L)
     }),
 
+    // B34: bloom-prefiltered semi join — Spark's runtime-row-filter
+    // pattern applied deliberately. The selective dim side (urgent
+    // orders) aggregates into a ~90KB Bloom sketch — a bounded
+    // driver-collected value, broadcast back as a literal like model
+    // state — and the fact scan drops non-members BEFORE the join
+    // shuffle; the exact semi join then removes the ~3% false
+    // positives, so the result is identical to the plain form (both
+    // share one oracle). The shuffle_hash hint models the big-dim
+    // regime where broadcast is impossible and the fact-side shuffle
+    // volume is the cost being cut — at 100 TB the prefilter keeps
+    // ~77% of the fact out of the exchange.
+    "b34_bloom_prejoin" -> ((s, d) => {
+      import graft.functions.BloomFunctions._
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloomBytes = dim
+        .agg(bloomFilterAgg(col("o_orderkey"), 100000L, 720000L).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      t(s, d, "lineitem")
+        .filter(mightContain(lit(bloomBytes), col("l_orderkey")))
+        .join(dim.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum2(col("l_extendedprice")).as("total_value"))
+    }),
+
+    // B34's unfiltered twin — same plan minus the bloom prefilter, same
+    // oracle; benched side-by-side to price the fact-shuffle reduction.
+    "b34_semi_plain" -> ((s, d) => {
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      t(s, d, "lineitem")
+        .join(dim.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum2(col("l_extendedprice")).as("total_value"))
+    }),
+
     // B12: global top-k — Spark executes sort+limit as per-partition top-k
     // then a k-row merge on one reducer; never a full global sort.
     "b12_topk" -> ((s, d) =>
@@ -721,6 +763,22 @@ object Relational {
         |                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |FROM orders
         |QUALIFY rnk <= 3""".stripMargin,
+
+    "b34_bloom_prejoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "b34_semi_plain" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
 
     "b33_event_gaps" ->
       """WITH w AS (
