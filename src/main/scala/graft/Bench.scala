@@ -124,9 +124,19 @@ object Bench {
           System.err.println(s"[bench] $label failed: ${e.getMessage}")
           label -> -1.0
       }
+    // DROP TABLE only clears THIS session's in-memory catalog; a table
+    // directory orphaned by a previous Bench process survives it, and
+    // saveAsTable then refuses the non-empty location. Delete the
+    // physical paths too, so repeated bench runs are self-cleaning.
+    def dropBucketTables(): Unit =
+      for (tbl <- Seq("graft_bench_li_bkt", "graft_bench_o_bkt")) {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), tbl)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     try {
-      spark.sql("DROP TABLE IF EXISTS graft_bench_li_bkt")
-      spark.sql("DROP TABLE IF EXISTS graft_bench_o_bkt")
+      dropBucketTables()
       Tables.writeBucketed(Tables.table(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_extendedprice"), "graft_bench_li_bkt",
         "l_orderkey", buckets = 32)
@@ -146,6 +156,7 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
           }
         }
+      try dropBucketTables() catch { case scala.util.control.NonFatal(_) => }
       runs.filterNot(_._1.startsWith("warmup"))
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -259,7 +270,9 @@ object Bench {
           run("h1_stream_smallbatch", 1),
           run("h1_stream_pipeline", 4),
           run("h1_stream_bigbatch", 16),
-          run("h1_trend_sp32", 16, trend = true),
+          // both state-partition counts pinned explicitly — the ambient
+          // setting follows SPARK_GRAFT_CPUS, so "sp32" must not rely on it
+          run("h1_trend_sp32", 16, trend = true, shufflePartitions = Some(32)),
           run("h1_trend_sp8", 16, trend = true, shufflePartitions = Some(8)))
     }
   }

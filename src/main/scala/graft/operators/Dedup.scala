@@ -322,9 +322,18 @@ object Dedup {
     * broadcast hash join, so the only corpus shuffle is the per-doc hit
     * count, map-side combined. Gram staging follows the
     * one-HOF-stage-per-projection rule (SURVEY §6b).
+    *
+    * `benchmarkFromCorpus` controls the self-match exclusion: when the
+    * benchmark rows are DRAWN FROM the corpus (shared id space, as in
+    * the d11 stand-in), a doc must not be flagged by its own grams and
+    * equal ids are excluded. For a real eval set with its own id space,
+    * pass false — an id collision between unrelated corpus and
+    * benchmark docs would otherwise silently suppress true
+    * contamination (a false negative in the leakage guard).
     */
   def contaminationReport(docs: DataFrame, benchmark: DataFrame,
-                          n: Int = 8): DataFrame = {
+                          n: Int = 8,
+                          benchmarkFromCorpus: Boolean = true): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), split(col("text"), " ").as("tok"))
         .select(col("doc_id"),
@@ -336,9 +345,12 @@ object Dedup {
         .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
     val benchGrams = grams(benchmark)
       .select(col("doc_id").as("bench_id"), col("gram").as("bgram"))
+    val joinCond =
+      if (benchmarkFromCorpus)
+        col("gram") === col("bgram") && col("doc_id") =!= col("bench_id")
+      else col("gram") === col("bgram")
     val hits = grams(docs)
-      .join(broadcast(benchGrams),
-        col("gram") === col("bgram") && col("doc_id") =!= col("bench_id"))
+      .join(broadcast(benchGrams), joinCond)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hit_grams"))
     docs.select(col("doc_id"))

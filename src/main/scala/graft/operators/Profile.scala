@@ -71,9 +71,10 @@ object Profile {
     */
   def mixtureSample(docs: DataFrame, rates: Map[String, Int],
                     defaultPct: Int,
-                    stratumCol: String = "source"): DataFrame = {
+                    stratumCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
     val bucket = graft.functions.HashFunctions
-      .md5Prefix60(concat(lit("mix:"), col("doc_id").cast("string"))) % 100
+      .md5Prefix60(concat(lit("mix:"), col(idCol).cast("string"))) % 100
     val target = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): org.apache.spark.sql.Column) {
       case (acc, (src, pct)) => when(col(stratumCol) === src, lit(pct)).otherwise(acc)
     }
@@ -111,7 +112,31 @@ object Profile {
         (col("prior") % budget).as("seq_offset"))
   }
 
+  /** I10: deterministic global shuffle — the randomize-before-training
+    * pass. Each row's position is a pure function of its id (salted
+    * md5): hash → shard, rank within shard by (hash, id). Replayable on
+    * any engine/cluster size, no rng state; the per-shard rank window is
+    * partitioned (never a global single-partition sort), and shards can
+    * be written as the training files directly.
+    */
+  def globalShuffle(docs: DataFrame, idCol: String = "doc_id",
+                    shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("shuf:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col(idCol))
+    docs
+      .select(col(idCol), h.as("hv"))
+      .withColumn("shard", pmod(col("hv"), lit(shards.toLong)))
+      .select(col(idCol), col("shard"),
+        row_number().over(w).as("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I10: deterministic global shuffle for training-order assignment.
+    "i10_global_shuffle" -> ((s, d) =>
+      globalShuffle(Tables.table(s, d, "documents"))),
 
     // I8: deterministic per-source mixture sampling report.
     "i8_mixture_sample" -> ((s, d) =>
@@ -163,6 +188,15 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    "i10_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 64 AS shard,
+        |       row_number() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS pos
+        |FROM h""".stripMargin,
+
     "i3_stratified_hash" ->
       """WITH b AS (
         |  SELECT lang,

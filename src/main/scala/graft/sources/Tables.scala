@@ -324,10 +324,11 @@ object Tables {
     * temp directory FIRST; only then is the live table deleted and the
     * temp dir renamed into place — a crash mid-merge-write leaves the
     * existing table untouched, and a crash between delete and rename
-    * leaves the complete staging dir next to the target for recovery
-    * (the rename window is metadata-only; a plain
-    * `mode("overwrite")` would delete-then-write and a mid-write crash
-    * would destroy the table with nothing to recover). Replaying a
+    * leaves the complete staging dir, which [[recoverCrashedSwap]]
+    * renames back into place automatically on the next call (the rename
+    * window is metadata-only; a plain `mode("overwrite")` would
+    * delete-then-write and a mid-write crash would destroy the table
+    * with nothing to recover). Replaying a
     * micro-batch is idempotent — the reference's staging-table MERGE
     * contract (src/snowflake/load_to_snowflake_transction.py). At
     * 100 TB scope the rewrite to touched partitions
@@ -336,6 +337,7 @@ object Tables {
   def mergeIntoWarehouse(batch: DataFrame, dir: String, keys: Seq[String],
                          versionDesc: Seq[Column]): Unit = {
     val spark = batch.sparkSession
+    recoverCrashedSwap(spark, dir)
     // Existence check through Spark's reader (not java.io.File): works on
     // any Hadoop filesystem (hdfs://, s3a://, ...) and any layout —
     // a local-FS check would misread a remote table as absent and the
@@ -357,6 +359,25 @@ object Tables {
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
         s"warehouse swap failed: staging data is intact at $staging")
+  }
+
+  /** Recovery half of [[mergeIntoWarehouse]]'s swap, run BEFORE the base
+    * read: a crash between the target delete and the staging rename
+    * leaves the complete staging dir as the ONLY copy of the table. On
+    * replay the base read would see no table and the pre-merge staging
+    * cleanup would destroy that only copy — so if the target is missing
+    * and a staging dir exists, rename it back into place first. (If BOTH
+    * exist, the staging dir is a dead partial write from a crash before
+    * the delete and remains safe to discard.)
+    */
+  private def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__graft_staging")
+    if (!fs.exists(target) && fs.exists(staging) && !fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"crashed-swap recovery failed: table data is intact at $staging")
   }
 
   /** Project `df` onto `target`: columns missing from df are

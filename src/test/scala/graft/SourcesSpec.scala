@@ -218,6 +218,24 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(state() === afterTwo)
   }
 
+  test("C9c mergeIntoWarehouse recovers a swap crashed between delete and rename") {
+    import spark.implicits._
+    val dir = tmpDir("graft_swap") + "/tbl"
+    val b0 = Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "version")
+    Tables.mergeIntoWarehouse(b0, dir, Seq("id"), Seq(col("version")))
+    // simulate the crash window: target deleted, staging (the complete
+    // merged table) not yet renamed into place
+    val target = java.nio.file.Paths.get(dir)
+    val staging = target.getParent.resolve(s".${target.getFileName}__graft_staging")
+    java.nio.file.Files.move(target, staging)
+    // the replayed micro-batch must NOT wipe the surviving copy
+    val replay = Seq((2, "b2", 2L)).toDF("id", "v", "version")
+    Tables.mergeIntoWarehouse(replay, dir, Seq("id"), Seq(col("version")))
+    val m = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[String]("v")).toMap
+    assert(m === Map(1 -> "a", 2 -> "b2"), "pre-crash rows must survive the replay")
+  }
+
   test("C9 mergeUpsert is idempotent and keeps the newest version") {
     import spark.implicits._
     val base = Seq((1, "old", 1L), (2, "keep", 5L)).toDF("id", "v", "version")
