@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomFunctions
+
+/** Streaming corpus-curation gate — the admission filter a training-data
+  * ingest runs on every arriving document micro-batch:
+  *
+  *  1. exact-duplicate drop keyed on the content digest, bounded by the
+  *     watermark (state GC'd past the horizon);
+  *  2. quality floor (minimum token count — the cheap row-local gate;
+  *     richer scoring composes the same way);
+  *  3. benchmark decontamination against a STATIC eval set, carried as
+  *     a Bloom filter over the set's 8-word shingles and broadcast as a
+  *     literal (~KBs): each arriving doc probes its own grams against
+  *     the sketch with `exists`, entirely row-local — no join, no
+  *     shuffle, no per-batch state. False positives over-BLOCK (the
+  *     safe direction for leakage — a clean doc is occasionally
+  *     rejected, a contaminated one never admitted).
+  *
+  * Everything is row-local or watermark-bounded, so the gate sustains
+  * arbitrary stream volume; the one driver-side step is collecting the
+  * bounded benchmark sketch once at plan-build time.
+  */
+object CurationStream {
+
+  /** Build the benchmark-shingle Bloom sketch (bounded driver value).
+    * Returns None for an empty/gram-less benchmark — no contamination
+    * gate in that case.
+    */
+  def benchmarkGramBloom(benchmark: DataFrame, n: Int = 8,
+                         numBits: Long = 1 << 20): Option[Array[Byte]] = {
+    val grams = benchmark
+      .select(split(col("text"), " ").as("tok"))
+      .select(
+        when(size(col("tok")) >= n,
+          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+            i => array_join(slice(col("tok"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(explode(col("grams")).as("gram"))
+    val row = grams
+      .agg(BloomFunctions.bloomFilterAgg(col("gram"), 100000L, numBits).as("bf"))
+      .head()
+    Option(row.getAs[Array[Byte]]("bf"))
+  }
+
+  /** The gate: admitted documents only, with the token count attached.
+    * `docs` must carry (doc_id, ts, text); duplicates share identical
+    * text. Stage layout follows the one-HOF-stage-per-projection rule.
+    */
+  def curationGate(docs: DataFrame, benchBloom: Option[Array[Byte]],
+                   minTokens: Int = 5, gramN: Int = 8,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val contaminated: Column = benchBloom match {
+      case Some(bytes) =>
+        exists(col("grams"), g => BloomFunctions.mightContain(lit(bytes), g))
+      case None => lit(false)
+    }
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("grams",
+        when(size(col("tok")) >= gramN,
+          transform(sequence(lit(1), size(col("tok")) - (gramN - 1)),
+            i => array_join(slice(col("tok"), i, lit(gramN)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .filter(col("n_tokens") >= minTokens && !contaminated)
+      .select(col("doc_id"), col("ts"), col("text"), col("n_tokens"))
+  }
+}

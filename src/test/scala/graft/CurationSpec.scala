@@ -32,6 +32,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.size === 5, "report must cover every corpus doc")
   }
 
+  test("D11 separate-id-space benchmark: equal ids must NOT suppress hits") {
+    import spark.implicits._
+    // eval set with its own id space: id 1 collides with an UNRELATED corpus doc
+    val bench = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8 x9", // contaminated AND id-collides
+      2L -> "a b c d e f g h"
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationReport(corpus, bench, benchmarkFromCorpus = false)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("contaminated")).toMap
+    assert(r(1L) === true, "id collision across independent id spaces suppressed a real hit")
+    assert(r(2L) === false)
+    // the corpus-subset default keeps self-exclusion
+    val sub = Dedup.contaminationReport(corpus, corpus.filter($"doc_id" === 1L))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("contaminated")).toMap
+    assert(sub(1L) === false)
+  }
+
   test("I8 mixture sampling honors 0 and 100 percent exactly and is deterministic") {
     import spark.implicits._
     val docs = (1L to 300L)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
-import graft.streaming.{FraudStream, Stateful}
+import graft.streaming.{CurationStream, FraudStream, Stateful}
 
 /** Structured-streaming pipeline (SURVEY §2 A2, A5, H1–H3). */
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
@@ -53,6 +53,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "tx_month=3", "tx_day=1")))
     // discounted_price: base 2.0, discount 0% (reference percent semantics)
     assert(byId("t1").getAs[Double]("discounted_price") === 2.0)
+  }
+
+  test("H10 streaming curation gate: dedup + quality floor + bloom decontamination") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = tmpDir("graft_cur_in")
+    val ckpt = tmpDir("graft_cur_ckpt")
+    val benchText = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val bloom = CurationStream.benchmarkGramBloom(
+      Seq((100L, benchText)).toDF("doc_id", "text"))
+    assert(bloom.nonEmpty)
+    // doc 1: clean; doc 2: exact dup of 1 (same text); doc 3: too short;
+    // doc 4: shares an 8-gram with the benchmark -> blocked
+    Files.writeString(Paths.get(in, "docs.json"), Seq(
+      """{"doc_id":1,"ts":"2024-03-01T10:00:00.000Z","text":"clean doc alpha beta gamma delta epsilon zeta"}""",
+      """{"doc_id":2,"ts":"2024-03-01T10:00:01.000Z","text":"clean doc alpha beta gamma delta epsilon zeta"}""",
+      """{"doc_id":3,"ts":"2024-03-01T10:00:02.000Z","text":"too short"}""",
+      s"""{"doc_id":4,"ts":"2024-03-01T10:00:03.000Z","text":"prefix $benchText suffix"}""")
+      .mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).json(in)
+    val admitted = CurationStream.curationGate(stream, bloom)
+    admitted.writeStream.format("memory").queryName("curated")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val out = spark.sql("SELECT doc_id, n_tokens FROM curated").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L), s"admitted wrong set: ${out.keySet}")
+    assert(out(1L) === 8L)
+    // empty benchmark -> no contamination gate: doc 4 becomes admissible
+    val admitted2 = CurationStream.curationGate(
+      spark.readStream.schema(schema).json(in), benchBloom = None)
+    admitted2.writeStream.format("memory").queryName("curated2")
+      .option("checkpointLocation", tmpDir("graft_cur_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val out2 = spark.sql("SELECT doc_id FROM curated2").collect().map(_.getLong(0)).toSet
+    assert(out2 === Set(1L, 4L))
   }
 
   test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
