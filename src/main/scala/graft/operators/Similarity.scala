@@ -331,7 +331,60 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** E7: scalar quantization (SQ8) — each corpus vector stored as
+    * 256-level byte codes plus per-vector (min, step): a 4× memory cut
+    * on the corpus side of similarity search (the dominant cost of a
+    * 100 TB embedding store), with per-component reconstruction error
+    * bounded by step/2. Pure array expressions — quantize at write
+    * time, dequantize at scan time, and the same top-k/kNN plumbing
+    * runs unchanged on the reconstructed vectors. Constant-component
+    * vectors (max = min) take step 1 and encode exactly.
+    */
+  def quantizeSq8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("qmin", array_min(col("embedding")).cast("double"))
+      .withColumn("qmax", array_max(col("embedding")).cast("double"))
+      .withColumn("qstep",
+        when(col("qmax") > col("qmin"), (col("qmax") - col("qmin")) / 255.0)
+          .otherwise(lit(1.0)))
+      .withColumn("codes",
+        transform(col("embedding"), x =>
+          round((x.cast("double") - col("qmin")) / col("qstep")).cast("int") - 128)
+          .cast("array<tinyint>"))
+      .select("vec_id", "qmin", "qstep", "codes")
+
+  /** Inverse of [[quantizeSq8]]: reconstructed float vectors, ready for
+    * the unchanged search operators.
+    */
+  def dequantizeSq8(quantized: DataFrame): DataFrame =
+    quantized
+      .withColumn("embedding",
+        transform(col("codes"), c =>
+          (col("qmin") + (c.cast("double") + 128.0) * col("qstep")).cast("float")))
+      .select("vec_id", "embedding")
+
+  /** Exact-query / compressed-corpus top-k: the query vector stays
+    * full-precision (one row), the corpus is searched through its SQ8
+    * reconstruction — the standard serving trade. Recall vs the exact
+    * E1 baseline is measured in the spec.
+    */
+  def sq8TopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = withNorm(embeddings).filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    withNorm(dequantizeSq8(quantizeSq8(embeddings)))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E7: SQ8-compressed-corpus ANN top-20 (rows-only; reconstruction
+    // bound + recall vs E1 in the spec).
+    "e7_ann_sq8" -> ((s, d) => sq8TopK(t(s, d, "embeddings"), 0L, 20)),
     // E5: batch kNN join — top-10 neighbors for query vectors 0..7.
     "e5_knn_join" -> ((s, d) => knnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
     // E1: exact brute-force cosine top-20 for query vector 0.

@@ -37,6 +37,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ann.head.getAs[Double]("score") > 0.999)
   }
 
+  test("E7 SQ8: reconstruction bounded by step/2, high recall vs exact search") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // per-component reconstruction error ≤ qstep/2 (+ float32 rounding)
+    val joined = Similarity.dequantizeSq8(Similarity.quantizeSq8(e))
+      .withColumnRenamed("embedding", "deq")
+      .join(e, Seq("vec_id"))
+      .join(Similarity.quantizeSq8(e).select(col("vec_id"), col("qstep")), Seq("vec_id"))
+      .select(
+        aggregate(zip_with(col("embedding"), col("deq"),
+            (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (m, x) => greatest(m, x)).as("max_err"),
+        col("qstep"))
+    val bad = joined.filter(col("max_err") > col("qstep") / 2 + 1e-4).count()
+    assert(bad === 0L, "reconstruction error exceeded step/2")
+    // compressed-corpus search agrees with the exact baseline
+    val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
+    val sq = Similarity.sq8TopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall vs exact dropped to $recall")
+    // codes really are byte-width (the 4x memory claim is structural)
+    val codesType = Similarity.quantizeSq8(e).schema("codes").dataType
+    assert(codesType.simpleString === "array<tinyint>", codesType.simpleString)
+  }
+
   test("E2 ANN recall vs E1 on real embeddings is measurable and bounded") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
