@@ -39,7 +39,7 @@ object Bench {
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "e7_ann_sq8",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
-    "f8_pii_redact", "f10_keywords", "g1_multimodal_meta",
+    "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "g1_multimodal_meta",
     "g4_embed_batched", "i8_mixture_sample", "i9_pack_sequences",
     "i10_global_shuffle")
 

@@ -192,6 +192,31 @@ object TextAnalysis {
             ipRe, "<IP>"),
           phoneRe, "<PHONE>").as("redacted"))
 
+  /** F9: unigram log-probability scoring — the core of CCNet-style
+    * perplexity filtering: each token scored by the corpus's own
+    * smoothed unigram distribution, per-doc mean log-prob; the lowest
+    * tail is the gibberish/boilerplate cut. Same keyed shape as TF-IDF
+    * (term counts shuffle on term, corpus totals broadcast as one row).
+    * The per-doc mean sums ROUNDED log-probs through decimal so the
+    * reduction is associative — bit-identical across partitionings and
+    * engines (SURVEY §6b FP-parity rule). At 100 TB the vocab join
+    * swaps the broadcast hint for a plain shuffle join (or a top-K
+    * vocab with a default tail log-prob).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tc = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = tc.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
+    val lp = tc.crossJoin(broadcast(tot))
+      .withColumn("logp",
+        round(log((col("c") + 1.0) / (col("total") + col("vocab"))), 8))
+    terms.join(broadcast(lp.select(col("term"), col("logp"))), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("logp").cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .as("mean_logprob"))
+  }
+
   /** Top-k keyword extraction per document: the TF-IDF stage ranked
     * within each doc. `row_number <= k` compiles to WindowGroupLimit, so
     * each partition keeps k rows per doc before the per-doc shuffle.
@@ -206,6 +231,7 @@ object TextAnalysis {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
     "f7_repetition" -> ((s, d) => repetition(t(s, d, "documents"))),
     "f8_pii_redact" -> ((s, d) => piiRedact(t(s, d, "documents"))),
     "f10_keywords" -> ((s, d) => keywords(t(s, d, "documents"))),
@@ -231,6 +257,20 @@ object TextAnalysis {
       |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "f9_unigram_logprob" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS vocab FROM tc),
+        |lp AS (
+        |  SELECT term,
+        |         round(ln((c + CAST(1.0 AS DOUBLE)) / (total + vocab)), 8) AS logp
+        |  FROM tc, tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CAST(logp AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mean_logprob
+        |FROM terms t JOIN lp ON t.term = lp.term
+        |GROUP BY t.doc_id""".stripMargin,
+
     "f10_keywords" ->
       s"""SELECT doc_id, term, tfidf, rnk FROM (
          |  SELECT doc_id, term, tfidf,
