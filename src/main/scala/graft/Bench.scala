@@ -86,7 +86,10 @@ object Bench {
     }
     val streaming = streamingThroughput(spark, sfDir)
     val bucketed = bucketedJoinStudy(spark, sfDir)
-    val all = results ++ streaming ++ bucketed
+    val curation = curationGateStudy(spark, sfDir)
+    val annIndex = annIndexStudy(spark, sfDir)
+    val all = results ++ streaming ++ bucketed ++ curation ++ annIndex
+    val scaling = scalingStudy(spark, sfDir, all.toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -94,8 +97,222 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
     spark.stop()
+  }
+
+  /** Build-once / search-many ANN study: the serving-side costs the
+    * per-query map misses. Index builds (IVF cell partitioning, SQ8
+    * quantization, k-means fit) are one-time setup amortized over every
+    * query, so they are reported separately from their probes:
+    *  - `e6_ivf_probe`: probe of the PERSISTED cell-partitioned IVF
+    *    index — partition pruning limits the scan to nProbes/nCentroids
+    *    of the corpus (the on-disk routing the in-memory e3 entry pays
+    *    per query);
+    *  - `e7_sq8_persisted`: search over the STORED SQ8 code table —
+    *    codes-only scan, the 4× I/O cut realized at read time (the
+    *    inline e7_ann_sq8 entry re-quantizes per query);
+    *  - `e4_fit` / `e4_probe`: the k-means IVF split — fit is the heavy
+    *    multi-pass one-time job, probe is the steady-state cost
+    *    comparable to e3.
+    */
+  private def annIndexStudy(spark: SparkSession,
+                            sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
+      val emb = Tables.table(spark, sfDir, "embeddings")
+      val qVec = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // one-time builds (setup): written once, probed many times
+      Similarity.buildIvfIndex(emb, s"$tmp/ivf")
+      Similarity.buildSq8Index(emb, s"$tmp/sq8")
+      def ivfProbe(): Unit =
+        Similarity.probeIvfIndexVec(spark, s"$tmp/ivf", qVec, 20,
+          excludeVecId = Some(0L))
+          .write.format("noop").mode("overwrite").save()
+      def sq8Search(): Unit =
+        Similarity.searchSq8Index(spark, s"$tmp/sq8", qVec, 20,
+          excludeVecId = Some(0L))
+          .write.format("noop").mode("overwrite").save()
+      // k-means: fit twice (first run absorbs JIT/codegen), time the second
+      Similarity.fitIvfKmeans(emb)
+      var model: org.apache.spark.ml.clustering.KMeansModel = null
+      def probeLearned(): Unit =
+        Similarity.ivfProbeLearned(emb, model, 0L, 20)
+          .write.format("noop").mode("overwrite").save()
+      ivfProbe(); sq8Search() // untimed warm-ups
+      val fit = time("e4_fit") { model = Similarity.fitIvfKmeans(emb) }
+      probeLearned() // warm-up after the model exists
+      val out = Seq(
+        time("e6_ivf_probe") { ivfProbe() },
+        time("e7_sq8_persisted") { sq8Search() },
+        fit,
+        time("e4_probe") { probeLearned() })
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case scala.util.control.NonFatal(_) => }
+      out
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ann index study setup failed: ${e.getMessage}")
+        Seq("e6_ivf_probe" -> -1.0, "e7_sq8_persisted" -> -1.0,
+          "e4_fit" -> -1.0, "e4_probe" -> -1.0)
+    }
+  }
+
+  /** H10 throughput: the streaming corpus-curation gate (exact-dup drop
+    * + quality floor + Bloom decontamination) over the documents corpus
+    * rendered to JSON files — the LLM-pipeline streaming headline,
+    * measured the same way as the h1 variants (AvailableNow through a
+    * noop foreachBatch). The benchmark side is the d11 stand-in
+    * (doc_id % 10 = 3), collected once into the broadcast Bloom sketch.
+    */
+  private def curationGateStudy(spark: SparkSession,
+                                sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.sources.Tables
+    import graft.streaming.CurationStream
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_cur").toString
+      val docs = Tables.table(spark, sfDir, "documents")
+      docs.select(col("doc_id"),
+          timestamp_seconds(lit(1709251200L) + pmod(col("doc_id"), lit(600L))).as("ts"),
+          col("text"))
+        .repartition(16)
+        .write.json(s"$tmp/in")
+      val bloom = CurationStream.benchmarkGramBloom(
+        docs.filter(col("doc_id") % 10 === 3))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("ts", TimestampType), StructField("text", StringType)))
+      def run(label: String): (String, Double) =
+        try {
+          val t0 = System.nanoTime()
+          val admitted = CurationStream.curationGate(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).json(s"$tmp/in"), bloom)
+          val q = admitted.writeStream
+            .option("checkpointLocation", s"$tmp/ckpt_$label")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.format("noop").mode("overwrite").save()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          label -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $label failed: ${e.getMessage}")
+            label -> -1.0
+        }
+      run("warmup_curation")
+      Seq(run("h10_curation_gate"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] curation study setup failed: ${e.getMessage}")
+        Seq("h10_curation_gate" -> -1.0)
+    }
+  }
+
+  /** Cross-sf scaling audit: the growth check a single-sf bench cannot
+    * see. A subset of the headline (one per family, plus the queries the
+    * round-3 verdict flagged as super-linear candidates: the d8
+    * component loop, window-heavy b33/c15, the skew pair) is re-run at
+    * the two smaller scale factors; with the sf0.1 time from the main
+    * pass, each query gets a growth exponent
+    *   exp = ln(t_sf0.1 / t_sf0.01) / ln(rows_sf0.1 / rows_sf0.01)
+    * over its primary table's row count (the TPC-H tables grow 10× per
+    * sf step but documents/embeddings only 4×, so the denominator must
+    * be per-table, not nominal). exp ≈ 1 is linear; > 1.3 flags a plan
+    * that will not survive a 100× scale-up. sf0.001 times are reported
+    * for the curve but kept out of the exponent — at ~0.1 s they are
+    * fixed-overhead-dominated and would fake sub-linearity.
+    * Runs only when the bench dir is the sf0.1 tree (the driver's
+    * config); emitted as a "scaling" object in the JSON line.
+    */
+  private val scalingSet: Seq[(String, String)] = Seq(
+    "b1_filter_project" -> "lineitem",
+    "b5_agg_basic" -> "lineitem",
+    "b8_sliding_window" -> "events",
+    "b22_asof_join" -> "events",
+    "b33_event_gaps" -> "events",
+    "c15_trailing_window" -> "events",
+    "c1_fraud_enrich" -> "lineitem",
+    "c1_skew_plain" -> "lineitem",
+    "c1_skew_salted" -> "lineitem",
+    "c7_category_trend_approx" -> "lineitem",
+    "d2_minhash_lsh" -> "documents",
+    "d8_dedup_clusters" -> "documents",
+    "d11_decontaminate" -> "documents",
+    "e1_cosine_topk" -> "embeddings",
+    "f10_keywords" -> "documents",
+    "i9_pack_sequences" -> "documents")
+
+  private def scalingStudy(spark: SparkSession, sfDir: String,
+                           mainTimes: Map[String, Double]): String = {
+    if (!sfDir.endsWith("sf0.1")) return ""
+    val sfs = Seq("sf0.001", "sf0.01").map(s => s -> sfDir.replace("sf0.1", s))
+    try {
+      val rowCounts: Map[String, Map[String, Long]] =
+        (sfs :+ ("sf0.1" -> sfDir)).map { case (sf, dir) =>
+          sf -> scalingSet.map(_._2).distinct.map { tbl =>
+            tbl -> graft.sources.Tables.table(spark, dir, tbl).count()
+          }.toMap
+        }.toMap
+      val times: Map[String, Map[String, Double]] = sfs.map { case (sf, dir) =>
+        // untimed warm-up per sf: same codegen, but AQE re-plans per dir
+        scalingSet.foreach { case (name, _) =>
+          SparkEntry.queries.get(name).foreach { fn =>
+            try fn(spark, dir).write.format("noop").mode("overwrite").save()
+            catch { case scala.util.control.NonFatal(_) => }
+          }
+        }
+        sf -> scalingSet.flatMap { case (name, _) =>
+          SparkEntry.queries.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+              name -> (System.nanoTime() - t0) / 1e9
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] scaling $name@$sf failed: ${e.getMessage}")
+                name -> -1.0
+            }
+          }
+        }.toMap
+      }.toMap
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val entries = scalingSet.flatMap { case (name, tbl) =>
+        for {
+          t001 <- times("sf0.01").get(name)
+          t0001 <- times("sf0.001").get(name)
+          t01 <- mainTimes.get(name)
+          if t001 > 0 && t01 > 0
+        } yield {
+          val rowRatio = rowCounts("sf0.1")(tbl).toDouble / rowCounts("sf0.01")(tbl)
+          val exp = math.log(t01 / t001) / math.log(rowRatio)
+          s""""$name":{"t_sf0001":${num(t0001)},"t_sf001":${num(t001)},""" +
+            s""""t_sf01":${num(t01)},"row_ratio":${num(rowRatio)},"exp":${num(exp)}}"""
+        }
+      }
+      s""","scaling":${entries.mkString("{", ",", "}")}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] scaling study failed: ${e.getMessage}")
+        ""
+    }
   }
 
   /** Bucketed co-located join study: the fact-fact lineitem⋈orders join

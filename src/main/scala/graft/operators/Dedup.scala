@@ -59,13 +59,21 @@ object Dedup {
       array_min(transform(hs, x => (a * x + b) % P))
     })
 
-  /** Spread an expression-heavy narrow stage across the cluster: a small
-    * file count must not serialize CPU-bound sketching onto few cores
-    * (locally: the single-file documents table would otherwise sketch on
-    * one thread; at scale: the tail of small input splits).
+  /** Spread an expression-heavy narrow stage across the cluster ONLY
+    * when the input is under-partitioned: a small file count must not
+    * serialize CPU-bound sketching onto few cores (locally: the
+    * single-file documents table would otherwise sketch on one thread).
+    * When the input already has at least one split per core — the normal
+    * state of a 100 TB table with ~10⁵ splits — this is a no-op: a
+    * round-robin exchange there would pointlessly re-shuffle the most
+    * expensive column (the raw document text) before sketching.
+    * (Checking the physical partition count compiles the plan but runs
+    * no job.)
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** Tokens → shingles → hashes → signature, one projection per stage.
     *
@@ -370,8 +378,9 @@ object Dedup {
       contaminationReport(docs, docs.filter(col("doc_id") % 10 === 3))
     }),
 
-    // D10: ANN-blocked semantic clusters — the scale path (rows-only;
-    // refinement-vs-exact property in DedupSpec).
+    // D10: ANN-blocked semantic clusters — the scale path, now oracle
+    // hash-matched (md5-portable buckets) with the refinement-vs-exact
+    // property still in DedupSpec.
     "d10_embed_clusters_blocked" -> ((s, d) =>
       embedClustersBlocked(t(s, d, "embeddings"))),
 
@@ -457,7 +466,8 @@ object Dedup {
 
     // D5b: the 100 TB form of D5 — LSH-bucketed candidate pairs, exact
     // cosine verification ONLY within buckets. One sketch pass + one
-    // shuffle on the bucket key; never O(n²). Rows-only; DedupSpec
+    // shuffle on the bucket key; never O(n²). Oracle hash-matched (the
+    // md5-portable buckets reproduce in DuckDB); DedupSpec additionally
     // asserts the result is a subset of D5 with identical scores.
     "d5_embed_neardup_blocked" -> ((s, d) =>
       cosineVerify(t(s, d, "embeddings"),
@@ -614,6 +624,79 @@ object Dedup {
           |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, emb.vec_id)) AS cluster_size,
           |       emb.vec_id = coalesce(c.cluster_id, emb.vec_id) AS is_canonical
           |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
+
+      // D5b: buckets are md5-derived (Similarity.bucketSql) so the oracle
+      // reproduces the LSH blocking exactly: candidate pairs are same-
+      // bucket pairs (each vector lands in exactly ONE bucket, so the
+      // grouped-bucket expansion is precisely this self-join), then the
+      // same exact-cosine verification as d5 on candidates only.
+      "d5_embed_neardup_blocked" ->
+        s"""WITH bk AS (
+           |  SELECT vec_id, ${Similarity.bucketSql("embedding")} AS bucket
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           list_transform(range(1, len(embedding) + 1),
+           |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+           |           (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |  WHERE nrm > 0)
+           |SELECT c.vec_a, c.vec_b,
+           |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |         list_transform(range(1, len(ea.embedding) + 1),
+           |           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+           |         (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos_sim
+           |FROM cand c
+           |JOIN e ea ON c.vec_a = ea.vec_id
+           |JOIN e eb ON c.vec_b = eb.vec_id
+           |WHERE cos_sim > 0.4""".stripMargin,
+
+      // D10: the d5b-blocked edges fed through the same transitive-closure
+      // oracle as d9 — clusters over ALL embedding ids, unmatched ids
+      // keep their own id as cluster.
+      "d10_embed_clusters_blocked" ->
+        s"""WITH RECURSIVE bk AS (
+           |  SELECT vec_id, ${Similarity.bucketSql("embedding")} AS bucket
+           |  FROM embeddings),
+           |cand AS (
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           list_transform(range(1, len(embedding) + 1),
+           |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+           |           (x, y) -> x + y)) AS nrm
+           |  FROM embeddings
+           |  WHERE nrm > 0),
+           |p AS (
+           |  SELECT c.doc_a, c.doc_b
+           |  FROM cand c
+           |  JOIN e ea ON c.doc_a = ea.vec_id
+           |  JOIN e eb ON c.doc_b = eb.vec_id
+           |  WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |          list_transform(range(1, len(ea.embedding) + 1),
+           |            i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+           |          (x, y) -> x + y) / (ea.nrm * eb.nrm) > 0.4),
+           |edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM p
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM p),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+           |comp AS (
+           |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+           |SELECT emb.vec_id,
+           |       coalesce(c.cluster_id, emb.vec_id) AS cluster_id,
+           |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, emb.vec_id)) AS cluster_size,
+           |       emb.vec_id = coalesce(c.cluster_id, emb.vec_id) AS is_canonical
+           |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
 
       "d5_embed_neardup" ->
         """WITH e AS (

@@ -536,12 +536,21 @@ object Relational {
     // range predicate evaluates map-side on the fact scan — the right
     // plan when one side is an interval table; an equi-bucket prejoin
     // (b8-style window expansion) is the alternative when both sides are
-    // huge.
+    // huge. The calendar comes from ONE scalar min/max aggregate over the
+    // ts column + sequence(), not a distinct over the fact: the bounds
+    // scan is column-pruned and its partial agg collapses to one row per
+    // partition map-side (at 100 TB it can be served from parquet footer
+    // stats via v2 aggregate pushdown); a distinct would shuffle every
+    // distinct month from every partition AND scan the fact a second
+    // time just to learn the calendar. Months with no events disappear in
+    // the inner join either way, so the result is identical.
     "b23_range_join" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val months = t(s, d, "events")
-        .select(date_trunc("month", col("ts")).as("month_start"))
-        .distinct()
+      val months = ev
+        .agg(date_trunc("month", min(col("ts"))).as("lo"),
+             date_trunc("month", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL '1' MONTH"))).as("month_start"))
         .withColumn("month_end", add_months(col("month_start"), 1))
       ev.join(broadcast(months),
           col("ts") >= col("month_start") && col("ts") < col("month_end"))

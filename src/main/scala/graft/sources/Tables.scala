@@ -188,12 +188,15 @@ object Tables {
     * load.
     *
     * Spark restriction: a query that references ONLY `_corrupt_record`
-    * (and no data column) of a raw CSV read raises AnalysisException —
-    * callers splitting off the dead-letter stream must `.cache()` (or
-    * otherwise materialize) the returned frame first, then derive both
-    * the clean and quarantine sides from the cached frame (see
-    * SourcesSpec A10). Not cached here: the helper sits on full-load
-    * paths where an implicit 100 TB cache would be a footgun.
+    * (and no data column) of a raw CSV read raises AnalysisException, so
+    * the returned frame is `.cache()`d here — a quarantine split always
+    * reads the frame at least twice anyway (clean side + dead-letter
+    * side), and the cache lets callers select `_corrupt_record` directly
+    * (SourcesSpec A10). Lazy cache, DISK-spillable default storage:
+    * nothing materializes until the first action, and callers on a
+    * single-pass full-load path should `.unpersist()` when done (at
+    * 100 TB, prefer splitting sides in ONE pass via foreachBatch/persist
+    * management rather than holding the cache).
     */
   def readCsvQuarantined(spark: SparkSession, path: String,
                          schema: StructType): DataFrame =
@@ -203,6 +206,7 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", StringType))
       .csv(path)
+      .cache()
 
   /** Schema'd streaming JSON read (producer-side payload shape,
     * reference: src/kafka/producer/transaction_producer.py).

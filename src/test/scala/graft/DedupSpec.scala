@@ -23,6 +23,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)), cand)
   }
 
+  test("spread: no round-robin exchange before the sketch on well-partitioned input") {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // localCheckpoint materializes the partitioning so the input's own
+    // repartition is not part of the measured plan
+    val many = (1L to 50L).map(i => (i, s"$base extra$i")).toDF("doc_id", "text")
+      .repartition(par).localCheckpoint(true)
+    val plan = Dedup.lshBands(many).queryExecution.executedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"sketch path must not re-shuffle a well-partitioned corpus:\n$plan")
+    // and a single-partition input must still spread across cores
+    val few = (1L to 50L).map(i => (i, s"$base extra$i")).toDF("doc_id", "text")
+      .coalesce(1).localCheckpoint(true)
+    val planFew = Dedup.lshBands(few).queryExecution.executedPlan.toString
+    assert(planFew.contains("RoundRobinPartitioning"),
+      s"under-partitioned input must spread before sketching:\n$planFew")
+  }
+
   test("D4 Jaccard verification scores the candidate pair high") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val j = Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))

@@ -105,6 +105,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("E7 persisted SQ8 index search matches the inline quantize-and-search") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val dir = tmpDir("graft_sq8_idx")
+    graft.operators.Similarity.buildSq8Index(e, dir)
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val persisted = graft.operators.Similarity
+      .searchSq8Index(spark, dir, qVec, 20, excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    val inline = graft.operators.Similarity.sq8TopK(e, 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    assert(persisted.map(_._1).toSeq === inline.map(_._1).toSeq)
+    persisted.zip(inline).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // the stored table really is the code form, not a float mirror
+    val stored = spark.read.parquet(s"$dir/codes")
+    assert(stored.schema("codes").dataType.simpleString === "array<tinyint>")
+    assert(!stored.columns.contains("embedding"))
+  }
+
+  test("E4 fit/probe split composes to the one-shot learned-IVF result") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val model = graft.operators.Similarity.fitIvfKmeans(e)
+    val split = graft.operators.Similarity.ivfProbeLearned(e, model, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val oneShot = graft.operators.Similarity.ivfTopKLearned(e, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(split === oneShot)
+  }
+
   test("E2 candidate pairs stay within buckets (no cross join)") {
     val e = vecs(
       0L -> Seq(1f, 1f, 1f, 1f),

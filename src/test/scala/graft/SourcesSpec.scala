@@ -176,14 +176,17 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
         |t2,not_an_int,10,s1,oops,card,FRANCE,2024-03-01T10:01:00.000Z
         |t3,2,20,s2,30.0,cash,KENYA,2024-03-01T10:02:00.000Z
         |""".stripMargin)
-    // Spark disallows querying ONLY the corrupt column off raw files —
-    // materialize the parsed rows first (what a dead-letter split does)
-    val out = graft.sources.Tables.readCsvQuarantined(spark, dir,
-      graft.sources.Tables.transactionSchema).collect()
-    val (bad, good) = out.partition(r => r.getAs[String]("_corrupt_record") != null)
-    assert(good.length === 2)
-    assert(bad.length === 1)
-    assert(bad(0).getAs[String]("_corrupt_record").contains("not_an_int"))
+    // the helper caches internally, so the dead-letter side can select
+    // the corrupt column DIRECTLY (raw CSV reads disallow that un-cached)
+    val q = graft.sources.Tables.readCsvQuarantined(spark, dir,
+      graft.sources.Tables.transactionSchema)
+    try {
+      val bad = q.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").collect()
+      assert(bad.length === 1)
+      assert(bad(0).getString(0).contains("not_an_int"))
+      assert(q.filter(col("_corrupt_record").isNull).count() === 2)
+    } finally q.unpersist()
   }
 
   test("I6 incrementalLoad: sink -> schema-align -> MERGE, idempotent across reruns") {
