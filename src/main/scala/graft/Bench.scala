@@ -37,7 +37,7 @@ object Bench {
     "d5_embed_neardup_blocked", "d8_dedup_clusters",
     "d10_embed_clusters_blocked", "d11_decontaminate",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
-    "e7_ann_sq8",
+    "e7_ann_sq8", "e8_ann_pq",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "g1_multimodal_meta",
     "g4_embed_batched", "i8_mixture_sample", "i9_pack_sequences",
@@ -138,6 +138,7 @@ object Bench {
       // one-time builds (setup): written once, probed many times
       Similarity.buildIvfIndex(emb, s"$tmp/ivf")
       Similarity.buildSq8Index(emb, s"$tmp/sq8")
+      Similarity.buildPqIndex(emb, s"$tmp/pq")
       def ivfProbe(): Unit =
         Similarity.probeIvfIndexVec(spark, s"$tmp/ivf", qVec, 20,
           excludeVecId = Some(0L))
@@ -146,18 +147,23 @@ object Bench {
         Similarity.searchSq8Index(spark, s"$tmp/sq8", qVec, 20,
           excludeVecId = Some(0L))
           .write.format("noop").mode("overwrite").save()
+      def pqSearch(): Unit =
+        Similarity.searchPqIndex(spark, s"$tmp/pq", qVec, 20,
+          excludeVecId = Some(0L))
+          .write.format("noop").mode("overwrite").save()
       // k-means: fit twice (first run absorbs JIT/codegen), time the second
       Similarity.fitIvfKmeans(emb)
       var model: org.apache.spark.ml.clustering.KMeansModel = null
       def probeLearned(): Unit =
         Similarity.ivfProbeLearned(emb, model, 0L, 20)
           .write.format("noop").mode("overwrite").save()
-      ivfProbe(); sq8Search() // untimed warm-ups
+      ivfProbe(); sq8Search(); pqSearch() // untimed warm-ups
       val fit = time("e4_fit") { model = Similarity.fitIvfKmeans(emb) }
       probeLearned() // warm-up after the model exists
       val out = Seq(
         time("e6_ivf_probe") { ivfProbe() },
         time("e7_sq8_persisted") { sq8Search() },
+        time("e8_pq_persisted") { pqSearch() },
         fit,
         time("e4_probe") { probeLearned() })
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
@@ -167,7 +173,7 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] ann index study setup failed: ${e.getMessage}")
         Seq("e6_ivf_probe" -> -1.0, "e7_sq8_persisted" -> -1.0,
-          "e4_fit" -> -1.0, "e4_probe" -> -1.0)
+          "e8_pq_persisted" -> -1.0, "e4_fit" -> -1.0, "e4_probe" -> -1.0)
     }
   }
 

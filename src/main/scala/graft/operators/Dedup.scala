@@ -150,7 +150,12 @@ object Dedup {
     * fingerprint is the sign of Σ±1 across token hashes for that bit
     * (32 bits keeps the positional fold inside a signed long under ANSI
     * mode; hamming distance on 32 bits is plenty for near-dup banding).
-    * Spark-only sketch (xxhash64 fast path), rows-only check.
+    * Token hashes are the ENGINE-PORTABLE md5Prefix60 (same family as
+    * the MinHash shingle hash), so the DuckDB oracle reproduces every
+    * fingerprint exactly — the fold reads the low 32 of the 60 hash
+    * bits. The ± sum per bit is order-independent, so Spark's
+    * array_distinct and DuckDB's list_distinct may order the set
+    * differently without affecting the result.
     */
   def simhash(docs: DataFrame): DataFrame =
     spread(docs)
@@ -158,7 +163,8 @@ object Dedup {
       // token hashes materialized once; the 32-bit fold then only re-reads
       // the attribute (inlining the hash expr would recompute it per bit)
       .select(col("doc_id"),
-        array_distinct(transform(col("tok"), w => xxhash64(w))).as("hs"))
+        array_distinct(transform(col("tok"),
+          w => graft.functions.HashFunctions.md5Prefix60(w))).as("hs"))
       .select(col("doc_id"),
         expr(
           """aggregate(
@@ -397,7 +403,8 @@ object Dedup {
     // D2: MinHash + LSH banding near-dup candidate pairs.
     "d2_minhash_lsh" -> ((s, d) => minhashCandidates(t(s, d, "documents"))),
 
-    // D3: SimHash fingerprints (rows-only; hand-computed vectors in spec).
+    // D3: SimHash fingerprints — oracle hash-matched (md5-portable token
+    // hashes); structural properties still in the spec.
     "d3_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
 
     // D4: n-gram Jaccard verification of the D2 candidates.
@@ -527,6 +534,27 @@ object Dedup {
       "d1_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      // D3: same md5Prefix60 token hashes, same low-32-bit ± sign fold;
+      // the per-bit sum is order-independent so distinct-set ordering
+      // differences between engines cannot matter.
+      "d3_simhash" ->
+        """WITH hs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_transform(str_split(text, ' '),
+          |           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS h
+          |  FROM documents)
+          |SELECT doc_id,
+          |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |         list_transform(range(0, 32), b ->
+          |           CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |             list_transform(h, x ->
+          |               CASE WHEN ((x >> b) & 1) = 1
+          |                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+          |             (s, v) -> s + v) > 0
+          |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          |         (acc, bit) -> acc * 2 + bit) AS simhash
+          |FROM hs""".stripMargin,
 
       "d2_minhash_lsh" -> (bandsCte + "\nSELECT doc_a, doc_b FROM cand"),
 

@@ -482,7 +482,215 @@ object Similarity {
       .limit(k)
   }
 
+  /** E8: product quantization (PQ, Jégou et al. 2011) — the corpus is
+    * split into `m` subspaces, each encoded as the index of its nearest
+    * of 16 seeded centroids: 4-bit codes, a 16× memory cut at dim 64
+    * (vs SQ8's 4×). Centroids are the first 16 corpus vectors'
+    * subvectors (the deterministic seeding of E3 — no stored model, and
+    * the whole pipeline reproduces in the DuckDB oracle; a production
+    * build swaps in per-subspace k-means without touching the search).
+    *
+    * Encode cost is per-row argmin over a LITERAL centroid table — no
+    * join, no shuffle, embarrassingly parallel. Staged one HOF per
+    * projection (SURVEY §6b): the distance table materializes before
+    * the argmin reads it, so nothing re-evaluates.
+    */
+  val pqSubspaces = 8
+  val pqCentroids = 16
+
+  /** Per-subspace centroid table: cents(s)(c)(d) = component d of
+    * centroid c in subspace s, from the first `pqCentroids` corpus
+    * vectors by id. Bounded driver state (16 rows), like E3's seeds.
+    */
+  private def pqCentroidTable(e: DataFrame, dim: Int): Array[Array[Array[Double]]] = {
+    val seeds = e.orderBy(col("vec_id")).limit(pqCentroids)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.length == pqCentroids,
+      s"corpus has fewer than $pqCentroids non-zero vectors to seed PQ")
+    require(dim % pqSubspaces == 0, s"dim $dim not divisible by $pqSubspaces")
+    val sub = dim / pqSubspaces
+    Array.tabulate(pqSubspaces)(s =>
+      seeds.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** ‖cent_s_c‖² table, driver-computed with the same left-to-right
+    * fold as the SQL oracle — shared by the encode (distance expansion)
+    * and the ADC norm term.
+    */
+  private def pqNsqTable(cents: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+      var acc = 0.0
+      var d = 0
+      while (d < cents(s)(c).length) { acc += cents(s)(c)(d) * cents(s)(c)(d); d += 1 }
+      acc
+    }
+
+  /** (vec_id, codes): `m` 4-bit codes per vector — per subspace, the
+    * argmin over centroids of `‖c‖² − 2·x_s·c` (the squared-L2 argmin
+    * with the constant ‖x_s‖² term dropped), first-min tie ⇒ lowest
+    * code. Each x_s·c is one native codegen'd [[dot]] against a literal
+    * centroid subvector — NO per-component lambda loops: the earlier
+    * nested-HOF distance fold ran interpreted at ~4 ms/row (hopeless
+    * for an index build over billions of vectors); this form encodes at
+    * scan speed. Three projections (subvectors → 16-entry distance
+    * arrays → argmin) so nothing re-evaluates (§6b).
+    */
+  def quantizePq(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val cents = pqCentroidTable(withNorm(embeddings), dim)
+    val sub = dim / pqSubspaces
+    val nsq = pqNsqTable(cents)
+    embeddings
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(pqSubspaces - 1)),
+          s => slice(col("embedding"), s * sub + 1, lit(sub))).as("subs"))
+      .select(col("vec_id") +: (0 until pqSubspaces).map { s =>
+        array((0 until pqCentroids).map { c =>
+          lit(nsq(s)(c)) - lit(2.0) * dot(element_at(col("subs"), s + 1),
+            typedLit(cents(s)(c).map(_.toFloat).toSeq))
+        }: _*).as(s"d$s")
+      }: _*)
+      .select(col("vec_id"),
+        array((0 until pqSubspaces).map { s =>
+          (array_position(col(s"d$s"), array_min(col(s"d$s"))) - 1).cast("int")
+        }: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the
+    * query precomputes per-subspace lookup tables — dot(q_s, cent_s_c)
+    * and ‖cent_s_c‖² — and each candidate's approximate cosine is m
+    * table lookups summed, never a reconstruction: the serving shape
+    * of a PQ index (codes: 1/16th the corpus bytes; per-row work: m
+    * adds). Exact-query, approximate-corpus, like [[sq8TopK]].
+    */
+  def pqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+             dim: Int = 64): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = pqCentroidTable(e, dim)
+    val sub = dim / pqSubspaces
+    val qRows = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).take(1)
+    if (qRows.isEmpty) {
+      return e.select(col("vec_id"), lit(0.0).as("score")).limit(0)
+    }
+    val qVec = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
+    val qNrm = qRows(0).getDouble(1)
+    // per-subspace query tables, driver-computed with the same
+    // left-to-right fold as the SQL oracle
+    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+      var acc = 0.0
+      var d = 0
+      while (d < sub) { acc += qVec(s * sub + d) * cents(s)(c)(d); d += 1 }
+      acc
+    }
+    val nsqTab = pqNsqTable(cents)
+    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
+    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
+    // BOTH ADC folds live in ONE projection: each references `codes`
+    // once, and two references together keep CollapseProject from
+    // inlining the (expensive) encode expression into the lambdas — as
+    // chained withColumns the single-referenced alias gets inlined and
+    // the full argmin encode re-evaluates per table lookup (measured
+    // 8.4s vs 1s at sf0.1; the §6b HOF-staging rule applied across a
+    // helper boundary).
+    val adc = quantizePq(embeddings, dim)
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(dotLit, (s + 1).cast("int")),
+            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+          .as("adc_dot"),
+        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
+            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+          .as("adc_nsq"))
+    // The zero-norm guard is a PLAN-BUILD decision: the driver holds the
+    // centroid norm table, so when every centroid has positive norm (the
+    // normal case) adc_nsq > 0 is a tautology and the row filter is
+    // omitted — as an expression filter it predicate-pushes below the
+    // projections and re-evaluates the whole encode chain per row in an
+    // interpreted Filter (measured 30s vs ~1s at sf0.1). The oracle's
+    // WHERE adc_nsq > 0 then passes every row identically.
+    val guarded =
+      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
+      else adc
+    guarded
+      .select(col("vec_id"),
+        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** E8 persisted form: encode ONCE, store (vec_id, codes) — 1/16th the
+    * float corpus — plus the centroid table; ADC-search many. The
+    * centroids persist alongside so a search needs no corpus access at
+    * all: query tables come from the stored (tiny) centroid parquet.
+    */
+  def buildPqIndex(embeddings: DataFrame, dir: String, dim: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = pqCentroidTable(withNorm(embeddings), dim)
+    cents.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "cent")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    quantizePq(embeddings, dim).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** ADC search over a persisted PQ index with a full-precision query
+    * vector: a codes-only scan (8 bytes of codes per vector) — the
+    * float corpus is never read. Same scoring as [[pqTopK]].
+    */
+  def searchPqIndex(spark: SparkSession, dir: String, qVec: Array[Float],
+                    k: Int, excludeVecId: Option[Long] = None): DataFrame = {
+    val cents = Array.ofDim[Array[Double]](pqSubspaces, pqCentroids)
+    spark.read.parquet(s"$dir/centroids").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val sub = cents(0)(0).length
+    val q = qVec.map(_.toDouble)
+    require(q.length == pqSubspaces * sub, s"query dim ${q.length} != index dim")
+    val qNrm = math.sqrt(q.map(x => x * x).sum)
+    require(qNrm > 0, "query vector has zero norm")
+    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+      var acc = 0.0; var d = 0
+      while (d < sub) { acc += q(s * sub + d) * cents(s)(c)(d); d += 1 }
+      acc
+    }
+    val nsqTab = pqNsqTable(cents)
+    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
+    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val filtered = excludeVecId
+      .map(id => codes.filter(col("vec_id") =!= id)).getOrElse(codes)
+    // codes here is a SCAN attribute (no encode to re-evaluate), but the
+    // ADC shape mirrors pqTopK: one projection for both folds, and the
+    // zero-norm guard only when a zero-norm centroid exists.
+    val adc = filtered
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(dotLit, (s + 1).cast("int")),
+            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+          .as("adc_dot"),
+        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
+            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+          .as("adc_nsq"))
+    val guarded =
+      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
+      else adc
+    guarded
+      .select(col("vec_id"),
+        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E8: PQ codes + ADC search — oracle hash-matched (seeded centroids,
+    // deterministic argmin encode, table-lookup scoring).
+    "e8_ann_pq" -> ((s, d) => pqTopK(t(s, d, "embeddings"), 0L, 20)),
 
     // E7: SQ8-compressed-corpus ANN top-20 (rows-only; reconstruction
     // bound + recall vs E1 in the spec).
@@ -504,6 +712,177 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    // E8: centroid seeding, argmin encode, and ADC table lookups are all
+    // deterministic double arithmetic; the 2-D tables are rebuilt in SQL
+    // as ordered nested lists and every fold is an explicit left
+    // list_reduce (an aggregate SUM would have engine-defined order).
+    "e8_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |cseed AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |cl AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
+        |    GROUP BY s)),
+        |tabs AS (
+        |  SELECT list(dots ORDER BY s) AS dot_tab, list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(dotv ORDER BY cid) AS dots, list(nsqv ORDER BY cid) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS dotv,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c, qv q)
+        |    GROUP BY s)),
+        |codes AS (
+        |  SELECT emb.vec_id,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM embeddings emb, cl, tabs t),
+        |adc AS (
+        |  SELECT co.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.dot_tab[s + 1][co.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_dot,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.nsq_tab[s + 1][co.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_nsq
+        |  FROM codes co, tabs t
+        |  WHERE co.vec_id <> 0)
+        |SELECT a.vec_id, a.adc_dot / (sqrt(a.adc_nsq) * qv.q_nrm) AS score
+        |FROM adc a, qv
+        |WHERE a.adc_nsq > 0
+        |ORDER BY score DESC, a.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // E7: the SQ8 round trip is pure deterministic arithmetic — min/max
+    // per vector, round() (ties away from zero in BOTH engines for the
+    // non-negative scaled values), float32 reconstruction via CAST AS
+    // REAL — so the compressed-corpus search reproduces exactly.
+    "e7_ann_sq8" ->
+      """WITH qs AS (
+        |  SELECT vec_id, qmin,
+        |         CASE WHEN qmax > qmin THEN (qmax - qmin) / 255.0 ELSE 1.0 END AS qstep
+        |  FROM (SELECT vec_id,
+        |               CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |               CAST(list_max(embedding) AS DOUBLE) AS qmax
+        |        FROM embeddings)),
+        |deq AS (
+        |  SELECT e.vec_id,
+        |         list_transform(e.embedding, x ->
+        |           CAST(s.qmin +
+        |             ((CAST(round((CAST(x AS DOUBLE) - s.qmin) / s.qstep) AS INTEGER) - 128)
+        |              + 128) * s.qstep AS REAL)) AS embedding
+        |  FROM embeddings e JOIN qs s ON e.vec_id = s.vec_id),
+        |d AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM deq
+        |  WHERE nrm > 0),
+        |qv AS (
+        |  SELECT embedding AS q_emb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS q_nrm
+        |  FROM embeddings WHERE vec_id = 0 AND q_nrm > 0)
+        |SELECT d.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(d.embedding) + 1),
+        |           i -> CAST(d.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (d.nrm * qv.q_nrm) AS score
+        |FROM d, qv
+        |WHERE d.vec_id <> 0
+        |ORDER BY score DESC, d.vec_id
+        |LIMIT 20""".stripMargin,
+
+    // E3: seeded centroids are the first 16 corpus vectors by id, cell
+    // assignment is argmax with first-max tie (⇒ lowest cent_id), the
+    // probe set is the query's top-2 cells by centroid cosine — all
+    // deterministic double arithmetic in the same fold order.
+    "e3_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |cscore AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
+        |  FROM e, cents c
+        |  WHERE e.vec_id <> 0),
+        |cellof AS (
+        |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cent_id FROM (
+        |    SELECT c.cent_id,
+        |           row_number() OVER (ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, len(c.embedding) + 1),
+        |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+        |               (x, y) -> x + y) / (c.nrm * qv.q_nrm) DESC, c.cent_id) AS rn
+        |    FROM cents c, qv) WHERE rn <= 2)
+        |SELECT e.vec_id, co.cell,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (e.nrm * qv.q_nrm) AS score
+        |FROM e, cellof co, qv
+        |WHERE e.vec_id = co.vec_id
+        |  AND co.cell IN (SELECT cent_id FROM probes)
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
+
     // E2 is exactly reproducible now that the LSH planes are md5-derived:
     // the multi-probe set {q_bucket} ∪ {one flipped bit} is precisely
     // hamming distance ≤ 1 on the 6-bit keys — bit_count(xor(...)) ≤ 1.

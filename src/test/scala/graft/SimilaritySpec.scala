@@ -136,6 +136,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(split === oneShot)
   }
 
+  test("E8 PQ codes are 4-bit and ADC search keeps useful recall vs exact") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val codes = graft.operators.Similarity.quantizePq(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.forall(_._2.length === 8), "one code per subspace")
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)), "codes fit 4 bits")
+    val exact = graft.operators.Similarity.cosineTopK(e, 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val pq = graft.operators.Similarity.pqTopK(e, 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ@m=8 recall vs exact dropped to $recall")
+    assert(pq.size === 20)
+  }
+
+  test("E8 persisted PQ index search matches the inline encode-and-search") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val dir = tmpDir("graft_pq_idx")
+    graft.operators.Similarity.buildPqIndex(e, dir)
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val persisted = graft.operators.Similarity
+      .searchPqIndex(spark, dir, qVec, 20, excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    val inline = graft.operators.Similarity.pqTopK(e, 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score")))
+    assert(persisted.map(_._1).toSeq === inline.map(_._1).toSeq)
+    persisted.zip(inline).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // stored index is codes-only: 8 small ints per vector, no floats
+    val stored = spark.read.parquet(s"$dir/codes")
+    assert(stored.columns.toSet === Set("vec_id", "codes"))
+  }
+
   test("E2 candidate pairs stay within buckets (no cross join)") {
     val e = vecs(
       0L -> Seq(1f, 1f, 1f, 1f),
