@@ -262,6 +262,7 @@ object Bench {
     "d8_dedup_clusters" -> "documents",
     "d11_decontaminate" -> "documents",
     "e1_cosine_topk" -> "embeddings",
+    "e8_ann_pq" -> "embeddings",
     "f10_keywords" -> "documents",
     "i9_pack_sequences" -> "documents")
 

@@ -321,7 +321,7 @@ object Relational {
         .select(col("o_orderkey"))
       val bloomBytes = dim
         .agg(bloomFilterAgg(col("o_orderkey"), 100000L, 720000L).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
+        .head().getAs[Array[Byte]]("bf")
       t(s, d, "lineitem")
         .filter(mightContain(lit(bloomBytes), col("l_orderkey")))
         .join(dim.hint("shuffle_hash"),

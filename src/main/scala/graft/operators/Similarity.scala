@@ -194,7 +194,7 @@ object Similarity {
     */
   private def centScores(cents: Array[(Array[Float], Double)],
                          embCol: Column, nrmCol: Column): Column = array(
-    cents.map { case (cv, cn) =>
+    cents.toIndexedSeq.map { case (cv, cn) =>
       dot(embCol, typedLit(cv.toSeq)) / (nrmCol * lit(cn))
     }: _*)
 
