@@ -13,8 +13,11 @@ import graft.sources.Tables
   * probed bucket — O(n/buckets) per query instead of O(n), and the bucket
   * join is an equi-join Catalyst executes as a hash join.
   *
-  * All vector math is built from zip_with/aggregate higher-order
-  * functions over the array column — codegen'd, no UDFs, no collect.
+  * Vector math runs through the native codegen'd [[dot]] expression
+  * wherever it is hot (scoring, PQ encode); higher-order array
+  * functions cover the cold constant-size folds (bucket bits, ADC
+  * table sums). No UDFs; driver-side `.collect()`s are bounded model
+  * state only (≤16 centroid rows, 1 query row, ≤k results).
   */
 object Similarity {
 
