@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.BloomFunctions
+import graft.operators.Similarity
 
 /** Streaming corpus-curation gate — the admission filter a training-data
   * ingest runs on every arriving document micro-batch:
@@ -44,6 +45,35 @@ object CurationStream {
       .agg(BloomFunctions.bloomFilterAgg(col("gram"), 100000L, numBits).as("bf"))
       .head()
     Option(row.getAs[Array[Byte]]("bf"))
+  }
+
+  /** H11: streaming embedding near-dup gate — the vector-space twin of
+    * the text gate: each arriving embedding is LSH-bucketed (the same
+    * md5-portable hyperplanes as the batch dedup path), stream-static
+    * LEFT-ANTI joined to the bucketed STATIC corpus on the bucket key
+    * with an in-bucket exact-cosine residual, and admitted only when no
+    * corpus neighbor exceeds `threshold`. Append-mode with no watermark
+    * or state: stream-static anti joins keep nothing across batches,
+    * the static side is planned once, and per-row work is O(bucket
+    * size), never O(corpus). Recall is the LSH bucket recall — high for
+    * true near-duplicates (small angles rarely cross a hyperplane);
+    * raise `bits` for smaller buckets or lower it for better recall.
+    * Zero-norm arrivals are dropped (no defined direction to compare).
+    */
+  def embedNearDupGate(stream: DataFrame, corpus: DataFrame,
+                       threshold: Double = 0.9, bits: Int = 6): DataFrame = {
+    val corpusSide = Similarity.withNorm(corpus)
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), bits))
+      .select(col("embedding").as("c_emb"), col("nrm").as("c_nrm"),
+        col("bucket").as("c_bucket"))
+    val streamSide = Similarity.withNorm(stream)
+      .withColumn("bucket", Similarity.lshBucket(col("embedding"), bits))
+    streamSide.join(corpusSide,
+        col("bucket") === col("c_bucket") &&
+          Similarity.dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")) > threshold,
+        "left_anti")
+      .drop("nrm", "bucket")
   }
 
   /** The gate: admitted documents only, with the token count attached.

@@ -41,6 +41,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"under-partitioned input must spread before sketching:\n$planFew")
   }
 
+  test("mega-cluster hazard: exact-dedup prefilter bounds LSH pair expansion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{md5, min}
+    // 40 byte-identical docs collide in every band: the raw candidate set
+    // grows quadratically with the duplicate cluster (the documented
+    // hazard at 100 TB — billions of boilerplate copies)
+    val docs = ((1L to 40L).map(i => (i, base)) ++
+      Seq(41L -> nearDup, 42L -> other)).toDF("doc_id", "text")
+    val raw = Dedup.minhashCandidates(docs).count()
+    assert(raw >= 40L * 39 / 2, s"expected quadratic expansion, got $raw")
+    // the standard composition: D1 keeps one representative per content
+    // hash BEFORE sketching, so the near-dup pass sees each text once
+    val reps = docs.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      .join(docs, "doc_id").select($"doc_id", $"text")
+    val composed = Dedup.minhashCandidates(reps).count()
+    assert(composed <= 3, s"composed candidate count $composed")
+  }
+
   test("D4 Jaccard verification scores the candidate pair high") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val j = Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))

@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(byId("t1").getAs[Double]("discounted_price") === 2.0)
   }
 
+  test("H11 streaming embedding near-dup gate: in-bucket near-dups dropped, rest admitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = tmpDir("graft_h11_in")
+    val ckpt = tmpDir("graft_h11_ckpt")
+    Files.writeString(Paths.get(in, "vecs.json"), Seq(
+      """{"vec_id":1,"embedding":[2.0,2.0,2.0,2.0]}""",   // parallel to corpus -> same bucket, cos 1 -> dropped
+      """{"vec_id":2,"embedding":[-1.0,-1.0,-1.0,-1.0]}""", // antipodal -> every sign flips -> admitted
+      """{"vec_id":3,"embedding":[0.0,0.0,0.0,0.0]}"""    // zero norm -> dropped (no direction)
+    ).mkString("\n"))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = Seq((100L, Seq(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val admitted = CurationStream.embedNearDupGate(
+      spark.readStream.schema(schema).json(in), corpus)
+    admitted.writeStream.format("memory").queryName("h11")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val out = spark.sql("SELECT vec_id FROM h11").collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L), s"admitted wrong set: $out")
+  }
+
   test("H10 streaming curation gate: dedup + quality floor + bloom decontamination") {
     import spark.implicits._
     import org.apache.spark.sql.types._
