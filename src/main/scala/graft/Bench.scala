@@ -222,12 +222,43 @@ object Bench {
             System.err.println(s"[bench] $label failed: ${e.getMessage}")
             label -> -1.0
         }
+      // H11: the embedding gate over the full embeddings corpus rendered
+      // to JSON, with the SAME corpus as the static side — every arrival
+      // is an exact duplicate, so the anti-join does maximal in-bucket
+      // verification work (the worst case for the gate).
+      val emb = Tables.table(spark, sfDir, "embeddings")
+      emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .repartition(8)
+        .write.json(s"$tmp/emb_in")
+      val embSchema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      def runEmb(label: String): (String, Double) =
+        try {
+          val t0 = System.nanoTime()
+          val admitted = graft.streaming.CurationStream.embedNearDupGate(
+            spark.readStream.schema(embSchema)
+              .option("maxFilesPerTrigger", 4).json(s"$tmp/emb_in"), emb)
+          val q = admitted.writeStream
+            .option("checkpointLocation", s"$tmp/ckpt_$label")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.format("noop").mode("overwrite").save()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          label -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $label failed: ${e.getMessage}")
+            label -> -1.0
+        }
       run("warmup_curation")
-      Seq(run("h10_curation_gate"))
+      runEmb("warmup_embgate")
+      Seq(run("h10_curation_gate"), runEmb("h11_embed_gate"))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] curation study setup failed: ${e.getMessage}")
-        Seq("h10_curation_gate" -> -1.0)
+        Seq("h10_curation_gate" -> -1.0, "h11_embed_gate" -> -1.0)
     }
   }
 

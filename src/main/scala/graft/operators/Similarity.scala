@@ -529,6 +529,36 @@ object Similarity {
       acc
     }
 
+  /** The seeded codebook as a public value (for composing with
+    * [[quantizePqWith]]/[[pqTopKWith]] and for the error-comparison
+    * spec).
+    */
+  def pqSeededCodebook(embeddings: DataFrame, dim: Int = 64): Array[Array[Array[Double]]] =
+    pqCentroidTable(withNorm(embeddings), dim)
+
+  /** Learned PQ codebooks: `m` independent MLlib k-means fits, one per
+    * subspace over its subvector slices — the production alternative to
+    * the seeded table (k-means directly minimizes the quantization
+    * error the encode argmin measures). Returns the same
+    * cents(s)(c)(d) shape, so encode/ADC compose unchanged
+    * ([[quantizePqWith]]/[[pqTopKWith]]). Driver state is m×16 small
+    * centers; the fits are the only corpus passes.
+    */
+  def fitPqKmeans(embeddings: DataFrame, dim: Int = 64): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % pqSubspaces == 0, s"dim $dim not divisible by $pqSubspaces")
+    val sub = dim / pqSubspaces
+    val e = withNorm(embeddings)
+    Array.tabulate(pqSubspaces) { s =>
+      val fv = e.select(array_to_vector(
+        slice(col("embedding"), s * sub + 1, sub).cast("array<double>")).as("fv"))
+      new KMeans().setK(pqCentroids).setSeed(42L + s).setMaxIter(10)
+        .setFeaturesCol("fv").fit(fv)
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
   /** (vec_id, codes): `m` 4-bit codes per vector — per subspace, the
     * argmin over centroids of `‖c‖² − 2·x_s·c` (the squared-L2 argmin
     * with the constant ‖x_s‖² term dropped), first-min tie ⇒ lowest
@@ -539,9 +569,17 @@ object Similarity {
     * scan speed. Three projections (subvectors → 16-entry distance
     * arrays → argmin) so nothing re-evaluates (§6b).
     */
-  def quantizePq(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val cents = pqCentroidTable(withNorm(embeddings), dim)
-    val sub = dim / pqSubspaces
+  def quantizePq(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    quantizePqWith(embeddings, pqCentroidTable(withNorm(embeddings), dim))
+
+  /** [[quantizePq]] with an explicit codebook (seeded or k-means-learned).
+    * Learned centers are not exact floats, so the literal subvectors are
+    * float-rounded for the native dot — immaterial for the learned path
+    * (no oracle contract) and a no-op for the seeded one (data floats).
+    */
+  def quantizePqWith(embeddings: DataFrame,
+                     cents: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = cents(0)(0).length
     val nsq = pqNsqTable(cents)
     embeddings
       .select(col("vec_id"),
@@ -567,10 +605,24 @@ object Similarity {
     * adds). Exact-query, approximate-corpus, like [[sq8TopK]].
     */
   def pqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64): DataFrame =
+    pqTopKWith(embeddings, pqCentroidTable(withNorm(embeddings), dim),
+      queryVecId, k)
+
+  /** PQ/ADC search with LEARNED codebooks ([[fitPqKmeans]]) — same
+    * encode and table-lookup machinery over the k-means centers.
+    * Rows-only (k-means init order is engine-private); the spec asserts
+    * the learned codebook's quantization error beats the seeded one.
+    */
+  def pqTopKLearned(embeddings: DataFrame, queryVecId: Long, k: Int,
+                    dim: Int = 64): DataFrame =
+    pqTopKWith(embeddings, fitPqKmeans(embeddings, dim), queryVecId, k)
+
+  /** [[pqTopK]] with an explicit codebook (seeded or learned). */
+  def pqTopKWith(embeddings: DataFrame, cents: Array[Array[Array[Double]]],
+                 queryVecId: Long, k: Int): DataFrame = {
     val e = withNorm(embeddings)
-    val cents = pqCentroidTable(e, dim)
-    val sub = dim / pqSubspaces
+    val sub = cents(0)(0).length
     val qRows = e.filter(col("vec_id") === queryVecId)
       .select(col("embedding"), col("nrm")).take(1)
     if (qRows.isEmpty) {
@@ -596,7 +648,7 @@ object Similarity {
     // the full argmin encode re-evaluates per table lookup (measured
     // 8.4s vs 1s at sf0.1; the §6b HOF-staging rule applied across a
     // helper boundary).
-    val adc = quantizePq(embeddings, dim)
+    val adc = quantizePqWith(embeddings, cents)
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
         aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
@@ -694,6 +746,11 @@ object Similarity {
     // E8: PQ codes + ADC search — oracle hash-matched (seeded centroids,
     // deterministic argmin encode, table-lookup scoring).
     "e8_ann_pq" -> ((s, d) => pqTopK(t(s, d, "embeddings"), 0L, 20)),
+
+    // E8b: PQ with k-means-learned codebooks (rows-only: k-means init
+    // is engine-private; the spec asserts the learned codebook beats
+    // the seeded one on quantization error).
+    "e8_ann_pq_kmeans" -> ((s, d) => pqTopKLearned(t(s, d, "embeddings"), 0L, 20)),
 
     // E7: SQ8-compressed-corpus ANN top-20 (rows-only; reconstruction
     // bound + recall vs E1 in the spec).

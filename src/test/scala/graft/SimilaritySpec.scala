@@ -171,6 +171,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(stored.columns.toSet === Set("vec_id", "codes"))
   }
 
+  test("E8 learned codebooks cut quantization error vs the seeded ones") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val rows = e.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def meanErr(cents: Array[Array[Array[Double]]]): Double = {
+      val sub = cents(0)(0).length
+      rows.map { v =>
+        (0 until Similarity.pqSubspaces).map { s =>
+          cents(s).map { cv =>
+            var d2 = 0.0; var d = 0
+            while (d < sub) {
+              val diff = v(s * sub + d) - cv(d); d2 += diff * diff; d += 1
+            }
+            d2
+          }.min
+        }.sum
+      }.sum / rows.length
+    }
+    val seeded = meanErr(Similarity.pqSeededCodebook(e))
+    val learned = meanErr(Similarity.fitPqKmeans(e))
+    assert(learned < seeded,
+      s"k-means codebook must beat seeds: learned $learned vs seeded $seeded")
+    // and the learned search still returns a full, deterministic top-k
+    val r1 = Similarity.pqTopKLearned(e, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val r2 = Similarity.pqTopKLearned(e, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(r1.length === 10 && r1 === r2)
+  }
+
   test("E2 candidate pairs stay within buckets (no cross join)") {
     val e = vecs(
       0L -> Seq(1f, 1f, 1f, 1f),
