@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,40 @@ object Relational {
         .stat.freqItems(Seq("l_orderkey"), 0.001)
         .select(explode(col("l_orderkey_freqItems")).as("candidate_key"))
         .orderBy(col("candidate_key"))),
+
+    // B35: count-min-sketch heavy hitters — the MERGEABLE deterministic
+    // frequency sketch: depth=4 md5-derived bucket rows × w=2^17 integer
+    // cells (4 MB, FIXED however many keys exist; per-load sketches
+    // merge by cell-wise addition). Integer cell sums are
+    // order-independent, so unlike HLL/freqItems the whole sketch
+    // reproduces bit-for-bit in DuckDB — an oracle-checked approximate
+    // operator. Estimates only ever OVER-count (collisions add), so
+    // thresholding the estimate yields a SUPERSET of the exact b32
+    // heavy hitters (containment + bound spec). The fact explodes
+    // depth× map-side but partial aggregation collapses each partition
+    // to ≤ depth×w cells before the exchange; the estimate join
+    // broadcasts the 4 MB sketch.
+    "b35_heavy_hitters_cms" -> ((s, d) => {
+      val w = 1L << 17
+      val depth = 4
+      def bucket(r: Column, key: Column): Column =
+        graft.functions.HashFunctions.md5Prefix60(
+          concat(r.cast("string"), lit(":"), key.cast("string"))) % w
+      val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      val cells = li
+        .select(col("l_orderkey"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .select(col("r"), bucket(col("r"), col("l_orderkey")).as("bucket"))
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      li.distinct()
+        .select(col("l_orderkey"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .select(col("l_orderkey"), col("r"),
+          bucket(col("r"), col("l_orderkey")).as("bucket"))
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("cnt")).as("est_count"))
+        .filter(col("est_count") >= 8)
+    }),
 
     // I7: CDC changelog apply — events play an I/U/D change stream on
     // the user key (deterministic op from the event id); the newest
@@ -668,6 +702,29 @@ object Relational {
     "b32_heavy_hitters" ->
       """SELECT l_orderkey, count(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 8""".stripMargin,
+
+    // B35: the same md5 bucket rows, the same integer cell sums (integer
+    // addition is order-independent, so plain GROUP BY sums are safe
+    // here — no explicit fold needed, unlike the float oracles).
+    "b35_heavy_hitters_cms" ->
+      """WITH g AS (SELECT unnest(range(0, 4)) AS r),
+        |c AS (
+        |  SELECT r, bucket, count(*) AS cnt FROM (
+        |    SELECT g.r,
+        |           CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' ||
+        |             CAST(l.l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 131072 AS bucket
+        |    FROM lineitem l, g)
+        |  GROUP BY r, bucket),
+        |k AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |kb AS (
+        |  SELECT k.l_orderkey, g.r,
+        |         CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' ||
+        |           CAST(k.l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 131072 AS bucket
+        |  FROM k, g)
+        |SELECT kb.l_orderkey, min(c.cnt) AS est_count
+        |FROM kb JOIN c ON c.r = kb.r AND c.bucket = kb.bucket
+        |GROUP BY kb.l_orderkey
+        |HAVING min(c.cnt) >= 8""".stripMargin,
 
     "i7_cdc_apply" ->
       """WITH c AS (

@@ -76,6 +76,19 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"missing hitters: ${exact.diff(approx)}")
   }
 
+  test("B35 count-min estimates never under-count; threshold keeps a superset") {
+    val exact = Relational.queries("b32_heavy_hitters")(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cms = Relational.queries("b35_heavy_hitters_cms")(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CMS collisions only ADD, so every exact heavy hitter survives the
+    // same threshold with est >= its true count
+    exact.foreach { case (k, n) =>
+      assert(cms.contains(k), s"heavy hitter $k missing from CMS result")
+      assert(cms(k) >= n, s"CMS under-counted $k: ${cms(k)} < $n")
+    }
+  }
+
   test("B24b approx quartiles agree with exact ntile away from boundaries") {
     val exact = Relational.queries("b24_ntile")(spark, SF)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
