@@ -23,6 +23,7 @@ object Bench {
     // fact-shuffle-volume cut (wall-clock parity expected at sf0.1:
     // local exchanges are RAM-speed; the cut matters on a network)
     "b34_semi_plain", "b34_bloom_prejoin",
+    "b35_heavy_hitters_cms", "b35_cms_merge",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     // exact c7 kept next to its approx twin so the sketch-vs-distinct
     // trade is measured in the SAME run (host CPU swings across runs)

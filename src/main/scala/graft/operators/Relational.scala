@@ -24,6 +24,58 @@ object Relational {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.table(s, d, name)
 
+  /** Count-min-sketch parameters (B35 family): depth hash rows × 2^17
+    * integer cells — 4 MB fixed, independent of key cardinality.
+    */
+  private val cmsW = 1L << 17
+  private val cmsDepth = 4
+
+  private val cmsP = 2147483647L // 2^31 - 1, same prime as the MinHash family
+
+  /** All `depth` engine-portable CMS buckets from ONE md5 of the key:
+    * base hash h = md5Prefix60(key) mod P, then the affine row family
+    * h_r = ((a_r·h + b_r) mod P) mod w — the SAME pairwise-independent
+    * construction (and constants) as Dedup.minhashes, already proven
+    * portable by the d2 oracle. One digest per row instead of depth
+    * digests: the md5 is the dominant per-row cost of the sketch (the
+    * naive per-(r,key) hashing measured 4.6 s vs ~1.5 s at sf0.1).
+    * a·h < 2^62, safely inside a signed long under ANSI.
+    */
+  private def cmsBucketArray(h: Column): Column =
+    transform(sequence(lit(0), lit(cmsDepth - 1)), r => {
+      val a = (r.cast("long") * lit(2654435761L) + lit(1L)) % cmsP
+      val b = r.cast("long") * lit(40503L) + lit(17L)
+      ((a * h + b) % cmsP) % cmsW
+    })
+
+  private def cmsKeyHash(key: Column): Column =
+    graft.functions.HashFunctions.md5Prefix60(key.cast("string")) % cmsP
+
+  /** One-shot CMS cell table over `keyed(keyCol)`: one digest + depth
+    * affine buckets per row map-side, partial aggregation collapses
+    * each partition to ≤ depth×w cells before the exchange.
+    */
+  private def cmsCells(keyed: DataFrame, keyCol: String): DataFrame =
+    keyed
+      .select(cmsKeyHash(col(keyCol)).as("h"))
+      .select(posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate every distinct key against a (possibly merged) cell table
+    * — min over the depth rows — and keep keys at/above `threshold`.
+    * The cell table broadcasts (4 MB).
+    */
+  private def cmsThresholdEstimate(keyed: DataFrame, cells: DataFrame,
+                                   keyCol: String, threshold: Long): DataFrame =
+    keyed.distinct()
+      .select(col(keyCol), cmsKeyHash(col(keyCol)).as("h"))
+      .select(col(keyCol), posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est_count"))
+      .filter(col("est_count") >= threshold)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: JSON field extraction from raw event payloads
@@ -201,25 +253,28 @@ object Relational {
     // to ≤ depth×w cells before the exchange; the estimate join
     // broadcasts the 4 MB sketch.
     "b35_heavy_hitters_cms" -> ((s, d) => {
-      val w = 1L << 17
-      val depth = 4
-      def bucket(r: Column, key: Column): Column =
-        graft.functions.HashFunctions.md5Prefix60(
-          concat(r.cast("string"), lit(":"), key.cast("string"))) % w
       val li = t(s, d, "lineitem").select(col("l_orderkey"))
-      val cells = li
-        .select(col("l_orderkey"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-        .select(col("r"), bucket(col("r"), col("l_orderkey")).as("bucket"))
-        .groupBy(col("r"), col("bucket"))
+      cmsThresholdEstimate(li, cmsCells(li, "l_orderkey"), "l_orderkey", 8)
+    }),
+
+    // B35b: the MERGE path of the same sketch — one CMS per load slice
+    // (l_orderkey % 4 stands in for 4 incremental loads), merged by
+    // cell-wise ADDITION, then the same estimate. Counts are integers,
+    // so merged cells equal the one-shot cells exactly and both queries
+    // hash-match the SAME oracle — the incremental pattern b28 can only
+    // rows-check for HLL is exactly verifiable for CMS.
+    "b35_cms_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      val perSlice = li
+        .withColumn("slice", col("l_orderkey") % 4)
+        .select(col("slice"), cmsKeyHash(col("l_orderkey")).as("h"))
+        .select(col("slice"), posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))
+        .groupBy(col("slice"), col("r"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))
-      li.distinct()
-        .select(col("l_orderkey"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-        .select(col("l_orderkey"), col("r"),
-          bucket(col("r"), col("l_orderkey")).as("bucket"))
-        .join(broadcast(cells), Seq("r", "bucket"))
-        .groupBy(col("l_orderkey"))
-        .agg(min(col("cnt")).as("est_count"))
-        .filter(col("est_count") >= 8)
+      val merged = perSlice
+        .groupBy(col("r"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      cmsThresholdEstimate(li, merged, "l_orderkey", 8)
     }),
 
     // I7: CDC changelog apply — events play an I/U/D change stream on
@@ -632,6 +687,34 @@ object Relational {
     * exact-decimal pattern; literals that would default to DECIMAL in
     * DuckDB are cast to DOUBLE where the Spark side computes doubles.
     */
+  /** Shared B35/B35b oracle: merge of per-slice integer sketches IS the
+    * one-shot sketch, so both queries must hash-match this one SQL.
+    */
+  private val cmsOracleSql: String =
+    """WITH hk AS (
+      |  SELECT l_orderkey,
+      |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 2147483647 AS h
+      |  FROM lineitem),
+      |g AS (SELECT unnest(range(0, 4)) AS r),
+      |c AS (
+      |  SELECT r, bucket, count(*) AS cnt FROM (
+      |    SELECT g.r,
+      |           ((((g.r * 2654435761 + 1) % 2147483647) * hk.h + (g.r * 40503 + 17))
+      |             % 2147483647) % 131072 AS bucket
+      |    FROM hk, g)
+      |  GROUP BY r, bucket),
+      |k AS (SELECT DISTINCT l_orderkey, h FROM hk),
+      |kb AS (
+      |  SELECT k.l_orderkey, g.r,
+      |         ((((g.r * 2654435761 + 1) % 2147483647) * k.h + (g.r * 40503 + 17))
+      |           % 2147483647) % 131072 AS bucket
+      |  FROM k, g)
+      |SELECT kb.l_orderkey, min(c.cnt) AS est_count
+      |FROM kb JOIN c ON c.r = kb.r AND c.bucket = kb.bucket
+      |GROUP BY kb.l_orderkey
+      |HAVING min(c.cnt) >= 8""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "a3_json_extract" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
@@ -703,28 +786,16 @@ object Relational {
       """SELECT l_orderkey, count(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 8""".stripMargin,
 
-    // B35: the same md5 bucket rows, the same integer cell sums (integer
+    // B35: one md5 base hash per key + the affine row family (identical
+    // constants to the MinHash oracle), integer cell sums (integer
     // addition is order-independent, so plain GROUP BY sums are safe
     // here — no explicit fold needed, unlike the float oracles).
-    "b35_heavy_hitters_cms" ->
-      """WITH g AS (SELECT unnest(range(0, 4)) AS r),
-        |c AS (
-        |  SELECT r, bucket, count(*) AS cnt FROM (
-        |    SELECT g.r,
-        |           CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' ||
-        |             CAST(l.l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 131072 AS bucket
-        |    FROM lineitem l, g)
-        |  GROUP BY r, bucket),
-        |k AS (SELECT DISTINCT l_orderkey FROM lineitem),
-        |kb AS (
-        |  SELECT k.l_orderkey, g.r,
-        |         CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' ||
-        |           CAST(k.l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 131072 AS bucket
-        |  FROM k, g)
-        |SELECT kb.l_orderkey, min(c.cnt) AS est_count
-        |FROM kb JOIN c ON c.r = kb.r AND c.bucket = kb.bucket
-        |GROUP BY kb.l_orderkey
-        |HAVING min(c.cnt) >= 8""".stripMargin,
+    "b35_heavy_hitters_cms" -> cmsOracleSql,
+
+    // B35b shares B35's oracle verbatim: cell-wise merge of per-slice
+    // integer sketches is exactly the one-shot sketch, so the merged
+    // query must reproduce the same result — the equivalence IS the test.
+    "b35_cms_merge" -> cmsOracleSql,
 
     "i7_cdc_apply" ->
       """WITH c AS (
