@@ -24,6 +24,11 @@ object Bench {
     // local exchanges are RAM-speed; the cut matters on a network)
     "b34_semi_plain", "b34_bloom_prejoin",
     "b35_heavy_hitters_cms", "b35_cms_merge",
+    // fixed-memory distinct-count / quantile sketches beside their exact
+    // forms (b6 twins, b19's percentile): the 100 TB shapes — the
+    // shuffle carries ≤256 registers / ≤64 cells regardless of NDV
+    "b36_distinct_hll", "b36_hll_merge",
+    "b37_quantile_hist", "b37_hist_merge",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     // exact c7 kept next to its approx twin so the sketch-vs-distinct
     // trade is measured in the SAME run (host CPU swings across runs)
@@ -36,13 +41,13 @@ object Bench {
     // the all-pairs d5/d9 BNLJ forms are oracle-only (Verify still runs
     // them): an O(n²) pair enumeration must never be the headline plan
     "d5_embed_neardup_blocked", "d8_dedup_clusters",
-    "d10_embed_clusters_blocked", "d11_decontaminate",
+    "d10_embed_clusters_blocked", "d11_decontaminate", "d12_dup_span_score",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "e7_ann_sq8", "e8_ann_pq",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "g1_multimodal_meta",
     "g4_embed_batched", "i8_mixture_sample", "i9_pack_sequences",
-    "i10_global_shuffle")
+    "i10_global_shuffle", "i11_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -374,7 +375,57 @@ object Dedup {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** D12: corpus-level duplicated-span scoring — the n-gram-fingerprint
+    * approximation of exact-substring dedup (the "ExactSubstr" pass of
+    * Lee et al. 2022, *Deduplicating Training Data Makes Language Models
+    * Better*, distributed as gram hashing instead of a suffix array). A
+    * document's `dup_ratio` is the fraction of its DISTINCT word 8-gram
+    * fingerprints that occur in at least one OTHER document; documents
+    * above `maxRatio` are flagged for drop. This is cross-document span
+    * duplication — a different axis from D2/D5's whole-document
+    * similarity (a doc can be 40% boilerplate without any near-dup
+    * partner) and from D11 (which scores overlap against a fixed
+    * benchmark set, not the corpus itself).
+    *
+    * Scale shape: gram text NEVER shuffles — each doc's grams are
+    * hashed row-local to 8-byte md5Prefix60 fingerprints and deduped
+    * with `array_distinct` before exploding, so the corpus-wide
+    * exchange carries (doc_id, long) pairs (~16 bytes/gram vs the ~8×
+    * raw-text blowup of shuffling gram strings). Cross-doc frequency
+    * comes from ONE window over the fingerprint — not groupBy + a
+    * join-back second shuffle of the gram table — and the per-doc
+    * rollup exchange is map-side combined. A boilerplate gram shared by
+    * millions of docs makes a hot window partition at 100 TB; the
+    * mitigation (same results) is groupBy-count capped at 2 + broadcast
+    * of the (small) dup-fingerprint set, at the cost of the extra
+    * aggregation — noted, not needed at bench scale.
+    */
+  def dupSpanScore(docs: DataFrame, n: Int = 8, maxRatio: Double = 0.5): DataFrame = {
+    val grams = spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => array_join(slice(col("tok"), i, lit(n)), " ")).as("g"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("g"),
+          x => graft.functions.HashFunctions.md5Prefix60(x))).as("gh"))
+      .select(col("doc_id"), explode(col("gh")).as("gh"))
+    grams
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        (col("dup_grams").cast("double") / col("n_grams")).as("dup_ratio"),
+        (col("dup_grams").cast("double") / col("n_grams") <= maxRatio).as("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D12: duplicated-span (boilerplate) scoring against the corpus
+    // itself — fingerprint-level duplication, not whole-doc similarity.
+    "d12_dup_span_score" -> ((s, d) => dupSpanScore(t(s, d, "documents"))),
 
     // D11: eval-set decontamination — 8-gram overlap vs a benchmark set
     // (stand-in: every doc with doc_id % 10 = 3; no eval set ships with
@@ -530,6 +581,25 @@ object Dedup {
           |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
           |       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
           |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+      // D12: same md5Prefix60 gram fingerprints (identical in both
+      // engines, so even a fingerprint collision agrees); counts are
+      // integers, the ratio one double division.
+      "d12_dup_span_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+          |grams AS (
+          |  SELECT doc_id,
+          |         unnest(list_distinct(list_transform(range(1, len(t) - 6), i ->
+          |           CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT)))) AS gh
+          |  FROM toks WHERE len(t) >= 8),
+          |w AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS n_docs FROM grams)
+          |SELECT doc_id, count(*) AS n_grams,
+          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio,
+          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          |         <= CAST(0.5 AS DOUBLE) AS keep
+          |FROM w GROUP BY doc_id""".stripMargin,
 
       "d1_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -132,7 +132,40 @@ object Profile {
         row_number().over(w).as("pos"))
   }
 
+  /** I11: per-source token-budget cap — the "take N tokens from each
+    * domain" step that turns a raw corpus + a mixture recipe into an
+    * actual training set (the token-count analogue of I8's row-percent
+    * sampling: budgets are TOKENS, the unit recipes are written in).
+    * Docs are admitted in salted-hash order (an unbiased, replayable
+    * stand-in for random order) until the source's cumulative token
+    * count passes `budget`; the greedy prefix is deterministic on any
+    * engine/cluster size.
+    *
+    * Scale shape: one narrow projection (token count = split size,
+    * never materializing the token array past the expression), one
+    * window partitioned BY SOURCE. Source count is typically thousands
+    * (domains), so partitions parallelize; a single mega-source making
+    * one hot window partition is the known limit — mitigation is the
+    * I9-style sharded running sum with per-shard sub-budgets.
+    */
+  def tokenBudgetCap(docs: DataFrame, budget: Long = 800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("hk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I11: per-source token-budget cap (greedy hash-order prefix).
+    "i11_token_budget" -> ((s, d) =>
+      tokenBudgetCap(Tables.table(s, d, "documents"))),
 
     // I10: deterministic global shuffle for training-order assignment.
     "i10_global_shuffle" -> ((s, d) =>
@@ -188,6 +221,21 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    // I11: integer token counts, same salted-hash admission order, the
+    // cumulative sum windowed identically — the kept prefix is exact.
+    "i11_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin,
+
     "i10_global_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -76,6 +76,97 @@ object Relational {
       .agg(min(col("cnt")).as("est_count"))
       .filter(col("est_count") >= threshold)
 
+  /** HyperLogLog parameters (B36 family): 2^8 registers, each holding
+    * max leading-zero rank over the remaining 52 hash bits — 256 small
+    * integers, independent of key cardinality. Like B35 this is the
+    * ENGINE-PORTABLE form of the sketch: register index and rank derive
+    * from md5Prefix60 by mask/shift, register state is integer, and the
+    * estimator uses only IEEE-correctly-rounded float ops (+ - * /), so
+    * DuckDB reproduces the ESTIMATE bit-for-bit. That upgrades the
+    * merge-equivalence b28's builtin HLL can only rows-check into an
+    * exact shared-oracle hash check (the same promotion B35 made for
+    * frequency sketches).
+    */
+  private val hllM = 256L
+  private val hllEmptyTerm = 9007199254740992L // 2^53 = the rho=0 term, scaled
+
+  /** (bucket, rho) per row: bucket = low 8 bits of the 60-bit portable
+    * hash; rho = 1 + leading zeros of the remaining 52 bits
+    * = 53 - bitlength(h >> 8). Bitlength via length(ltrim(bin(w),'0')),
+    * which both engines evaluate identically (w = 0 → '0' → '' → 53).
+    * `carry` threads grouping columns (the merge variant's slice).
+    */
+  private def hllObservations(keyed: DataFrame, keyCol: String,
+                              carry: Seq[String] = Nil): DataFrame =
+    keyed
+      .select(carry.map(col) :+
+        graft.functions.HashFunctions.md5Prefix60(col(keyCol).cast("string")).as("h"): _*)
+      .select(carry.map(col) :+
+        col("h").bitwiseAND(lit(hllM - 1)).as("bucket") :+
+        (lit(53) - length(ltrim(bin(shiftright(col("h"), 8)), "0"))).as("rho"): _*)
+
+  /** Raw HLL estimate from a register table (bucket, r). The indicator
+    * sum Σ 2^-r is computed as the EXACT integer Σ 2^(53-r) (≤ 2^61, no
+    * float-order concern at all); empty registers contribute 2^53 each.
+    * alpha_m · m² · 2^53 / S then runs on reproducible doubles. Raw
+    * range only (no linear-counting branch): callers keep m small enough
+    * that NDV ≥ 2.5·m, which avoids ln() — the one non-portable float op.
+    */
+  private def hllEstimate(registers: DataFrame): DataFrame =
+    registers
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).as("s_present"),
+        count(lit(1)).as("registers_set"))
+      .select(
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(9007199254740992.0)
+          / (col("s_present")
+              + (lit(hllM) - col("registers_set")) * lit(hllEmptyTerm)).cast("double"))
+          .as("est_ndv"),
+        col("registers_set"))
+
+  /** Equi-width histogram quantile sketch (B37 family): a fixed-size
+    * (64-cell) mergeable histogram over a one-pass global [lo, hi], with
+    * linear interpolation inside the crossing cell — the exactly-
+    * verifiable cousin of t-digest/approx_percentile. Counts are
+    * integers (merge = cell-wise add, exact), interpolation is plain
+    * IEEE arithmetic, so both the one-shot and merged forms hash-match
+    * ONE DuckDB oracle. Error is bounded a priori by one cell width.
+    */
+  private val histNb = 64
+
+  /** Cell index for value v against the broadcast stats row (lo, hi):
+    * floor((v-lo)/step), top edge clamped into the last cell.
+    */
+  private def histBucket(v: Column): Column =
+    least(floor((v - col("lo")) / ((col("hi") - col("lo")) / lit(64.0))).cast("long"),
+      lit(histNb - 1L))
+
+  /** Interpolated quantile estimates from merged cells (bucket, cnt) and
+    * the stats row (lo, hi, n). Everything after the histogram is ≤ 64
+    * rows: the running-total window and the per-quantile first-crossing
+    * rank cost the same at any corpus size — the sketch IS the scale
+    * story.
+    */
+  private def histQuantileEstimate(cells: DataFrame, stats: DataFrame,
+                                   qs: Seq[Double]): DataFrame = {
+    val quantiles = cells.sparkSession.range(1)
+      .select(explode(array(qs.map(lit(_)): _*)).as("quantile"))
+    cells
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(quantiles))
+      .filter(col("cum").cast("double") >= col("quantile") * col("n").cast("double"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("quantile")).orderBy(col("bucket"))))
+      .filter(col("rn") === 1)
+      .select(col("quantile"),
+        (col("lo") + (col("hi") - col("lo")) / lit(64.0) *
+          (col("bucket").cast("double") +
+            (col("quantile") * col("n").cast("double")
+              - (col("cum") - col("cnt")).cast("double")) / col("cnt").cast("double")))
+          .as("est_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: JSON field extraction from raw event payloads
@@ -275,6 +366,63 @@ object Relational {
         .groupBy(col("r"), col("bucket"))
         .agg(sum(col("cnt")).as("cnt"))
       cmsThresholdEstimate(li, merged, "l_orderkey", 8)
+    }),
+
+    // B36: portable-HLL distinct count — one digest per row map-side,
+    // partial max per register before the exchange, 256 rows after it.
+    // At 100 TB this is THE distinct-count plan: the shuffle carries
+    // ≤ 256 rows per partition regardless of key cardinality (b6's
+    // count(DISTINCT) shuffles every distinct key).
+    "b36_distinct_hll" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      hllEstimate(hllObservations(li, "l_orderkey")
+        .groupBy(col("bucket")).agg(max(col("rho")).as("r")))
+    }),
+
+    // B36b: the MERGE path — one register table per load slice
+    // (l_orderkey % 4 stands in for 4 incremental loads), merged by
+    // register-wise MAX, then the same estimator. max(max) = max
+    // exactly, so this hash-matches the SAME oracle as the one-shot
+    // form: HLL merge-equivalence checked exactly, not rows-only (b28).
+    "b36_hll_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), (col("l_orderkey") % 4).as("slice"))
+      val perSlice = hllObservations(li, "l_orderkey", Seq("slice"))
+        .groupBy(col("slice"), col("bucket")).agg(max(col("rho")).as("r"))
+      val merged = perSlice.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      hllEstimate(merged)
+    }),
+
+    // B37: histogram quantile sketch — one stats pass (min/max/count:
+    // parquet-footer-servable, like b23's calendar) + one histogram
+    // pass collapsing map-side to ≤ 64 cells per partition. Compare
+    // b19's exact percentile (full sort per group) and b19b's
+    // approx_percentile (accurate but engine-private): this is the
+    // fixed-memory mergeable form with a hash-checkable estimate.
+    "b37_quantile_hist" -> ((s, d) => {
+      val v = t(s, d, "lineitem").select(col("l_extendedprice"))
+      val stats = v.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"), count(lit(1)).as("n"))
+      val cells = v.crossJoin(broadcast(stats))
+        .select(histBucket(col("l_extendedprice")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      histQuantileEstimate(cells, stats, Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
+    // B37b: the MERGE path — per-slice histograms against the SAME
+    // global [lo, hi], merged by cell-wise addition (integer-exact), so
+    // it must hash-match the one-shot oracle. The incremental-quantile
+    // pattern a warehouse runs: histogram per load, merge at query time.
+    "b37_hist_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_extendedprice"), (col("l_orderkey") % 4).as("slice"))
+      val stats = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"), count(lit(1)).as("n"))
+      val perSlice = li.crossJoin(broadcast(stats))
+        .select(col("slice"), histBucket(col("l_extendedprice")).as("bucket"))
+        .groupBy(col("slice"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val merged = perSlice.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      histQuantileEstimate(merged, stats, Seq(0.25, 0.5, 0.75, 0.95))
     }),
 
     // I7: CDC changelog apply — events play an I/U/D change stream on
@@ -715,6 +863,52 @@ object Relational {
       |GROUP BY kb.l_orderkey
       |HAVING min(c.cnt) >= 8""".stripMargin
 
+  /** Shared B36/B36b oracle: register-wise max of per-slice registers IS
+    * the one-shot register table, so both queries hash-match this one
+    * SQL. The indicator sum is the exact integer Σ 2^(53-r); the final
+    * estimate uses only correctly-rounded IEEE ops (no ln/exp/pow), so
+    * the double reproduces bit-for-bit.
+    */
+  private val hllOracleSql: String =
+    """WITH hk AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |regs AS (
+      |  SELECT h & 255 AS bucket,
+      |         max(53 - length(ltrim(bin(h >> 8), '0'))) AS r
+      |  FROM hk GROUP BY bucket),
+      |s AS (
+      |  SELECT sum(CAST(1 AS BIGINT) << (53 - r)) AS s_present, count(*) AS registers_set
+      |  FROM regs)
+      |SELECT CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+      |       * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+      |       / CAST(s_present + (256 - registers_set) * CAST(9007199254740992 AS BIGINT) AS DOUBLE)
+      |         AS est_ndv,
+      |       registers_set
+      |FROM s""".stripMargin
+
+  /** Shared B37/B37b oracle: cell-wise addition of per-slice integer
+    * histograms is exactly the one-shot histogram; interpolation is
+    * plain IEEE arithmetic in matched evaluation order.
+    */
+  private val histOracleSql: String =
+    """WITH st AS (
+      |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi, count(*) AS n
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / CAST(64 AS DOUBLE))) AS BIGINT), 63) AS bucket,
+      |         count(*) AS cnt
+      |  FROM lineitem, st GROUP BY 1),
+      |c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+      |q AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS quantile)
+      |SELECT q.quantile,
+      |       lo + (hi - lo) / CAST(64 AS DOUBLE) *
+      |         (CAST(c.bucket AS DOUBLE)
+      |          + (q.quantile * CAST(n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est_value
+      |FROM q, c, st
+      |WHERE CAST(c.cum AS DOUBLE) >= q.quantile * CAST(n AS DOUBLE)
+      |QUALIFY row_number() OVER (PARTITION BY q.quantile ORDER BY c.bucket) = 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "a3_json_extract" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
@@ -796,6 +990,14 @@ object Relational {
     // integer sketches is exactly the one-shot sketch, so the merged
     // query must reproduce the same result — the equivalence IS the test.
     "b35_cms_merge" -> cmsOracleSql,
+
+    // B36/B36b and B37/B37b each share one oracle: merge-equivalence of
+    // the integer sketch state is checked EXACTLY by both queries
+    // hash-matching the same SQL.
+    "b36_distinct_hll" -> hllOracleSql,
+    "b36_hll_merge" -> hllOracleSql,
+    "b37_quantile_hist" -> histOracleSql,
+    "b37_hist_merge" -> histOracleSql,
 
     "i7_cdc_apply" ->
       """WITH c AS (

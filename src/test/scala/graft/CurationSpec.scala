@@ -50,6 +50,45 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(sub(1L) === false)
   }
 
+  test("D12 dup-span scoring: identical docs score 1.0, disjoint 0.0, partial counted exactly") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val x = (1 to 20).map(i => s"x$i").mkString(" ")
+    // first 10 words shared with doc 1, back half unique
+    val half = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"y$i")).mkString(" ")
+    val docs = Seq(1L -> w, 2L -> w, 3L -> x, 4L -> half).toDF("doc_id", "text")
+    val r = Dedup.dupSpanScore(docs).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Double]("dup_ratio") === 1.0)
+    assert(!r(1L).getAs[Boolean]("keep"), "a fully-duplicated doc must be flagged")
+    assert(r(2L).getAs[Double]("dup_ratio") === 1.0)
+    assert(r(3L).getAs[Double]("dup_ratio") === 0.0)
+    assert(r(3L).getAs[Boolean]("keep"))
+    // exactly the 3 grams fully inside the shared w1..w10 prefix are dups
+    assert(r(4L).getAs[Long]("n_grams") === 13L)
+    assert(r(4L).getAs[Long]("dup_grams") === 3L)
+    assert(r(4L).getAs[Boolean]("keep"))
+  }
+
+  test("I11 token budget keeps exactly the greedy hash-order prefix per source") {
+    import spark.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, s"src${i % 2}", Seq.fill((i % 7 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val kept = Profile.tokenBudgetCap(docs, budget = 20L).collect()
+    kept.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("cum_tokens")).max <= 20L, s"$src over budget")
+    }
+    // the kept set IS the prefix of the unbounded admission order at <= budget
+    val full = Profile.tokenBudgetCap(docs, budget = Long.MaxValue).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum_tokens")))
+    assert(full.length === 50, "unbounded budget must admit every doc")
+    val expected = full.filter(_._3 <= 20L).map(t => (t._1, t._2)).toSet
+    assert(kept.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+      === expected)
+  }
+
   test("I8 mixture sampling honors 0 and 100 percent exactly and is deterministic") {
     import spark.implicits._
     val docs = (1L to 300L)

@@ -62,4 +62,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("e5_knn_join")
     assert(p.contains("WindowGroupLimit"), s"partial top-k pushdown missing\n$p")
   }
+
+  test("b36 HLL: register max is two-phase (partial before the exchange)") {
+    val p = SparkEntry.queries("b36_distinct_hll")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // partial max per partition, so the register exchange carries <=256
+    // rows per partition whatever the key cardinality
+    assert(p.contains("partial_max"), s"register max must map-side combine\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"HLL needs at most 2 exchanges (registers + final), got $exchanges\n$p")
+  }
+
+  test("d12 dup-span: gram text never reaches an exchange (fingerprints only)") {
+    val p = SparkEntry.queries("d12_dup_span_score")(spark, SF)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // every KEYED exchange's input must be id+fingerprint columns, never
+    // the raw text / token array / gram strings. (The spread() round-robin
+    // on under-partitioned local input is exempt: it exists only when the
+    // input has fewer splits than cores — never the case at scale.)
+    val keyed = p.split("\n\n").filter(b =>
+      b.startsWith("(") && b.contains("Exchange") && b.contains("hashpartitioning"))
+    keyed.foreach { b =>
+      assert(!b.contains("text") && !b.contains("tok#") && !b.contains("g#"),
+        s"gram/doc text leaked into a keyed shuffle:\n$b")
+    }
+    assert(keyed.nonEmpty, s"no keyed exchange found to audit\n$p")
+  }
 }

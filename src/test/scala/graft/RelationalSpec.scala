@@ -89,6 +89,36 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B36 portable HLL tracks exact NDV; register-max merge equals one-shot") {
+    val one = Relational.queries("b36_distinct_hll")(spark, SF).collect()(0)
+    val merged = Relational.queries("b36_hll_merge")(spark, SF).collect()(0)
+    assert(one === merged,
+      "register-wise max of per-slice sketches must reproduce the one-shot estimate")
+    val exact = graft.sources.Tables.table(spark, SF, "lineitem")
+      .select("l_orderkey").distinct().count()
+    val est = one.getAs[Double]("est_ndv")
+    assert(math.abs(est - exact) <= 0.2 * exact,
+      s"HLL(m=256) estimate $est vs exact $exact drifts > 20%")
+  }
+
+  test("B37 histogram quantiles within one cell of exact; cell-add merge equals one-shot") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val one = Relational.queries("b37_quantile_hist")(spark, SF).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val merged = Relational.queries("b37_hist_merge")(spark, SF).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(one === merged,
+      "cell-wise addition of per-slice histograms must reproduce the one-shot estimate")
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+    val mm = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).collect()(0)
+    val cell = (mm.getDouble(1) - mm.getDouble(0)) / 64.0
+    one.foreach { case (q, v) =>
+      val exact = li.stat.approxQuantile("l_extendedprice", Array(q), 0.0)(0)
+      assert(math.abs(v - exact) <= cell,
+        s"q=$q estimate $v vs exact $exact is off by more than one cell width ($cell)")
+    }
+  }
+
   test("B24b approx quartiles agree with exact ntile away from boundaries") {
     val exact = Relational.queries("b24_ntile")(spark, SF)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
