@@ -41,11 +41,15 @@ object Bench {
     // the all-pairs d5/d9 BNLJ forms are oracle-only (Verify still runs
     // them): an O(n²) pair enumeration must never be the headline plan
     "d5_embed_neardup_blocked", "d8_dedup_clusters",
-    "d10_embed_clusters_blocked", "d11_decontaminate", "d12_dup_span_score",
+    // d12 window form vs d12b aggregate+broadcast form: same result,
+    // same oracle — the pair prices the skew-safe plan (b34 pattern)
+    "d10_embed_clusters_blocked", "d11_decontaminate",
+    "d12_dup_span_score", "d12_dup_span_agg",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "e7_ann_sq8", "e8_ann_pq",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
-    "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "g1_multimodal_meta",
+    "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "f11_chunk_split",
+    "g1_multimodal_meta",
     "g4_embed_batched", "i8_mixture_sample", "i9_pack_sequences",
     "i10_global_shuffle", "i11_token_budget")
 
@@ -298,6 +302,11 @@ object Bench {
     "d2_minhash_lsh" -> "documents",
     "d8_dedup_clusters" -> "documents",
     "d11_decontaminate" -> "documents",
+    // round-4 continuation: the fingerprint-window corpus scan (the one
+    // new op with a data-dependent shuffle) and a fixed-state sketch
+    // whose time should be scan-bound (exp ≈ 1 is the EXPECTED ceiling)
+    "d12_dup_span_score" -> "documents",
+    "b36_distinct_hll" -> "lineitem",
     "e1_cosine_topk" -> "embeddings",
     "e8_ann_pq" -> "embeddings",
     "f10_keywords" -> "documents",

@@ -400,8 +400,42 @@ object Dedup {
     * of the (small) dup-fingerprint set, at the cost of the extra
     * aggregation — noted, not needed at bench scale.
     */
-  def dupSpanScore(docs: DataFrame, n: Int = 8, maxRatio: Double = 0.5): DataFrame = {
-    val grams = spread(docs)
+  def dupSpanScore(docs: DataFrame, n: Int = 8, maxRatio: Double = 0.5): DataFrame =
+    dupSpanReport(
+      docGramFingerprints(docs, n)
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gh"))))
+        .withColumn("is_dup", when(col("n_docs") >= 2, 1L).otherwise(0L)),
+      maxRatio)
+
+  /** D12b: the aggregate + broadcast twin of [[dupSpanScore]] — identical
+    * result (it shares D12's DuckDB oracle), different physical plan.
+    * Instead of a window over the fingerprint — whose hot partitions are
+    * UNSPLITTABLE and grow with boilerplate frequency — the cross-doc
+    * counts come from a groupBy(gh) that partial-aggregates map-side (a
+    * billion-occurrence boilerplate gram collapses to one row per
+    * partition before the exchange), and the dup-fingerprint set —
+    * bounded by the corpus duplication rate, 8 bytes per dup gram —
+    * broadcasts back. The pair is benched side by side; at 100 TB this
+    * form wins whenever boilerplate skew exists.
+    */
+  def dupSpanScoreAgg(docs: DataFrame, n: Int = 8, maxRatio: Double = 0.5): DataFrame = {
+    val grams = docGramFingerprints(docs, n)
+    val dupSet = grams
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gh"), lit(1L).as("is_dup"))
+    dupSpanReport(
+      grams.join(broadcast(dupSet), Seq("gh"), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(0L))),
+      maxRatio)
+  }
+
+  /** Per-doc DISTINCT word n-gram fingerprints, exploded as
+    * (doc_id, gh). One HOF stage per projection (SURVEY §6b); gram text
+    * is hashed row-local so only 8-byte longs ever shuffle.
+    */
+  private def docGramFingerprints(docs: DataFrame, n: Int): DataFrame =
+    spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .filter(size(col("tok")) >= n)
       .select(col("doc_id"),
@@ -411,21 +445,25 @@ object Dedup {
         array_distinct(transform(col("g"),
           x => graft.functions.HashFunctions.md5Prefix60(x))).as("gh"))
       .select(col("doc_id"), explode(col("gh")).as("gh"))
-    grams
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("gh"))))
+
+  /** Shared rollup: (doc_id, is_dup) rows → per-doc counts, ratio, flag. */
+  private def dupSpanReport(flagged: DataFrame, maxRatio: Double): DataFrame =
+    flagged
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("is_dup")).as("dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("dup_grams"),
         (col("dup_grams").cast("double") / col("n_grams")).as("dup_ratio"),
         (col("dup_grams").cast("double") / col("n_grams") <= maxRatio).as("keep"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // D12: duplicated-span (boilerplate) scoring against the corpus
     // itself — fingerprint-level duplication, not whole-doc similarity.
     "d12_dup_span_score" -> ((s, d) => dupSpanScore(t(s, d, "documents"))),
+
+    // D12b: the skew-safe aggregate+broadcast plan for the same result —
+    // shares D12's oracle (the equivalence IS the check).
+    "d12_dup_span_agg" -> ((s, d) => dupSpanScoreAgg(t(s, d, "documents"))),
 
     // D11: eval-set decontamination — 8-gram overlap vs a benchmark set
     // (stand-in: every doc with doc_id % 10 = 3; no eval set ships with
@@ -586,6 +624,24 @@ object Dedup {
       // engines, so even a fingerprint collision agrees); counts are
       // integers, the ratio one double division.
       "d12_dup_span_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+          |grams AS (
+          |  SELECT doc_id,
+          |         unnest(list_distinct(list_transform(range(1, len(t) - 6), i ->
+          |           CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT)))) AS gh
+          |  FROM toks WHERE len(t) >= 8),
+          |w AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS n_docs FROM grams)
+          |SELECT doc_id, count(*) AS n_grams,
+          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio,
+          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          |         <= CAST(0.5 AS DOUBLE) AS keep
+          |FROM w GROUP BY doc_id""".stripMargin,
+
+      // D12b shares D12's oracle verbatim: the aggregate+broadcast plan
+      // must reproduce the window plan's result exactly.
+      "d12_dup_span_agg" ->
         """WITH toks AS (
           |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
           |grams AS (

@@ -230,7 +230,32 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rnk")
   }
 
+  /** F11: fixed-budget overlapping chunk splitting — the window step
+    * that turns documents into training/RAG chunks: `chunk`-token
+    * pieces every `stride` tokens (so consecutive chunks overlap by
+    * chunk − stride), last piece truncated at the document end.
+    * nChunks = 1 + ⌈max(0, n − chunk) / stride⌉ covers every token
+    * without emitting a trailing piece that is a pure suffix of the
+    * previous one. Entirely row-local (one explode, no shuffle): the
+    * output is written partition-parallel, ~chunk/stride × the corpus
+    * bytes, which is the operator's irreducible cost at any scale.
+    */
+  def chunkSplit(docs: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"),
+        (lit(1L) + floor((greatest(lit(0), size(col("tok")) - chunk)
+          + (stride - 1)).cast("double") / lit(stride.toDouble)).cast("long")).as("nc"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tok"), (col("chunk_id") * stride + 1).cast("int"), lit(chunk)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(col("ct"), " ").as("chunk_text"),
+        size(col("ct")).cast("long").as("n_chunk_tokens"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f11_chunk_split" -> ((s, d) => chunkSplit(t(s, d, "documents"))),
     "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
     "f7_repetition" -> ((s, d) => repetition(t(s, d, "documents"))),
     "f8_pii_redact" -> ((s, d) => piiRedact(t(s, d, "documents"))),
@@ -257,6 +282,18 @@ object TextAnalysis {
       |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // F11: same chunk-count formula (floor over non-negative doubles is
+    // engine-identical), same 1-based inclusive slicing semantics.
+    "f11_chunk_split" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |        CAST(1 + floor((greatest(0, len(t) - 64) + 47) / CAST(48 AS DOUBLE)) AS BIGINT) AS nc
+        |      FROM toks),
+        |ch AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM n)
+        |SELECT doc_id, chunk_id,
+        |       array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+        |       CAST(least(chunk_id * 48 + 64, len(t)) - chunk_id * 48 AS BIGINT) AS n_chunk_tokens
+        |FROM ch""".stripMargin,
     "f9_unigram_logprob" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),

@@ -70,6 +70,16 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r(4L).getAs[Boolean]("keep"))
   }
 
+  test("D12b aggregate+broadcast plan reproduces the window plan exactly") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val half = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"y$i")).mkString(" ")
+    val docs = Seq(1L -> w, 2L -> w, 3L -> half).toDF("doc_id", "text")
+    val win = Dedup.dupSpanScore(docs).collect().map(_.toSeq).toSet
+    val agg = Dedup.dupSpanScoreAgg(docs).collect().map(_.toSeq).toSet
+    assert(win === agg, "the two physical plans must agree row-for-row")
+  }
+
   test("I11 token budget keeps exactly the greedy hash-order prefix per source") {
     import spark.implicits._
     val docs = (1L to 50L)

@@ -89,4 +89,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(keyed.nonEmpty, s"no keyed exchange found to audit\n$p")
   }
+
+  test("d12b: cross-doc counts partial-aggregate map-side; dup set broadcasts") {
+    val p = SparkEntry.queries("d12_dup_span_agg")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // the skew-safe property: a hot boilerplate fingerprint collapses to
+    // one row per partition BEFORE the exchange (window form can't)
+    assert(p.contains("partial_count"), s"gh count must map-side combine\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dup-fingerprint set must broadcast\n$p")
+  }
 }

@@ -12,6 +12,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("F11 chunk split: stride overlap, truncated tail, no suffix-duplicate chunk") {
+    // 20 tokens, chunk=8, stride=6 -> nc = 1 + ceil(12/6) = 3:
+    // [1..8], [7..14], [13..20] — token 20 covered, no 4th chunk
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val r = TextAnalysis.chunkSplit(docs(1L -> text), chunk = 8, stride = 6)
+      .collect().map(x => x.getAs[Long]("chunk_id") ->
+        (x.getAs[String]("chunk_text"), x.getAs[Long]("n_chunk_tokens"))).toMap
+    assert(r.size === 3)
+    assert(r(0L) === (((1 to 8).map(i => s"t$i").mkString(" "), 8L)))
+    assert(r(1L) === (((7 to 14).map(i => s"t$i").mkString(" "), 8L)))
+    assert(r(2L) === (((13 to 20).map(i => s"t$i").mkString(" "), 8L)))
+    // short doc: one truncated chunk, never zero
+    val s = TextAnalysis.chunkSplit(docs(2L -> "a b c"), chunk = 8, stride = 6).collect()
+    assert(s.length === 1)
+    assert(s(0).getAs[String]("chunk_text") === "a b c")
+    assert(s(0).getAs[Long]("n_chunk_tokens") === 3L)
+    // exact-boundary doc: n == chunk -> exactly one chunk
+    val b = TextAnalysis.chunkSplit(docs(3L -> (1 to 8).map(i => s"b$i").mkString(" ")),
+      chunk = 8, stride = 6).collect()
+    assert(b.length === 1)
+  }
+
   test("F1 language id votes stopwords with deterministic tiebreak") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog", "en"), (2L, "el gato y la casa", "es"))
