@@ -23,6 +23,9 @@ object GraftFunctions {
     (FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (c: Seq[Expression]) => Md5Prefix60(c.head)),
+    (FunctionIdentifier("hll_rho52"),
+      new ExpressionInfo(classOf[HllRho52].getName, "hll_rho52"),
+      (c: Seq[Expression]) => HllRho52(c.head)),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (c: Seq[Expression]) => {

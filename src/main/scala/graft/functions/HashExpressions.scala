@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 60-bit md5-prefix hash of a string — the portable shingle hash of the
@@ -59,8 +59,40 @@ object Md5Prefix60 {
   }
 }
 
+/** HLL register rank, natively: rho = 53 − bitlength(w), computed as
+  * clz64(w) − 11 — value-identical to the engine-portable SQL form
+  * `53 - length(ltrim(bin(w), '0'))` the DuckDB oracle evaluates (for
+  * EVERY long, including 0 → 53 and negatives → −11; property-spec'd),
+  * but with no per-row binary-string rendering: one intrinsic inside
+  * whole-stage codegen, zero allocations. Sits on the per-row hot path
+  * of the B36 sketch, so the saved alloc multiplies by corpus rows.
+  */
+case class HllRho52(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long input, got ${child.dataType}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "hll_rho52"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long]) - 11
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(java.lang.Long.numberOfLeadingZeros($c) - 11)")
+
+  override protected def withNewChildInternal(newChild: Expression): HllRho52 =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native hash expressions. */
 object HashFunctions {
   def md5Prefix60(c: Column): Column =
     GraftShims.column(Md5Prefix60(GraftShims.expression(c)))
+
+  def hllRho52(c: Column): Column =
+    GraftShims.column(HllRho52(GraftShims.expression(c)))
 }

@@ -92,8 +92,11 @@ object Relational {
 
   /** (bucket, rho) per row: bucket = low 8 bits of the 60-bit portable
     * hash; rho = 1 + leading zeros of the remaining 52 bits
-    * = 53 - bitlength(h >> 8). Bitlength via length(ltrim(bin(w),'0')),
-    * which both engines evaluate identically (w = 0 → '0' → '' → 53).
+    * = 53 - bitlength(h >> 8). The DuckDB oracle evaluates bitlength as
+    * `length(ltrim(bin(w), '0'))`; Spark runs the value-identical native
+    * [[graft.functions.HllRho52]] (clz64 − 11: one intrinsic inside
+    * whole-stage codegen, no per-row binary-string rendering — equality
+    * property-spec'd over random longs including 0 and negatives).
     * `carry` threads grouping columns (the merge variant's slice).
     */
   private def hllObservations(keyed: DataFrame, keyCol: String,
@@ -103,7 +106,7 @@ object Relational {
         graft.functions.HashFunctions.md5Prefix60(col(keyCol).cast("string")).as("h"): _*)
       .select(carry.map(col) :+
         col("h").bitwiseAND(lit(hllM - 1)).as("bucket") :+
-        (lit(53) - length(ltrim(bin(shiftright(col("h"), 8)), "0"))).as("rho"): _*)
+        graft.functions.HashFunctions.hllRho52(shiftright(col("h"), 8)).as("rho"): _*)
 
   /** Raw HLL estimate from a register table (bucket, r). The indicator
     * sum Σ 2^-r is computed as the EXACT integer Σ 2^(53-r) (≤ 2^61, no

@@ -19,6 +19,19 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(abc === 648541476951500027L)
   }
 
+  test("hll_rho52 equals the portable bin/ltrim bitlength form on random and edge longs") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val edges = Seq(0L, 1L, 2L, (1L << 52) - 1, 1L << 52, Long.MaxValue, -1L, Long.MinValue)
+    val values = (edges ++ Seq.fill(200)(rng.nextLong() >>> rng.nextInt(64)))
+      .map(v => s"(CAST($v AS BIGINT))").mkString(", ")
+    val rows = spark.sql(
+      s"""SELECT hll_rho52(w) AS native,
+         |       53 - length(trim(LEADING '0' FROM bin(w))) AS portable
+         |FROM VALUES $values AS t(w)""".stripMargin).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), r))
+  }
+
   test("float_vec_dot is SQL-callable and matches the fold bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
