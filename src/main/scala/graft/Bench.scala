@@ -44,14 +44,14 @@ object Bench {
     // d12 window form vs d12b aggregate+broadcast form: same result,
     // same oracle — the pair prices the skew-safe plan (b34 pattern)
     "d10_embed_clusters_blocked", "d11_decontaminate",
-    "d12_dup_span_score", "d12_dup_span_agg",
+    "d12_dup_span_score", "d12_dup_span_agg", "d13_winnow_fingerprints",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "e7_ann_sq8", "e8_ann_pq",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "f11_chunk_split",
     "g1_multimodal_meta",
     "g4_embed_batched", "i8_mixture_sample", "i9_pack_sequences",
-    "i10_global_shuffle", "i11_token_budget")
+    "i10_global_shuffle", "i11_token_budget", "i12_uniform_sample_k")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -430,6 +430,43 @@ object Dedup {
       maxRatio)
   }
 
+  /** D13: winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    * 2003 — the MOSS algorithm): from the POSITIONAL sequence of word
+    * n-gram hashes, keep the minimum of every w-wide sliding window.
+    * Guarantees any shared run of ≥ n+w−1 tokens between two documents
+    * shares a selected fingerprint, while storing only ~2/(w+1) of the
+    * grams — the storage-reduced input a D12-style duplicate scan runs
+    * on when the full gram table is too large even as 8-byte hashes.
+    * Entirely row-local (no shuffle at all); the reported `reduction`
+    * is the per-doc stored-fraction. Ties inside a window need no rule:
+    * only fingerprint VALUES are kept, and equal minima share a value.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 8, w: Int = 4): DataFrame =
+    winnowSets(docs, n, w)
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
+        size(col("fp")).cast("long").as("n_fingerprints"),
+        (size(col("fp")).cast("double") / size(col("gh"))).as("reduction"))
+
+  /** The array form behind [[winnowFingerprints]]: (doc_id, positional
+    * gram hashes `gh`, selected fingerprint values `fp`). The query
+    * surface reports counts only (distinct-set ORDER differs between
+    * engines, counts don't); the sets are the spec surface for the
+    * shared-run guarantee.
+    */
+  def winnowSets(docs: DataFrame, n: Int = 8, w: Int = 4): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= n + w - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => array_join(slice(col("tok"), i, lit(n)), " ")).as("g"))
+      .select(col("doc_id"),
+        transform(col("g"),
+          x => graft.functions.HashFunctions.md5Prefix60(x)).as("gh"))
+      .select(col("doc_id"), col("gh"),
+        array_distinct(transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+          i => array_min(slice(col("gh"), i, lit(w))))).as("fp"))
+
   /** Per-doc DISTINCT word n-gram fingerprints, exploded as
     * (doc_id, gh). One HOF stage per projection (SURVEY §6b); gram text
     * is hashed row-local so only 8-byte longs ever shuffle.
@@ -464,6 +501,10 @@ object Dedup {
     // D12b: the skew-safe aggregate+broadcast plan for the same result —
     // shares D12's oracle (the equivalence IS the check).
     "d12_dup_span_agg" -> ((s, d) => dupSpanScoreAgg(t(s, d, "documents"))),
+
+    // D13: winnowing fingerprint selection — the ~2/(w+1) storage cut
+    // with the shared-run detection guarantee.
+    "d13_winnow_fingerprints" -> ((s, d) => winnowFingerprints(t(s, d, "documents"))),
 
     // D11: eval-set decontamination — 8-gram overlap vs a benchmark set
     // (stand-in: every doc with doc_id % 10 = 3; no eval set ships with
@@ -638,6 +679,26 @@ object Dedup {
           |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
           |         <= CAST(0.5 AS DOUBLE) AS keep
           |FROM w GROUP BY doc_id""".stripMargin,
+
+      // D13: same positional gram hashes, same w-wide window minima;
+      // the reduction ratio is one double division.
+      "d13_winnow_fingerprints" ->
+        """WITH toks AS (
+          |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+          |gh AS (
+          |  SELECT doc_id,
+          |         list_transform(range(1, len(t) - 6), i ->
+          |           CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS g
+          |  FROM toks WHERE len(t) >= 11),
+          |win AS (
+          |  SELECT doc_id, len(g) AS n_grams,
+          |         list_distinct(list_transform(range(1, len(g) - 2),
+          |           i -> list_min(list_slice(g, i, i + 3)))) AS fp
+          |  FROM gh)
+          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          |       CAST(len(fp) AS BIGINT) AS n_fingerprints,
+          |       CAST(len(fp) AS DOUBLE) / n_grams AS reduction
+          |FROM win""".stripMargin,
 
       // D12b shares D12's oracle verbatim: the aggregate+broadcast plan
       // must reproduce the window plan's result exactly.

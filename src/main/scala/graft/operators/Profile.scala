@@ -161,7 +161,30 @@ object Profile {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** I12: exact-k deterministic uniform sample — "give me exactly 100
+    * documents, unbiased, and the same 100 on every run/engine/cluster
+    * size". Rank = salted content hash ⇒ uniform over the corpus;
+    * global top-k by (hash, id) compiles to TakeOrderedAndProject —
+    * each partition keeps its local k, the driver merges k-sized heaps —
+    * NEVER a global sort (compare `ORDER BY rand() LIMIT k`, which is
+    * neither deterministic nor rank-stable). The replayable form of
+    * "sample k rows for eval/inspection" at any corpus size.
+    */
+  def uniformSampleK(docs: DataFrame, k: Int = 100,
+                     idCol: String = "doc_id"): DataFrame = {
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("samp:"), col(idCol).cast("string")))
+    docs
+      .select(col(idCol), col("source"), h.as("hk"))
+      .orderBy(col("hk"), col(idCol))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I12: exact-k deterministic uniform sample (global top-k by hash).
+    "i12_uniform_sample_k" -> ((s, d) =>
+      uniformSampleK(Tables.table(s, d, "documents"))),
 
     // I11: per-source token-budget cap (greedy hash-order prefix).
     "i11_token_budget" -> ((s, d) =>
@@ -221,6 +244,14 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    // I12: same salted hash, same (hk, id) order — the k rows are exact.
+    "i12_uniform_sample_k" ->
+      """SELECT doc_id, source,
+        |       CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |FROM documents
+        |ORDER BY hk, doc_id
+        |LIMIT 100""".stripMargin,
+
     // I11: integer token counts, same salted-hash admission order, the
     // cumulative sum windowed identically — the kept prefix is exact.
     "i11_token_budget" ->

@@ -80,6 +80,44 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(win === agg, "the two physical plans must agree row-for-row")
   }
 
+  test("D13 winnowing: shared >= n+w-1 run guarantees a shared fingerprint; selection shrinks storage") {
+    import spark.implicits._
+    // an 11-token (= n+w-1) run shared between two otherwise-disjoint docs
+    val run = (1 to 11).map(i => s"r$i").mkString(" ")
+    val a = run + " " + (1 to 15).map(i => s"a$i").mkString(" ")
+    val b = (1 to 15).map(i => s"b$i").mkString(" ") + " " + run
+    val c = (1 to 30).map(i => s"c$i").mkString(" ") // no shared run
+    val sets = Dedup.winnowSets(Seq(1L -> a, 2L -> b, 3L -> c).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet)).toMap
+    sets.foreach { case (id, (gh, fp)) =>
+      assert(fp.subsetOf(gh), s"doc $id selected a fingerprint not among its gram hashes")
+      assert(fp.nonEmpty && fp.size <= gh.size)
+    }
+    assert((sets(1L)._2 intersect sets(2L)._2).nonEmpty,
+      "the winnowing guarantee: an 11-token shared run must share a selected fingerprint")
+    assert((sets(1L)._2 intersect sets(3L)._2).isEmpty)
+    // storage cut on the corpus: mean reduction must beat keeping every gram
+    val red = Dedup.winnowFingerprints(
+      graft.sources.Tables.table(spark, SF, "documents")).collect()
+      .map(_.getAs[Double]("reduction"))
+    assert(red.sum / red.length < 0.6,
+      f"mean stored fraction ${red.sum / red.length}%.2f — expected ~2/(w+1)=0.4")
+  }
+
+  test("I12 uniform sample: exactly k rows, deterministic, top-k plan (no global sort)") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val s1 = Profile.uniformSampleK(docs, k = 37)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must not be a full sort\n$plan")
+    val r1 = s1.collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(r1.length === 37)
+    val r2 = Profile.uniformSampleK(docs, k = 37).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(r1 === r2, "the sample must be identical across runs")
+  }
+
   test("I11 token budget keeps exactly the greedy hash-order prefix per source") {
     import spark.implicits._
     val docs = (1L to 50L)
