@@ -46,6 +46,7 @@ object Bench {
     "d10_embed_clusters_blocked", "d11_decontaminate",
     "d12_dup_span_score", "d12_dup_span_agg", "d13_winnow_fingerprints",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
+    "e9_filtered_topk",
     "e7_ann_sq8", "e8_ann_pq",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "f11_chunk_split",

@@ -58,6 +58,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** E9: exact cosine top-k restricted to corpus rows whose metadata
+    * row (joined on vec_id = doc_id) passes `pred` — pre-filter
+    * semantics: the k results all satisfy the predicate and are the
+    * true top-k of the filtered pool. The query vector is looked up in
+    * the UNfiltered corpus (a query needn't satisfy the predicate it
+    * filters by).
+    */
+  def filteredCosineTopK(embeddings: DataFrame, meta: DataFrame, pred: Column,
+                         queryVecId: Long, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val allowed = meta.filter(pred).select(col("doc_id"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .join(allowed, e("vec_id") === allowed("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Largest embedding dimension the precomputed hyperplane table covers;
     * the sign fold only reads up to `size(emb)` components, so smaller
     * vectors use a prefix and larger ones fail fast (element_at under
@@ -760,6 +782,22 @@ object Similarity {
     // E1: exact brute-force cosine top-20 for query vector 0.
     "e1_cosine_topk" -> ((s, d) => cosineTopK(t(s, d, "embeddings"), 0L, 20)),
 
+    // E9: PRE-filtered vector search — the metadata predicate restricts
+    // the candidate set BEFORE ranking (post-filtering a top-k can
+    // return < k and re-ranks a biased pool; real vector stores treat
+    // filtered search as its own operator). Composition: the predicate
+    // scans the metadata table with pushdown, semi-joins the corpus on
+    // the id, then the usual broadcast-query scoring + global top-k.
+    // At 100 TB metadata lives beside the vectors (same table or
+    // bucketed on the id) so the semi join is co-located or a runtime
+    // bloom prefilter (b34 pattern); the IVF composition additionally
+    // prunes probe cells first.
+    "e9_filtered_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      filteredCosineTopK(t(s, d, "embeddings"), docs,
+        col("lang") === "en", 0L, 20)
+    }),
+
     // E2: LSH-bucketed ANN top-20 — oracle hash-matched (md5-portable
     // buckets); recall vs E1 still measured in the spec.
     "e2_ann_lsh" -> ((s, d) => annTopK(t(s, d, "embeddings"), 0L, 20)),
@@ -992,6 +1030,29 @@ object Similarity {
         |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 10""".stripMargin,
+
+    // E9: e1's arithmetic + an EXISTS pre-filter on the metadata table.
+    "e9_filtered_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |FROM e, q
+        |WHERE e.vec_id <> 0
+        |  AND EXISTS (SELECT 1 FROM documents d
+        |              WHERE d.doc_id = e.vec_id AND d.lang = 'en')
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
 
     "e1_cosine_topk" ->
       """WITH e AS (

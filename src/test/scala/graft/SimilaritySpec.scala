@@ -12,6 +12,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("E9 pre-filtered search returns a full k where post-filtering starves") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val emb = graft.sources.Tables.table(spark, SF, "embeddings")
+    val pre = Similarity.filteredCosineTopK(emb, docs, col("lang") === "en", 0L, 20)
+      .collect()
+    val en = docs.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pre.length === 20, "pre-filter must rank the FILTERED pool, returning full k")
+    assert(pre.forall(r => en.contains(r.getLong(0))), "a result violated the predicate")
+    // post-filtering the unfiltered top-k keeps only its en subset...
+    val post = Similarity.cosineTopK(emb, 0L, 20).collect()
+      .filter(r => en.contains(r.getLong(0)))
+    assert(post.length < 20,
+      "post-filter starvation did not occur at this SF; predicate too broad for the spec")
+    // ...and every survivor is also in the pre-filtered top-k (consistency)
+    val preIds = pre.map(_.getLong(0)).toSet
+    assert(post.forall(r => preIds.contains(r.getLong(0))))
+  }
+
   test("E1 exact top-k ranks by cosine") {
     val e = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),
