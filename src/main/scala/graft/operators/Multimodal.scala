@@ -139,7 +139,67 @@ object Multimodal {
     }
   }
 
+  /** G5: perceptual fingerprint from the binary payload — the aHash
+    * shape of image dedup: decode, sample a fixed-length code sequence,
+    * threshold each code against the payload mean, fold the bits into
+    * one 60-bit fingerprint (60 keeps the fold inside a non-negative
+    * signed long, like every other house hash). With a real pixel
+    * decode the codes become the 8×8 grayscale downsample; nothing
+    * downstream changes. Row-local; the heavy payload never shuffles —
+    * only the 8-byte fingerprint does.
+    */
+  def perceptualHash(media: DataFrame, bits: Int = 60): DataFrame =
+    media
+      .filter(length(decode(col("payload"), "UTF-8")) >= bits)
+      .select(col("doc_id"), expr(
+        s"""transform(filter(split(substring(decode(payload, 'UTF-8'), 1, $bits), ''),
+           |          c -> c <> ''),
+           |  c -> ascii(c))""".stripMargin).as("codes"))
+      .select(col("doc_id"), col("codes"),
+        (aggregate(col("codes"), lit(0), (a, x) => a + x).cast("double")
+          / size(col("codes"))).as("mu"))
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("codes"),
+            c => when(c.cast("double") >= col("mu"), lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc * lit(2L) + b).as("phash"))
+
+  /** G5: near-duplicate payloads by perceptual-hash distance, banded —
+    * the d2 pattern in hamming space: 4 bands × 15 bits bucket the
+    * fingerprints (pairs agreeing on ANY full band become candidates,
+    * never an O(n²) self-join), then the exact hamming verify runs on
+    * candidates only. Candidate recall vs the all-pairs form is the
+    * usual LSH trade (≤ maxHamming bits can straddle all 4 bands) —
+    * measured in the spec; the banded form is the query surface and
+    * has its own exact oracle (the SQL reproduces the banding).
+    * A production run persists `perceptualHash` once (it is recomputed
+    * per consumer here, cheap at bench scale).
+    */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fp = perceptualHash(media)
+    val bands = fp
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(0, 3), j -> (shiftright(phash, 45 - 15*j) & 32767))")))
+      .toDF("doc_id", "band_id", "band_key")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("phash").as("ha")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("phash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G5: banded perceptual-hash near-dup over the payload bytes.
+    "g5_phash_neardup" -> ((s, d) =>
+      phashNearDup(withPayload(Tables.table(s, d, "documents")))),
+
     // G4: batched inference plumbing (rows-only: stub encoder).
     "g4_embed_batched" -> ((s, d) =>
       embedBatched(withPayload(Tables.table(s, d, "documents"))).toDF()
@@ -170,6 +230,38 @@ object Multimodal {
     * analogue by construction.
     */
   def oracles: Map[String, String] = Map(
+    // G5: same codes (single-byte corpus: ascii = byte), same integer
+    // mean-threshold bits, same acc*2+b fold, same band keys — the
+    // banding itself is reproduced, so the BANDED result is exact.
+    "g5_phash_neardup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, list_transform(str_split(substr(text, 1, 60), ''), c -> ascii(c)) AS codes
+        |  FROM documents WHERE length(text) >= 60),
+        |m AS (
+        |  SELECT doc_id, codes,
+        |         CAST(list_reduce(list_prepend(0, codes), (x, y) -> x + y) AS DOUBLE)
+        |           / len(codes) AS mu
+        |  FROM ch),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, len(codes) + 1),
+        |             i -> CASE WHEN CAST(codes[i] AS DOUBLE) >= mu
+        |                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |           (acc, b) -> acc * 2 + b) AS phash
+        |  FROM m),
+        |bands AS (
+        |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
+        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
+        |FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
+        |WHERE bit_count(xor(fa.phash, fb.phash)) <= 6""".stripMargin,
+
     // g1's stub features are byte statistics; on this corpus (verified
     // single-byte at every SF) ascii(char) = byte value and both engines
     // fold left-to-right, so even the double mean matches exactly.

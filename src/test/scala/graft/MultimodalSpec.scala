@@ -22,6 +22,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(w >= 64 && w < 1024)
   }
 
+  test("G5 perceptual hash: identical payloads collide, near-identical stay hamming-close") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString + ('A' to 'Z').mkString + "01234567" // 60 chars
+    val nearby = base.updated(10, 'K').updated(40, '0') // two byte-level edits
+    val far = base.reverse.updated(5, '~')
+    val docs = Seq(1L -> base, 2L -> base, 3L -> nearby, 4L -> far).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs)
+    val fp = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(fp(1L) === fp(2L), "identical payloads must fingerprint identically")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 6,
+      "two byte edits must flip at most a few threshold bits")
+    val pairs = Multimodal.phashNearDup(media).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(0L))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 4L)), s"far payload must not pair: $pairs")
+  }
+
+  test("G5 banded candidates are a subset of all-pairs with measured recall on the corpus") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val media = Multimodal.withPayload(docs)
+    val banded = Multimodal.phashNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash"))
+    val exact = (for {
+      (ida, ha) <- fp; (idb, hb) <- fp
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ida, idb)).toSet
+    assert(banded.subsetOf(exact), s"banding invented pairs: ${banded.diff(exact)}")
+    assert(exact.nonEmpty && banded.size >= exact.size / 2,
+      s"recall collapsed: ${banded.size}/${exact.size}")
+  }
+
   test("G2 resize halves dims and shrinks the payload") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 400)).toDF("doc_id", "text")
