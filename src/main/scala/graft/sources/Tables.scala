@@ -353,16 +353,57 @@ object Tables {
       case Some(base) => mergeUpsert(base, batch, keys, versionDesc)
       case None => mergeUpsert(batch.limit(0), batch, keys, versionDesc)
     }
+    stagingSwap(spark, dir) { staging =>
+      merged.write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Write-fully-then-rename table replacement shared by
+    * [[mergeIntoWarehouse]] and [[compactPartitioned]]: the new layout
+    * is complete in a sibling staging dir before the live table is
+    * touched, the swap itself is a metadata-only rename, and a crash in
+    * the rename window is healed by [[recoverCrashedSwap]].
+    */
+  private def stagingSwap(spark: SparkSession, dir: String)
+                         (write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}__graft_staging")
     fs.delete(staging, true) // leftover from a previous crashed swap
-    merged.write.mode("overwrite").parquet(staging.toString)
+    write(staging.toString)
     fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
-        s"warehouse swap failed: staging data is intact at $staging")
+        s"table swap failed: staging data is intact at $staging")
+  }
+
+  /** A13: small-file compaction for a partitioned parquet sink — the
+    * maintenance pass every long-lived micro-batch sink needs: appends
+    * accumulate one file per (trigger × partition) until listing and
+    * footer/open() overhead dominate every scan (the small-files
+    * problem; at 1000 executors it also melts the namenode). Rewrites
+    * the table to at most `filesPerPartition` files per partition
+    * directory: repartitioning on (partition cols + a deterministic
+    * row-hash bucket) lands each partition's rows on that many shuffle
+    * tasks, and partitionBy lays them back out. The rewrite rides the
+    * same staging-dir swap as [[mergeIntoWarehouse]] — a reader (or a
+    * crash) sees the old layout or the new one, never a mix — and the
+    * bucket is a pure row function, so the rewritten content is
+    * byte-for-byte the same rows (spec'd); only the file count drops.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         partitionCols: Seq[String],
+                         filesPerPartition: Int = 1): Unit = {
+    recoverCrashedSwap(spark, dir)
+    val df = spark.read.parquet(dir)
+    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    val bucket = pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
+    val compacted = df.repartition(partitionCols.map(col) :+ bucket: _*)
+    stagingSwap(spark, dir) { staging =>
+      compacted.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(staging)
+    }
   }
 
   /** Recovery half of [[mergeIntoWarehouse]]'s swap, run BEFORE the base

@@ -51,6 +51,41 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("tx_month"), plan)
   }
 
+  test("A13 compaction: file count collapses per partition, content byte-identical") {
+    import spark.implicits._
+    val dir = tmpDir("graft_compact")
+    // 5 appends -> 5 files per partition directory (the small-files drift)
+    (1 to 5).foreach { i =>
+      val df = Seq(
+        (s"a$i", "card", i * 1.0, java.sql.Timestamp.valueOf("2024-01-15 10:00:00")),
+        (s"b$i", "cash", i * 2.0, java.sql.Timestamp.valueOf("2024-02-20 11:00:00")))
+        .toDF("transaction_id", "payment_method", "amount", "timestamp")
+      Tables.writeDatePartitioned(df, "timestamp", dir)
+    }
+    def filesPerPartition: Map[String, Int] = {
+      val root = Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq.groupBy(p => root.relativize(p.getParent).toString)
+        .view.mapValues(_.size).toMap
+    }
+    val before = filesPerPartition
+    assert(before.values.max === 5, s"setup should fragment: $before")
+    val rowsBefore = Tables.readPartitioned(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+
+    Tables.compactPartitioned(spark, dir,
+      Seq("payment_method", "tx_year", "tx_month", "tx_day"))
+
+    val after = filesPerPartition
+    assert(after.values.max === 1, s"compaction left fragments: $after")
+    assert(after.keySet === before.keySet, "compaction must not move partitions")
+    val rowsAfter = Tables.readPartitioned(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter === rowsBefore, "compaction must not change content")
+  }
+
   test("A6b exactly-once sink: replaying a batch leaves no duplicates") {
     import spark.implicits._
     val dir = tmpDir("graft_eo_sink")
