@@ -27,7 +27,7 @@ object Bench {
     // fixed-memory distinct-count / quantile sketches beside their exact
     // forms (b6 twins, b19's percentile): the 100 TB shapes — the
     // shuffle carries ≤256 registers / ≤64 cells regardless of NDV
-    "b36_distinct_hll", "b36_hll_merge",
+    "b36_distinct_hll", "b36_hll_merge", "b36_hll_grouped",
     "b37_quantile_hist", "b37_hist_merge",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     // exact c7 kept next to its approx twin so the sketch-vs-distinct

@@ -115,17 +115,22 @@ object Relational {
     * range only (no linear-counting branch): callers keep m small enough
     * that NDV ≥ 2.5·m, which avoids ln() — the one non-portable float op.
     */
-  private def hllEstimate(registers: DataFrame): DataFrame =
-    registers
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).as("s_present"),
-        count(lit(1)).as("registers_set"))
-      .select(
-        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
-          * lit(9007199254740992.0)
-          / (col("s_present")
-              + (lit(hllM) - col("registers_set")) * lit(hllEmptyTerm)).cast("double"))
-          .as("est_ndv"),
-        col("registers_set"))
+  private def hllEstimate(registers: DataFrame,
+                          groupCols: Seq[String] = Nil): DataFrame = {
+    val partial = Seq(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).as("s_present"),
+      count(lit(1)).as("registers_set"))
+    val agged =
+      if (groupCols.isEmpty) registers.agg(partial.head, partial.tail: _*)
+      else registers.groupBy(groupCols.map(col): _*).agg(partial.head, partial.tail: _*)
+    agged.select(groupCols.map(col) :+
+      (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+        * lit(9007199254740992.0)
+        / (col("s_present")
+            + (lit(hllM) - col("registers_set")) * lit(hllEmptyTerm)).cast("double"))
+        .as("est_ndv") :+
+      col("registers_set"): _*)
+  }
 
   /** Equi-width histogram quantile sketch (B37 family): a fixed-size
     * (64-cell) mergeable histogram over a one-pass global [lo, hi], with
@@ -394,6 +399,20 @@ object Relational {
         .groupBy(col("slice"), col("bucket")).agg(max(col("rho")).as("r"))
       val merged = perSlice.groupBy(col("bucket")).agg(max(col("r")).as("r"))
       hllEstimate(merged)
+    }),
+
+    // B36c: the GROUPED form — b6's query shape (distinct keys per
+    // group) with fixed-memory registers: the shuffle carries ≤ 256
+    // rows per (group, partition) however many distinct keys, where
+    // count(DISTINCT) shuffles every one. Raw-range precondition holds
+    // per group (NDV ≥ 2.5m at every SF — checked before choosing the
+    // grouping key).
+    "b36_hll_grouped" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_orderkey"))
+      hllEstimate(
+        hllObservations(li, "l_orderkey", Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("r")),
+        Seq("l_returnflag"))
     }),
 
     // B37: histogram quantile sketch — one stats pass (min/max/count:
@@ -999,6 +1018,29 @@ object Relational {
     // hash-matching the same SQL.
     "b36_distinct_hll" -> hllOracleSql,
     "b36_hll_merge" -> hllOracleSql,
+
+    // B36c: the same register/estimator arithmetic per group.
+    "b36_hll_grouped" ->
+      """WITH hk AS (
+        |  SELECT l_returnflag,
+        |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |regs AS (
+        |  SELECT l_returnflag, h & 255 AS bucket,
+        |         max(53 - length(ltrim(bin(h >> 8), '0'))) AS r
+        |  FROM hk GROUP BY l_returnflag, bucket),
+        |s AS (
+        |  SELECT l_returnflag,
+        |         sum(CAST(1 AS BIGINT) << (53 - r)) AS s_present,
+        |         count(*) AS registers_set
+        |  FROM regs GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |       * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+        |       / CAST(s_present + (256 - registers_set) * CAST(9007199254740992 AS BIGINT) AS DOUBLE)
+        |         AS est_ndv,
+        |       registers_set
+        |FROM s""".stripMargin,
     "b37_quantile_hist" -> histOracleSql,
     "b37_hist_merge" -> histOracleSql,
 

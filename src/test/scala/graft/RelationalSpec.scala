@@ -99,6 +99,19 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val est = one.getAs[Double]("est_ndv")
     assert(math.abs(est - exact) <= 0.2 * exact,
       s"HLL(m=256) estimate $est vs exact $exact drifts > 20%")
+    // grouped form: each group's registers estimate ITS distinct count
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val grouped = Relational.queries("b36_hll_grouped")(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est_ndv")).toMap
+    val exactG = graft.sources.Tables.table(spark, SF, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped.keySet === exactG.keySet)
+    grouped.foreach { case (g, e) =>
+      assert(math.abs(e - exactG(g)) <= 0.2 * exactG(g),
+        s"group $g: estimate $e vs exact ${exactG(g)} drifts > 20%")
+    }
   }
 
   test("B37 histogram quantiles within one cell of exact; cell-add merge equals one-shot") {
