@@ -36,7 +36,7 @@ object Bench {
     "c11_zscore", "c15_trailing_window",
     "b30_gapfill", "i4_load_diff", "i5_quality_audit",
     "c1_skew_plain", "c1_skew_salted",
-    "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
+    "d1_dedup_exact", "d14_dedup_normalized", "d2_minhash_lsh", "d4_ngram_jaccard",
     // the blocked (LSH-bucketed) dedup forms are what gets measured —
     // the all-pairs d5/d9 BNLJ forms are oracle-only (Verify still runs
     // them): an O(n²) pair enumeration must never be the headline plan

@@ -492,7 +492,23 @@ object Dedup {
         (col("dup_grams").cast("double") / col("n_grams")).as("dup_ratio"),
         (col("dup_grams").cast("double") / col("n_grams") <= maxRatio).as("keep"))
 
+  /** D14: exact dedup over NORMALIZED text — the composition real
+    * pipelines run first: case / punctuation / whitespace / stopword
+    * variants that D1's byte-exact digest treats as distinct collapse
+    * to one group after F5 normalization (lower → strip symbols →
+    * collapse whitespace → drop stopwords). Same plan shape as D1 —
+    * the normalization is a row-local projection, the shuffle still
+    * carries one digest per doc.
+    */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    TextAnalysis.normalize(docs)
+      .groupBy(md5(col("normalized")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D14: canonicalized exact dedup (F5 ∘ D1 composition).
+    "d14_dedup_normalized" -> ((s, d) => dedupNormalized(t(s, d, "documents"))),
 
     // D12: duplicated-span (boilerplate) scoring against the corpus
     // itself — fingerprint-level duplication, not whole-doc similarity.
@@ -721,6 +737,22 @@ object Dedup {
       "d1_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      // D14: F5's normalization CTE verbatim, then D1's digest group.
+      "d14_dedup_normalized" ->
+        """WITH tk AS (
+          |  SELECT doc_id,
+          |         str_split(regexp_replace(regexp_replace(lower(text),
+          |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS tok
+          |  FROM documents),
+          |nz AS (
+          |  SELECT doc_id,
+          |         array_to_string(list_filter(tok,
+          |           w -> w NOT IN ('the','a','of','and','in','to','is','')), ' ') AS normalized
+          |  FROM tk)
+          |SELECT md5(normalized) AS content_hash, min(doc_id) AS keep_id,
+          |       count(*) AS n_copies
+          |FROM nz GROUP BY md5(normalized)""".stripMargin,
 
       // D3: same md5Prefix60 token hashes, same low-32-bit ± sign fold;
       // the per-bit sum is order-independent so distinct-set ordering

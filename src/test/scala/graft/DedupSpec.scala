@@ -97,6 +97,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(groups.toSeq === Seq(1L, 2L))
   }
 
+  test("D14 normalized dedup collapses case/punct/stopword variants D1 keeps apart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = Seq(
+      1L -> "The cat, and the DOG!",
+      2L -> "the cat and the dog",
+      3L -> "a completely different sentence").toDF("doc_id", "text")
+    // byte-exact digest: three distinct groups
+    assert(docs.groupBy(md5(col("text"))).count().count() === 3)
+    val d14 = Dedup.dedupNormalized(docs).collect()
+    assert(d14.length === 2, "case/punct/stopword variants must collapse")
+    val merged = d14.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(merged.getAs[Long]("keep_id") === 1L)
+  }
+
   test("D8 clusters are transitive closures with min-id canonical keeper") {
     // 1~2 and 2~3 collide (identical text); 4 is unrelated — one cluster
     // {1,2,3} labeled by its min id, plus the singleton.
