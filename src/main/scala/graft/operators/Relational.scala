@@ -54,8 +54,11 @@ object Relational {
   /** One-shot CMS cell table over `keyed(keyCol)`: one digest + depth
     * affine buckets per row map-side, partial aggregation collapses
     * each partition to ≤ depth×w cells before the exchange.
+    * `private[graft]`: the streaming sketch maintenance (H12) builds
+    * each micro-batch's cells with exactly this function, which is what
+    * makes stream ≡ batch bit-exact.
     */
-  private def cmsCells(keyed: DataFrame, keyCol: String): DataFrame =
+  private[graft] def cmsCells(keyed: DataFrame, keyCol: String): DataFrame =
     keyed
       .select(cmsKeyHash(col(keyCol)).as("h"))
       .select(posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))
@@ -66,8 +69,8 @@ object Relational {
     * — min over the depth rows — and keep keys at/above `threshold`.
     * The cell table broadcasts (4 MB).
     */
-  private def cmsThresholdEstimate(keyed: DataFrame, cells: DataFrame,
-                                   keyCol: String, threshold: Long): DataFrame =
+  private[graft] def cmsThresholdEstimate(keyed: DataFrame, cells: DataFrame,
+                                          keyCol: String, threshold: Long): DataFrame =
     keyed.distinct()
       .select(col(keyCol), cmsKeyHash(col(keyCol)).as("h"))
       .select(col(keyCol), posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
-import graft.streaming.{CurationStream, FraudStream, Stateful}
+import graft.streaming.{CurationStream, FraudStream, SketchStream, Stateful}
 
 /** Structured-streaming pipeline (SURVEY §2 A2, A5, H1–H3). */
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
@@ -113,6 +113,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     val out2 = spark.sql("SELECT doc_id FROM curated2").collect().map(_.getLong(0)).toSet
     assert(out2 === Set(1L, 4L))
+  }
+
+  test("H12 streaming CMS maintenance equals the one-shot batch sketch exactly") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = tmpDir("graft_cms_in")
+    val ckpt = tmpDir("graft_cms_ckpt")
+    val cells = tmpDir("graft_cms_cells")
+    val li = Tables.table(spark, SF, "lineitem").select(col("l_orderkey"))
+    // several files -> several micro-batches, so the merge path is real
+    li.repartition(4).write.mode("overwrite").json(in)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("l_orderkey", LongType))))
+      .option("maxFilesPerTrigger", 1).json(in)
+    SketchStream.maintainCms(stream, "l_orderkey", cells, ckpt).awaitTermination()
+    assert(spark.read.parquet(cells).select("batch_id").distinct().count() > 1,
+      "stream must have run as multiple micro-batches")
+    val streamed = SketchStream.heavyHittersFromCells(li, cells, "l_orderkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val batch = graft.operators.Relational.queries("b35_heavy_hitters_cms")(spark, SF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(streamed === batch,
+      "the maintained sketch must reproduce the one-shot batch sketch bit-exactly")
   }
 
   test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
