@@ -71,7 +71,7 @@ object Dedup {
     * (Checking the physical partition count compiles the plan but runs
     * no job.)
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

@@ -149,7 +149,7 @@ object Multimodal {
     * only the 8-byte fingerprint does.
     */
   def perceptualHash(media: DataFrame, bits: Int = 60): DataFrame =
-    media
+    Dedup.spread(media)
       // octet_length needs no decode, and the binary is sliced BEFORE
       // decoding, so only `bits` bytes are ever decoded per row — on a
       // corpus of ~100 KB payloads that is the difference between
@@ -164,12 +164,19 @@ object Multimodal {
            |  c -> ascii(c))""".stripMargin).as("codes"))
       .select(col("doc_id"), col("codes"),
         (aggregate(col("codes"), lit(0), (a, x) => a + x).cast("double")
-          / size(col("codes"))).as("mu"))
+          / size(col("codes"))).as("payload_mean"))
+      // payload_mean is referenced TWICE here — once inside the threshold
+      // lambda and once as an output feature (the brightness analogue a
+      // real aHash also reports) — which is what keeps CollapseProject
+      // from inlining the 60-element mean fold into the per-element
+      // lambda (the §6b single-reference trap: inlined, the mean would
+      // re-evaluate per code element, ~60× the fold work)
       .select(col("doc_id"),
         aggregate(
           transform(col("codes"),
-            c => when(c.cast("double") >= col("mu"), lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, b) => acc * lit(2L) + b).as("phash"))
+            c => when(c.cast("double") >= col("payload_mean"), lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc * lit(2L) + b).as("phash"),
+        col("payload_mean"))
 
   /** G5: near-duplicate payloads by perceptual-hash distance, banded —
     * the d2 pattern in hamming space: 4 bands × 15 bits bucket the

@@ -150,8 +150,12 @@ object Profile {
     */
   def tokenBudgetCap(docs: DataFrame, budget: Long = 800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // op-specific salt ("tok:"), like every sibling sampler ("mix:" I8,
+    // "shuf:" I10, "samp:" I12): an unsalted doc_id hash would make this
+    // op's admission order perfectly correlated with any other consumer
+    // of the raw hash order
     val h = graft.functions.HashFunctions
-      .md5Prefix60(col("doc_id").cast("string"))
+      .md5Prefix60(concat(lit("tok:"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
     docs
       .select(col("doc_id"), col("source"),
@@ -258,7 +262,7 @@ object Profile {
       """WITH d AS (
         |  SELECT doc_id, source,
         |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |         CAST(('0x' || substr(md5('tok:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,

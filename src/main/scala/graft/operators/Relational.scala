@@ -67,16 +67,22 @@ object Relational {
 
   /** Estimate every distinct key against a (possibly merged) cell table
     * — min over the depth rows — and keep keys at/above `threshold`.
-    * The cell table broadcasts (4 MB).
+    * The cell table broadcasts (4 MB). The join is LEFT with a 0
+    * fallback: a cell with no row in the table has count 0, and a
+    * candidate key absent from the sketched data must estimate 0 from
+    * its empty cells, not survive on a single collision-inflated one
+    * (indistinguishable for b35's keyed ⊆ sketched case — a present
+    * key's own increments populate all its cells — but load-bearing
+    * when H12 serves a candidate set wider than the stream's keys).
     */
   private[graft] def cmsThresholdEstimate(keyed: DataFrame, cells: DataFrame,
                                           keyCol: String, threshold: Long): DataFrame =
     keyed.distinct()
       .select(col(keyCol), cmsKeyHash(col(keyCol)).as("h"))
       .select(col(keyCol), posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))
-      .join(broadcast(cells), Seq("r", "bucket"))
+      .join(broadcast(cells), Seq("r", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est_count"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
       .filter(col("est_count") >= threshold)
 
   /** HyperLogLog parameters (B36 family): 2^8 registers, each holding
@@ -146,11 +152,18 @@ object Relational {
   private val histNb = 64
 
   /** Cell index for value v against the broadcast stats row (lo, hi):
-    * floor((v-lo)/step), top edge clamped into the last cell.
+    * floor((v-lo)/step), top edge clamped into the last cell. A
+    * degenerate range (hi = lo: constant column, or a single-row slice)
+    * would make the division 0/0 = NaN and ANSI's NaN→long cast throw —
+    * everything lands in cell 0 instead (the trivial histogram). The
+    * guard never fires on the oracle'd tables, so the SQL twin stays
+    * unconditional.
     */
   private def histBucket(v: Column): Column =
-    least(floor((v - col("lo")) / ((col("hi") - col("lo")) / lit(64.0))).cast("long"),
-      lit(histNb - 1L))
+    when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(
+        floor((v - col("lo")) / ((col("hi") - col("lo")) / lit(64.0))).cast("long"),
+        lit(histNb - 1L)))
 
   /** Interpolated quantile estimates from merged cells (bucket, cnt) and
     * the stats row (lo, hi, n). Everything after the histogram is ≤ 64

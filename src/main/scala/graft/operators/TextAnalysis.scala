@@ -241,7 +241,7 @@ object TextAnalysis {
     * bytes, which is the operator's irreducible cost at any scale.
     */
   def chunkSplit(docs: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame =
-    docs
+    Dedup.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("tok"),
         (lit(1L) + floor((greatest(lit(0), size(col("tok")) - chunk)

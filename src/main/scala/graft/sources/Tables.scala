@@ -391,6 +391,14 @@ object Tables {
     * crash) sees the old layout or the new one, never a mix — and the
     * bucket is a pure row function, so the rewritten content is
     * byte-for-byte the same rows (spec'd); only the file count drops.
+    *
+    * SINGLE-WRITER op: the swap protects readers and crashes, not
+    * concurrent writers — a commit landing between this read and the
+    * rename is silently dropped by the swap (plain parquet directories
+    * have no transaction log to detect it). Run compaction only while
+    * the table's writer is quiesced (between micro-batch triggers, or
+    * with the stream stopped), the standard maintenance-window contract
+    * for non-transactional table layouts.
     */
   def compactPartitioned(spark: SparkSession, dir: String,
                          partitionCols: Seq[String],

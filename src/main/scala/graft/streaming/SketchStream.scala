@@ -24,7 +24,10 @@ import graft.operators.Relational
   *
   * Scale: per batch the exchange carries ≤ depth×2^17 integer cells per
   * partition; the state table grows by ≤ 4 MB per micro-batch and is
-  * re-compactable with A13 (it IS a partitioned parquet sink).
+  * re-compactable with A13 (it IS a partitioned parquet sink) — but
+  * only with the stream STOPPED: A13 is a single-writer op, and a
+  * micro-batch committing mid-compaction would be silently dropped by
+  * the swap (see [[graft.sources.Tables.compactPartitioned]]).
   */
 object SketchStream {
 

@@ -135,6 +135,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(streamed === batch,
       "the maintained sketch must reproduce the one-shot batch sketch bit-exactly")
+    // a candidate key the stream never saw has empty cells -> estimate 0:
+    // it must not survive on a single collision-inflated cell
+    import spark.implicits._
+    val withAbsent = li.union(Seq(999999999L).toDF("l_orderkey"))
+    val served = SketchStream.heavyHittersFromCells(withAbsent, cells, "l_orderkey", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!served.contains(999999999L),
+      "an absent key must estimate 0, not ride a colliding cell")
   }
 
   test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
