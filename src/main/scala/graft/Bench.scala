@@ -99,7 +99,8 @@ object Bench {
     val bucketed = bucketedJoinStudy(spark, sfDir)
     val curation = curationGateStudy(spark, sfDir)
     val annIndex = annIndexStudy(spark, sfDir)
-    val all = results ++ streaming ++ bucketed ++ curation ++ annIndex
+    val compaction = compactionStudy(spark, sfDir)
+    val all = results ++ streaming ++ bucketed ++ curation ++ annIndex ++ compaction
     val scaling = scalingStudy(spark, sfDir, all.toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String =
@@ -110,6 +111,63 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
     spark.stop()
+  }
+
+  /** A13 compaction study: the small-files tax made visible, and the
+    * price of removing it. The events fact is written as a
+    * date-partitioned sink in 16 slices — the fragmentation a
+    * micro-batch streaming sink accumulates (16 files per partition
+    * directory) — and the same scan+aggregate is timed against the
+    * fragmented layout (`j2_scan_fragmented`), after compaction to one
+    * file per partition (`j2_scan_compacted`), with the one-time
+    * rewrite itself reported as `j2_compact_cost`. Locally the delta is
+    * listing + per-file footer/open overhead; on an object store each
+    * file open is a round trip and the same ratio multiplies by
+    * latency, which is why the maintenance pass exists.
+    */
+  private def compactionStudy(spark: SparkSession,
+                              sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    val dir = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_bench_compact")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def scan(): Unit =
+      Tables.readPartitioned(spark, dir.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .write.format("noop").mode("overwrite").save()
+    try {
+      fs.delete(dir, true)
+      val ev = Tables.table(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      (0 until 16).foreach { s =>
+        Tables.writeDatePartitioned(ev.filter(pmod(col("event_id"), lit(16)) === s),
+          "ts", dir.toString, Seq("event_type"))
+      }
+      val frag = Seq(time("warmup_fragmented")(scan()),
+        time("j2_scan_fragmented")(scan()))
+      val cost = time("j2_compact_cost")(Tables.compactPartitioned(spark, dir.toString,
+        Seq("event_type", "tx_year", "tx_month", "tx_day")))
+      val comp = Seq(time("warmup_compacted")(scan()),
+        time("j2_scan_compacted")(scan()))
+      try fs.delete(dir, true) catch { case scala.util.control.NonFatal(_) => }
+      (frag ++ Seq(cost) ++ comp).filterNot(_._1.startsWith("warmup"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] compaction study setup failed: ${e.getMessage}")
+        Seq("j2_scan_fragmented" -> -1.0, "j2_compact_cost" -> -1.0,
+          "j2_scan_compacted" -> -1.0)
+    }
   }
 
   /** Build-once / search-many ANN study: the serving-side costs the
