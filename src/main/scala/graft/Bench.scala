@@ -366,6 +366,11 @@ object Bench {
     // whose time should be scan-bound (exp ≈ 1 is the EXPECTED ceiling)
     "d12_dup_span_score" -> "documents",
     "b36_distinct_hll" -> "lineitem",
+    // g5's band-collision count grows with corpus self-similarity, not
+    // just rows (§7d item 27) — measured here so a super-linear exponent
+    // is REPORTED, not hidden; d14 should track d1 (scan-bound)
+    "g5_phash_neardup" -> "documents",
+    "d14_dedup_normalized" -> "documents",
     "e1_cosine_topk" -> "embeddings",
     "e8_ann_pq" -> "embeddings",
     "f10_keywords" -> "documents",
