@@ -33,7 +33,7 @@ object Bench {
     // exact c7 kept next to its approx twin so the sketch-vs-distinct
     // trade is measured in the SAME run (host CPU swings across runs)
     "c7_category_trend", "c7_category_trend_approx",
-    "c11_zscore", "c15_trailing_window",
+    "c11_zscore", "c15_trailing_window", "c16_ewma_spend",
     "b30_gapfill", "i4_load_diff", "i5_quality_audit",
     "c1_skew_plain", "c1_skew_salted",
     "d1_dedup_exact", "d14_dedup_normalized", "d2_minhash_lsh", "d4_ngram_jaccard",

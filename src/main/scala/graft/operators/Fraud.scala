@@ -231,6 +231,30 @@ object Fraud {
           fmtTs(col("ts")).as("event_ts"), col("value"),
           sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("t7_sum"),
           count(lit(1)).over(w).as("t7_n"))
+    }),
+
+    // C16: EWMA spend smoothing — the exponential-decay twin of C15's
+    // boxcar: recent spend weighted 2^-1, 2^-2, ... per event back.
+    // α = 1/2 EXACTLY so every weight is a dyadic rational and the
+    // recursive fold s_i = (s_{i-1} + x_i)/2 stays inside exact IEEE
+    // halving — the smoothed series reproduces bit-for-bit in any
+    // engine (pow() with an arbitrary α would be libm-dependent; this
+    // extends the §6b portable-estimator recipe list). The frame is
+    // ROWS 39 PRECEDING: weights beyond 2^-40 are below double
+    // precision relative to the head, so the truncation is the
+    // documented semantics AND the fixed-memory bound — O(40) per row,
+    // one shuffle on user_id, no O(history²).
+    "c16_ewma_spend" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-39, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("ts")).as("event_ts"), col("value"),
+          collect_list(col("value")).over(w).as("trail"))
+        .select(col("event_id"), col("user_id"), col("event_ts"), col("value"),
+          aggregate(col("trail"), lit(0.0), (a, x) => (a + x) / lit(2.0))
+            .as("ewma_value"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -309,7 +333,18 @@ object Fraud {
           |       count(*) OVER w AS t7_n
           |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
           |WINDOW w AS (PARTITION BY user_id ORDER BY secs
-          |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin
+          |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      // C16: same frame, same chronological left fold; (a + x) / 2 is
+      // exact IEEE halving in both engines so no decimal detour needed.
+      "c16_ewma_spend" ->
+        """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts, value,
+          |       list_reduce(list_prepend(CAST(0 AS DOUBLE), trail),
+          |                   (a, x) -> (a + x) / 2) AS ewma_value
+          |FROM (SELECT event_id, user_id, ts, value,
+          |             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                               ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
+          |      FROM events)""".stripMargin
     )
   }
 }

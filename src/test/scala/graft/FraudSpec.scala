@@ -18,6 +18,31 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     Fraud.score(df).collect()(0)
   }
 
+  test("C16 EWMA: hand-computed dyadic fold, per-user isolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft_ewma")
+    // events.ts rides as TIMESTAMP(NANOS) in the testdata; Tables.table
+    // divides by 1000, so the fixture stores nanos longs the same way
+    def nanos(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // user 1: 4, 2, 6 -> s = 2, 2, 4 exactly (all dyadic); user 2 isolated
+    Seq(
+      (1L, 101L, nanos("2024-01-01 10:00:00"), 4.0),
+      (2L, 101L, nanos("2024-01-01 10:01:00"), 2.0),
+      (3L, 101L, nanos("2024-01-01 10:02:00"), 6.0),
+      (4L, 202L, nanos("2024-01-01 10:00:30"), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("purchase"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Fraud.queries("c16_ewma_spend")(spark, dir).collect()
+      .map(x => x.getAs[Long]("event_id") -> x.getAs[Double]("ewma_value")).toMap
+    assert(r(1L) === 2.0)  // (0+4)/2
+    assert(r(2L) === 2.0)  // (2+2)/2
+    assert(r(3L) === 4.0)  // (2+6)/2
+    assert(r(4L) === 4.0, "users must not leak into each other's trail")
+  }
+
   test("C2 country mismatch flags only differing countries") {
     assert(scoredOf("FRANCE", "KENYA", 1.0, 1.0, 0.0).getAs[Int]("country_mismatch") === 1)
     assert(scoredOf("FRANCE", "FRANCE", 1.0, 1.0, 0.0).getAs[Int]("country_mismatch") === 0)
