@@ -145,6 +145,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "an absent key must estimate 0, not ride a colliding cell")
   }
 
+  test("H13 streaming EWMA serves values bit-identical to the batch c16 feature") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    val in = tmpDir("graft_ewma_in")
+    val ckpt = tmpDir("graft_ewma_ckpt")
+    val batchDir = tmpDir("graft_ewma_batch")
+    // two users, interleaved times, split across two files (= two
+    // micro-batches at maxFilesPerTrigger=1) so state carries across
+    val rows = Seq(
+      (1L, 101L, "2024-01-01 10:00:00", 4.0), (2L, 202L, "2024-01-01 10:00:30", 8.0),
+      (3L, 101L, "2024-01-01 10:01:00", 2.0), (4L, 101L, "2024-01-01 10:02:00", 6.0),
+      (5L, 202L, "2024-01-01 10:03:00", 1.5), (6L, 101L, "2024-01-01 10:04:00", 3.25))
+    def json(r: (Long, Long, String, Double)) =
+      s"""{"event_id":${r._1},"user_id":${r._2},"ts":"${r._3.replace(' ', 'T')}.000Z","value":${r._4}}"""
+    Files.writeString(Paths.get(in, "a.json"), rows.take(3).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), rows.drop(3).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .as[graft.streaming.Stateful.Ev]
+    graft.streaming.Stateful.ewmaFeatures(stream)
+      .writeStream.format("memory").queryName("ewma_online")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val online = spark.sql("SELECT event_id, ewma_value FROM ewma_online").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the offline (batch c16) feature over the same events
+    rows.map { case (e, u, t, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t).getTime * 1000000L, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val offline = graft.operators.Fraud.queries("c16_ewma_spend")(spark, batchDir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma_value")).toMap
+    assert(online.keySet === offline.keySet)
+    online.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(offline(id)),
+        s"event $id: online $v != offline ${offline(id)} — training-serving skew")
+    }
+  }
+
   test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
     val in = tmpDir("graft_mb_in")
     val ckpt = tmpDir("graft_mb_ckpt")
