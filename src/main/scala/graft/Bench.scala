@@ -148,18 +148,32 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     try {
       fs.delete(dir, true)
-      val ev = Tables.table(spark, sfDir, "events")
+      // one pass produces the 16-files-per-partition drift directly:
+      // repartition on (partition cols + a 16-way row-hash bucket) is
+      // the same trick compactPartitioned uses, pointed the other way
+      // (16 sequential appends would scan the fact 16 times for the
+      // identical layout)
+      val parts = Seq("event_type", "tx_year", "tx_month", "tx_day")
+      Tables.table(spark, sfDir, "events")
         .select("event_id", "user_id", "event_type", "ts", "value")
-      (0 until 16).foreach { s =>
-        Tables.writeDatePartitioned(ev.filter(pmod(col("event_id"), lit(16)) === s),
-          "ts", dir.toString, Seq("event_type"))
-      }
+        .withColumn("tx_year", year(col("ts")))
+        .withColumn("tx_month", month(col("ts")))
+        .withColumn("tx_day", dayofmonth(col("ts")))
+        // explicit task count: with the default shuffle partitioning the
+        // 16 buckets of one partition dir would collapse onto ≤ cpus
+        // tasks and the drift would under-fragment
+        .repartition(256, parts.map(col) :+ pmod(hash(col("event_id")), lit(16)): _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
       val frag = Seq(time("warmup_fragmented")(scan()),
         time("j2_scan_fragmented")(scan()))
       val cost = time("j2_compact_cost")(Tables.compactPartitioned(spark, dir.toString,
         Seq("event_type", "tx_year", "tx_month", "tx_day")))
-      val comp = Seq(time("warmup_compacted")(scan()),
-        time("j2_scan_compacted")(scan()))
+      // a failed compaction must not report the fragmented layout's
+      // timing under the compacted label
+      val comp =
+        if (cost._2 >= 0)
+          Seq(time("warmup_compacted")(scan()), time("j2_scan_compacted")(scan()))
+        else Seq("j2_scan_compacted" -> -1.0)
       try fs.delete(dir, true) catch { case scala.util.control.NonFatal(_) => }
       (frag ++ Seq(cost) ++ comp).filterNot(_._1.startsWith("warmup"))
     } catch {

@@ -249,6 +249,10 @@ object Fraud {
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-39, 0)
       t(s, d, "events")
+        // pin one NULL semantics: Spark's collect_list silently drops
+        // nulls while DuckDB's list() keeps them (poisoning the fold) —
+        // null spend simply isn't an observation in either engine
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"),
           fmtTs(col("ts")).as("event_ts"), col("value"),
           collect_list(col("value")).over(w).as("trail"))
@@ -344,7 +348,7 @@ object Fraud {
           |FROM (SELECT event_id, user_id, ts, value,
           |             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |                               ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
-          |      FROM events)""".stripMargin
+          |      FROM events WHERE value IS NOT NULL)""".stripMargin
     )
   }
 }

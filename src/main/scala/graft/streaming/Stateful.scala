@@ -99,20 +99,28 @@ object Stateful {
   }
 
   case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class EwmaState(s: Double)
+  case class EwmaState(trail: Seq[Double])
   case class EwmaFeature(user_id: Long, event_id: Long, ewma_value: Double)
 
   /** H13: online/offline feature PARITY — the streaming serve path of
-    * the batch c16 EWMA feature. The recursive update s' = (s + x)/2 IS
-    * the dyadic fold c16 computes offline, so for any user history
-    * inside c16's 40-event frame the value served online is
-    * BIT-IDENTICAL to the one the model trained on (spec'd exactly) —
-    * the training-serving skew that plagues fraud features, gone by
-    * construction: both paths run the same exact IEEE halving.
-    * State is ONE double per user (10⁹ users ≈ 8 GB across state
-    * stores). Rows fold in (ts, event_id) order within each micro-batch
-    * so arrival jitter inside a batch cannot reorder the fold; across
-    * batches the checkpoint serializes order as usual.
+    * the batch c16 EWMA feature. State is the user's last ≤ 40 values
+    * (c16's exact frame, 320 B/user), and each event's feature is the
+    * SAME dyadic left fold over that frame the batch runs — so the
+    * value served online is BIT-IDENTICAL to the one the model trained
+    * on, at any history length and any value magnitudes (a bare
+    * recursive s' = (s+x)/2 would carry the untruncated tail and
+    * diverge from the 40-row frame whenever magnitudes swing harder
+    * than 2^40). Training-serving skew eliminated by running the same
+    * exact arithmetic, not by process discipline.
+    *
+    * Ordering contract: rows fold in full-precision (ts, event_id)
+    * order WITHIN each micro-batch (micro-precision — `getTime` alone
+    * would collapse sub-millisecond spacing); ACROSS micro-batches the
+    * fold follows arrival order, so parity requires per-user
+    * event-time-ordered arrival (true for the replayed/backfilled
+    * sources the spec models; an out-of-order live source needs a
+    * watermark-reorder stage upstream, at which point this same
+    * operator applies unchanged).
     */
   def ewmaFeatures(ds: Dataset[Ev]): Dataset[EwmaFeature] = {
     implicit val outEnc = Encoders.product[EwmaFeature]
@@ -122,12 +130,14 @@ object Stateful {
       .flatMapGroupsWithState[EwmaState, EwmaFeature](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[EwmaState]) =>
-          var s = state.getOption.getOrElse(EwmaState(0.0)).s
-          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            s = (s + e.value) / 2.0
-            EwmaFeature(uid, e.event_id, s)
+          var trail = state.getOption.getOrElse(EwmaState(Nil)).trail
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.map { e =>
+            trail = (trail :+ e.value).takeRight(40)
+            EwmaFeature(uid, e.event_id, trail.foldLeft(0.0)((a, x) => (a + x) / 2.0))
           }
-          state.update(EwmaState(s))
+          state.update(EwmaState(trail))
           out.iterator
       }
   }
