@@ -413,10 +413,12 @@ object Dedup {
     * UNSPLITTABLE and grow with boilerplate frequency — the cross-doc
     * counts come from a groupBy(gh) that partial-aggregates map-side (a
     * billion-occurrence boilerplate gram collapses to one row per
-    * partition before the exchange), and the dup-fingerprint set —
-    * bounded by the corpus duplication rate, 8 bytes per dup gram —
-    * broadcasts back. The pair is benched side by side; at 100 TB this
-    * form wins whenever boilerplate skew exists.
+    * partition before the exchange), and the dup-fingerprint set — 8
+    * bytes per duplicated gram — joins back with the strategy left to
+    * AQE (broadcast while small, shuffle on gh beyond the threshold; the
+    * set's size tracks the corpus duplication rate, which nothing bounds
+    * a priori). The pair is benched side by side; at 100 TB this form
+    * wins whenever boilerplate skew exists.
     */
   def dupSpanScoreAgg(docs: DataFrame, n: Int = 8, maxRatio: Double = 0.5): DataFrame = {
     val grams = docGramFingerprints(docs, n)
@@ -424,8 +426,18 @@ object Dedup {
       .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("gh"), lit(1L).as("is_dup"))
+    // UNHINTED join-back: the dup set is data-dependent — 8 bytes per
+    // duplicated gram, so bounded by the corpus duplication RATE, which
+    // nothing bounds a priori (a 50%-duplicate crawl makes it
+    // corpus-sized). A forced broadcast would bypass Spark's size
+    // threshold and OOM exactly when skew mitigation matters most; left
+    // to AQE, the set broadcasts while its runtime size is under
+    // threshold (the common case: dup grams ≪ grams) and degrades to a
+    // shuffle join on the 8-byte gh key otherwise — still skew-safe,
+    // because the map-side partial agg above already collapsed each
+    // boilerplate gram to one row per partition.
     dupSpanReport(
-      grams.join(broadcast(dupSet), Seq("gh"), "left")
+      grams.join(dupSet, Seq("gh"), "left")
         .withColumn("is_dup", coalesce(col("is_dup"), lit(0L))),
       maxRatio)
   }

@@ -194,7 +194,11 @@ object Fraud {
     // C11: per-user amount z-score anomaly flag. Moments are computed with
     // exact decimal sums (order-independent ⇒ cluster-size-independent);
     // the z formula then runs on exactly-reproducible doubles, so the
-    // oracle matches bit-for-bit. stats side is tiny → broadcast back.
+    // oracle matches bit-for-bit. The stats join-back is UNHINTED: stats
+    // has one row per user, so a forced broadcast is user-cardinality-
+    // sized (round-4 verdict) — AQE broadcasts while small, and at 10^9
+    // users the shuffle join on user_id is the only plan that fits;
+    // the fact side is already partitioned by user for the join.
     "c11_zscore" -> ((s, d) => {
       val ev = t(s, d, "events")
       val stats = ev.groupBy(col("user_id")).agg(
@@ -209,7 +213,7 @@ object Fraud {
       // the last ulp (observed at sf0.1); filtering on the pinned value
       // keeps row membership engine-identical too
       val z = round((col("value") - mean) / sqrt(variance), 8)
-      ev.join(broadcast(stats), Seq("user_id"))
+      ev.join(stats, Seq("user_id"))
         .filter(variance > 0)
         .withColumn("z", z)
         .filter(abs(col("z")) > 2.0)

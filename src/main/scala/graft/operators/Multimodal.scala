@@ -190,13 +190,17 @@ object Multimodal {
     * per consumer here, cheap at bench scale).
     */
   def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
-    // Materialize the fingerprint table once (16 bytes/doc — tiny at any
-    // corpus size): the band self-join and both pair-side lookups would
-    // otherwise each re-derive the payload scan. Keeping the fingerprint
-    // OUT of the band join also keeps the hamming test out of the join
-    // condition — as a fused residual it measured ~2.5× slower than the
-    // pure bucket equi-join + post-join projection below.
-    val fp = perceptualHash(media).localCheckpoint()
+    // Materialize the fingerprint table once (16 bytes/doc): the band
+    // self-join and both pair-side lookups would otherwise each re-derive
+    // the payload scan. persist(), not localCheckpoint(): lazy (no Spark
+    // job at DataFrame-construction time) and lineage-backed, so an
+    // executor loss recomputes the lost blocks instead of failing the
+    // query — localCheckpoint's non-replicated RDD blocks are a
+    // fault-tolerance hole at scale. Keeping the fingerprint OUT of the
+    // band join also keeps the hamming test out of the join condition —
+    // as a fused residual it measured ~2.5× slower than the pure bucket
+    // equi-join + post-join projection below.
+    val fp = perceptualHash(media).persist()
     val bands = fp
       .select(col("doc_id"), posexplode(
         expr("transform(sequence(0, 3), j -> (shiftright(phash, 45 - 15*j) & 32767))")))
@@ -207,10 +211,19 @@ object Multimodal {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Join-back strategy is LEFT TO AQE on purpose (round-4 verdict):
+    // fp has one row per corpus document, so a forced broadcast — which
+    // overrides autoBroadcastJoinThreshold — would ship ~16 GB+ to every
+    // executor at 10^9 docs and OOM. Unhinted, AQE broadcasts while the
+    // runtime size stays under threshold and falls back to a shuffle
+    // join keyed on doc id beyond it (candidates and fingerprints
+    // co-partition on that key; the 16-byte fingerprint rows are the
+    // only thing shuffled — payloads never move). PlanSpec asserts no
+    // hint survives here.
     cand
-      .join(broadcast(fp.select(col("doc_id").as("doc_a"), col("phash").as("ha"))),
+      .join(fp.select(col("doc_id").as("doc_a"), col("phash").as("ha")),
         Seq("doc_a"))
-      .join(broadcast(fp.select(col("doc_id").as("doc_b"), col("phash").as("hb"))),
+      .join(fp.select(col("doc_id").as("doc_b"), col("phash").as("hb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))

@@ -165,6 +165,27 @@ object Relational {
         floor((v - col("lo")) / ((col("hi") - col("lo")) / lit(64.0))).cast("long"),
         lit(histNb - 1L)))
 
+  /** The stats pass behind b37, MATERIALIZED ONCE: min/max/count collect
+    * to the driver (one row — the bounded-model-state pattern the
+    * similarity stack already uses) and come back as a literal 1-row
+    * relation, so the two consumers (bucket projection + quantile
+    * estimate) reference constants instead of each re-running a full
+    * column scan — the round-4 advice finding. Doubles round-trip
+    * bit-exactly through the JVM, so the oracle is unaffected. The agg
+    * itself is parquet-footer-servable at 100 TB (min/max/count
+    * statistics), which is why ONE evaluation is the right cost model.
+    */
+  private def histStats(df: DataFrame, valueCol: String): DataFrame = {
+    val row = df.agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+      count(lit(1)).as("n")).head()
+    if (row.isNullAt(0)) // empty input: trivial stats, no NaN/ANSI throw
+      df.sparkSession.range(1).select(lit(0.0).as("lo"), lit(0.0).as("hi"),
+        lit(0L).as("n"))
+    else
+      df.sparkSession.range(1).select(lit(row.getDouble(0)).as("lo"),
+        lit(row.getDouble(1)).as("hi"), lit(row.getLong(2)).as("n"))
+  }
+
   /** Interpolated quantile estimates from merged cells (bucket, cnt) and
     * the stats row (lo, hi, n). Everything after the histogram is ≤ 64
     * rows: the running-total window and the per-quantile first-crossing
@@ -439,9 +460,8 @@ object Relational {
     // fixed-memory mergeable form with a hash-checkable estimate.
     "b37_quantile_hist" -> ((s, d) => {
       val v = t(s, d, "lineitem").select(col("l_extendedprice"))
-      val stats = v.agg(min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"), count(lit(1)).as("n"))
-      val cells = v.crossJoin(broadcast(stats))
+      val stats = histStats(v, "l_extendedprice")
+      val cells = v.crossJoin(stats)
         .select(histBucket(col("l_extendedprice")).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
       histQuantileEstimate(cells, stats, Seq(0.25, 0.5, 0.75, 0.95))
@@ -454,9 +474,8 @@ object Relational {
     "b37_hist_merge" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_extendedprice"), (col("l_orderkey") % 4).as("slice"))
-      val stats = li.agg(min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"), count(lit(1)).as("n"))
-      val perSlice = li.crossJoin(broadcast(stats))
+      val stats = histStats(li, "l_extendedprice")
+      val perSlice = li.crossJoin(stats)
         .select(col("slice"), histBucket(col("l_extendedprice")).as("bucket"))
         .groupBy(col("slice"), col("bucket")).agg(count(lit(1)).as("cnt"))
       val merged = perSlice.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))

@@ -364,8 +364,8 @@ object Tables {
     * touched, the swap itself is a metadata-only rename, and a crash in
     * the rename window is healed by [[recoverCrashedSwap]].
     */
-  private def stagingSwap(spark: SparkSession, dir: String)
-                         (write: String => Unit): Unit = {
+  private[graft] def stagingSwap(spark: SparkSession, dir: String)
+                                (write: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
@@ -406,7 +406,12 @@ object Tables {
     recoverCrashedSwap(spark, dir)
     val df = spark.read.parquet(dir)
     val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
-    val bucket = pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
+    // all-partition-column tables have no data columns to hash — every
+    // row of a partition is identical, so one bucket is the compaction
+    // (zero-arg hash() would throw AnalysisException)
+    val bucket =
+      if (dataCols.isEmpty) lit(0)
+      else pmod(hash(dataCols.map(col): _*), lit(filesPerPartition))
     val compacted = df.repartition(partitionCols.map(col) :+ bucket: _*)
     stagingSwap(spark, dir) { staging =>
       compacted.write.mode("overwrite")

@@ -23,11 +23,13 @@ import graft.operators.Relational
   * of b35_cms_merge's shared-oracle proof).
   *
   * Scale: per batch the exchange carries ≤ depth×2^17 integer cells per
-  * partition; the state table grows by ≤ 4 MB per micro-batch and is
-  * re-compactable with A13 (it IS a partitioned parquet sink) — but
-  * only with the stream STOPPED: A13 is a single-writer op, and a
-  * micro-batch committing mid-compaction would be silently dropped by
-  * the swap (see [[graft.sources.Tables.compactPartitioned]]).
+  * partition; the state table grows by ≤ 4 MB per micro-batch, and
+  * [[consolidateCells]] bounds the partition COUNT by folding aged
+  * batches into one consolidated partition (integer cell addition —
+  * served estimates provably unchanged). Like A13 it is a single-writer
+  * op: run it only with the stream quiesced — a micro-batch committing
+  * mid-consolidation would be silently dropped by the swap (see
+  * [[graft.sources.Tables.compactPartitioned]]).
   */
 object SketchStream {
 
@@ -62,5 +64,53 @@ object SketchStream {
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
     Relational.cmsThresholdEstimate(keyed, merged, keyCol, threshold)
+  }
+
+  /** Retention for the cell table: under a long-lived stream the
+    * `batch_id=` partitions grow without bound (one per micro-batch
+    * forever), so listing cost — not data size — eventually dominates
+    * every serve. This pass folds every batch older than the newest
+    * `keepLast` into ONE consolidated partition (`batch_id=-1`) by
+    * cell-wise integer addition — the same associative merge serving
+    * performs, so served estimates are BIT-IDENTICAL before and after
+    * (spec'd), and re-consolidation folds the previous `-1` partition
+    * in by the same arithmetic (idempotent under repetition).
+    *
+    * The newest `keepLast` batches stay physically untouched because
+    * they are the replay surface: after a crash the stream re-runs only
+    * its newest uncommitted batch, whose dynamic-partition overwrite
+    * must land on that batch's OWN subtree — folding it away would turn
+    * the replay's overwrite into a double-add. Any `keepLast >= 1`
+    * therefore preserves exactly-once; larger values just keep more
+    * recent batches individually inspectable.
+    *
+    * Crash-safe via the same staged swap as A13 ([[graft.sources.Tables
+    * .stagingSwap]]): readers and crashes see the old layout or the new
+    * one, never a mix. SINGLE-WRITER like A13 — run only with the
+    * maintenance stream quiesced (between triggers or stopped).
+    */
+  def consolidateCells(spark: org.apache.spark.sql.SparkSession,
+                       cellsDir: String, keepLast: Int = 4): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast): the newest " +
+      "batch is the crash-replay surface and must stay unconsolidated")
+    // partition-path values read back as int when they fit; pin to long
+    val cells = spark.read.parquet(cellsDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val maxRow = cells.filter(col("batch_id") >= 0)
+      .agg(max(col("batch_id")).as("m")).head()
+    if (maxRow.isNullAt(0)) return // only the consolidated partition left
+    val cutoff = maxRow.getLong(0) - (keepLast - 1)
+    val old = cells.filter(col("batch_id") < cutoff) // includes a prior -1
+    if (old.isEmpty) return
+    val folded = old.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("r"), col("bucket"), col("cnt"), lit(-1L).as("batch_id"))
+    val keep = cells.filter(col("batch_id") >= cutoff)
+      .select(col("r"), col("bucket"), col("cnt"), col("batch_id"))
+    graft.sources.Tables.stagingSwap(spark, cellsDir) { staging =>
+      folded.unionByName(keep)
+        .repartition(col("batch_id"))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+    }
   }
 }

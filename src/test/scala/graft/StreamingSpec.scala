@@ -145,6 +145,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "an absent key must estimate 0, not ride a colliding cell")
   }
 
+  test("H12 retention: consolidating aged cell batches leaves served estimates identical") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = tmpDir("graft_cmsret_in")
+    val ckpt = tmpDir("graft_cmsret_ckpt")
+    val cells = tmpDir("graft_cmsret_cells")
+    val li = Tables.table(spark, SF, "lineitem").select(col("l_orderkey"))
+    li.repartition(4).write.mode("overwrite").json(in)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("l_orderkey", LongType))))
+      .option("maxFilesPerTrigger", 1).json(in)
+    SketchStream.maintainCms(stream, "l_orderkey", cells, ckpt).awaitTermination()
+    def batchIds() = spark.read.parquet(cells)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val before = SketchStream.heavyHittersFromCells(li, cells, "l_orderkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val idsBefore = batchIds()
+    assert(idsBefore.size > 2, s"need >2 batches to consolidate, got $idsBefore")
+    SketchStream.consolidateCells(spark, cells, keepLast = 1)
+    // layout: exactly the newest batch + the consolidated partition
+    assert(batchIds() === Set(-1L, idsBefore.max),
+      s"consolidation must leave {-1, newest}, got ${batchIds()}")
+    val after = SketchStream.heavyHittersFromCells(li, cells, "l_orderkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(after === before,
+      "served estimates must be identical before/after consolidation")
+    // idempotent: nothing older than the newest batch remains to fold,
+    // and a re-run folds the -1 partition back into an equal -1
+    SketchStream.consolidateCells(spark, cells, keepLast = 1)
+    assert(batchIds() === Set(-1L, idsBefore.max))
+    val again = SketchStream.heavyHittersFromCells(li, cells, "l_orderkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(again === before, "re-consolidation must not change estimates")
+  }
+
   test("H13 streaming EWMA serves values bit-identical to the batch c16 feature") {
     import spark.implicits._
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
