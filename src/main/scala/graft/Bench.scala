@@ -51,6 +51,9 @@ object Bench {
     // shuffle carries ≤256 registers / ≤64 cells regardless of NDV
     "b36_distinct_hll", "b36_hll_merge", "b36_hll_grouped",
     "b37_quantile_hist", "b37_hist_merge",
+    // KMV minima: the set-operation sketch (union/intersection/Jaccard
+    // of key sets across slices without shuffling a distinct key)
+    "b38_kmv_distinct", "b38_kmv_merge", "b38_kmv_setops",
     "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
     // exact c7 kept next to its approx twin so the sketch-vs-distinct
     // trade is measured in the SAME run (host CPU swings across runs)
@@ -74,7 +77,8 @@ object Bench {
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "f11_chunk_split",
     "g1_multimodal_meta",
     "g4_embed_batched", "g5_phash_neardup", "i8_mixture_sample", "i9_pack_sequences",
-    "i10_global_shuffle", "i11_token_budget", "i12_uniform_sample_k")
+    "i10_global_shuffle", "i11_token_budget", "i12_uniform_sample_k",
+    "i13_leakage_safe_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

