@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * ~2000 characters of stdout, so one giant JSON line loses the whole
   * round's perf signal):
   *  1. a `{"metric":"studies",...}` line with the study entries
-  *     (j1/j2/h1/h10/h11/e4/e6/e7/e8-persisted) and the cross-sf
+  *     (j1/j2/j3/h1/h10/h11/e4/e6/e7/e8-persisted) and the cross-sf
   *     scaling object — diagnostic, may exceed the tail window;
   *  2. the COMPLETE result (headline + studies + scaling) written to
   *     `BENCH_FULL.json` in the working directory, where a size limit
@@ -133,7 +133,9 @@ object Bench {
     val curation = curationGateStudy(spark, sfDir)
     val annIndex = annIndexStudy(spark, sfDir)
     val compaction = compactionStudy(spark, sfDir)
-    val all = results ++ streaming ++ bucketed ++ curation ++ annIndex ++ compaction
+    val codec = codecStudy(spark, sfDir)
+    val all = results ++ streaming ++ bucketed ++ curation ++ annIndex ++
+      compaction ++ codec
     val scaling = scalingStudy(spark, sfDir, all.toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double, decimals: Int = 3): String =
@@ -233,6 +235,64 @@ object Bench {
         System.err.println(s"[bench] compaction study setup failed: ${e.getMessage}")
         Seq("j2_scan_fragmented" -> -1.0, "j2_compact_cost" -> -1.0,
           "j2_scan_compacted" -> -1.0)
+    }
+  }
+
+  /** j3 codec study: snappy vs zstd on the text-heavy documents corpus —
+    * the storage trade that dominates a 100 TB training-data lake. Three
+    * measurements per codec: write cost (`j3_write_*`), bytes on disk
+    * (`j3_size_*_mb`), and a full-text scan+aggregate (`j3_scan_*`).
+    * The expected shape: zstd writes slower but lands 20-40% smaller on
+    * text, and scans are typically NOT slower (decompression is cheaper
+    * than the extra I/O it saves — on an object store the size ratio
+    * multiplies directly into scan byte-cost and egress). The study
+    * measures rather than asserts: the right codec is a per-table call
+    * (hot numeric facts often stay snappy; cold text archives go zstd).
+    */
+  private def codecStudy(spark: SparkSession,
+                         sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_bench_codec")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      fs.delete(base, true)
+      val docs = Tables.table(spark, sfDir, "documents")
+      val out = Seq("snappy", "zstd").flatMap { codec =>
+        val dir = new org.apache.hadoop.fs.Path(base, codec)
+        val w = time(s"j3_write_$codec")(
+          docs.write.option("compression", codec).mode("overwrite")
+            .parquet(dir.toString))
+        val size = s"j3_size_${codec}_mb" ->
+          (if (w._2 >= 0) fs.getContentSummary(dir).getLength / 1e6 else -1.0)
+        def scan(): Unit = spark.read.parquet(dir.toString)
+          // sum over text lengths forces full decompression of the wide
+          // column — the honest scan cost, not a footer/stats shortcut
+          .agg(sum(length(col("text"))).as("chars"), count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        val s =
+          if (w._2 >= 0) Seq(time(s"warmup_$codec")(scan()),
+            time(s"j3_scan_$codec")(scan()))
+          else Seq(s"j3_scan_$codec" -> -1.0)
+        Seq(w, size) ++ s.filterNot(_._1.startsWith("warmup"))
+      }
+      try fs.delete(base, true)
+      catch { case scala.util.control.NonFatal(_) => }
+      out
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] codec study setup failed: ${e.getMessage}")
+        Seq("j3_write_snappy" -> -1.0, "j3_write_zstd" -> -1.0)
     }
   }
 

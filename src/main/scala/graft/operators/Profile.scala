@@ -148,18 +148,27 @@ object Profile {
     * one hot window partition is the known limit — mitigation is the
     * I9-style sharded running sum with per-shard sub-budgets.
     */
-  def tokenBudgetCap(docs: DataFrame, budget: Long = 800L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared I11/H14 projection: (doc_id, source, n_tokens, hk). Both
+    * the batch cap and the streaming gate MUST tokenize and hash through
+    * this one expression set, or the admission orders silently diverge
+    * (the training-serving-skew trap H13 closes for features, applied
+    * to admission).
+    */
+  def tokenObservations(docs: DataFrame): DataFrame = {
     // op-specific salt ("tok:"), like every sibling sampler ("mix:" I8,
     // "shuf:" I10, "samp:" I12): an unsalted doc_id hash would make this
     // op's admission order perfectly correlated with any other consumer
     // of the raw hash order
     val h = graft.functions.HashFunctions
       .md5Prefix60(concat(lit("tok:"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("hk"))
+  }
+
+  def tokenBudgetCap(docs: DataFrame, budget: Long = 800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
-    docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("hk"))
+    tokenObservations(docs)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))

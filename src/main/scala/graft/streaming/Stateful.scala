@@ -142,6 +142,54 @@ object Stateful {
       }
   }
 
+  case class DocTokens(doc_id: Long, source: String, n_tokens: Long, hk: Long)
+  case class BudgetState(cum_tokens: Long)
+  case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
+
+  /** H14: streaming token-budget admission — the online twin of the
+    * batch I11 cap (Profile.tokenBudgetCap). Each source keys one
+    * 8-byte state (the cumulative token count of every doc SEEN, not
+    * just admitted — rejected docs advance the counter exactly as
+    * I11's window sum does); a doc is admitted iff the advanced count
+    * is still ≤ `budget`. Since the count is monotone, admission stops
+    * permanently once the budget is crossed — a strict greedy prefix,
+    * identical to I11's `cum_tokens <= budget` filter.
+    *
+    * Inputs must come through Profile.tokenObservations so the stream
+    * hashes/tokenizes with the SAME expressions as the batch cap.
+    * Ordering contract (the H13 rule): rows sort by (hk, doc_id)
+    * WITHIN each micro-batch; across batches the fold follows arrival
+    * order, so exact batch parity requires hash-order-monotone
+    * delivery (true for replayed/backfilled feeds — the spec's shape);
+    * under arbitrary arrival the gate is still sound (never exceeds
+    * budget, greedy in delivery order), it just admits a different
+    * valid prefix.
+    *
+    * Scale: state is one long per source (domains — typically
+    * thousands), partitioned across executors by the groupByKey; per
+    * batch work is a local sort of that source's slice. No growth over
+    * time, nothing driver-side.
+    */
+  def tokenBudgetGate(ds: Dataset[DocTokens],
+                      budget: Long = 800L): Dataset[AdmittedDoc] = {
+    implicit val outEnc = Encoders.product[AdmittedDoc]
+    implicit val stateEnc = Encoders.product[BudgetState]
+    implicit val keyEnc = Encoders.STRING
+    ds.groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, docs: Iterator[DocTokens], state: GroupState[BudgetState]) =>
+          var cum = state.getOption.getOrElse(BudgetState(0L)).cum_tokens
+          val admitted = docs.toSeq.sortBy(d => (d.hk, d.doc_id)).flatMap { d =>
+            cum += d.n_tokens
+            if (cum <= budget) Some(AdmittedDoc(d.doc_id, src, d.n_tokens, cum))
+            else None
+          }
+          state.update(BudgetState(cum))
+          admitted.iterator
+      }
+  }
+
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {
     implicit val alertEnc = Encoders.product[VelocityAlert]
     implicit val stateEnc = Encoders.product[VelocityState]

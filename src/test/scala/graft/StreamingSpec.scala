@@ -224,6 +224,82 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("H14 streaming token-budget gate admits exactly the batch I11 prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("graft_tokgate_in")
+    val ckpt = tmpDir("graft_tokgate_ckpt")
+    // the real corpus through the SHARED projection, delivered in global
+    // (hk, doc_id) order split across two micro-batches — the
+    // hash-order-monotone replay the parity contract requires
+    val obs = graft.operators.Profile
+      .tokenObservations(Tables.table(spark, SF, "documents"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("hk")))
+      .sortBy(t => (t._4, t._1))
+    def json(t: (Long, String, Long, Long)) =
+      s"""{"doc_id":${t._1},"source":"${t._2}","n_tokens":${t._3},"hk":${t._4}}"""
+    val cut = obs.length / 3
+    Files.writeString(Paths.get(in, "a.json"), obs.take(cut).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), obs.drop(cut).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("n_tokens", LongType),
+      StructField("hk", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .as[Stateful.DocTokens]
+    Stateful.tokenBudgetGate(stream)
+      .writeStream.format("memory").queryName("tok_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val online = spark.sql("SELECT * FROM tok_gate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    val offline = graft.operators.Profile.queries("i11_token_budget")(spark, SF)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(online === offline,
+      s"streaming gate and batch I11 disagree: ${online.diff(offline).size} extra, " +
+        s"${offline.diff(online).size} missing")
+    // soundness under ARBITRARY (non-hash-monotone) arrival: doc_id
+    // order across two batches — the gate must still admit a valid
+    // greedy prefix and never exceed the budget
+    val in2 = tmpDir("graft_tokgate_in2")
+    val ckpt2 = tmpDir("graft_tokgate_ckpt2")
+    val byId = obs.sortBy(_._1)
+    val cut2 = byId.length / 2
+    Files.writeString(Paths.get(in2, "a.json"), byId.take(cut2).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in2, "b.json"), byId.drop(cut2).map(json).mkString("\n"))
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in2)
+      .as[Stateful.DocTokens]
+    Stateful.tokenBudgetGate(stream2)
+      .writeStream.format("memory").queryName("tok_gate_ooo")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val ooo = spark.sql("SELECT * FROM tok_gate_ooo").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    // local replay of the gate's contract: per batch, per source, docs
+    // in (hk, doc_id) order; cum carries across batches
+    var cums = Map.empty[String, Long].withDefaultValue(0L)
+    val expected = Seq(byId.take(cut2), byId.drop(cut2)).flatMap { batch =>
+      batch.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+        docs.sortBy(t => (t._4, t._1)).flatMap { case (id, _, n, _) =>
+          val c = cums(src) + n
+          cums += src -> c
+          if (c <= 800L) Some((id, src, n, c)) else None
+        }
+      }
+    }.toSet
+    assert(ooo === expected, "arbitrary-arrival admission must replay the greedy contract")
+    ooo.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._4).max <= 800L, s"source $src exceeded the budget")
+    }
+  }
+
   test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
     val in = tmpDir("graft_mb_in")
     val ckpt = tmpDir("graft_mb_ckpt")
