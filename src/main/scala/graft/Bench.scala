@@ -75,6 +75,7 @@ object Bench {
     "e7_ann_sq8", "e8_ann_pq",
     "f2_quality", "f3_token_count", "f4_fingerprint", "f7_repetition",
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "f11_chunk_split",
+    "f12_bm25_search", "e10_mmr_topk",
     "g1_multimodal_meta",
     "g4_embed_batched", "g5_phash_neardup", "i8_mixture_sample", "i9_pack_sequences",
     "i10_global_shuffle", "i11_token_budget", "i12_uniform_sample_k",

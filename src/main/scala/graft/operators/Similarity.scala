@@ -763,7 +763,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** E10: MMR-diversified top-k — re-rank the exact top-`nCand` pool so
+    * results trade pure relevance for coverage: greedy argmax of
+    *   λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    * (Carbonell-Goldstein maximal marginal relevance — the standard fix
+    * for a results page of near-identical neighbors, which in a dedup'd
+    * training-data context means "give me k DIFFERENT exemplars near
+    * this query", not k copies).
+    *
+    * Architecture: the candidate pool comes from the DISTRIBUTED exact
+    * top-k (e1's plan: broadcast query row, one corpus scan, per-
+    * partition top-k merge), then the inherently-SEQUENTIAL greedy runs
+    * on the driver over ≤ nCand rows — bounded model state, the
+    * IVF-centroid rule (never O(corpus) at the driver). The greedy's
+    * arithmetic mirrors the oracle op-for-op: the same left-to-right
+    * double fold as FloatVecDot for every dot product, unrounded IEEE
+    * mult/sub for the MMR expression, ties broken by (mmr desc,
+    * vec_id) — so the whole output hash-matches a recursive-CTE DuckDB
+    * oracle despite the iterative selection.
+    */
+  def mmrDiversify(embeddings: DataFrame, queryVecId: Long, nCand: Int = 20,
+                   k: Int = 10, lambda: Double = 0.7,
+                   // an explicit literal, NOT 1.0 - lambda: Scala would
+                   // compute IEEE 0.30000000000000004 while DuckDB folds
+                   // the same subtraction in DECIMAL to exactly 0.3 — the
+                   // one-ulp gap that breaks argmax parity (§6b)
+                   mu: Double = 0.3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pool = cosineTopK(embeddings, queryVecId, nCand)
+      .join(withNorm(embeddings).select(col("vec_id"), col("embedding"), col("nrm")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("score"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Double]("nrm")))
+    // FloatVecDot's exact fold: left-to-right double accumulation
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def sim(a: (Long, Double, Array[Float], Double),
+            b: (Long, Double, Array[Float], Double)): Double =
+      fdot(a._3, b._3) / (a._4 * b._4)
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)] // (rank, vec_id, relevance, mmr)
+    var chosen = List.empty[(Long, Double, Array[Float], Double)]
+    var remaining = pool.toList
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val mmr =
+          if (chosen.isEmpty) lambda * c._2
+          else lambda * c._2 - mu * chosen.map(s => sim(c, s)).max
+        (c, mmr)
+      }
+      // argmax by (mmr desc, vec_id asc) — the oracle's ORDER BY
+      val (best, bestMmr) = scored.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1._1 < x._1._1)) y else x
+      }
+      selected += ((selected.length + 1, best._1, best._2, bestMmr))
+      chosen = best :: chosen
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.toSeq.toDF("rank", "vec_id", "relevance", "mmr")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E10: MMR diversified re-rank of the e1 pool (driver greedy over a
+    // BOUNDED candidate list; oracle is a recursive CTE replaying the
+    // identical greedy).
+    "e10_mmr_topk" -> ((s, d) => mmrDiversify(t(s, d, "embeddings"), 0L, 20, 10)),
 
     // E8: PQ codes + ADC search — oracle hash-matched (seeded centroids,
     // deterministic argmin encode, table-lookup scoring).
@@ -1071,6 +1143,53 @@ object Similarity {
         |         (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY score DESC, e.vec_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // E10: the greedy MMR selection replayed as a recursive CTE — each
+    // iteration's working table is the single row selected last step;
+    // the correlated max-sim scan plus QUALIFY row_number()=1 picks the
+    // same (mmr desc, vec_id) argmax the driver greedy takes. Both
+    // weights are spelled as the same decimal literals the Scala side
+    // uses (0.7 / 0.3) — deriving 0.3 as 1.0-0.7 would be DECIMAL-exact
+    // here but IEEE-inexact in Scala, a one-ulp argmax hazard.
+    "e10_mmr_topk" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id
+        |  LIMIT 20),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(a.embedding) + 1),
+        |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (a.nrm * b.nrm) AS sim
+        |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+        |sel(step, vec_id, relevance, mmr, selected) AS (
+        |  SELECT 1, vec_id, score, 0.7 * score, [vec_id]
+        |  FROM (SELECT * FROM cand ORDER BY score DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT sel.step + 1, c.vec_id, c.score,
+        |         0.7 * c.score - 0.3 * (SELECT max(p.sim) FROM pairs p
+        |            WHERE p.va = c.vec_id AND list_contains(sel.selected, p.vb)) AS mmr_v,
+        |         list_append(sel.selected, c.vec_id)
+        |  FROM sel, cand c
+        |  WHERE sel.step < 10 AND NOT list_contains(sel.selected, c.vec_id)
+        |  QUALIFY row_number() OVER (ORDER BY mmr_v DESC, c.vec_id) = 1
+        |)
+        |SELECT step AS rank, vec_id, relevance, mmr FROM sel""".stripMargin
   )
 }

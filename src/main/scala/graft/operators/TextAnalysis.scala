@@ -254,7 +254,57 @@ object TextAnalysis {
         array_join(col("ct"), " ").as("chunk_text"),
         size(col("ct")).cast("long").as("n_chunk_tokens"))
 
+  /** F12: BM25 ranked retrieval — the lexical search engine scoring
+    * function (Robertson-Sparck Jones idf in the Lucene +1 form, so
+    * weights stay positive even for terms in most docs; k1 = 1.2,
+    * b = 0.75), the retrieval twin of F6's raw TF-IDF weights. Corpus
+    * stats (N, avgdl) ride as a broadcast one-row literal; per-term
+    * tf shuffles once on (doc, term) AFTER the query-term filter — the
+    * scan only keeps the |q| matching terms per doc, so the shuffled
+    * volume is O(matching docs × |q|), never the corpus token stream.
+    * FP portability: idf through round(ln, 8) (the f6/f9 recipe — ln
+    * proved libm-parity-stable at 8 dp), each term weight rounded to
+    * 8 dp, the per-doc sum through decimal so the reduction is
+    * associative, ties on (score desc, doc_id). Top-k compiles to
+    * TakeOrderedAndProject. At 100 TB the df/stats broadcasts are
+    * (|vocab∩q|+1) rows — bounded by the query, not the corpus.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"), size(col("tok")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tf"), col("dl"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 8).as("idf"))
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          8).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w").cast("decimal(18,8)")).cast("double").as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The f12 query: one rare term ('dup' — the near-duplicate marker,
+    * df ≈ 5% of docs) and two common ones, so the idf spread actually
+    * exercises the weighting.
+    */
+  val bm25QueryTerms: Seq[String] = Seq("dup", "vector", "window")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f12_bm25_search" -> ((s, d) => bm25(t(s, d, "documents"), bm25QueryTerms)),
     "f11_chunk_split" -> ((s, d) => chunkSplit(t(s, d, "documents"))),
     "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
     "f7_repetition" -> ((s, d) => repetition(t(s, d, "documents"))),
@@ -282,6 +332,41 @@ object TextAnalysis {
       |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // F12: same ln-at-8dp idf, same evaluation grouping. The one
+    // explicit CAST matters: DuckDB types bare `tf * 2.2` as DECIMAL
+    // and computes it EXACTLY (6.6, not double 6.6000000000000005),
+    // while divisions of decimals promote to DOUBLE — so the only
+    // decimal-vs-double divergence point is that product, pinned to
+    // DOUBLE to match Spark's long×double.
+    "f12_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |terms AS (
+        |  SELECT doc_id, unnest(tok) AS term FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term IN ('dup', 'vector', 'window') GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT t.doc_id,
+        |         round(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 8)
+        |               * (t.tf * CAST(2.2 AS DOUBLE))
+        |               / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+        |                    / (CAST(s.total_dl AS DOUBLE) / s.n_docs))), 8) AS w
+        |  FROM tf t JOIN df d USING (term) JOIN dl l USING (doc_id), stats s),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CAST(w AS DECIMAL(18,8))) AS DOUBLE) AS score,
+        |         count(*) AS n_matched
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, score, n_matched FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     // F11: same chunk-count formula (floor over non-negative doubles is
     // engine-identical), same 1-based inclusive slicing semantics.
     "f11_chunk_split" ->

@@ -32,6 +32,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(post.forall(r => preIds.contains(r.getLong(0))))
   }
 
+  test("E10 MMR re-rank: pool-bounded, relevance-led, genuinely diversified") {
+    val emb = graft.sources.Tables.table(spark, SF, "embeddings")
+    val out = Similarity.mmrDiversify(emb, 0L, 20, 10).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.length === 10)
+    val pool = Similarity.cosineTopK(emb, 0L, 20).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score"))
+    val poolIds = pool.map(_._1).toSet
+    assert(out.forall(r => poolIds.contains(r.getAs[Long]("vec_id"))),
+      "MMR selected outside the candidate pool")
+    // step 1 is pure relevance: the pool's top-scoring vector
+    assert(out.head.getAs[Long]("vec_id") === pool.maxBy(_._2)._1)
+    // and its mmr is λ·rel exactly
+    assert(out.head.getAs[Double]("mmr") === 0.7 * out.head.getAs[Double]("relevance"))
+    // diversification must actually reorder: the MMR sequence differs
+    // from the pure-relevance descending order of the same ids
+    val byRelevance = out.sortBy(-_.getAs[Double]("relevance")).map(_.getAs[Long]("vec_id")).toSeq
+    val byRank = out.map(_.getAs[Long]("vec_id")).toSeq
+    assert(byRank !== byRelevance,
+      "MMR order equals relevance order — the diversity term did nothing at this SF")
+  }
+
   test("E1 exact top-k ranks by cosine") {
     val e = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),

@@ -12,6 +12,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("F12 BM25: rare terms outweigh common, tf saturates, length penalized") {
+    val corpus = docs(
+      1L -> "dup dup alpha",            // rare term twice, short doc
+      2L -> "dup beta beta beta",       // rare term once, longer doc
+      3L -> "window window window window", // common term only
+      4L -> "beta beta")                // no query term
+    val out = TextAnalysis.bm25(corpus, Seq("dup", "window"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Long]("n_matched"))).toMap
+    assert(!out.contains(4L), "a doc with no query term was retrieved")
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // reference computation, independently coded
+    def ref(tf: Long, df: Long, dl: Long): Double = {
+      val n = 4.0; val avgdl = 13.0 / 4.0
+      val idf = BigDecimal(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(out(1L)._1 - ref(2, 2, 3)) < 1e-9)
+    assert(math.abs(out(2L)._1 - ref(1, 2, 4)) < 1e-9)
+    assert(math.abs(out(3L)._1 - ref(4, 1, 4)) < 1e-9)
+    // doubled tf on a shorter doc must outrank single tf on a longer one
+    assert(out(1L)._1 > out(2L)._1)
+    assert(out.forall(_._2._1 > 0), "BM25 Lucene-form idf keeps weights positive")
+  }
+
   test("F11 chunk split: stride overlap, truncated tail, no suffix-duplicate chunk") {
     // 20 tokens, chunk=8, stride=6 -> nc = 1 + ceil(12/6) = 3:
     // [1..8], [7..14], [13..20] — token 20 covered, no 4th chunk
