@@ -79,7 +79,7 @@ object Bench {
     "g1_multimodal_meta",
     "g4_embed_batched", "g5_phash_neardup", "i8_mixture_sample", "i9_pack_sequences",
     "i10_global_shuffle", "i11_token_budget", "i12_uniform_sample_k",
-    "i13_leakage_safe_split")
+    "i13_leakage_safe_split", "i14_scd2_history")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,8 +135,9 @@ object Bench {
     val annIndex = annIndexStudy(spark, sfDir)
     val compaction = compactionStudy(spark, sfDir)
     val codec = codecStudy(spark, sfDir)
+    val layout = layoutStudy(spark, sfDir)
     val all = results ++ streaming ++ bucketed ++ curation ++ annIndex ++
-      compaction ++ codec
+      compaction ++ codec ++ layout
     val scaling = scalingStudy(spark, sfDir, all.toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double, decimals: Int = 3): String =
@@ -166,6 +167,99 @@ object Bench {
     val line3 = headLine(3)
     println(if (line3.length <= 1900) line3 else headLine(2))
     spark.stop()
+  }
+
+  /** j4 layout study: sort-clustering as a scan-pruning lever. The same
+    * events fact is written twice — hash-shuffled (every file's value
+    * min/max spans the full range) and range-partitioned +
+    * sorted-within-partitions on `value` (each file covers a narrow
+    * slice) — and the same ~1%-selectivity scan measured against both:
+    * wall time AND bytes read (`j4_scan_*_mb`, via a task-metrics
+    * listener). Parquet skips row groups whose min/max excludes the
+    * predicate, so the clustered layout reads ~1 file of 16 while the
+    * scattered one decompresses everything; locally the SECONDS are
+    * task-overhead-flat, but the BYTES collapse — and bytes are the
+    * axis that prices an object-store scan (plus cache footprint and
+    * egress) at 100 TB. One-time rewrite cost as `j4_sort_cost`; this
+    * is the single-column form of the Z-order/clustering trade.
+    */
+  private def layoutStudy(spark: SparkSession,
+                          sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_bench_layout")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unsortedDir = new org.apache.hadoop.fs.Path(base, "unsorted").toString
+    val sortedDir = new org.apache.hadoop.fs.Path(base, "sorted").toString
+    def writer(df: org.apache.spark.sql.DataFrame) =
+      df.write.mode("overwrite")
+    // local seconds are task-overhead-dominated at bench SFs, so the
+    // pruning evidence is BYTES READ (the object-store cost axis):
+    // accumulate input bytes across the scan's tasks via a listener
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    // ~1% selectivity pinned to the DATA's own 99th percentile (the
+    // value distribution is not unit-range), computed once untimed
+    var threshold = 0.0
+    def scan(dir: String): Unit = spark.read.parquet(dir)
+      .filter(col("value") >= threshold)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .write.format("noop").mode("overwrite").save()
+    def measuredScan(label: String, dir: String): Seq[(String, Double)] = {
+      val t = time(s"${label}")(scan(dir))
+      bytesRead.set(0)
+      scan(dir)
+      // listener events post asynchronously; wait for the counter to
+      // settle (listenerBus.waitUntilEmpty is private[spark])
+      var prev = -1L
+      var spins = 0
+      while (bytesRead.get() != prev && spins < 40) {
+        prev = bytesRead.get(); spins += 1; Thread.sleep(50)
+      }
+      Seq(t, s"${label}_mb" -> bytesRead.get() / 1e6)
+    }
+    try {
+      fs.delete(base, true)
+      spark.sparkContext.addSparkListener(listener)
+      val ev = Tables.table(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      threshold = ev.stat.approxQuantile("value", Array(0.99), 0.001).head
+      writer(ev.repartition(16, col("event_id"))).parquet(unsortedDir)
+      val cost = time("j4_sort_cost")(
+        writer(ev.repartitionByRange(16, col("value"))
+          .sortWithinPartitions(col("value"))).parquet(sortedDir))
+      val out = {
+        time("warmup_unsorted")(scan(unsortedDir))
+        measuredScan("j4_scan_unsorted", unsortedDir) ++ Seq(cost) ++ (
+          if (cost._2 >= 0) {
+            time("warmup_sorted")(scan(sortedDir))
+            measuredScan("j4_scan_sorted", sortedDir)
+          } else Seq("j4_scan_sorted" -> -1.0))
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      try fs.delete(base, true)
+      catch { case scala.util.control.NonFatal(_) => }
+      out
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] layout study setup failed: ${e.getMessage}")
+        Seq("j4_scan_unsorted" -> -1.0, "j4_sort_cost" -> -1.0,
+          "j4_scan_sorted" -> -1.0)
+    }
   }
 
   /** A13 compaction study: the small-files tax made visible, and the
@@ -542,7 +636,16 @@ object Bench {
     "e1_cosine_topk" -> "embeddings",
     "e8_ann_pq" -> "embeddings",
     "f10_keywords" -> "documents",
-    "i9_pack_sequences" -> "documents")
+    "i9_pack_sequences" -> "documents",
+    // round-5 additions: the new sketch (fixed-state, scan-bound like
+    // b36), the D8-composed split (must track d8, its dominant cost),
+    // and the two retrieval operators (f12 is the corpus-stats shuffle
+    // under a query-term filter; e10's greedy is O(1) — its time is the
+    // candidate top-k scan)
+    "b38_kmv_setops" -> "lineitem",
+    "i13_leakage_safe_split" -> "documents",
+    "f12_bm25_search" -> "documents",
+    "e10_mmr_topk" -> "embeddings")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time

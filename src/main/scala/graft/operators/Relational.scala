@@ -607,6 +607,30 @@ object Relational {
           col("value"), fmtTs(col("ts")).as("last_ts"), col("op"))
     }),
 
+    // I14: SCD2 (slowly-changing-dimension type-2) history build from
+    // the same CDC change stream i7 applies — the full version-interval
+    // form of latest-wins: every U change opens a version row with
+    // [valid_from, valid_to) stamped by the NEXT change of any kind
+    // (a D closes the last version without opening one, so a deleted
+    // key has history but no current row; is_current = open interval).
+    // Plan shape: the lead() and the post-filter version row_number()
+    // share one (user_id) partitioning — ONE shuffle for the whole
+    // history build, no self-joins (the naive form is changes ⟕ changes
+    // on "next change of this key").
+    "i14_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("op", when(col("event_id") % 10 < 2, "D").otherwise("U"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .filter(col("op") === "U")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          col("version"),
+          fmtTs(col("ts")).as("valid_from"),
+          fmtTs(col("valid_to_ts")).as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+    }),
+
     // B31: funnel analysis — per user, the earliest view, the earliest
     // click AFTER that view, the earliest purchase AFTER that click
     // (strict event-order attribution). Three chained unordered window
@@ -1239,6 +1263,27 @@ object Relational {
     "b38_kmv_distinct" -> kmvOracleSql,
     "b38_kmv_merge" -> kmvOracleSql,
     "b38_kmv_setops" -> kmvSetopsOracleSql,
+
+    // I14: lead() over ALL changes stamps each U version's closing ts;
+    // the version number ranks U rows only. NULL valid_to survives
+    // strftime as NULL in both engines.
+    "i14_scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |         CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            AS valid_to_ts
+        |  FROM c),
+        |u AS (SELECT * FROM l WHERE op = 'U')
+        |SELECT user_id, event_id, event_type, value,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS version,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       valid_to_ts IS NULL AS is_current
+        |FROM u""".stripMargin,
 
     "i7_cdc_apply" ->
       """WITH c AS (

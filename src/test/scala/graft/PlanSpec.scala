@@ -73,6 +73,39 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges <= 2, s"HLL needs at most 2 exchanges (registers + final), got $exchanges\n$p")
   }
 
+  test("b38 KMV: bucket min is two-phase (partial before the exchange)") {
+    val p = SparkEntry.queries("b38_kmv_distinct")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // same contract as b36: per-partition partial min, so the exchange
+    // carries <=256 bucket rows per partition at any key cardinality
+    assert(p.contains("partial_min"), s"bucket min must map-side combine\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"KMV needs at most 2 exchanges, got $exchanges\n$p")
+  }
+
+  test("f12 BM25: tf counts partial-aggregate; raw text never in a keyed shuffle") {
+    val p = SparkEntry.queries("f12_bm25_search")(spark, SF)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_count"), s"tf must map-side combine\n$p")
+    // the query-term filter runs BEFORE the (doc,term) aggregation, so
+    // keyed exchanges carry only ids/terms/counts — never document text
+    val keyed = p.split("\n\n").filter(b =>
+      b.startsWith("(") && b.contains("Exchange") && b.contains("hashpartitioning"))
+    keyed.foreach { b =>
+      assert(!b.contains("text#") && !b.contains("tok#"),
+        s"document text leaked into a keyed shuffle:\n$b")
+    }
+    // global top-k compiles to TakeOrderedAndProject, never a full sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be partial-heap merged\n$p")
+  }
+
+  test("e1/e10 candidate top-k is TakeOrderedAndProject, never a global sort") {
+    val p = SparkEntry.queries("e1_cosine_topk")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"per-partition k-heaps expected\n$p")
+  }
+
   test("d12 dup-span: gram text never reaches an exchange (fingerprints only)") {
     val p = SparkEntry.queries("d12_dup_span_score")(spark, SF)
       .queryExecution.explainString(

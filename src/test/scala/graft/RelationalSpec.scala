@@ -114,6 +114,35 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("I14 SCD2: intervals never overlap; current rows equal the i7 latest-wins apply") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val h = Relational.queries("i14_scd2_history")(spark, SF)
+    // no overlap: version n closes at or before version n+1 opens (a
+    // gap is legal exactly when a delete sat between the two versions;
+    // the formatted timestamp compares lexicographically)
+    val a = h.select(col("user_id"), col("version"), col("valid_to"))
+    val b = h.select(col("user_id"), (col("version") - 1).as("version"),
+      col("valid_from").as("next_from"))
+    val overlaps = a.join(b, Seq("user_id", "version"))
+      .filter(col("valid_to") > col("next_from")).count()
+    assert(overlaps === 0, s"$overlaps overlapping version intervals")
+    // every non-final version is closed; at most one open (current) per key
+    val badOpen = h.groupBy(col("user_id"))
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"),
+        count(lit(1)).as("n"))
+      .filter(col("n_open") > 1).count()
+    assert(badOpen === 0, "a key has more than one current version")
+    // the current rows ARE the i7 latest-wins result (same change
+    // stream, so the open-interval row must be i7's surviving row)
+    val cur = h.filter(col("is_current"))
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val i7 = Relational.queries("i7_cdc_apply")(spark, SF)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cur === i7, "SCD2 current rows diverge from the CDC latest-wins apply")
+  }
+
   test("B38 KMV tracks exact NDV; bucket-min merge equals one-shot; set ops bounded") {
     import org.apache.spark.sql.functions.col
     val one = Relational.queries("b38_kmv_distinct")(spark, SF).collect()(0)
