@@ -77,7 +77,8 @@ object Bench {
     "f8_pii_redact", "f9_unigram_logprob", "f10_keywords", "f11_chunk_split",
     "f12_bm25_search", "e10_mmr_topk",
     "g1_multimodal_meta",
-    "g4_embed_batched", "g5_phash_neardup", "i8_mixture_sample", "i9_pack_sequences",
+    "g4_embed_batched", "g5_phash_neardup", "g6_phash_knn",
+    "i8_mixture_sample", "i9_pack_sequences", "i16_stratified_k",
     "i10_global_shuffle", "i11_token_budget", "i12_uniform_sample_k",
     "i13_leakage_safe_split", "i14_scd2_history")
 

@@ -230,10 +230,38 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** G6: perceptual-hash kNN — "find the k images most like this one"
+    * by Hamming distance over the 60-bit aHash fingerprints (the query
+    * surface of an image-similarity search, where G5 is the dedup
+    * surface). One fingerprint scan (payloads never move — only the
+    * 8-byte hash), the single query hash broadcast as a one-row cross
+    * join, bit_count(xor) per row inside codegen, and a global top-k
+    * that compiles to TakeOrderedAndProject. At 10⁹ images the scan is
+    * the cost; the g5 banding composes in front as a candidate filter
+    * when sub-scan latency is needed (the e2-vs-e1 trade in Hamming
+    * space).
+    */
+  def phashKnn(media: DataFrame, queryDocId: Long, k: Int = 10): DataFrame = {
+    val fp = perceptualHash(media).select(col("doc_id"), col("phash"))
+    val q = fp.filter(col("doc_id") === queryDocId)
+      .select(col("phash").as("q_phash"))
+    fp.filter(col("doc_id") =!= queryDocId)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        bit_count(col("phash").bitwiseXOR(col("q_phash"))).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("doc_id"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G5: banded perceptual-hash near-dup over the payload bytes.
     "g5_phash_neardup" -> ((s, d) =>
       phashNearDup(withPayload(Tables.table(s, d, "documents")))),
+
+    // G6: Hamming kNN from doc 0's fingerprint (≥60-byte payload at
+    // every SF, so the query row always exists).
+    "g6_phash_knn" -> ((s, d) =>
+      phashKnn(withPayload(Tables.table(s, d, "documents")), 0L)),
 
     // G4: batched inference plumbing (rows-only: stub encoder).
     "g4_embed_batched" -> ((s, d) =>
@@ -264,27 +292,41 @@ object Multimodal {
     * their feature values come from the stub codec, which has no SQL
     * analogue by construction.
     */
+  /** The g5/g6-shared fingerprint derivation: same codes (single-byte
+    * corpus: ascii = byte), same integer mean-threshold bits, same
+    * acc*2+b fold.
+    */
+  private val phashCteSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, list_transform(str_split(substr(text, 1, 60), ''), c -> ascii(c)) AS codes
+      |  FROM documents WHERE length(text) >= 60),
+      |m AS (
+      |  SELECT doc_id, codes,
+      |         CAST(list_reduce(list_prepend(0, codes), (x, y) -> x + y) AS DOUBLE)
+      |           / len(codes) AS mu
+      |  FROM ch),
+      |fp AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, len(codes) + 1),
+      |             i -> CASE WHEN CAST(codes[i] AS DOUBLE) >= mu
+      |                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |           (acc, b) -> acc * 2 + b) AS phash
+      |  FROM m)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // G5: same codes (single-byte corpus: ascii = byte), same integer
-    // mean-threshold bits, same acc*2+b fold, same band keys — the
-    // banding itself is reproduced, so the BANDED result is exact.
-    "g5_phash_neardup" ->
-      """WITH ch AS (
-        |  SELECT doc_id, list_transform(str_split(substr(text, 1, 60), ''), c -> ascii(c)) AS codes
-        |  FROM documents WHERE length(text) >= 60),
-        |m AS (
-        |  SELECT doc_id, codes,
-        |         CAST(list_reduce(list_prepend(0, codes), (x, y) -> x + y) AS DOUBLE)
-        |           / len(codes) AS mu
-        |  FROM ch),
-        |fp AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(range(1, len(codes) + 1),
-        |             i -> CASE WHEN CAST(codes[i] AS DOUBLE) >= mu
-        |                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-        |           (acc, b) -> acc * 2 + b) AS phash
-        |  FROM m),
+    // G6: the same fingerprint CTE, one query row, bit_count(xor) rank.
+    "g6_phash_knn" -> (phashCteSql +
+      """,
+        |q AS (SELECT phash AS qh FROM fp WHERE doc_id = 0)
+        |SELECT f.doc_id, CAST(bit_count(xor(f.phash, q.qh)) AS BIGINT) AS hamming
+        |FROM fp f, q WHERE f.doc_id <> 0
+        |ORDER BY hamming, f.doc_id LIMIT 10""".stripMargin),
+
+    // G5: the banding itself is reproduced over the shared fingerprint
+    // CTE, so the BANDED result is exact.
+    "g5_phash_neardup" -> (phashCteSql +
+      """,
         |bands AS (
         |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
         |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
@@ -295,7 +337,7 @@ object Multimodal {
         |SELECT c.doc_a, c.doc_b,
         |       CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
         |FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
-        |WHERE bit_count(xor(fa.phash, fb.phash)) <= 6""".stripMargin,
+        |WHERE bit_count(xor(fa.phash, fb.phash)) <= 6""".stripMargin),
 
     // g1's stub features are byte statistics; on this corpus (verified
     // single-byte at every SF) ascii(char) = byte value and both engines

@@ -193,7 +193,32 @@ object Profile {
       .limit(k)
   }
 
+  /** I16: exact-k-per-stratum deterministic sample — "exactly k docs
+    * from EVERY language", the per-group form of I12 (I3's hash
+    * stratifier takes per-stratum FRACTIONS; this takes counts — the
+    * eval-set builder's contract). rank = row_number over (salted
+    * hash, id) within the stratum; `rnk <= k` compiles to
+    * WindowGroupLimit, so each partition keeps only its local k per
+    * stratum BEFORE the stratum shuffle — the wire carries
+    * O(k × strata × partitions) rows, never the corpus.
+    */
+  def stratifiedK(docs: DataFrame, strataCol: String = "lang",
+                  k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("strk:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("hk"), col("doc_id"))
+    docs.select(col("doc_id"), col(strataCol), h.as("hk"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col(strataCol), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I16: exact-k per stratum (WindowGroupLimit per-partition pruning).
+    "i16_stratified_k" -> ((s, d) =>
+      stratifiedK(Tables.table(s, d, "documents"))),
 
     // I12: exact-k deterministic uniform sample (global top-k by hash).
     "i12_uniform_sample_k" -> ((s, d) =>
@@ -264,6 +289,16 @@ object Profile {
         |FROM documents
         |ORDER BY hk, doc_id
         |LIMIT 100""".stripMargin,
+
+    "i16_stratified_k" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5('strk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
+        |FROM h
+        |QUALIFY rnk <= 20""".stripMargin,
 
     // I11: integer token counts, same salted-hash admission order, the
     // cumulative sum windowed identically — the kept prefix is exact.

@@ -118,6 +118,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r1 === r2, "the sample must be identical across runs")
   }
 
+  test("I16 stratified-k: min(k, stratum size) rows per stratum, pruned plan, deterministic") {
+    import org.apache.spark.sql.functions.{col, count, least, lit}
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val s1 = Profile.stratifiedK(docs, "lang", k = 20)
+    // per-partition pruning: row_number <= k compiles to WindowGroupLimit
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-stratum top-k must prune before the shuffle\n$plan")
+    // exactly min(k, |stratum|) from every stratum
+    val got = s1.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val want = docs.groupBy(col("lang"))
+      .agg(least(count(lit(1)), lit(20L)).as("n"))
+    assert(got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      want.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // deterministic across runs
+    val ids1 = s1.collect().map(_.getAs[Long]("doc_id")).toSet
+    val ids2 = Profile.stratifiedK(docs, "lang", k = 20).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids1 === ids2)
+  }
+
   test("I11 token budget keeps exactly the greedy hash-order prefix per source") {
     import spark.implicits._
     val docs = (1L to 50L)

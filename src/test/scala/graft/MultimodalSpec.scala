@@ -42,6 +42,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((1L, 4L)), s"far payload must not pair: $pairs")
   }
 
+  test("G6 Hamming kNN: identical payload ranks first at distance 0, far payload last") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString + ('A' to 'Z').mkString + "01234567" // 60 chars
+    val nearby = base.updated(10, 'K').updated(40, '0')
+    val far = base.reverse.updated(5, '~')
+    val docs = Seq(0L -> base, 1L -> base, 2L -> nearby, 3L -> far).toDF("doc_id", "text")
+    val knn = Multimodal.phashKnn(Multimodal.withPayload(docs), 0L, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hamming"))
+    assert(knn.head === (1L -> 0L), s"identical payload must rank first: ${knn.toSeq}")
+    assert(knn.map(_._1).toSeq === Seq(1L, 2L, 3L), s"rank order wrong: ${knn.toSeq}")
+    // distances non-decreasing and consistent with local bitCount
+    assert(knn.map(_._2).toSeq === knn.map(_._2).toSeq.sorted)
+  }
+
   test("G5 banded candidates are a subset of all-pairs with measured recall on the corpus") {
     val docs = graft.sources.Tables.table(spark, SF, "documents")
     val media = Multimodal.withPayload(docs)
