@@ -358,6 +358,74 @@ object Tables {
     }
   }
 
+  /** H15: streaming SCD2 maintenance — apply one micro-batch of CDC
+    * changes (op ∈ {U, D}) to the type-2 history table the batch
+    * builder (i14) produces, keeping the maintained table EXACTLY equal
+    * to a from-scratch batch build over everything seen so far.
+    *
+    * Per batch: (1) the batch's own version rows via the identical
+    * lead/filter/row_number derivation the batch builder runs;
+    * (2) existing open versions of touched keys close at the key's
+    * first change ts in the batch; (3) new versions renumber from the
+    * key's prior max. REPLAY-IDEMPOTENT without fencing: rows carrying
+    * this batch's event_ids are dropped from the base before merging,
+    * so a crashed-and-replayed micro-batch reconstructs the same table
+    * (closing an already-closed version is a no-op — its valid_to was
+    * set to the same first-change ts). Ordering contract (H13/H14
+    * rule): per key, a batch's changes postdate the key's recorded
+    * history — true for an ordered CDC replay; out-of-order deliveries
+    * need a watermark-reorder upstream.
+    *
+    * Scale: all set logic is joins on the key / event id (no windows
+    * over the table, only over the BATCH); the staged-swap full-table
+    * rewrite is the same 100 TB caveat as [[mergeIntoWarehouse]] —
+    * scope the rewrite to touched partitions there.
+    */
+  def scd2MergeBatch(changes: DataFrame, dir: String): Unit = {
+    import graft.Cols.fmtTs
+    val spark = changes.sparkSession
+    recoverCrashedSwap(spark, dir)
+    val existing =
+      try Some(spark.read.parquet(dir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val local = changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .filter(col("op") === "U")
+      .withColumn("local_rank", row_number().over(w).cast("long"))
+    val batchIds = changes.select(col("event_id")).distinct()
+    val firstTs = changes.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val base = existing match {
+      case Some(b) => b.join(batchIds, Seq("event_id"), "left_anti")
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("user_id", LongType), StructField("event_id", LongType),
+            StructField("event_type", StringType), StructField("value", DoubleType),
+            StructField("version", LongType), StructField("valid_from", StringType),
+            StructField("valid_to", StringType), StructField("is_current", BooleanType))))
+    }
+    val priorMax = base.groupBy(col("user_id")).agg(max(col("version")).as("prior_max"))
+    val newRows = local
+      .join(priorMax, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        (coalesce(col("prior_max"), lit(0L)) + col("local_rank")).as("version"),
+        fmtTs(col("ts")).as("valid_from"),
+        fmtTs(col("valid_to_ts")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+    val closed = base
+      .join(firstTs, Seq("user_id"), "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("first_ts").isNotNull, fmtTs(col("first_ts")))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("first_ts").isNull)
+      .drop("first_ts")
+    val merged = closed.unionByName(newRows)
+    stagingSwap(spark, dir) { staging =>
+      merged.write.mode("overwrite").parquet(staging)
+    }
+  }
+
   /** Write-fully-then-rename table replacement shared by
     * [[mergeIntoWarehouse]] and [[compactPartitioned]]: the new layout
     * is complete in a sibling staging dir before the live table is

@@ -300,6 +300,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("H15 streaming SCD2 maintenance equals the batch build; replay is idempotent") {
+    import org.apache.spark.sql.functions.{col, when}
+    val wh = tmpDir("graft_scd2_wh") + "/scd2"
+    // the real change stream in global (ts, event_id) order — the
+    // ordered-CDC-replay contract — split into three micro-batches
+    val changes = Tables.table(spark, SF, "events")
+      .withColumn("op", when(col("event_id") % 10 < 2, "D").otherwise("U"))
+      .select("user_id", "event_id", "event_type", "value", "ts", "op")
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+    def toDf(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4),
+        changesSchema)
+    lazy val changesSchema = Tables.table(spark, SF, "events")
+      .withColumn("op", when(col("event_id") % 10 < 2, "D").otherwise("U"))
+      .select("user_id", "event_id", "event_type", "value", "ts", "op").schema
+    val cuts = Seq(changes.length / 3, 2 * changes.length / 3, changes.length)
+    var lo = 0
+    val batches = cuts.map { hi => val b = changes.slice(lo, hi); lo = hi; b }
+    batches.foreach(b => Tables.scd2MergeBatch(toDf(b), wh))
+    def snapshot() = spark.read.parquet(wh).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("version"), r.getAs[String]("valid_from"),
+        r.getAs[String]("valid_to"), r.getAs[Boolean]("is_current"))).toSet
+    val maintained = snapshot()
+    val batch = graft.operators.Relational.queries("i14_scd2_history")(spark, SF)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("version"), r.getAs[String]("valid_from"),
+        r.getAs[String]("valid_to"), r.getAs[Boolean]("is_current"))).toSet
+    assert(maintained === batch,
+      s"maintained SCD2 diverges from batch build: ${maintained.diff(batch).size} extra, " +
+        s"${batch.diff(maintained).size} missing")
+    // crash-replay of the LAST micro-batch must reconstruct the same table
+    Tables.scd2MergeBatch(toDf(batches.last), wh)
+    assert(snapshot() === batch, "replaying the last batch changed the table")
+  }
+
   test("A5 micro-batch ingest honors maxFilesPerTrigger (bounded batches)") {
     val in = tmpDir("graft_mb_in")
     val ckpt = tmpDir("graft_mb_ckpt")
