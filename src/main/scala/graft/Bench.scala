@@ -220,38 +220,44 @@ object Bench {
       .filter(col("value") >= threshold)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
       .write.format("noop").mode("overwrite").save()
-    def measuredScan(label: String, dir: String): Seq[(String, Double)] = {
-      val t = time(s"${label}")(scan(dir))
-      bytesRead.set(0)
-      scan(dir)
-      // listener events post asynchronously; wait for the counter to
-      // settle (listenerBus.waitUntilEmpty is private[spark])
+    // listener events post asynchronously (listenerBus.waitUntilEmpty is
+    // private[spark]); wait for the counter to stop moving
+    def settle(): Unit = {
       var prev = -1L
       var spins = 0
       while (bytesRead.get() != prev && spins < 40) {
         prev = bytesRead.get(); spins += 1; Thread.sleep(50)
       }
+    }
+    def measuredScan(label: String, dir: String): Seq[(String, Double)] = {
+      val t = time(s"${label}")(scan(dir))
+      // drain the timed scan's (and warmup's) in-flight task-end events
+      // BEFORE zeroing, or their stragglers land in the measured total
+      settle()
+      bytesRead.set(0)
+      scan(dir)
+      settle()
       Seq(t, s"${label}_mb" -> bytesRead.get() / 1e6)
     }
     try {
       fs.delete(base, true)
       spark.sparkContext.addSparkListener(listener)
-      val ev = Tables.table(spark, sfDir, "events")
-        .select("event_id", "user_id", "event_type", "ts", "value")
-      threshold = ev.stat.approxQuantile("value", Array(0.99), 0.001).head
-      writer(ev.repartition(16, col("event_id"))).parquet(unsortedDir)
-      val cost = time("j4_sort_cost")(
-        writer(ev.repartitionByRange(16, col("value"))
-          .sortWithinPartitions(col("value"))).parquet(sortedDir))
-      val out = {
-        time("warmup_unsorted")(scan(unsortedDir))
-        measuredScan("j4_scan_unsorted", unsortedDir) ++ Seq(cost) ++ (
-          if (cost._2 >= 0) {
-            time("warmup_sorted")(scan(sortedDir))
-            measuredScan("j4_scan_sorted", sortedDir)
-          } else Seq("j4_scan_sorted" -> -1.0))
-      }
-      spark.sparkContext.removeSparkListener(listener)
+      val out =
+        try {
+          val ev = Tables.table(spark, sfDir, "events")
+            .select("event_id", "user_id", "event_type", "ts", "value")
+          threshold = ev.stat.approxQuantile("value", Array(0.99), 0.001).head
+          writer(ev.repartition(16, col("event_id"))).parquet(unsortedDir)
+          val cost = time("j4_sort_cost")(
+            writer(ev.repartitionByRange(16, col("value"))
+              .sortWithinPartitions(col("value"))).parquet(sortedDir))
+          time("warmup_unsorted")(scan(unsortedDir))
+          measuredScan("j4_scan_unsorted", unsortedDir) ++ Seq(cost) ++ (
+            if (cost._2 >= 0) {
+              time("warmup_sorted")(scan(sortedDir))
+              measuredScan("j4_scan_sorted", sortedDir)
+            } else Seq("j4_scan_sorted" -> -1.0))
+        } finally spark.sparkContext.removeSparkListener(listener)
       try fs.delete(base, true)
       catch { case scala.util.control.NonFatal(_) => }
       out
@@ -536,12 +542,19 @@ object Bench {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     import graft.sources.Tables
+    // min-of-two like every headline query: the streaming gates were the
+    // only single-shot timings left, and one host stall during that one
+    // run fakes a regression (round-5 run 2 measured h10 at 23 s against
+    // 3.6/3.9 s in runs 1 and 3 — exactly this failure mode)
     val h10 = h10Runner(spark, sfDir) match {
       case Some((run, cleanup)) =>
         run("warmup_curation")
-        val r = run("h10_curation_gate")
+        // distinct labels per rep: the runner keys its checkpoint dir on
+        // the label, and a reused checkpoint makes AvailableNow a no-op
+        val ts = Seq(run("h10_curation_r1"), run("h10_curation_r2"))
+          .map(_._2).filter(_ >= 0)
         cleanup()
-        Seq(r)
+        Seq("h10_curation_gate" -> (if (ts.isEmpty) -1.0 else ts.min))
       case None => Seq("h10_curation_gate" -> -1.0)
     }
     try {
@@ -577,10 +590,12 @@ object Bench {
             label -> -1.0
         }
       runEmb("warmup_embgate")
-      val r = runEmb("h11_embed_gate")
+      // distinct labels per rep (checkpoint dir is label-keyed, above)
+      val ts = Seq(runEmb("h11_embgate_r1"), runEmb("h11_embgate_r2"))
+        .map(_._2).filter(_ >= 0)
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       catch { case scala.util.control.NonFatal(_) => }
-      h10 :+ r
+      h10 :+ ("h11_embed_gate" -> (if (ts.isEmpty) -1.0 else ts.min))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] embed-gate study setup failed: ${e.getMessage}")

@@ -496,7 +496,7 @@ object Tables {
     * exist, the staging dir is a dead partial write from a crash before
     * the delete and remains safe to discard.)
     */
-  private def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
+  private[graft] def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(dir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(

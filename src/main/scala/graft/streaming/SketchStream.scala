@@ -60,6 +60,9 @@ object SketchStream {
     */
   def heavyHittersFromCells(keyed: DataFrame, cellsDir: String,
                             keyCol: String, threshold: Long): DataFrame = {
+    // self-heal a consolidation crash before reading (same pattern as
+    // every other staged-swap table consumer)
+    graft.sources.Tables.recoverCrashedSwap(keyed.sparkSession, cellsDir)
     val merged = keyed.sparkSession.read.parquet(cellsDir)
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
@@ -93,6 +96,12 @@ object SketchStream {
                        cellsDir: String, keepLast: Int = 4): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast): the newest " +
       "batch is the crash-replay surface and must stay unconsolidated")
+    // heal a crash in a PREVIOUS consolidation's rename window first —
+    // without this, the read below throws (table dir missing, the only
+    // copy stranded in staging) or, if the maintenance stream recreated
+    // the dir meanwhile, the swap's staging cleanup would destroy the
+    // stranded pre-crash counts
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
     // partition-path values read back as int when they fit; pin to long
     val cells = spark.read.parquet(cellsDir)
       .withColumn("batch_id", col("batch_id").cast("long"))

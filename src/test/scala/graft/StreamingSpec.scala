@@ -178,6 +178,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val again = SketchStream.heavyHittersFromCells(li, cells, "l_orderkey", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(again === before, "re-consolidation must not change estimates")
+    // crash in the swap's rename window: target gone, the only copy in
+    // the hidden staging dir — both the serve path and the next
+    // consolidation must self-heal instead of throwing (or worse,
+    // a later swap destroying the stranded copy)
+    val target = new org.apache.hadoop.fs.Path(cells)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__graft_staging")
+    assert(fs.rename(target, staging), "test setup: simulate the crash window")
+    val healed = SketchStream.heavyHittersFromCells(li, cells, "l_orderkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(healed === before, "serve after a simulated swap crash must self-heal")
+    assert(fs.rename(target, staging), "test setup: crash again")
+    SketchStream.consolidateCells(spark, cells, keepLast = 1)
+    assert(batchIds() === Set(-1L, idsBefore.max),
+      "consolidation after a simulated swap crash must self-heal first")
   }
 
   test("H13 streaming EWMA serves values bit-identical to the batch c16 feature") {
