@@ -54,7 +54,8 @@ object Bench {
     // KMV minima: the set-operation sketch (union/intersection/Jaccard
     // of key sets across slices without shuffling a distinct key)
     "b38_kmv_distinct", "b38_kmv_merge", "b38_kmv_setops",
-    "c1_fraud_enrich", "c5_fraud_score", "c6_user_spend_trend",
+    "c1_fraud_enrich", "c5_fraud_score", "c17_rule_table_score",
+    "c6_user_spend_trend",
     // exact c7 kept next to its approx twin so the sketch-vs-distinct
     // trade is measured in the SAME run (host CPU swings across runs)
     "c7_category_trend", "c7_category_trend_approx",

@@ -119,6 +119,46 @@ object Fraud {
         "user_country", "product_country", "category",
         "country_mismatch", "high_value_flag", "fraud_score", "discounted_price")
 
+  /** C17: rules as DATA — the reference's hardcoded scoring predicates
+    * (score() above) driven from a rule TABLE (rule_id, kind, threshold,
+    * weight, priority), so fraud analysts ship rule changes as rows, not
+    * code. The bounded rule set (dozens) is collected driver-side — the
+    * IVF-centroid rule — and COMPILED into the projection: one indicator
+    * column per rule_id plus the weighted sum folded in priority order.
+    * The plan is identical to the hardcoded form (pure codegen'd
+    * projection, zero shuffles — a cross-join + re-group evaluator was
+    * rejected: it shuffles the whole fact on the carry columns to
+    * recover per-tx rows), which is what lets c17 hash-match c1's
+    * oracle with the reference's own two rules as table rows. Unknown
+    * rule kinds fail at plan-build time, not silently at runtime.
+    */
+  def ruleTableScore(enriched: DataFrame, rules: DataFrame): DataFrame = {
+    val rs = rules.orderBy(col("priority"), col("rule_id")).collect()
+    def fired(kind: String, threshold: Double): Column = kind match {
+      case "amount_gt" => when(col("amount") > threshold, 1).otherwise(0)
+      case "country_mismatch" =>
+        when(col("user_country") =!= col("product_country"), 1).otherwise(0)
+      case other => throw new IllegalArgumentException(s"unknown rule kind: $other")
+    }
+    val withFlags = rs.foldLeft(enriched) { (df, r) =>
+      df.withColumn(r.getAs[String]("rule_id"),
+        fired(r.getAs[String]("kind"), r.getAs[Double]("threshold")))
+    }
+    withFlags.withColumn("fraud_score",
+      rs.map(r => col(r.getAs[String]("rule_id")) * lit(r.getAs[Double]("weight")))
+        .reduceLeft(_ + _))
+  }
+
+  /** The reference's two rules as table rows (c17's input; the same
+    * constants score() hardcodes).
+    */
+  def referenceRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("country_mismatch", "country_mismatch", 0.0, 0.5, 1),
+        ("high_value_flag", "amount_gt", HighValueThreshold, 0.5, 2))
+      .toDF("rule_id", "kind", "threshold", "weight", "priority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C1–C4: enrichment join + rule scoring, full projection.
@@ -128,6 +168,20 @@ object Fraud {
     // ships to its fraud sink (fraud_score >= 1 ⇒ both flags set).
     "c5_fraud_score" -> ((s, d) =>
       scoredTransactions(s, d).filter(col("fraud_score") >= 1.0)),
+
+    // C17: the rule-TABLE twin of c1 — the same two rules as data rows,
+    // compiled into the identical shuffle-free projection; hash-matches
+    // c1's oracle (rule-table ≡ hardcoded equivalence, checked exactly).
+    "c17_rule_table_score" -> ((s, d) =>
+      ruleTableScore(
+        enrich(transactions(s, d), users(s, d), products(s, d), supplierCountries(s, d)),
+        referenceRules(s))
+        .withColumn("discounted_price",
+          when(col("base_price").isNotNull && col("discount").isNotNull,
+            col("base_price") * (lit(1.0) - col("discount"))).otherwise(lit(null)))
+        .select("transaction_id", "user_id", "product_id", "amount",
+          "user_country", "product_country", "category",
+          "country_mismatch", "high_value_flag", "fraud_score", "discounted_price")),
 
     // C6: per-user spend trend, tumbling 1-hour event-time windows
     // (reference: 1-minute windows over the live stream; the batch twin
@@ -288,6 +342,10 @@ object Fraud {
         |LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey""".stripMargin
     Map(
       "c1_fraud_enrich" -> scoredSql,
+
+      // C17 shares c1's oracle verbatim: the rule-table evaluator must
+      // reproduce the hardcoded projection bit-for-bit.
+      "c17_rule_table_score" -> scoredSql,
 
       "c5_fraud_score" ->
         s"""SELECT * FROM ($scoredSql) scored WHERE fraud_score >= 1.0""".stripMargin,

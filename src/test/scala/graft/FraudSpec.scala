@@ -43,6 +43,33 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(r(4L) === 4.0, "users must not leak into each other's trail")
   }
 
+  test("C17 rule table drives behavior: edited threshold rescored, unknown kind rejected") {
+    import spark.implicits._
+    val rows = Seq(
+      ("FRANCE", "FRANCE", 60000.0, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double]),
+      ("FRANCE", "KENYA", 400.0, null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("user_country", "product_country", "amount", "base_price", "discount")
+    // reference rules: row 1 fires high_value only, row 2 mismatch only
+    val ref = Fraud.ruleTableScore(rows, Fraud.referenceRules(spark))
+      .collect().map(r => r.getAs[Double]("amount") -> r.getAs[Double]("fraud_score")).toMap
+    assert(ref(60000.0) === 0.5 && ref(400.0) === 0.5)
+    // EDITING a rule row changes scoring without touching code: lower
+    // the amount threshold to 300 and triple its weight
+    val edited = Seq(("country_mismatch", "country_mismatch", 0.0, 0.5, 1),
+        ("high_value_flag", "amount_gt", 300.0, 1.5, 2))
+      .toDF("rule_id", "kind", "threshold", "weight", "priority")
+    val re = Fraud.ruleTableScore(rows, edited)
+      .collect().map(r => r.getAs[Double]("amount") -> r.getAs[Double]("fraud_score")).toMap
+    assert(re(60000.0) === 1.5, "threshold 300 must fire on 60000 at weight 1.5")
+    assert(re(400.0) === 2.0, "mismatch 0.5 + amount_gt 1.5 must both fire")
+    // an unknown kind fails at plan-BUILD time, not silently at runtime
+    val bad = Seq(("x", "no_such_kind", 0.0, 1.0, 1))
+      .toDF("rule_id", "kind", "threshold", "weight", "priority")
+    assertThrows[IllegalArgumentException](Fraud.ruleTableScore(rows, bad))
+  }
+
   test("C2 country mismatch flags only differing countries") {
     assert(scoredOf("FRANCE", "KENYA", 1.0, 1.0, 0.0).getAs[Int]("country_mismatch") === 1)
     assert(scoredOf("FRANCE", "FRANCE", 1.0, 1.0, 0.0).getAs[Int]("country_mismatch") === 0)
