@@ -250,8 +250,7 @@ object Bench {
           threshold = ev.stat.approxQuantile("value", Array(0.99), 0.001).head
           writer(ev.repartition(16, col("event_id"))).parquet(unsortedDir)
           val cost = time("j4_sort_cost")(
-            writer(ev.repartitionByRange(16, col("value"))
-              .sortWithinPartitions(col("value"))).parquet(sortedDir))
+            Tables.writeClustered(ev, sortedDir, "value"))
           time("warmup_unsorted")(scan(unsortedDir))
           measuredScan("j4_scan_unsorted", unsortedDir) ++ Seq(cost) ++ (
             if (cost._2 >= 0) {

@@ -51,6 +51,35 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("tx_month"), plan)
   }
 
+  test("A14 clustered write: per-file value ranges are disjoint slices, content complete") {
+    import org.apache.spark.sql.functions.{max, min}
+    val dir = tmpDir("graft_clustered") + "/tbl"
+    val ev = Tables.table(spark, SF, "events")
+      .select("event_id", "user_id", "value")
+    Tables.writeClustered(ev, dir, "value", files = 8)
+    // the pruning precondition: each file covers a contiguous value
+    // slice, and the slices don't overlap — so a selective predicate
+    // excludes whole files by footer min/max
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected several clustered files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("value"), max("value")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"file value ranges overlap: $hiA > $loB")
+      case _ =>
+    }
+    // nothing lost or duplicated by the re-layout
+    assert(spark.read.parquet(dir).count() === ev.count())
+    val full = ev.agg(min("value"), max("value")).head()
+    assert(ranges.head._1 === full.getDouble(0) && ranges.last._2 === full.getDouble(1))
+  }
+
   test("A13 compaction: file count collapses per partition, content byte-identical") {
     import spark.implicits._
     val dir = tmpDir("graft_compact")
