@@ -162,12 +162,14 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    // 3. LAST line: compact headline, kept inside the driver's tail window
+    // 3. LAST line: compact headline, kept inside the driver's tail
+    // window — precision drops until it fits (78 queries hit 1921 bytes
+    // at 2 decimals; 1 decimal ≈ 1.84 KB and still ranks regressions)
     def headLine(decimals: Int): String =
       s"""{"metric":"total","value":${num(total, decimals)},"unit":"sec",""" +
         s""""queries":${qmap(headQs, decimals)},"sf":"$sfDir"}"""
-    val line3 = headLine(3)
-    println(if (line3.length <= 1900) line3 else headLine(2))
+    println(Iterator(3, 2, 1).map(headLine)
+      .find(_.length <= 1900).getOrElse(headLine(1)))
     spark.stop()
   }
 
