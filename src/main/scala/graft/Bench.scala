@@ -71,6 +71,7 @@ object Bench {
     // same oracle — the pair prices the skew-safe plan (b34 pattern)
     "d10_embed_clusters_blocked", "d11_decontaminate",
     "d12_dup_span_score", "d12_dup_span_agg", "d13_winnow_fingerprints",
+    "d15_source_overlap",
     "e1_cosine_topk", "e2_ann_lsh", "e3_ann_ivf", "e5_knn_join",
     "e9_filtered_topk",
     "e7_ann_sq8", "e8_ann_pq",

@@ -481,19 +481,83 @@ object Dedup {
 
   /** Per-doc DISTINCT word n-gram fingerprints, exploded as
     * (doc_id, gh). One HOF stage per projection (SURVEY §6b); gram text
-    * is hashed row-local so only 8-byte longs ever shuffle.
+    * is hashed row-local so only 8-byte longs ever shuffle. `carry`
+    * threads extra columns (D15's source) through the stages.
     */
-  private def docGramFingerprints(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def docGramFingerprints(docs: DataFrame, n: Int,
+                                         carry: Seq[String] = Nil): DataFrame = {
+    val c = carry.map(col)
     spread(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(c :+ col("doc_id") :+ split(col("text"), " ").as("tok"): _*)
       .filter(size(col("tok")) >= n)
-      .select(col("doc_id"),
+      .select(c :+ col("doc_id") :+
         transform(sequence(lit(1), size(col("tok")) - (n - 1)),
-          i => array_join(slice(col("tok"), i, lit(n)), " ")).as("g"))
-      .select(col("doc_id"),
+          i => array_join(slice(col("tok"), i, lit(n)), " ")).as("g"): _*)
+      .select(c :+ col("doc_id") :+
         array_distinct(transform(col("g"),
-          x => graft.functions.HashFunctions.md5Prefix60(x))).as("gh"))
-      .select(col("doc_id"), explode(col("gh")).as("gh"))
+          x => graft.functions.HashFunctions.md5Prefix60(x))).as("gh"): _*)
+      .select(c :+ col("doc_id") :+ explode(col("gh")).as("gh"): _*)
+  }
+
+  /** D15: all-pairs source-overlap matrix — "which sources duplicate
+    * each other, and by how much" (dataset-governance: a crawl that
+    * re-ingests another source inflates dedup cost and silently
+    * re-weights the mixture). Per source, an ORDER-STATISTIC KMV
+    * sketch of its distinct word-8-gram fingerprints: the k smallest
+    * distinct hashes. EXACT when a source has < k distinct grams
+    * (the sketch IS the set); otherwise the unbiased estimator
+    * (k−1)·2^60/h_k (±1/√k ≈ 6% for k = 256 — chosen over the b38
+    * bucketed-min form, whose harmonic estimator carries a systematic
+    * −25% Poisson-occupancy bias below ~30 keys/bucket, measured on
+    * this corpus). Union sketch per pair = k smallest of the merged
+    * k-lists (the KMV closure property), intersection/Jaccard by
+    * inclusion-exclusion (error scale = the union, as in b38c).
+    *
+    * Scale shape: the corpus is touched ONCE — grams hash row-local,
+    * the per-source top-k window prunes map-side (WindowGroupLimit on
+    * the rank) so the exchange carries ≤ k rows per source per
+    * partition; every pairwise step runs on the |sources|·k sketch
+    * table (KBs), never the corpus. The |S|²/2 pair expansion is the
+    * OUTPUT's own size, not a corpus cost. Deterministic md5 hashing
+    * throughout ⇒ exact DuckDB oracle.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 256): DataFrame = {
+    // 255·2^60 is exactly representable (8-bit mantissa, 60-bit shift),
+    // so the numerator folds identically in both engines
+    val num = lit(255.0) * lit(1.152921504606846976e18)
+    def estCol = when(col("c") < k, col("c").cast("double"))
+      .otherwise(num / col("hk").cast("double"))
+    val grams = docGramFingerprints(docs, 8, carry = Seq("source"))
+      .select(col("source"), col("gh")).distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("gh"))
+    val topk = grams
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("source"), col("gh"))
+    val est = topk.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), max(col("gh")).as("hk"))
+      .select(col("source"), estCol.as("est"))
+    val srcs = docs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val merged = pairs
+      .join(topk, col("source") === col("source_a") || col("source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("gh")).distinct()
+    val wu = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("gh"))
+    val uest = merged
+      .withColumn("rnk", row_number().over(wu)).filter(col("rnk") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("c"), max(col("gh")).as("hk"))
+      .select(col("source_a"), col("source_b"), estCol.as("est_union"))
+    uest
+      .join(est.select(col("source").as("source_a"), col("est").as("est_a")), Seq("source_a"))
+      .join(est.select(col("source").as("source_b"), col("est").as("est_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+          .as("jaccard_est"))
+  }
 
   /** Shared rollup: (doc_id, is_dup) rows → per-doc counts, ratio, flag. */
   private def dupSpanReport(flagged: DataFrame, maxRatio: Double): DataFrame =
@@ -533,6 +597,10 @@ object Dedup {
     // D13: winnowing fingerprint selection — the ~2/(w+1) storage cut
     // with the shared-run detection guarantee.
     "d13_winnow_fingerprints" -> ((s, d) => winnowFingerprints(t(s, d, "documents"))),
+
+    // D15: all-pairs source-overlap matrix from order-statistic KMV
+    // sketches — one corpus scan, pairwise algebra on the tiny sketch.
+    "d15_source_overlap" -> ((s, d) => sourceOverlap(t(s, d, "documents"))),
 
     // D11: eval-set decontamination — 8-gram overlap vs a benchmark set
     // (stand-in: every doc with doc_id % 10 = 3; no eval set ships with
@@ -745,6 +813,48 @@ object Dedup {
           |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
           |         <= CAST(0.5 AS DOUBLE) AS keep
           |FROM w GROUP BY doc_id""".stripMargin,
+
+      // D15: same gram hashing, the per-source/per-pair k-smallest via
+      // QUALIFY'd row_number, the same exact-below-k / (k−1)·2^60/h_k
+      // estimator arithmetic (255·2^60 folds exactly in both engines).
+      "d15_source_overlap" ->
+        """WITH toks AS (SELECT source, str_split(text, ' ') AS t FROM documents),
+          |g AS (SELECT DISTINCT source,
+          |        unnest(list_transform(range(1, len(t) - 6), i ->
+          |          CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT))) AS gh
+          |      FROM toks WHERE len(t) >= 8),
+          |topk AS (
+          |  SELECT source, gh, row_number() OVER (PARTITION BY source ORDER BY gh) AS rnk
+          |  FROM g QUALIFY rnk <= 256),
+          |stats AS (SELECT source, count(*) AS c, max(gh) AS hk FROM topk GROUP BY 1),
+          |est AS (SELECT source,
+          |          CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+          |               ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE) END AS est
+          |        FROM stats),
+          |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          |          FROM (SELECT DISTINCT source FROM documents) a,
+          |               (SELECT DISTINCT source FROM documents) b
+          |          WHERE a.source < b.source),
+          |mdedup AS (
+          |  SELECT DISTINCT p.source_a, p.source_b, t.gh
+          |  FROM pairs p JOIN topk t ON t.source = p.source_a OR t.source = p.source_b),
+          |merged AS (
+          |  SELECT source_a, source_b, gh,
+          |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY gh) AS rnk
+          |  FROM mdedup QUALIFY rnk <= 256),
+          |ustats AS (
+          |  SELECT source_a, source_b, count(*) AS c, max(gh) AS hk
+          |  FROM merged GROUP BY 1, 2),
+          |uest AS (
+          |  SELECT source_a, source_b,
+          |         CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
+          |              ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE) END AS est_union
+          |  FROM ustats)
+          |SELECT u.source_a, u.source_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+          |       ea.est + eb.est - u.est_union AS est_intersect,
+          |       (ea.est + eb.est - u.est_union) / u.est_union AS jaccard_est
+          |FROM uest u JOIN est ea ON u.source_a = ea.source
+          |            JOIN est eb ON u.source_b = eb.source""".stripMargin,
 
       // D13: same positional gram hashes, same w-wide window minima;
       // the reduction ratio is one double division.

@@ -158,6 +158,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select(col("split")).distinct().count() === 3)
   }
 
+  test("D15 source overlap: full matrix, estimates track exact gram-set algebra") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, SF, "documents")
+    val out = Dedup.queries("d15_source_overlap")(spark, SF).collect()
+    val nSrc = docs.select(col("source")).distinct().count()
+    assert(out.length === nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    // exact per-source gram sets (small at this SF) for ground truth
+    val sets = Dedup.docGramFingerprints(docs, 8, Seq("source"))
+      .select(col("source"), col("gh")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (sa, sb) = (sets(a), sets(b))
+      val u = (sa ++ sb).size.toDouble
+      // each direct estimate within 25% of its exact set size (k=256 ⇒
+      // ±6% σ; the corpus is a fixed draw, so allow 4σ)
+      assert(math.abs(r.getAs[Double]("est_a") - sa.size) <= 0.25 * sa.size, s"est_a $a")
+      assert(math.abs(r.getAs[Double]("est_b") - sb.size) <= 0.25 * sb.size, s"est_b $b")
+      assert(math.abs(r.getAs[Double]("est_union") - u) <= 0.25 * u, s"union $a-$b")
+      // inclusion-exclusion intersection: error scale is the union
+      val i = (sa intersect sb).size.toDouble
+      assert(math.abs(r.getAs[Double]("est_intersect") - i) <= 0.25 * u, s"intersect $a-$b")
+      assert(math.abs(r.getAs[Double]("jaccard_est") - i / u) <= 0.25, s"jaccard $a-$b")
+    }
+  }
+
   test("D8 propagation crosses chained pairs (A~B, B~C but never A~C directly)") {
     import spark.implicits._
     // Long chain 10-20-30-40-50 plus isolated pair 60-70: min label must
