@@ -522,17 +522,24 @@ object Dedup {
     * throughout ⇒ exact DuckDB oracle.
     */
   def sourceOverlap(docs: DataFrame, k: Int = 256): DataFrame = {
-    // 255·2^60 is exactly representable (8-bit mantissa, 60-bit shift),
-    // so the numerator folds identically in both engines
-    val num = lit(255.0) * lit(1.152921504606846976e18)
+    // (k−1)·2^60 is exactly representable for any k ≤ 2^52 (small
+    // mantissa, 60-bit shift), so the numerator folds identically in
+    // both engines
+    val num = lit((k - 1).toDouble) * lit(1.152921504606846976e18)
     def estCol = when(col("c") < k, col("c").cast("double"))
       .otherwise(num / col("hk").cast("double"))
-    val grams = docGramFingerprints(docs, 8, carry = Seq("source"))
-      .select(col("source"), col("gh")).distinct()
+    // map-side prune FIRST: dense_rank ≤ k compiles to a WindowGroupLimit
+    // that caps each input partition at rows of its k smallest distinct
+    // hashes per source BEFORE the exchange — a globally-top-k distinct
+    // value is within every partition's top-k distinct, so the prune is
+    // lossless. distinct() AFTER the global filter then dedups ≤ k
+    // values per source; deduping first would shuffle the corpus's
+    // whole distinct gram set.
     val w = Window.partitionBy(col("source")).orderBy(col("gh"))
-    val topk = grams
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val topk = docGramFingerprints(docs, 8, carry = Seq("source"))
       .select(col("source"), col("gh"))
+      .withColumn("dr", dense_rank().over(w)).filter(col("dr") <= k)
+      .select(col("source"), col("gh")).distinct()
     val est = topk.groupBy(col("source"))
       .agg(count(lit(1)).as("c"), max(col("gh")).as("hk"))
       .select(col("source"), estCol.as("est"))
@@ -549,14 +556,27 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("c"), max(col("gh")).as("hk"))
       .select(col("source_a"), col("source_b"), estCol.as("est_union"))
-    uest
-      .join(est.select(col("source").as("source_a"), col("est").as("est_a")), Seq("source_a"))
-      .join(est.select(col("source").as("source_b"), col("est").as("est_b")), Seq("source_b"))
+    // LEFT joins + zero fills: a source whose docs are all shorter than
+    // the gram width has NO fingerprints, but a governance matrix that
+    // silently omits a source is the wrong failure mode — every pair
+    // gets a row, empty sides estimate 0, and an empty union guards the
+    // Jaccard division
+    pairs
+      .join(uest, Seq("source_a", "source_b"), "left")
+      .join(est.select(col("source").as("source_a"), col("est").as("est_a")),
+        Seq("source_a"), "left")
+      .join(est.select(col("source").as("source_b"), col("est").as("est_b")),
+        Seq("source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("est_a"), lit(0.0)).as("est_a"),
+        coalesce(col("est_b"), lit(0.0)).as("est_b"),
+        coalesce(col("est_union"), lit(0.0)).as("est_union"))
       .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
         col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
-        ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
-          .as("jaccard_est"))
+        when(col("est_union") > 0.0,
+          (col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+          .otherwise(lit(0.0)).as("jaccard_est"))
   }
 
   /** Shared rollup: (doc_id, is_dup) rows → per-doc counts, ratio, flag. */
@@ -849,12 +869,22 @@ object Dedup {
           |  SELECT source_a, source_b,
           |         CASE WHEN c < 256 THEN CAST(c AS DOUBLE)
           |              ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE) END AS est_union
-          |  FROM ustats)
-          |SELECT u.source_a, u.source_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
-          |       ea.est + eb.est - u.est_union AS est_intersect,
-          |       (ea.est + eb.est - u.est_union) / u.est_union AS jaccard_est
-          |FROM uest u JOIN est ea ON u.source_a = ea.source
-          |            JOIN est eb ON u.source_b = eb.source""".stripMargin,
+          |  FROM ustats),
+          |filled AS (
+          |  SELECT p.source_a, p.source_b,
+          |         coalesce(ea.est, CAST(0 AS DOUBLE)) AS est_a,
+          |         coalesce(eb.est, CAST(0 AS DOUBLE)) AS est_b,
+          |         coalesce(u.est_union, CAST(0 AS DOUBLE)) AS est_union
+          |  FROM pairs p
+          |  LEFT JOIN uest u ON p.source_a = u.source_a AND p.source_b = u.source_b
+          |  LEFT JOIN est ea ON p.source_a = ea.source
+          |  LEFT JOIN est eb ON p.source_b = eb.source)
+          |SELECT source_a, source_b, est_a, est_b, est_union,
+          |       est_a + est_b - est_union AS est_intersect,
+          |       CASE WHEN est_union > CAST(0 AS DOUBLE)
+          |            THEN (est_a + est_b - est_union) / est_union
+          |            ELSE CAST(0 AS DOUBLE) END AS jaccard_est
+          |FROM filled""".stripMargin,
 
       // D13: same positional gram hashes, same w-wide window minima;
       // the reduction ratio is one double division.

@@ -134,6 +134,18 @@ object Fraud {
     */
   def ruleTableScore(enriched: DataFrame, rules: DataFrame): DataFrame = {
     val rs = rules.orderBy(col("priority"), col("rule_id")).collect()
+    // bad rule TABLES fail at plan-build time like bad rule kinds do: an
+    // empty set is a truncated config, a duplicate rule_id would silently
+    // overwrite its twin's indicator (and double its weight), and an id
+    // shadowing a data column would clobber that column for downstream
+    // consumers
+    require(rs.nonEmpty, "rule table is empty — refusing to score with no rules")
+    val ids = rs.map(_.getAs[String]("rule_id"))
+    require(ids.distinct.length == ids.length,
+      s"duplicate rule_id(s): ${ids.diff(ids.distinct).distinct.mkString(", ")}")
+    val clashes = ids.toSet.intersect(enriched.columns.toSet)
+    require(clashes.isEmpty,
+      s"rule_id(s) shadow input column(s): ${clashes.mkString(", ")}")
     def fired(kind: String, threshold: Double): Column = kind match {
       case "amount_gt" => when(col("amount") > threshold, 1).otherwise(0)
       case "country_mismatch" =>

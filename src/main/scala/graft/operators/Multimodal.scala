@@ -192,7 +192,12 @@ object Multimodal {
   // the last persisted fingerprint table: each phashNearDup call frees
   // its predecessor's cache blocks, so repeated invocations (bench
   // warm-up + reps + scaling sweep) pin at most ONE copy instead of
-  // accumulating InMemoryRelations for the life of the session
+  // accumulating InMemoryRelations for the life of the session.
+  // CONTRACT: build-then-execute, one in-flight result — constructing a
+  // second phashNearDup before executing the first un-caches the first
+  // (still CORRECT via lineage, but its joins re-derive the payload
+  // scan). Callers needing interleaved results should persist the
+  // fingerprints themselves.
   private var lastFp: Option[DataFrame] = None
 
   def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame = {

@@ -37,7 +37,15 @@ object SketchStream {
     * `keyCol`, land cells under `cellsDir/batch_id=<id>/`.
     */
   def maintainCms(stream: DataFrame, keyCol: String, cellsDir: String,
-                  checkpoint: String): StreamingQuery =
+                  checkpoint: String): StreamingQuery = {
+    // heal a crashed consolidation BEFORE the first batch can recreate
+    // the table dir: once cellsDir exists again, the target-missing
+    // check can no longer see the stranded staging copy, serves
+    // silently lose all pre-crash history, and the NEXT consolidation's
+    // staging cleanup would destroy it — the stream writer is the first
+    // thing an operator restarts after a crash, so the heal must sit on
+    // this path too, not only on serve/consolidate
+    graft.sources.Tables.recoverCrashedSwap(stream.sparkSession, cellsDir)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -51,6 +59,7 @@ object SketchStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Serve heavy hitters from the maintained cell table: cell-wise sum
     * across batch partitions (integer — exact), then the same

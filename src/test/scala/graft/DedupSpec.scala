@@ -184,6 +184,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("D15 matrix stays complete when a source has no grams at all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'tiny' has only sub-gram-width docs → zero fingerprints; the
+    // matrix must still carry its pairs with zero estimates, not drop
+    // them (the silent-omission failure mode a governance tool must not
+    // have)
+    val docs = Seq(
+      (1L, "alpha", ("w " * 20).trim), (2L, "alpha", ("x " * 20).trim),
+      (3L, "beta", ("w " * 20).trim),
+      (4L, "tiny", "too short"), (5L, "tiny", "also short"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs).collect()
+    assert(out.length === 3, "3 sources -> 3 unordered pairs, always")
+    val tinyRows = out.filter(r => r.getAs[String]("source_a") == "tiny" ||
+      r.getAs[String]("source_b") == "tiny")
+    assert(tinyRows.length === 2)
+    tinyRows.foreach { r =>
+      assert(r.getAs[Double]("est_intersect") === 0.0)
+      assert(r.getAs[Double]("jaccard_est") === 0.0)
+      assert(Seq(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")).contains(0.0))
+    }
+    // and the exact-below-k branch: alpha/beta share the 'w'-doc grams
+    val ab = out.find(r => r.getAs[String]("source_a") == "alpha" &&
+      r.getAs[String]("source_b") == "beta").get
+    assert(ab.getAs[Double]("est_intersect") > 0.0, "shared grams must show overlap")
+  }
+
   test("D8 propagation crosses chained pairs (A~B, B~C but never A~C directly)") {
     import spark.implicits._
     // Long chain 10-20-30-40-50 plus isolated pair 60-70: min label must

@@ -64,10 +64,19 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getAs[Double]("amount") -> r.getAs[Double]("fraud_score")).toMap
     assert(re(60000.0) === 1.5, "threshold 300 must fire on 60000 at weight 1.5")
     assert(re(400.0) === 2.0, "mismatch 0.5 + amount_gt 1.5 must both fire")
-    // an unknown kind fails at plan-BUILD time, not silently at runtime
+    // bad rule tables fail at plan-BUILD time, not silently at runtime:
+    // unknown kind, duplicate rule_id, data-column shadowing, empty set
     val bad = Seq(("x", "no_such_kind", 0.0, 1.0, 1))
       .toDF("rule_id", "kind", "threshold", "weight", "priority")
     assertThrows[IllegalArgumentException](Fraud.ruleTableScore(rows, bad))
+    val dup = Seq(("r1", "amount_gt", 100.0, 0.5, 1), ("r1", "amount_gt", 999.0, 0.7, 2))
+      .toDF("rule_id", "kind", "threshold", "weight", "priority")
+    assertThrows[IllegalArgumentException](Fraud.ruleTableScore(rows, dup))
+    val shadow = Seq(("amount", "amount_gt", 100.0, 0.5, 1))
+      .toDF("rule_id", "kind", "threshold", "weight", "priority")
+    assertThrows[IllegalArgumentException](Fraud.ruleTableScore(rows, shadow))
+    assertThrows[IllegalArgumentException](
+      Fraud.ruleTableScore(rows, edited.limit(0)))
   }
 
   test("C2 country mismatch flags only differing countries") {

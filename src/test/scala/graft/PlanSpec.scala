@@ -100,6 +100,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be partial-heap merged\n$p")
   }
 
+  test("d15 per-source sketch prunes map-side (WindowGroupLimit before the exchange)") {
+    val p = SparkEntry.queries("d15_source_overlap")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // the dense_rank <= k filter must compile to WindowGroupLimit so
+    // partitions cap at their local top-k distinct BEFORE shuffling —
+    // the corpus's whole distinct gram set must never cross an exchange
+    assert(p.contains("WindowGroupLimit"), s"map-side sketch prune missing\n$p")
+  }
+
   test("e1/e10 candidate top-k is TakeOrderedAndProject, never a global sort") {
     val p = SparkEntry.queries("e1_cosine_topk")(spark, SF)
       .queryExecution.executedPlan.toString
