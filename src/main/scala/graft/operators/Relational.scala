@@ -594,6 +594,92 @@ object Relational {
             .as("jaccard_est"))
     }),
 
+    // B39: Benford first-digit analysis — the classic screen for
+    // fabricated amounts (reference: fraud-rule family, spark.py's
+    // amount-threshold rules generalized to a distribution test).
+    // Leading digit via bigint-to-string (identical formatting in both
+    // engines — no log10, whose libm tail is engine-dependent); the
+    // Benford expectations ride as nine literal constants spelled
+    // identically in the oracle (§6b: never derive constants). One
+    // map-side-combined 9-group aggregate + a 9-row window: scan-bound
+    // at any scale.
+    "b39_benford" -> ((s, d) => {
+      val expected = typedLit(Seq(0.30103, 0.17609, 0.12494, 0.09691,
+        0.07918, 0.06695, 0.05799, 0.05115, 0.04576))
+      t(s, d, "lineitem")
+        .select(substring(floor(col("l_extendedprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("digit"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 8).as("obs_p"),
+          element_at(expected, col("digit").cast("int")).as("exp_p"))
+        .withColumn("abs_dev", round(abs(col("obs_p") - col("exp_p")), 8))
+    }),
+
+    // B40: GROUPING SETS — the explicit multi-grain form between
+    // rollup (b14) and cube (b14b): exactly the grains asked for, one
+    // pass, Expand feeds a single hash aggregate (rows × n_grains
+    // map-side, partials combined before the one exchange).
+    "b40_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_items"),
+          dsum2(col("l_extendedprice")).as("total_value"))),
+
+    // B41: deterministic mode + exact median per group. Spark's mode()
+    // is explicitly nondeterministic on ties, so the mode is computed
+    // from the (group, value) count table with a total order
+    // (count desc, value asc) — reproducible on any cluster and by the
+    // oracle's QUALIFY argmax. Median = exact interpolated percentile;
+    // quantities are integer-valued so the midpoint arithmetic is
+    // IEEE-exact in both engines. Two keyed aggregates + a 50-row
+    // window per group — the count table is |group|×|distinct values|,
+    // never the fact table, so the window input is tiny at any scale.
+    "b41_mode_median" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val mode = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("c").desc, col("l_quantity"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("c").as("mode_count"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"))
+      mode.join(med, Seq("l_returnflag"))
+    }),
+
+    // B42: running COUNT(DISTINCT) over a window — Spark (like every
+    // engine) rejects distinct aggregates in window frames, so it is
+    // rebuilt from primitives: a first-occurrence flag (row_number = 1
+    // over (user, type)) then a running sum of flags over (user). Two
+    // keyed window passes, both on user-bounded partitions; the flag
+    // pass shuffles on the finer (user, type) key first so the coarser
+    // running-sum exchange is the only user-wide state. The standard
+    // trick where the naive form (a distinct subquery per row) is
+    // O(n²).
+    "b42_window_distinct" -> ((s, d) => {
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("first_occ",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("distinct_types", sum(col("first_occ")).over(wRun))
+        .select("event_id", "user_id", "distinct_types")
+    }),
+
     // I7: CDC changelog apply — events play an I/U/D change stream on
     // the user key (deterministic op from the event id); the newest
     // change wins, trailing deletes drop the key. The MERGE…DELETE
@@ -1260,6 +1346,59 @@ object Relational {
         |FROM s""".stripMargin,
     "b37_quantile_hist" -> histOracleSql,
     "b37_hist_merge" -> histOracleSql,
+    // B39: same bigint-to-string leading digit, same nine literal
+    // constants CAST AS DOUBLE (a bare DuckDB numeric literal is
+    // DECIMAL — §6b round-5 note), same rounded division.
+    "b39_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, count(*) AS cnt FROM dg GROUP BY 1),
+        |e AS (SELECT [CAST(0.30103 AS DOUBLE), CAST(0.17609 AS DOUBLE), CAST(0.12494 AS DOUBLE),
+        |              CAST(0.09691 AS DOUBLE), CAST(0.07918 AS DOUBLE), CAST(0.06695 AS DOUBLE),
+        |              CAST(0.05799 AS DOUBLE), CAST(0.05115 AS DOUBLE), CAST(0.04576 AS DOUBLE)] AS ps),
+        |p AS (
+        |  SELECT digit, cnt,
+        |         round(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE), 8) AS obs_p,
+        |         ps[CAST(digit AS INT)] AS exp_p
+        |  FROM c, e)
+        |SELECT digit, cnt, obs_p, exp_p, round(abs(obs_p - exp_p), 8) AS abs_dev
+        |FROM p""".stripMargin,
+
+    "b40_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "b41_mode_median" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |md AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+        |  FROM counts
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_quantity) = 1),
+        |me AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT md.l_returnflag, md.mode_qty, md.mode_count, me.median_qty
+        |FROM md JOIN me USING (l_returnflag)""".stripMargin,
+
+    "b42_window_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS first_occ
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(sum(first_occ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types
+        |FROM f""".stripMargin,
+
     "b38_kmv_distinct" -> kmvOracleSql,
     "b38_kmv_merge" -> kmvOracleSql,
     "b38_kmv_setops" -> kmvSetopsOracleSql,
