@@ -507,6 +507,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** E11: radius (range) search — every corpus vector within a cosine
+    * threshold of the query, the "all neighbors in range" dual of
+    * top-k (dedup wants "everything above 0.9", not "the best 20").
+    * Same broadcast-query one-scan shape as [[cosineTopK]] but the
+    * filter replaces the global top-k merge: fully partition-parallel,
+    * no ordering stage at all — output size is data-dependent, so at
+    * 100 TB this is a scan + filter writing matches partition-local,
+    * strictly cheaper than any top-k.
+    */
+  def radiusSearch(embeddings: DataFrame, queryVecId: Long,
+                   threshold: Double): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** E12: two-stage retrieve-then-rerank — the standard serving
+    * architecture for compressed indexes: stage 1 ranks the corpus
+    * through its SQ8 reconstruction (codes-only scan, 4× less I/O —
+    * [[sq8TopK]]'s arithmetic) and keeps `nCand` candidates; stage 2
+    * re-scores ONLY those candidates against the full-precision
+    * vectors and emits the exact top-k. The candidate id set is ≤nCand
+    * rows so the rerank join broadcasts; total full-precision reads =
+    * nCand rows instead of the corpus. Recall vs E1 is bounded by
+    * stage 1's quantization error (spec'd); the output scores are
+    * EXACT cosines, which is what makes the two-stage form usable as a
+    * drop-in for e1 wherever the candidate pool covers the true top-k.
+    */
+  def sq8Rerank(embeddings: DataFrame, queryVecId: Long,
+                nCand: Int = 50, k: Int = 10): DataFrame = {
+    val cand = sq8TopK(embeddings, queryVecId, nCand).select(col("vec_id"))
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    e.join(cand, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** E8: product quantization (PQ, Jégou et al. 2011) — the corpus is
     * split into `m` subspaces, each encoded as the index of its nearest
     * of 16 seeded centroids: 4-bit codes, a 16× memory cut at dim 64
@@ -849,6 +896,15 @@ object Similarity {
     // E7: SQ8-compressed-corpus ANN top-20 (rows-only; reconstruction
     // bound + recall vs E1 in the spec).
     "e7_ann_sq8" -> ((s, d) => sq8TopK(t(s, d, "embeddings"), 0L, 20)),
+
+    // E11: all vectors within cosine ≥ 0.2 of query 0 — range-search
+    // dual of e1; no top-k merge stage, pure scan+filter.
+    "e11_radius_search" -> ((s, d) =>
+      radiusSearch(t(s, d, "embeddings"), 0L, 0.2)),
+
+    // E12: SQ8-candidates → exact rerank — the two-stage serving form;
+    // exact scores out, compressed scan in.
+    "e12_sq8_rerank" -> ((s, d) => sq8Rerank(t(s, d, "embeddings"), 0L, 50, 10)),
     // E5: batch kNN join — top-10 neighbors for query vectors 0..7.
     "e5_knn_join" -> ((s, d) => knnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
     // E1: exact brute-force cosine top-20 for query vector 0.
@@ -963,6 +1019,87 @@ object Similarity {
     // per vector, round() (ties away from zero in BOTH engines for the
     // non-negative scaled values), float32 reconstruction via CAST AS
     // REAL — so the compressed-corpus search reproduces exactly.
+    // E11: e1's arithmetic with the threshold filter replacing the
+    // top-k (threshold CAST AS DOUBLE — bare literal would be DECIMAL).
+    "e11_radius_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |  FROM e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, score FROM s WHERE score >= CAST(0.2 AS DOUBLE)""".stripMargin,
+
+    // E12: e7's SQ8 scoring as the 50-candidate stage, exact cosine
+    // over the raw vectors as the rerank — both stages' ties broken by
+    // vec_id, so the composition is deterministic end-to-end.
+    "e12_sq8_rerank" ->
+      """WITH qs AS (
+        |  SELECT vec_id, qmin,
+        |         CASE WHEN qmax > qmin THEN (qmax - qmin) / 255.0 ELSE 1.0 END AS qstep
+        |  FROM (SELECT vec_id,
+        |               CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |               CAST(list_max(embedding) AS DOUBLE) AS qmax
+        |        FROM embeddings)),
+        |deq AS (
+        |  SELECT e.vec_id,
+        |         list_transform(e.embedding, x ->
+        |           CAST(s.qmin +
+        |             ((CAST(round((CAST(x AS DOUBLE) - s.qmin) / s.qstep) AS INTEGER) - 128)
+        |              + 128) * s.qstep AS REAL)) AS embedding
+        |  FROM embeddings e JOIN qs s ON e.vec_id = s.vec_id),
+        |d AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM deq
+        |  WHERE nrm > 0),
+        |qv AS (
+        |  SELECT embedding AS q_emb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS q_nrm
+        |  FROM embeddings WHERE vec_id = 0 AND q_nrm > 0),
+        |cand AS (
+        |  SELECT d.vec_id
+        |  FROM d, qv
+        |  WHERE d.vec_id <> 0
+        |  ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(d.embedding) + 1),
+        |           i -> CAST(d.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (d.nrm * qv.q_nrm) DESC, d.vec_id
+        |  LIMIT 50),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q2 AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q2.q_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (e.nrm * q2.q_nrm) AS score
+        |FROM e JOIN cand USING (vec_id), q2
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
     "e7_ann_sq8" ->
       """WITH qs AS (
         |  SELECT vec_id, qmin,

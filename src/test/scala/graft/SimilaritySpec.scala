@@ -104,6 +104,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(codesType.simpleString === "array<tinyint>", codesType.simpleString)
   }
 
+  test("E11 radius search returns exactly the e1-ranked rows at/above the threshold") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val inRange = Similarity.radiusSearch(e, 0L, 0.2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inRange.nonEmpty, "radius 0.2 returned nothing at sf0.001")
+    assert(inRange.values.forall(_ >= 0.2))
+    // consistency with the exact ranking: every top-k row scoring >= τ
+    // is in the radius set with the SAME score (shared arithmetic)
+    val topk = Similarity.cosineTopK(e, 0L, 50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).filter(_._2 >= 0.2)
+    assert(topk.nonEmpty)
+    topk.foreach { case (id, s) =>
+      assert(inRange.get(id).contains(s), s"vec $id missing or score drifted")
+    }
+  }
+
+  test("E12 rerank emits exact scores and bounded recall vs the exact top-k") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.cosineTopK(e, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val rr = Similarity.sq8Rerank(e, 0L, 50, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // stage-2 scores are EXACT cosines: any id the two lists share
+    // carries bit-identical scores
+    val exactMap = exact.toMap
+    rr.foreach { case (id, s) =>
+      exactMap.get(id).foreach(es => assert(es === s, s"vec $id score drifted"))
+    }
+    // with a 5x candidate pool the rerank should recover most of the
+    // true top-10 (quantization-error-bounded, not guaranteed-perfect)
+    val recall = exact.map(_._1).toSet.intersect(rr.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"two-stage recall vs exact dropped to $recall")
+  }
+
   test("E2 ANN recall vs E1 on real embeddings is measurable and bounded") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
