@@ -25,16 +25,26 @@ object Tables {
   /** Parquet batch read. Plain `spark.read.parquet` so filter/projection
     * pushdown and partition pruning are Catalyst's job, not ours.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the source parquet, which Spark's
-    * vectorized reader rejects; it is read as a nanos long and truncated
-    * to microseconds — the same ns→us truncation DuckDB applies. The
-    * session must set `spark.sql.legacy.parquet.nanosAsLong=true` at
-    * build time (GraftSession/Bench/Verify all do) — no per-call config
-    * mutation here.
+    * `events.ts` has shipped as BOTH TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so the normalization
+    * is type-dispatched instead of hardcoded:
+    *  - nanos: Spark's vectorized reader rejects it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession/Bench/
+    *    Verify all set it at build time) it arrives as a nanos long and
+    *    is truncated to microseconds — the same ns→us truncation DuckDB
+    *    applies;
+    *  - micros: arrives as TIMESTAMP_NTZ and is cast to the session-local
+    *    TimestampType — wall-clock-preserving under the UTC session, and
+    *    it keeps every downstream window/event-time expression on the
+    *    exact type they were built against.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
     else raw
   }
 
