@@ -33,6 +33,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Extended set: measured identically to the headline battery
+    * (warm-up + min-of-two) but reported on the studies line and in
+    * BENCH_FULL.json only — the headline line must stay inside the
+    * driver's ~1900-byte tail window, and at 79 names it already needs
+    * the precision-drop fallback; growing it risks losing the whole
+    * round's perf signal (the round-4 lesson).
+    */
+  val extended: Seq[String] = Seq(
+    "b39_benford", "b40_grouping_sets", "b41_mode_median",
+    "b42_window_distinct", "e11_radius_search", "e12_sq8_rerank",
+    "b43_feature_scale", "c18_cusum_shift", "c19_cohort_retention",
+    "c20_event_transitions", "f13_token_entropy", "f14_source_kl",
+    "i17_weighted_sample")
+
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.
     */
@@ -102,7 +116,7 @@ object Bench {
     // minhash sketch) that would otherwise land on whichever query runs
     // it first. Same data dir so AQE re-plans identically and the second
     // (measured) pass reuses the compiled classes — steady-state numbers.
-    headline.foreach { name =>
+    (headline ++ extended).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -112,7 +126,7 @@ object Bench {
       }
     }
 
-    val results = headline.flatMap { name =>
+    val results = (headline ++ extended).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
           val t0 = System.nanoTime()

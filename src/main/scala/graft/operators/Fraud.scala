@@ -329,6 +329,83 @@ object Fraud {
         .select(col("event_id"), col("user_id"), col("event_ts"), col("value"),
           aggregate(col("trail"), lit(0.0), (a, x) => (a + x) / lit(2.0))
             .as("ewma_value"))
+    }),
+
+    // C18: one-sided CUSUM change-point detection — "has this user's
+    // spend level SHIFTED upward" (Page 1954), the sequential test that
+    // catches slow drifts z-scores miss. The textbook recurrence
+    // S_t = max(0, S_{t-1} + (x_t − k)) looks iterative, but it solves
+    // in closed form as S_t = P_t − min(0, min_{i≤t} P_i) where P is
+    // the running sum of deviations — two window passes over ONE
+    // shuffle on user_id, no recursion, no driver loop. All arithmetic
+    // rides DECIMAL (running sums of doubles are segment-tree-ordered
+    // in DuckDB — associativity is NOT engine-portable; decimal is),
+    // cast to double only at the edge. k=50, h=200 as matched literals.
+    "c18_cusum_shift" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("dev",
+          col("value").cast("decimal(18,6)") - lit(50.0).cast("decimal(18,6)"))
+        .withColumn("p", sum(col("dev")).over(w))
+        .withColumn("m", least(min(col("p")).over(w), lit(0).cast("decimal(28,6)")))
+        .select(col("event_id"), col("user_id"),
+          (col("p") - col("m")).cast("double").as("cusum"),
+          ((col("p") - col("m")) > lit(200.0).cast("decimal(28,6)")).as("shift_flag"))
+    }),
+
+    // C19: cohort retention matrix — users bucketed by first-seen week,
+    // then "what fraction of each cohort is still active N weeks later".
+    // Three keyed aggregates: first-seen per user, exact distinct
+    // actives per (cohort, week) (two-phase under AQE), and the tiny
+    // week-0 base joined back UNHINTED (one row per cohort — AQE
+    // broadcasts while small, shuffle-joins past threshold; the c11
+    // verdict lesson). Week arithmetic stays integral (both engines
+    // truncate weeks to Monday; day-deltas between truncated weeks are
+    // exact multiples of 7), so the only double is the final ratio.
+    "c19_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val weekly = ev.join(firsts, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+            .cast("long").as("week_no"))
+      val active = weekly.groupBy(col("cohort_week"), col("week_no"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val base = active.filter(col("week_no") === 0)
+        .select(col("cohort_week"), col("n_active").as("n_cohort"))
+      active.join(base, Seq("cohort_week"))
+        // ratio of exact longs: left unrounded — the raw IEEE quotient
+        // is bit-identical in both engines, and rounding an integer
+        // ratio can land on a true decimal tie (§6b, the f13 lesson)
+        .select(fmtTs(col("cohort_week")).as("cohort_week"), col("week_no"),
+          col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+    }),
+
+    // C20: event-type transition matrix (first-order Markov counts +
+    // row-normalized probabilities) — "what does this user do NEXT",
+    // the sequence feature behind session-flow anomaly scoring. One
+    // lag() pass on the user shuffle, then a tiny (type×type) aggregate;
+    // the normalizing window runs over ≤|types|² rows, never the fact.
+    "c20_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("p_trans", col("n_trans").cast("double") /
+          sum(col("n_trans")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type")))
+            .cast("double"))
+        .select(col("prev_type"), col("event_type").as("next_type"),
+          col("n_trans"), col("p_trans"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -422,7 +499,70 @@ object Fraud {
           |FROM (SELECT event_id, user_id, ts, value,
           |             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |                               ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS trail
-          |      FROM events WHERE value IS NOT NULL)""".stripMargin
+          |      FROM events WHERE value IS NOT NULL)""".stripMargin,
+
+      // C18: same closed form, same DECIMAL ride (DuckDB's windowed SUM
+      // over doubles is segment-tree-ordered — only decimal is
+      // association-free), same k/h literals. least() over MIXED decimal
+      // widths promotes to DOUBLE in DuckDB (measured: 1.7e-14 drift) —
+      // the clamp is a width-stable CASE instead.
+      "c18_cusum_shift" ->
+        """WITH d AS (
+          |  SELECT event_id, user_id, ts,
+          |         CAST(value AS DECIMAL(18,6)) - CAST(50.0 AS DECIMAL(18,6)) AS dev
+          |  FROM events WHERE value IS NOT NULL),
+          |pp AS (
+          |  SELECT event_id, user_id, ts,
+          |         SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          |  FROM d),
+          |ss AS (
+          |  SELECT event_id, user_id, p,
+          |         MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+          |  FROM pp),
+          |mm AS (
+          |  SELECT event_id, user_id, p,
+          |         CASE WHEN m0 > CAST(0 AS DECIMAL(38,6))
+          |              THEN CAST(0 AS DECIMAL(38,6)) ELSE m0 END AS m
+          |  FROM ss)
+          |SELECT event_id, user_id, CAST(p - m AS DOUBLE) AS cusum,
+          |       (p - m) > CAST(200.0 AS DECIMAL(38,6)) AS shift_flag
+          |FROM mm""".stripMargin,
+
+      // C19: both engines truncate weeks to Monday; day-deltas between
+      // truncated weeks are exact multiples of 7 so week_no is integral
+      // in double before the BIGINT cast (no round-vs-truncate skew).
+      "c19_cohort_retention" ->
+        """WITH firsts AS (
+          |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          |  FROM events GROUP BY 1),
+          |j AS (
+          |  SELECT e.user_id, cohort_week,
+          |         CAST(date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_no
+          |  FROM events e JOIN firsts USING (user_id)),
+          |a AS (
+          |  SELECT cohort_week, week_no, count(DISTINCT user_id) AS n_active
+          |  FROM j GROUP BY 1, 2),
+          |b AS (SELECT cohort_week, n_active AS n_cohort FROM a WHERE week_no = 0)
+          |SELECT strftime(a.cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+          |       week_no, n_active, n_cohort,
+          |       CAST(n_active AS DOUBLE) / n_cohort AS retention
+          |FROM a JOIN b ON a.cohort_week = b.cohort_week""".stripMargin,
+
+      "c20_event_transitions" ->
+        """WITH pr AS (
+          |  SELECT user_id, event_type,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |                               ORDER BY ts, event_id) AS prev_type
+          |  FROM events),
+          |c AS (
+          |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+          |  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev_type, next_type, n_trans,
+          |       CAST(n_trans AS DOUBLE) /
+          |       CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans
+          |FROM c""".stripMargin
     )
   }
 }

@@ -193,6 +193,37 @@ object Profile {
       .limit(k)
   }
 
+  /** I17: deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006): each row draws u ∈ (0,1] from a salted
+    * md5 hash and takes key = −ln(u)/w — order-equivalent to the
+    * textbook u^(1/w) but with no exp() (ln at 8 dp has libm-parity;
+    * exp does not, §6b). The k SMALLEST keys are the sample, so heavier
+    * rows (weight = n_chars: importance ∝ document length) win
+    * proportionally — the replayable form of importance sampling for
+    * mixture construction. orderBy+limit compiles to
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge on
+    * the driver — no global sort, no full shuffle, O(k) on the wire at
+    * any corpus size.
+    */
+  def weightedSampleK(docs: DataFrame, k: Int = 100,
+                      idCol: String = "doc_id"): DataFrame = {
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("wrs:"), col(idCol).cast("string")))
+    docs
+      .filter(col("n_chars") > 0)
+      .select(col(idCol), col("source"), col("n_chars"),
+        pmod(h, lit(1073741824L)).as("hv"))
+      // no outer round: −ln(u)8 / w is identical-IEEE-ops-on-identical-
+      // inputs in both engines; an outer round can land on a true
+      // decimal tie when w = 2^a·5^b (§6b, the f13 lesson)
+      .withColumn("wkey",
+        -round(log((col("hv") + 1).cast("double") / lit(1073741824.0)), 8)
+          / col("n_chars").cast("double"))
+      .select(col(idCol), col("source"), col("n_chars"), col("wkey"))
+      .orderBy(col("wkey"), col(idCol))
+      .limit(k)
+  }
+
   /** I16: exact-k-per-stratum deterministic sample — "exactly k docs
     * from EVERY language", the per-group form of I12 (I3's hash
     * stratifier takes per-stratum FRACTIONS; this takes counts — the
@@ -223,6 +254,10 @@ object Profile {
     // I12: exact-k deterministic uniform sample (global top-k by hash).
     "i12_uniform_sample_k" -> ((s, d) =>
       uniformSampleK(Tables.table(s, d, "documents"))),
+
+    // I17: deterministic weighted (length-proportional) sample.
+    "i17_weighted_sample" -> ((s, d) =>
+      weightedSampleK(Tables.table(s, d, "documents"))),
 
     // I11: per-source token-budget cap (greedy hash-order prefix).
     "i11_token_budget" -> ((s, d) =>
@@ -288,6 +323,24 @@ object Profile {
         |       CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
         |FROM documents
         |ORDER BY hk, doc_id
+        |LIMIT 100""".stripMargin,
+
+    // I17: same salted hash, same −round(ln(u),8)/w key, same
+    // (wkey, id) total order — the k rows and keys are exact. The
+    // divisor literal is spelled identically on both sides; DuckDB's
+    // bare-literal division promotes to DOUBLE (§6b: divisions are the
+    // safe direction).
+    "i17_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 1073741824 AS hv
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source, n_chars,
+        |       -round(ln(CAST(hv + 1 AS DOUBLE) / 1073741824.0), 8)
+        |         / n_chars AS wkey
+        |FROM h
+        |ORDER BY wkey, doc_id
         |LIMIT 100""".stripMargin,
 
     "i16_stratified_k" ->

@@ -680,6 +680,36 @@ object Relational {
         .select("event_id", "user_id", "distinct_types")
     }),
 
+    // B43: per-group feature scaling — min-max, z-score, and percentile
+    // rank in one pass, the standard ML feature-prep triple. Moments
+    // ride exact decimal sums (c11's recipe: order-independent ⇒
+    // cluster-size-independent), the stats join back UNHINTED (one row
+    // per group — AQE broadcasts), and percent_rank shares the same
+    // (group, x) sort the window already needs. Ties in percent_rank
+    // take equal ranks — deterministic in both engines by definition
+    // (rank-1)/(n-1).
+    "b43_feature_scale" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice").as("x"))
+      val stats = li.groupBy(col("l_returnflag")).agg(
+        min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sx2"))
+      val mean = col("sx") / col("n")
+      val variance = (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      val wpr = Window.partitionBy(col("l_returnflag")).orderBy(col("x"))
+      li.join(stats, Seq("l_returnflag"))
+        .withColumn("minmax", round((col("x") - col("mn")) / (col("mx") - col("mn")), 8))
+        .withColumn("zscore", round((col("x") - mean) / sqrt(variance), 8))
+        // percent_rank is (rank−1)/(n−1), a ratio of exact ints — left
+        // unrounded (raw quotient is engine-identical; rounding an
+        // integer ratio risks a true decimal tie, §6b)
+        .withColumn("pct_rank", percent_rank().over(wpr))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "x",
+          "minmax", "zscore", "pct_rank")
+    }),
+
     // I7: CDC changelog apply — events play an I/U/D change stream on
     // the user key (deterministic op from the event id); the newest
     // change wins, trailing deletes drop the key. The MERGE…DELETE
@@ -1398,6 +1428,23 @@ object Relational {
         |       CAST(sum(first_occ) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types
         |FROM f""".stripMargin,
+
+    // B43: c11's exact-decimal moment recipe; identical expression
+    // shapes on both sides so the doubles reproduce bit-for-bit.
+    "b43_feature_scale" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice AS x
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, min(x) AS mn, max(x) AS mx, count(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+        |  FROM li GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, li.l_returnflag, x,
+        |       round((x - mn) / (mx - mn), 8) AS minmax,
+        |       round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 8) AS zscore,
+        |       percent_rank() OVER (PARTITION BY li.l_returnflag ORDER BY x) AS pct_rank
+        |FROM li JOIN st ON li.l_returnflag = st.l_returnflag""".stripMargin,
 
     "b38_kmv_distinct" -> kmvOracleSql,
     "b38_kmv_merge" -> kmvOracleSql,

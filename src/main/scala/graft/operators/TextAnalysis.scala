@@ -217,6 +217,74 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** F13: per-doc Shannon token entropy — the information-density
+    * quality signal (boilerplate and keyword-stuffed docs score low,
+    * looping text scores near zero; Gopher's diversity family). The
+    * identity H = ln(n) − (Σ c·ln c)/n needs only the (doc, term)
+    * count table — one keyed aggregate after the f6-shaped term
+    * shuffle, no per-token ln. Portability: each ln is pinned to 8 dp
+    * (libm-parity, §6b) and enters the sum as DECIMAL(18,8) × integer
+    * count — the cross-term sum is decimal-exact, so per-doc results
+    * don't depend on aggregation order (cluster-size-independent).
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        // the count multiplier is cast to DECIMAL(10,0), NOT left as
+        // long: decimal(18,8) × decimal(20,0)-widened-long needs
+        // precision 39 > 38, and Spark's ANSI adjusted-scale rule then
+        // silently TRUNCATES the scale to 7 — a 2.5e-7 systematic error
+        // vs DuckDB's exact (38,8). (10,0) keeps the product at (29,8).
+        sum(round(log(col("c")), 8).cast("decimal(18,8)")
+          * col("c").cast("decimal(10,0)")).as("sclnc"))
+      // NO terminal round: ln(n)8 − (exact decimal)/n is a composition
+      // of identical IEEE ops on identical inputs → bit-identical in
+      // both engines (f9's shape). A final round(…,8) here is actively
+      // UNSAFE: the exact value can land on a true 8dp tie that is not
+      // binary-representable (measured: n=16 → H = 2.599301925 exactly;
+      // Spark rounds its shortest-decimal repr up, DuckDB rounds the
+      // binary double down) — §6b.
+      .select(col("doc_id"), col("n_tokens"),
+        (round(log(col("n_tokens")), 8) -
+          col("sclnc").cast("double") / col("n_tokens")).as("entropy"))
+  }
+
+  /** F14: per-source KL divergence from the corpus unigram distribution
+    * — the domain-shift monitor ("which source's language looks least
+    * like the mixture"), the statistic behind mixture re-weighting
+    * decisions. KL(p_s‖q) expands to (1/n_s)·Σ c_st·(ln c_st − ln n_s −
+    * ln c_t + ln n): every ln is pinned to 8 dp and the bracket is
+    * assembled in DECIMAL so the Σ is exact integer-scaled decimal —
+    * aggregation-order-free. Plan: one (source,term) aggregate off the
+    * term shuffle, tiny side tables (per-source totals, per-term corpus
+    * counts, one scalar row) joined back UNHINTED — AQE broadcasts
+    * while they fit; at web scale the term join is the only real
+    * shuffle, exactly f6's shape.
+    */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val tot = ct.agg(sum(col("c_t")).as("n"))
+    def ln8(c: Column): Column = round(log(c), 8).cast("decimal(18,8)")
+    // tot is one row by construction — the only hinted broadcast here;
+    // ns (per-source) and ct (vocabulary-sized) stay unhinted for AQE
+    st.join(ns, Seq("source")).join(ct, Seq("term")).crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        // (10,0) multiplier for the same precision-39 truncation trap
+        // documented in tokenEntropy
+        (ln8(col("c_st")) - ln8(col("n_s")) - ln8(col("c_t")) + ln8(col("n")))
+          * col("c_st").cast("decimal(10,0)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("contrib")).as("s"))
+      // no terminal round — same true-decimal-tie hazard as tokenEntropy
+      .select(col("source"), col("n_tokens"),
+        (col("s").cast("double") / col("n_tokens")).as("kl_div"))
+  }
+
   /** Top-k keyword extraction per document: the TF-IDF stage ranked
     * within each doc. `row_number <= k` compiles to WindowGroupLimit, so
     * each partition keeps k rows per doc before the per-doc shuffle.
@@ -307,6 +375,8 @@ object TextAnalysis {
     "f12_bm25_search" -> ((s, d) => bm25(t(s, d, "documents"), bm25QueryTerms)),
     "f11_chunk_split" -> ((s, d) => chunkSplit(t(s, d, "documents"))),
     "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
+    "f13_token_entropy" -> ((s, d) => tokenEntropy(t(s, d, "documents"))),
+    "f14_source_kl" -> ((s, d) => sourceKlDivergence(t(s, d, "documents"))),
     "f7_repetition" -> ((s, d) => repetition(t(s, d, "documents"))),
     "f8_pii_redact" -> ((s, d) => piiRedact(t(s, d, "documents"))),
     "f10_keywords" -> ((s, d) => keywords(t(s, d, "documents"))),
@@ -392,6 +462,42 @@ object TextAnalysis {
         |       CAST(SUM(CAST(logp AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mean_logprob
         |FROM terms t JOIN lp ON t.term = lp.term
         |GROUP BY t.doc_id""".stripMargin,
+
+    // F13: same ln-8dp-into-decimal recipe as f9; c is an exact integer
+    // multiplier so the cross-term sum is decimal-exact in both engines.
+    "f13_token_entropy" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM terms GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         sum(CAST(round(ln(c), 8) AS DECIMAL(18,8)) * c) AS sclnc
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       round(ln(n_tokens), 8) - CAST(sclnc AS DOUBLE) / n_tokens AS entropy
+        |FROM ag""".stripMargin,
+
+    // F14: the four pinned lns assemble in DECIMAL before the integer
+    // scale-up, so the Σ is exact; only the final ratio is a double.
+    "f14_source_kl" ->
+      """WITH terms AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT source, term, count(*) AS c_st FROM terms GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+        |contrib AS (
+        |  SELECT st.source,
+        |         (CAST(round(ln(c_st), 8) AS DECIMAL(18,8))
+        |          - CAST(round(ln(n_s), 8) AS DECIMAL(18,8))
+        |          - CAST(round(ln(c_t), 8) AS DECIMAL(18,8))
+        |          + CAST(round(ln(n), 8) AS DECIMAL(18,8))) * c_st AS contrib,
+        |         n_s
+        |  FROM st JOIN ns ON st.source = ns.source
+        |          JOIN ct ON st.term = ct.term, tot)
+        |SELECT source, max(n_s) AS n_tokens,
+        |       CAST(sum(contrib) AS DOUBLE) / max(n_s) AS kl_div
+        |FROM contrib GROUP BY source""".stripMargin,
 
     "f10_keywords" ->
       s"""SELECT doc_id, term, tfidf, rnk FROM (

@@ -201,4 +201,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(sharded(2L) === ((0L, 0L))) // shard 0: docs 2,4 -> priors 0,5
     assert(sharded(4L) === ((0L, 5L)))
   }
+
+  test("I17 weighted sample: exact k, top-k plan, deterministic, length-biased vs uniform") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val s1 = Profile.weightedSampleK(docs, k = 50)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted top-k must not be a full sort\n$plan")
+    val r1 = s1.collect()
+    assert(r1.length === 50)
+    assert(r1.forall(_.getAs[Long]("n_chars") > 0L))
+    val r2 = Profile.weightedSampleK(docs, k = 50).collect()
+    assert(r1.map(_.getAs[Long]("doc_id")).toSeq ===
+      r2.map(_.getAs[Long]("doc_id")).toSeq, "replayable across runs")
+    // the point of weighting: longer docs are overrepresented relative
+    // to the uniform hash sample on the SAME corpus (deterministic
+    // fixture, so this is a fixed fact, not a statistical flake)
+    val wMean = r1.map(_.getAs[Long]("n_chars")).sum.toDouble / r1.length
+    val uni = Profile.uniformSampleK(docs, k = 50).collect()
+    val uMeanRows = docs.filter(col("doc_id").isin(
+      uni.map(_.getAs[Long]("doc_id")).toSeq: _*))
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    val uMean = uMeanRows.sum.toDouble / uMeanRows.length
+    assert(wMean > uMean,
+      f"length-weighted mean $wMean%.1f must exceed uniform mean $uMean%.1f")
+  }
 }

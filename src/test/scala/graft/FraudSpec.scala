@@ -113,4 +113,62 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("C18 CUSUM: closed form equals the sequential recurrence exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmpDir("graft_cusum")
+    def nanos(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // user 1 never dips below zero; user 2 exercises the max(0, .) clamp
+    // (P goes negative) and the h=200 flag on its final two points
+    Seq(
+      (1L, 1L, nanos("2024-01-01 10:00:00"), 60.0),
+      (2L, 1L, nanos("2024-01-01 10:01:00"), 40.0),
+      (3L, 1L, nanos("2024-01-01 10:02:00"), 120.0),
+      (4L, 1L, nanos("2024-01-01 10:03:00"), 30.0),
+      (5L, 2L, nanos("2024-01-01 10:00:00"), 10.0),
+      (6L, 2L, nanos("2024-01-01 10:01:00"), 10.0),
+      (7L, 2L, nanos("2024-01-01 10:02:00"), 200.0),
+      (8L, 2L, nanos("2024-01-01 10:03:00"), 300.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Fraud.queries("c18_cusum_shift")(spark, dir).collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        ((x.getAs[Double]("cusum"), x.getAs[Boolean]("shift_flag")))).toMap
+    // sequential S_t = max(0, S_{t-1} + (x - 50)):
+    // user 1: 10, 0, 70, 50; user 2: 0, 0, 150, 400
+    assert(r(1L) === ((10.0, false)) && r(2L) === ((0.0, false)))
+    assert(r(3L) === ((70.0, false)) && r(4L) === ((50.0, false)))
+    assert(r(5L) === ((0.0, false)) && r(6L) === ((0.0, false)))
+    assert(r(7L) === ((150.0, false)) && r(8L) === ((400.0, true)))
+  }
+
+  test("C19 cohort retention: week zero is the cohort itself; actives never exceed it") {
+    val rows = Fraud.queries("c19_cohort_retention")(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wk, na, nc) = (r.getAs[Long]("week_no"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_cohort"))
+      val ret = r.getAs[Double]("retention")
+      assert(na <= nc, s"actives $na exceed cohort $nc at week $wk")
+      assert(ret > 0.0 && ret <= 1.0)
+      if (wk == 0L) assert(na == nc && ret == 1.0,
+        "week 0 must be the defining cohort")
+    }
+    assert(rows.exists(_.getAs[Long]("week_no") > 0L), "matrix must have depth")
+  }
+
+  test("C20 transitions: each row of the matrix normalizes to 1; counts cover every non-head event") {
+    val rows = Fraud.queries("c20_event_transitions")(spark, SF).collect()
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (pt, g) =>
+      val s = g.map(_.getAs[Double]("p_trans")).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"row $pt sums to $s")
+    }
+    val ev = graft.sources.Tables.table(spark, SF, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum === expected,
+      "every event except each user's first contributes exactly one transition")
+  }
 }

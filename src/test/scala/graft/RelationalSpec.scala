@@ -244,4 +244,26 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) === (("changed", "price,status")))
     assert(out(4L) === (("added", "")))
   }
+
+  test("B43 feature scaling: bounds, per-group rank endpoints, centered z-scores") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("b43_feature_scale")(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mm, pr) = (r.getAs[Double]("minmax"), r.getAs[Double]("pct_rank"))
+      assert(mm >= 0.0 && mm <= 1.0, s"minmax $mm out of range")
+      assert(pr >= 0.0 && pr <= 1.0, s"pct_rank $pr out of range")
+    }
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (g, rs) =>
+      // percent_rank endpoints: the group min sits at 0, the max at 1
+      assert(rs.map(_.getAs[Double]("pct_rank")).min === 0.0, s"group $g")
+      assert(rs.map(_.getAs[Double]("pct_rank")).max === 1.0, s"group $g")
+      // z-scores center on zero (8dp rounding noise only)
+      val zMean = rs.map(_.getAs[Double]("zscore")).sum / rs.length
+      assert(math.abs(zMean) < 1e-4, s"group $g z-mean $zMean not centered")
+      // and min-max hits both ends
+      assert(rs.map(_.getAs[Double]("minmax")).min === 0.0)
+      assert(rs.map(_.getAs[Double]("minmax")).max === 1.0)
+    }
+  }
 }

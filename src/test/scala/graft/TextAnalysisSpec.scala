@@ -125,4 +125,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
     assert(!red.contains("@example.com") && !red.contains("10.0."))
   }
+
+  test("F13 entropy: within [0, ln n]; driver recompute of the full rounding pipeline matches") {
+    val rows = TextAnalysis.tokenEntropy(
+      graft.sources.Tables.table(spark, SF, "documents")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_tokens"), r.getAs[Double]("entropy"))
+      assert(h >= -1e-8 && h <= math.log(n.toDouble) + 1e-8,
+        s"entropy $h outside [0, ln $n]")
+    }
+    // exact replication of the engine arithmetic for one real doc:
+    // 8dp-rounded ln into decimal, integer-scaled exact sum, double edge
+    val doc = graft.sources.Tables.table(spark, SF, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect()(0).getAs[String]("text")
+    val counts = doc.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong)
+    val n = counts.values.sum
+    def r8(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(x).setScale(8, java.math.RoundingMode.HALF_UP)
+    val sclnc = counts.values.map(c =>
+      r8(math.log(c.toDouble)).multiply(java.math.BigDecimal.valueOf(c)))
+      .reduce(_ add _)
+    val want = r8(math.log(n.toDouble)).doubleValue - sclnc.doubleValue / n
+    val got = rows.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Double]("entropy")
+    assert(got === want, s"engine $got vs driver recompute $want")
+  }
+
+  test("F14 KL: Gibbs non-negativity per source, one row per source") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val rows = TextAnalysis.sourceKlDivergence(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length === nSources, "complete matrix: one row per source")
+    rows.foreach { r =>
+      val kl = r.getAs[Double]("kl_div")
+      // >= 0 up to the 8dp rounding of each ln
+      assert(kl >= -1e-6, s"KL(${r.getAs[String]("source")}) = $kl negative")
+      assert(!kl.isNaN && !kl.isInfinite)
+    }
+  }
 }
