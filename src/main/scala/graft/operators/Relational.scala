@@ -660,12 +660,14 @@ object Relational {
     // B42: running COUNT(DISTINCT) over a window — Spark (like every
     // engine) rejects distinct aggregates in window frames, so it is
     // rebuilt from primitives: a first-occurrence flag (row_number = 1
-    // over (user, type)) then a running sum of flags over (user). Two
-    // keyed window passes, both on user-bounded partitions; the flag
-    // pass shuffles on the finer (user, type) key first so the coarser
-    // running-sum exchange is the only user-wide state. The standard
-    // trick where the naive form (a distinct subquery per row) is
-    // O(n²).
+    // over (user, type)) then a running sum of flags over (user). The
+    // explicit repartition on user_id makes BOTH windows run off ONE
+    // exchange: HashPartitioning(user) satisfies the finer window's
+    // ClusteredDistribution(user, type) (same-key rows stay co-located
+    // under the coarser hash), so Catalyst inserts only the two sorts —
+    // without it, EnsureRequirements shuffles twice ((user,type) then
+    // user; measured). The standard trick where the naive form (a
+    // distinct subquery per row) is O(n²).
     "b42_window_distinct" -> ((s, d) => {
       val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
@@ -674,6 +676,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .repartition(col("user_id"))
         .withColumn("first_occ",
           when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
         .withColumn("distinct_types", sum(col("first_occ")).over(wRun))

@@ -190,6 +190,60 @@ object Stateful {
       }
   }
 
+  case class CusumState(s_unscaled: Long)
+  case class CusumScore(user_id: Long, event_id: Long, cusum: Double,
+                        shift_flag: Boolean)
+
+  /** H16: online CUSUM — the streaming serve path of the batch c18
+    * change-point statistic, bit-identical (the H13 parity rule). The
+    * batch closed form S_t = P_t − min(0, min P) IS the recurrence
+    * S_t = max(0, S_{t-1} + (x_t − k)), so streaming state is a single
+    * scale-6 decimal per user — 8 bytes, carried as the unscaled long.
+    * Every step replicates the batch engine's arithmetic exactly:
+    * value→DECIMAL(18,6) via the same shortest-decimal-then-HALF_UP
+    * conversion Spark's Cast applies, exact decimal add, exact clamp at
+    * zero, and the same h=200 decimal comparison — so the served score
+    * and flag match the batch feature at the doubleToLongBits level at
+    * any history length (spec'd in StreamingSpec).
+    *
+    * Ordering contract (H13): rows fold in (ts, event_id) order within
+    * each micro-batch; across batches parity requires per-user ordered
+    * arrival, the replay/backfill contract.
+    */
+  def cusumScores(ds: Dataset[Ev],
+                  k: java.math.BigDecimal = new java.math.BigDecimal("50.0"),
+                  h: java.math.BigDecimal = new java.math.BigDecimal("200.0"))
+      : Dataset[CusumScore] = {
+    implicit val outEnc = Encoders.product[CusumScore]
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val keyEnc = Encoders.scalaLong
+    val k6 = k.setScale(6)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[CusumState]) =>
+          val zero = java.math.BigDecimal.ZERO.setScale(6)
+          var s = state.getOption
+            .map(st => java.math.BigDecimal.valueOf(st.s_unscaled, 6))
+            .getOrElse(zero)
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.map { e =>
+            // Spark's double→DECIMAL(18,6) cast rounds the SHORTEST
+            // decimal repr (BigDecimal.valueOf) HALF_UP — replicated
+            // exactly, NOT new BigDecimal(double) (exact binary), which
+            // diverges on values like 0.1
+            val dev = java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP).subtract(k6)
+            s = s.add(dev)
+            if (s.signum() < 0) s = zero
+            CusumScore(uid, e.event_id, s.doubleValue, s.compareTo(h) > 0)
+          }
+          state.update(CusumState(s.movePointRight(6).longValueExact()))
+          out.iterator
+      }
+  }
+
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {
     implicit val alertEnc = Encoders.product[VelocityAlert]
     implicit val stateEnc = Encoders.product[VelocityState]

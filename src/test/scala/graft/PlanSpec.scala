@@ -52,6 +52,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1, s"funnel must shuffle once, got $exchanges\n$p")
   }
 
+  test("c18 CUSUM: the closed form runs on ONE user exchange") {
+    val p = SparkEntry.queries("c18_cusum_shift")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"CUSUM must shuffle once on user_id, got $exchanges\n$p")
+  }
+
+  test("b42 windowed count-distinct: both windows share ONE exchange") {
+    val p = SparkEntry.queries("b42_window_distinct")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // HashPartitioning(user) satisfies the finer (user, type) window's
+    // ClusteredDistribution — the explicit repartition makes the two
+    // window passes sorts, not shuffles
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$p")
+  }
+
   test("d11 decontamination: benchmark grams broadcast, corpus never distinct-shuffled for grams") {
     val p = plan("d11_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

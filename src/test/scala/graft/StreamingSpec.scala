@@ -240,6 +240,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("H16 streaming CUSUM serves scores bit-identical to the batch c18 statistic") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    val in = tmpDir("graft_cusum_in")
+    val ckpt = tmpDir("graft_cusum_ckpt")
+    val batchDir = tmpDir("graft_cusum_batch")
+    // awkward decimals exercise the double->DECIMAL(18,6) cast parity;
+    // user 202 dips negative (clamp) then crosses h=200 (flag)
+    val rows = Seq(
+      (1L, 101L, "2024-01-01 10:00:00", 60.1234567),
+      (2L, 202L, "2024-01-01 10:00:30", 10.5),
+      (3L, 101L, "2024-01-01 10:01:00", 39.9999994),
+      (4L, 202L, "2024-01-01 10:01:30", 10.1),
+      (5L, 101L, "2024-01-01 10:02:00", 120.25),
+      (6L, 202L, "2024-01-01 10:02:30", 293.0000005),
+      (7L, 101L, "2024-01-01 10:03:00", 29.75),
+      (8L, 202L, "2024-01-01 10:03:30", 300.0))
+    def json(r: (Long, Long, String, Double)) =
+      s"""{"event_id":${r._1},"user_id":${r._2},"ts":"${r._3.replace(' ', 'T')}.000Z","value":${r._4}}"""
+    Files.writeString(Paths.get(in, "a.json"), rows.take(4).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), rows.drop(4).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .as[graft.streaming.Stateful.Ev]
+    graft.streaming.Stateful.cusumScores(stream)
+      .writeStream.format("memory").queryName("cusum_online")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val online = spark.sql("SELECT event_id, cusum, shift_flag FROM cusum_online")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    rows.map { case (e, u, t, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t).getTime * 1000000L, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val offline = graft.operators.Fraud.queries("c18_cusum_shift")(spark, batchDir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Double]("cusum"), r.getAs[Boolean]("shift_flag")))).toMap
+    assert(online.keySet === offline.keySet)
+    online.foreach { case (id, (v, f)) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(offline(id)._1),
+        s"event $id: online $v != offline ${offline(id)._1} — training-serving skew")
+      assert(f === offline(id)._2, s"event $id flag skew")
+    }
+    // the fixture actually exercises both regimes
+    assert(online.values.exists(_._2) && online.values.exists(!_._2))
+  }
+
   test("H14 streaming token-budget gate admits exactly the batch I11 prefix") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
