@@ -678,7 +678,14 @@ object Bench {
     "b38_kmv_setops" -> "lineitem",
     "i13_leakage_safe_split" -> "documents",
     "f12_bm25_search" -> "documents",
-    "e10_mmr_topk" -> "embeddings")
+    "e10_mmr_topk" -> "embeddings",
+    // post-close-out additions: the closed-form CUSUM (two windows on
+    // one exchange — should track c15's window shape), the count-table
+    // entropy (f6's term shuffle — should track f10), and the
+    // single-exchange windowed distinct (b42's repartition plan)
+    "c18_cusum_shift" -> "events",
+    "f13_token_entropy" -> "documents",
+    "b42_window_distinct" -> "events")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time
