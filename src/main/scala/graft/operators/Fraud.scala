@@ -406,6 +406,42 @@ object Fraud {
             .cast("double"))
         .select(col("prev_type"), col("event_type").as("next_type"),
           col("n_trans"), col("p_trans"))
+    }),
+
+    // C21: burstiness score (Goh–Barabási B = (σ−μ)/(σ+μ) over
+    // inter-event gaps) — the bot/burst discriminator: B → −1 is a
+    // metronome (scripted traffic), B → +1 is extreme burst-silence
+    // cycling, B ≈ 0 is Poisson (human-ish). One lag() pass on the
+    // user shuffle (b33's exact-microsecond gap), then per-user DECIMAL
+    // moments over integer gaps — order-independent, cluster-size-
+    // independent — and the σ/μ algebra on exactly-reproducible
+    // doubles; B ships unrounded (§6b: ratios of identical doubles are
+    // bit-identical, terminal rounds are the hazard). Squares go
+    // through DECIMAL(19,0)×DECIMAL(19,0): a raw long*long on µs gaps
+    // overflows (ANSI would throw) and decimal×decimal is exact.
+    "c21_burstiness" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+      val dec = col("gap_us").cast("decimal(19,0)")
+      val stats = gaps.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(dec).cast("double").as("sg"),
+        sum(dec * dec).cast("double").as("sg2"))
+        .filter(col("n_gaps") >= 2)
+      val mean = col("sg") / col("n_gaps")
+      val variance = (col("sg2") - col("sg") * col("sg") / col("n_gaps")) /
+        (col("n_gaps") - 1)
+      stats
+        .withColumn("sigma", sqrt(variance))
+        .filter(col("sigma") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          mean.as("mean_gap_us"),
+          ((col("sigma") - mean) / (col("sigma") + mean)).as("burstiness"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -562,7 +598,30 @@ object Fraud {
           |SELECT prev_type, next_type, n_trans,
           |       CAST(n_trans AS DOUBLE) /
           |       CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans
-          |FROM c""".stripMargin
+          |FROM c""".stripMargin,
+
+      // C21: identical gap derivation (epoch_us ↔ unix_micros), identical
+      // decimal-squared moments, identical σ/μ expression shapes; B is a
+      // ratio of identical doubles so it ships unrounded.
+      "c21_burstiness" ->
+        """WITH g AS (
+          |  SELECT user_id,
+          |         epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events),
+          |st AS (
+          |  SELECT user_id, count(*) AS n_gaps,
+          |         CAST(SUM(CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE) AS sg,
+          |         CAST(SUM(CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE) AS sg2
+          |  FROM g WHERE gap_us IS NOT NULL
+          |  GROUP BY 1 HAVING count(*) >= 2),
+          |sv AS (
+          |  SELECT user_id, n_gaps, sg, sg2,
+          |         sqrt((sg2 - sg * sg / n_gaps) / (n_gaps - 1)) AS sigma
+          |  FROM st)
+          |SELECT user_id, n_gaps, sg / n_gaps AS mean_gap_us,
+          |       (sigma - sg / n_gaps) / (sigma + sg / n_gaps) AS burstiness
+          |FROM sv WHERE sigma > 0""".stripMargin
     )
   }
 }

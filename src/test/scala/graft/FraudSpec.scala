@@ -171,4 +171,37 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum === expected,
       "every event except each user's first contributes exactly one transition")
   }
+
+  test("C21 burstiness: metronome scores near -1, burst-silence scores positive, all in (-1,1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_burst")
+    def nanos(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // user 1: near-metronome (60s gaps, one 61s) -> sigma << mu -> B near -1
+    // user 2: three 1s gaps then a day of silence -> sigma >> mu -> B > 0
+    val base = "2024-01-01 10:00:00"
+    val t0 = java.sql.Timestamp.valueOf(base).getTime
+    def at(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000L).toString.stripSuffix(".0")
+    val rows =
+      Seq(0L, 60L, 120L, 180L, 241L).zipWithIndex.map { case (o, i) => (i.toLong + 1, 1L, at(o)) } ++
+      Seq(0L, 1L, 2L, 3L, 86403L).zipWithIndex.map { case (o, i) => (i.toLong + 10, 2L, at(o)) }
+    rows.map { case (e, u, t) => (e, u, nanos(t), 1.0) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Fraud.queries("c21_burstiness")(spark, dir).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Double]("burstiness")).toMap
+    assert(r(1L) < -0.9, s"near-metronome must score near -1, got ${r(1L)}")
+    assert(r(2L) > 0.2, s"burst-silence must score positive, got ${r(2L)}")
+    // corpus-wide bounds (B is mathematically confined to (-1, 1) once
+    // sigma > 0 and mu > 0)
+    val corpus = Fraud.queries("c21_burstiness")(spark, SF).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { x =>
+      val b = x.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0, s"user ${x.getAs[Long]("user_id")}: B=$b")
+      assert(x.getAs[Long]("n_gaps") >= 2L)
+    }
+  }
 }
