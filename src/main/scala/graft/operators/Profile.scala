@@ -224,6 +224,34 @@ object Profile {
       .limit(k)
   }
 
+  /** I18: per-source dataset card — the grouped governance twin of the
+    * corpus-wide I1 profile: doc/char volumes, language spread, the
+    * deterministic dominant language (count desc, lang asc — Spark's
+    * mode() is nondeterministic on ties, b41's lesson), and each
+    * source's share of the corpus. Two keyed aggregates (source;
+    * source×lang — the second is ≤|sources|×|langs| rows) plus a
+    * broadcast 1-row corpus total; ratios ship unrounded (§6b).
+    */
+  def sourceProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val top = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    base.join(top, Seq("source")).crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        col("n_langs"), col("top_lang"),
+        (col("n_docs").cast("double") / col("n_total")).as("corpus_frac"))
+  }
+
   /** I16: exact-k-per-stratum deterministic sample — "exactly k docs
     * from EVERY language", the per-group form of I12 (I3's hash
     * stratifier takes per-stratum FRACTIONS; this takes counts — the
@@ -258,6 +286,10 @@ object Profile {
     // I17: deterministic weighted (length-proportional) sample.
     "i17_weighted_sample" -> ((s, d) =>
       weightedSampleK(Tables.table(s, d, "documents"))),
+
+    // I18: per-source dataset card (grouped governance profile).
+    "i18_source_profile" -> ((s, d) =>
+      sourceProfile(Tables.table(s, d, "documents"))),
 
     // I11: per-source token-budget cap (greedy hash-order prefix).
     "i11_token_budget" -> ((s, d) =>
@@ -324,6 +356,27 @@ object Profile {
         |FROM documents
         |ORDER BY hk, doc_id
         |LIMIT 100""".stripMargin,
+
+    // I18: same deterministic top-lang argmax (QUALIFY ↔ row_number),
+    // HUGEINT sums cast back to BIGINT, ratios unrounded.
+    "i18_source_profile" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         count(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY 1),
+        |top AS (
+        |  SELECT source, lang AS top_lang
+        |  FROM (SELECT source, lang, count(*) AS c
+        |        FROM documents GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |                             ORDER BY c DESC, lang) = 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT base.source, n_docs, total_chars,
+        |       CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+        |       n_langs, top_lang,
+        |       CAST(n_docs AS DOUBLE) / n_total AS corpus_frac
+        |FROM base JOIN top ON base.source = top.source, tot""".stripMargin,
 
     // I17: same salted hash, same −round(ln(u),8)/w key, same
     // (wkey, id) total order — the k rows and keys are exact. The

@@ -208,7 +208,10 @@ object Stateful {
     *
     * Ordering contract (H13): rows fold in (ts, event_id) order within
     * each micro-batch; across batches parity requires per-user ordered
-    * arrival, the replay/backfill contract.
+    * arrival, the replay/backfill contract. The unscaled-long state
+    * bounds S at ~9.2e12 (scale 6) — beyond it longValueExact fails
+    * fast rather than silently wrapping; a deployment tracking larger
+    * cumulative drift should widen the state to two longs.
     */
   def cusumScores(ds: Dataset[Ev],
                   k: java.math.BigDecimal = new java.math.BigDecimal("50.0"),

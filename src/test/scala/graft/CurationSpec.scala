@@ -227,4 +227,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(wMean > uMean,
       f"length-weighted mean $wMean%.1f must exceed uniform mean $uMean%.1f")
   }
+
+  test("I18 source profile: complete, shares sum to 1, dominant language is a real argmax") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val rows = Profile.sourceProfile(docs).collect()
+    assert(rows.length === docs.select("source").distinct().count())
+    val fracSum = rows.map(_.getAs[Double]("corpus_frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-9, s"shares sum to $fracSum")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // spot-check the argmax for one source against a direct count
+    val src0 = rows.head.getAs[String]("source")
+    val want = docs.filter(col("source") === src0)
+      .groupBy(col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, c) => (-c, l) }.head._1
+    assert(rows.head.getAs[String]("top_lang") === want)
+  }
 }

@@ -142,8 +142,12 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0).getAs[String]("text")
     val counts = doc.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong)
     val n = counts.values.sum
+    // valueOf (shortest-decimal repr), NOT new BigDecimal(x) (exact
+    // binary expansion): Spark's round()/cast round the shortest repr,
+    // and the two disagree on near-tie values — the recompute must
+    // replicate the engine, not ideal-real arithmetic
     def r8(x: Double): java.math.BigDecimal =
-      new java.math.BigDecimal(x).setScale(8, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
     val sclnc = counts.values.map(c =>
       r8(math.log(c.toDouble)).multiply(java.math.BigDecimal.valueOf(c)))
       .reduce(_ add _)
