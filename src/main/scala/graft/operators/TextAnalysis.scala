@@ -265,7 +265,14 @@ object TextAnalysis {
     */
   def sourceKlDivergence(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+    // persist the (source, term) counts: ns/ct/tot are all derived from
+    // st, and without the cache each derivation RE-TOKENIZES the corpus
+    // (measured: four full explode+agg scans). The cached table is the
+    // vocab×|sources| count table — the small thing — and the lazy
+    // lineage-backed persist recomputes on executor loss instead of
+    // failing (the g5 advice-item pattern).
     val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+      .persist()
     val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val ct = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val tot = ct.agg(sum(col("c_t")).as("n"))

@@ -69,6 +69,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$p")
   }
 
+  test("c19 cohort retention: week-0 base comes from a window, not a subtree-doubling self-join") {
+    val p = SparkEntry.queries("c19_cohort_retention")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 6, s"base self-join would double the subtree (9 exchanges), got $exchanges\n$p")
+  }
+
+  test("f14 KL: the (source,term) count table materializes ONCE for its four consumers") {
+    val p = SparkEntry.queries("f14_source_kl")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"st must be cached — without it every marginal re-tokenizes the corpus\n$p")
+  }
+
   test("d11 decontamination: benchmark grams broadcast, corpus never distinct-shuffled for grams") {
     val p = plan("d11_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
