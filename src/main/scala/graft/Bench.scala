@@ -45,7 +45,8 @@ object Bench {
     "b42_window_distinct", "e11_radius_search", "e12_sq8_rerank",
     "b43_feature_scale", "c18_cusum_shift", "c19_cohort_retention",
     "c20_event_transitions", "f13_token_entropy", "f14_source_kl",
-    "i17_weighted_sample", "c21_burstiness", "i18_source_profile")
+    "i17_weighted_sample", "c21_burstiness", "i18_source_profile",
+    "b44_activity_streaks")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

@@ -713,6 +713,31 @@ object Relational {
           "minmax", "zscore", "pct_rank")
     }),
 
+    // B44: gaps-and-islands activity streaks — "longest run of
+    // consecutive active days per user", the classic islands problem:
+    // day − row_number(day) is constant within a consecutive run, so
+    // one window + two tiny aggregates replace any iterative scan. The
+    // up-front repartition on user_id makes the WHOLE chain ride ONE
+    // exchange (the b42 lesson): HashPartitioning(user) satisfies the
+    // distinct's ClusteredDistribution(user, day), the window's (user),
+    // and both downstream aggregates' — everything after the shuffle is
+    // sorts and map-side partials. All-integer/date arithmetic ⇒
+    // engine-exact.
+    "b44_activity_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .repartition(col("user_id"))
+        .distinct()
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("streak_len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("streak_len")).as("n_active_days"))
+    }),
+
     // I7: CDC changelog apply — events play an I/U/D change stream on
     // the user key (deterministic op from the event id); the newest
     // change wins, trailing deletes drop the key. The MERGE…DELETE
@@ -1448,6 +1473,22 @@ object Relational {
         |       round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 8) AS zscore,
         |       percent_rank() OVER (PARTITION BY li.l_returnflag ORDER BY x) AS pct_rank
         |FROM li JOIN st ON li.l_returnflag = st.l_returnflag""".stripMargin,
+
+    // B44: same islands key (day − row_number), HUGEINT sum cast back.
+    "b44_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id
+        |                                       ORDER BY day) AS INT) AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, grp, count(*) AS streak_len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(streak_len) AS longest_streak,
+        |       count(*) AS n_streaks,
+        |       CAST(sum(streak_len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY 1""".stripMargin,
 
     "b38_kmv_distinct" -> kmvOracleSql,
     "b38_kmv_merge" -> kmvOracleSql,

@@ -83,6 +83,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"st must be cached — without it every marginal re-tokenizes the corpus\n$p")
   }
 
+  test("b44 streaks: distinct + window + two aggregates ride ONE exchange") {
+    val p = SparkEntry.queries("b44_activity_streaks")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"the user repartition must carry the whole chain, got $exchanges\n$p")
+  }
+
   test("d11 decontamination: benchmark grams broadcast, corpus never distinct-shuffled for grams") {
     val p = plan("d11_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -266,4 +266,30 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       assert(rs.map(_.getAs[Double]("minmax")).max === 1.0)
     }
   }
+
+  test("B44 streaks: hand-built islands resolve exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_streaks")
+    def nanos(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // user 1: days 1-3 then 5-6 (streaks 3+2); user 2: one day, twice
+    // (distinct must collapse same-day events); user 3: two isolated days
+    val rows = Seq(
+      (1L, 1L, "2024-03-01 09:00:00"), (2L, 1L, "2024-03-02 09:00:00"),
+      (3L, 1L, "2024-03-03 09:00:00"), (4L, 1L, "2024-03-05 09:00:00"),
+      (5L, 1L, "2024-03-06 09:00:00"),
+      (6L, 2L, "2024-03-10 08:00:00"), (7L, 2L, "2024-03-10 20:00:00"),
+      (8L, 3L, "2024-03-01 12:00:00"), (9L, 3L, "2024-03-03 12:00:00"))
+    rows.map { case (e, u, t) => (e, u, nanos(t), 1.0) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("b44_activity_streaks")(spark, dir).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("longest_streak"), x.getAs[Long]("n_streaks"),
+          x.getAs[Long]("n_active_days")))).toMap
+    assert(r(1L) === ((3L, 2L, 5L)))
+    assert(r(2L) === ((1L, 1L, 1L)))
+    assert(r(3L) === ((1L, 2L, 2L)))
+  }
 }
