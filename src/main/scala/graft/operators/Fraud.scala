@@ -450,6 +450,45 @@ object Fraud {
         .select(col("user_id"), col("n_gaps"),
           mean.as("mean_gap_us"),
           ((col("sigma") - mean) / (col("sigma") + mean)).as("burstiness"))
+    }),
+
+    // C22: MAD-based robust anomaly score (Iglewicz–Hoaglin modified
+    // z-score 0.6745·|x−med|/MAD > 3.5) — the robust twin of c11: mean
+    // and σ are THEMSELVES corrupted by the outliers fraud creates
+    // (one 100× amount inflates σ enough to hide itself); median and
+    // MAD have a 50% breakdown point. Both medians are LOWER medians
+    // (the ⌈n/2⌉-th order statistic via row_number, b41's
+    // determinism), NOT interpolated percentiles — interpolation
+    // arithmetic ((a+b)/2 vs a+(b−a)·t) is not spelled identically
+    // across engines on arbitrary doubles, but an order statistic is a
+    // SELECTED value, exact by construction. The up-front user
+    // repartition clusters every window, filter, and join in the
+    // chain (the b42/b44 lesson).
+    "c22_mad_anomaly" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wv = W.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      val wu = W.partitionBy(col("user_id"))
+      val ranked = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .repartition(col("user_id"))
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wu))
+      val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("value").as("med"))
+      val withDev = ranked.join(med, Seq("user_id"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val wd = W.partitionBy(col("user_id")).orderBy(col("dev"), col("event_id"))
+      val ranked2 = withDev
+        .withColumn("rn2", row_number().over(wd))
+      val mad = ranked2.filter(col("rn2") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col("dev").as("mad"))
+      withDev.join(mad, Seq("user_id"))
+        .filter(col("mad") > 0)
+        .withColumn("mz", lit(0.6745) * col("dev") / col("mad"))
+        .filter(col("mz") > lit(3.5))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("med"), col("mad"), col("mz"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -629,7 +668,33 @@ object Fraud {
           |  FROM st)
           |SELECT user_id, n_gaps, sg / n_gaps AS mean_gap_us,
           |       (sigma - sg / n_gaps) / (sigma + sg / n_gaps) AS burstiness
-          |FROM sv WHERE sigma > 0""".stripMargin
+          |FROM sv WHERE sigma > 0""".stripMargin,
+
+      // C22: same lower-median order statistics ((n+1) div 2 ↔
+      // (n+1)//2), same literals; mz is a product/ratio of identical
+      // doubles — unrounded.
+      "c22_mad_anomaly" ->
+        """WITH r AS (
+          |  SELECT event_id, user_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY value, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY user_id) AS n
+          |  FROM events WHERE value IS NOT NULL),
+          |med AS (SELECT user_id, value AS med FROM r WHERE rn = (n + 1) // 2),
+          |d AS (
+          |  SELECT r.event_id, r.user_id, r.value, r.n, med.med,
+          |         abs(r.value - med.med) AS dev
+          |  FROM r JOIN med USING (user_id)),
+          |r2 AS (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |                               ORDER BY dev, event_id) AS rn2
+          |  FROM d),
+          |mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn2 = (n + 1) // 2)
+          |SELECT d.event_id, d.user_id, d.value, d.med, mad.mad,
+          |       CAST(0.6745 AS DOUBLE) * d.dev / mad.mad AS mz
+          |FROM d JOIN mad USING (user_id)
+          |WHERE mad.mad > 0
+          |  AND CAST(0.6745 AS DOUBLE) * d.dev / mad.mad > CAST(3.5 AS DOUBLE)""".stripMargin
     )
   }
 }

@@ -204,4 +204,33 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       assert(x.getAs[Long]("n_gaps") >= 2L)
     }
   }
+
+  test("C22 MAD anomaly: robust to the outlier z-scores hide; exact order-statistic medians") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_mad")
+    def nanos(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    // user 1: nine routine ~10 amounts with natural spread and one
+    // 1000. Lower median of the sorted values
+    // [8, 9, 9.5, 10, 10, 10.5, 11, 11.5, 12, 1000] is the 5th = 10;
+    // devs sorted [0, 0, .5, .5, 1, 1, 1.5, 2, 2, 990] give MAD
+    // (5th) = 1, so the outlier's modified z = 0.6745*990 = 667.755
+    // while every routine amount stays <= 1.349 — only the 1000
+    // flags. The plain z-score is DEFLATED by the outlier itself
+    // (sigma ~ 312 puts the 1000 at z ~ 2.9, under c11's own 2.0 only
+    // barely and under 3.5 comfortably), which is the point of the
+    // robust form.
+    val vals = Seq(8.0, 9.0, 10.0, 10.0, 11.0, 12.0, 9.5, 10.5, 11.5, 1000.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, 1L, nanos(f"2024-01-01 10:${i}%02d:00"), v) }
+    rows.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Fraud.queries("c22_mad_anomaly")(spark, dir).collect()
+    assert(r.length === 1, s"only the 1000 must flag, got ${r.length}")
+    assert(r(0).getAs[Long]("event_id") === 10L)
+    assert(r(0).getAs[Double]("med") === 10.0)
+    assert(r(0).getAs[Double]("mad") === 1.0)
+    assert(r(0).getAs[Double]("mz") === 0.6745 * 990.0 / 1.0)
+  }
 }
