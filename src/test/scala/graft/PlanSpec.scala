@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1, s"the user repartition must carry the whole chain, got $exchanges\n$p")
   }
 
+  test("c22 MAD: windowed median selection keeps the chain on ONE exchange and ONE scan") {
+    val p = SparkEntry.queries("c22_mad_anomaly")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(exchanges == 1, s"median join-backs would re-execute the subtree, got $exchanges exchanges\n$p")
+    assert(scans == 1, s"got $scans scans")
+  }
+
   test("d11 decontamination: benchmark grams broadcast, corpus never distinct-shuffled for grams") {
     val p = plan("d11_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
