@@ -115,6 +115,12 @@ object TextAnalysis {
     * on term, and the corpus size rides along as a broadcast scalar (no
     * driver-side count action). ln() outputs are pinned to 8 decimals so
     * the value is libm-implementation-independent for the oracle.
+    *
+    * The df join is UNHINTED: df is vocabulary-sized — unbounded at
+    * corpus scale, the same class the round-4 verdict flagged on
+    * g5/c11 — so AQE broadcasts while it fits and shuffle-joins on the
+    * term key (tf's existing partitioning) past the threshold. Only
+    * the 1-row corpus count keeps its hint.
     */
   def tfIdf(docs: DataFrame): DataFrame = {
     val terms = docs
@@ -123,7 +129,7 @@ object TextAnalysis {
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf", round(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 8))
       .withColumn("tfidf", round(col("tf") * col("idf"), 8))
@@ -199,9 +205,11 @@ object TextAnalysis {
     * (term counts shuffle on term, corpus totals broadcast as one row).
     * The per-doc mean sums ROUNDED log-probs through decimal so the
     * reduction is associative — bit-identical across partitionings and
-    * engines (SURVEY §6b FP-parity rule). At 100 TB the vocab join
-    * swaps the broadcast hint for a plain shuffle join (or a top-K
-    * vocab with a default tail log-prob).
+    * engines (SURVEY §6b FP-parity rule). The vocab join is UNHINTED
+    * (vocabulary-sized = unbounded at corpus scale): AQE broadcasts
+    * while lp fits and falls back to a term-keyed shuffle join beyond
+    * the threshold — no code change needed at 100 TB (a top-K vocab
+    * with a default tail log-prob remains the bandwidth optimization).
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -210,7 +218,7 @@ object TextAnalysis {
     val lp = tc.crossJoin(broadcast(tot))
       .withColumn("logp",
         round(log((col("c") + 1.0) / (col("total") + col("vocab"))), 8))
-    terms.join(broadcast(lp.select(col("term"), col("logp"))), Seq("term"))
+    terms.join(lp.select(col("term"), col("logp")), Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("logp").cast("decimal(18,8)")).cast("double") / count(lit(1)))

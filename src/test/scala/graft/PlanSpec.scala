@@ -99,6 +99,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(scans == 1, s"got $scans scans")
   }
 
+  test("f6/f9 vocabulary joins carry no forced broadcast hint") {
+    // vocab-sized build sides are unbounded at corpus scale (the g5/c11
+    // verdict class) — AQE must own the strategy; at test scale it will
+    // still runtime-broadcast. The 1-row corpus-scalar crossJoins keep
+    // their hints (bounded by construction), so only KEYED joins are
+    // checked.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("f6_tfidf", "f9_unigram_logprob").foreach { name =>
+      val hinted = SparkEntry.queries(name)(spark, SF)
+        .queryExecution.optimizedPlan.collect {
+          case j: Join if j.condition.nonEmpty &&
+            (j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty) => j
+        }
+      assert(hinted.isEmpty,
+        s"$name: keyed join carries a forced hint:\n${hinted.mkString("\n")}")
+    }
+  }
+
   test("d11 decontamination: benchmark grams broadcast, corpus never distinct-shuffled for grams") {
     val p = plan("d11_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
