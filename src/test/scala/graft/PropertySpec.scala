@@ -155,4 +155,101 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.distinct.length === pairs.length, "pairs must be distinct")
     assert(pairs.forall { case (a, b) => a >= 0 && b < 50 })
   }
+
+  test("C18 closed form equals the sequential recurrence on random series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // 40 random per-user spend series (fixed seed): the window identity
+    // S_t = P_t - min(0, min P) must equal the literal fold
+    // S_t = max(0, S_{t-1} + (x - 50)) in exact decimal, for every
+    // prefix, including series that pin to zero repeatedly
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(0, 20000)))
+    val raw = gen.apply(Gen.Parameters.default, Seed(21L)).get
+    val dir = tmpDir("graft_cusum_prop")
+    val rows = raw.zipWithIndex.map { case ((u, cents), i) =>
+      (i.toLong, u.toLong,
+        (1704100000000000000L + i.toLong * 60000000000L),
+        cents.toDouble / 100.0)
+    }
+    rows.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val engine = graft.operators.Fraud.queries("c18_cusum_shift")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("cusum")).toMap
+    // driver fold in exact decimal, per user in event order
+    val k = new java.math.BigDecimal("50.0").setScale(6)
+    val zero = java.math.BigDecimal.ZERO.setScale(6)
+    val want = rows.groupBy(_._2).flatMap { case (_, evs) =>
+      var s = zero
+      evs.sortBy(e => (e._3, e._1)).map { e =>
+        val dev = java.math.BigDecimal.valueOf(e._4)
+          .setScale(6, java.math.RoundingMode.HALF_UP).subtract(k)
+        s = s.add(dev); if (s.signum() < 0) s = zero
+        e._1 -> s.doubleValue
+      }
+    }
+    want.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(engine(id)) ===
+        java.lang.Double.doubleToLongBits(v), s"event $id: ${engine(id)} != $v")
+    }
+  }
+
+  test("B44 streak invariants on random day sets: lengths partition the distinct days") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val gen = Gen.listOfN(300, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(0, 59)))
+    val raw = gen.apply(Gen.Parameters.default, Seed(77L)).get
+    val dir = tmpDir("graft_streak_prop")
+    val rows = raw.zipWithIndex.map { case ((u, day), i) =>
+      (i.toLong, u.toLong, 1704067200000000000L + day.toLong * 86400000000000L)
+    }
+    rows.toDF("event_id", "user_id", "ts")
+      .withColumn("value", lit(1.0))
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("b44_activity_streaks")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("n_active_days")))).toMap
+    val byUser = raw.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    byUser.foreach { case (u, days) =>
+      val (longest, nStreaks, nActive) = out(u.toLong)
+      assert(nActive === days.size.toLong, s"user $u: day count")
+      // recompute islands directly from the set: an island starts at a
+      // day with no predecessor; its length is the run of successors
+      val sorted = days.toSeq.sorted
+      val islands = sorted.count(d => !days.contains(d - 1))
+      val longestWant = sorted.map { d =>
+        Iterator.from(0).takeWhile(k => days.contains(d + k)).size
+      }.max
+      assert(nStreaks === islands.toLong, s"user $u: islands")
+      assert(longest === longestWant.toLong, s"user $u: longest")
+    }
+  }
+
+  test("C22 MAD flag set is invariant to inflating the flagged outlier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // median/MAD have a 50% breakdown point: multiplying an already-
+    // flagged outlier by 100 must not change WHICH events flag
+    def run(outlier: Double): Set[Long] = {
+      val dir = tmpDir("graft_mad_prop")
+      val vals = Seq(8.0, 9.0, 10.0, 10.0, 11.0, 12.0, 9.5, 10.5, 11.5, outlier)
+      vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1, 1L, 1704100000000000000L + i.toLong * 60000000000L, v) }
+        .toDF("event_id", "user_id", "ts", "value")
+        .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      graft.operators.Fraud.queries("c22_mad_anomaly")(spark, dir)
+        .collect().map(_.getAs[Long]("event_id")).toSet
+    }
+    val base = run(1000.0)
+    assert(base === Set(10L))
+    assert(run(100000.0) === base, "inflating the outlier must not move the flag set")
+    // the plain z-score DOES move: sigma scales with the outlier — the
+    // robustness contrast is the operator's reason to exist (documented
+    // in the c22 scaladoc; asserted here only for the robust form)
+  }
+
 }
