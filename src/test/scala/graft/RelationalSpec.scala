@@ -292,4 +292,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(r(2L) === ((1L, 1L, 1L)))
     assert(r(3L) === ((1L, 2L, 2L)))
   }
+
+  test("B37c grouped histogram quantiles land within one bucket width of the exact per-group percentile") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val est = SparkEntry.queries("b37_hist_grouped")(spark, SF).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("quantile")) ->
+        r.getAs[Double]("est_value")).toMap
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("(max(l_extendedprice) - min(l_extendedprice)) / 64.0").as("bw"))
+      .collect()
+    exact.foreach { r =>
+      val (g, bw) = (r.getString(0), r.getAs[Double]("bw"))
+      assert(math.abs(est((g, 0.5)) - r.getAs[Double]("p50")) <= bw,
+        s"group $g p50: est ${est((g, 0.5))} vs exact ${r.getAs[Double]("p50")} (bw $bw)")
+      assert(math.abs(est((g, 0.95)) - r.getAs[Double]("p95")) <= bw,
+        s"group $g p95")
+    }
+  }
 }
