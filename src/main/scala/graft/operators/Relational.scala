@@ -573,6 +573,44 @@ object Relational {
             .as("est_value"))
     }),
 
+    // B37d: the grouped MERGE path — per-slice grouped histograms
+    // against the same per-group [lo, hi], merged by (group, bucket)
+    // integer addition, so it hash-matches b37c's oracle exactly (the
+    // b35/b36/b37/b38 merge-equivalence pattern, now for the grouped
+    // member): histogram per load slice, per-category quantiles at
+    // query time without touching the rows again.
+    "b37_hist_grouped_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          (col("l_orderkey") % 4).as("slice"))
+      val stats = li.groupBy(col("l_returnflag")).agg(
+        min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
+      val perSlice = li.join(stats, Seq("l_returnflag"))
+        .select(col("slice"), col("l_returnflag"), histBucket(col("v")).as("bucket"))
+        .groupBy(col("slice"), col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val cells = perSlice.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val quantiles = s.range(1).select(
+        explode(array(Seq(0.5, 0.95).map(lit(_)): _*)).as("quantile"))
+      cells
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))))
+        .join(stats, Seq("l_returnflag"))
+        .crossJoin(broadcast(quantiles))
+        .filter(col("cum").cast("double") >= col("quantile") * col("n").cast("double"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"), col("quantile"))
+            .orderBy(col("bucket"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("quantile"),
+          (col("lo") + (col("hi") - col("lo")) / lit(64.0) *
+            (col("bucket").cast("double") +
+              (col("quantile") * col("n").cast("double")
+                - (col("cum") - col("cnt")).cast("double")) / col("cnt").cast("double")))
+            .as("est_value"))
+    }),
+
     // B38: KMV/MinCount distinct sketch — bucketed minima, harmonic
     // integer-sum estimator (family note at kmvObservations). Same
     // fixed-memory shuffle shape as b36; what it adds over HLL is the
@@ -1329,6 +1367,31 @@ object Relational {
       |WHERE CAST(c.cum AS DOUBLE) >= q.quantile * CAST(n AS DOUBLE)
       |QUALIFY row_number() OVER (PARTITION BY q.quantile ORDER BY c.bucket) = 1""".stripMargin
 
+  private val histGroupedOracleSql: String =
+    """WITH st AS (
+      |  SELECT l_returnflag, min(l_extendedprice) AS lo,
+      |         max(l_extendedprice) AS hi, count(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |h AS (
+      |  SELECT li.l_returnflag,
+      |         least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / CAST(64 AS DOUBLE))) AS BIGINT), 63) AS bucket,
+      |         count(*) AS cnt
+      |  FROM lineitem li JOIN st ON li.l_returnflag = st.l_returnflag
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
+      |  FROM h),
+      |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS quantile)
+      |SELECT c.l_returnflag, q.quantile,
+      |       lo + (hi - lo) / CAST(64 AS DOUBLE) *
+      |         (CAST(c.bucket AS DOUBLE)
+      |          + (q.quantile * CAST(n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est_value
+      |FROM q, c JOIN st ON c.l_returnflag = st.l_returnflag
+      |WHERE CAST(c.cum AS DOUBLE) >= q.quantile * CAST(n AS DOUBLE)
+      |QUALIFY row_number() OVER (PARTITION BY c.l_returnflag, q.quantile
+      |                           ORDER BY c.bucket) = 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "a3_json_extract" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
@@ -1441,31 +1504,11 @@ object Relational {
         |FROM s""".stripMargin,
     "b37_quantile_hist" -> histOracleSql,
     "b37_hist_merge" -> histOracleSql,
-    // B37c: histOracleSql with every stage keyed by the group.
-    "b37_hist_grouped" ->
-      """WITH st AS (
-        |  SELECT l_returnflag, min(l_extendedprice) AS lo,
-        |         max(l_extendedprice) AS hi, count(*) AS n
-        |  FROM lineitem GROUP BY 1),
-        |h AS (
-        |  SELECT li.l_returnflag,
-        |         least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / CAST(64 AS DOUBLE))) AS BIGINT), 63) AS bucket,
-        |         count(*) AS cnt
-        |  FROM lineitem li JOIN st ON li.l_returnflag = st.l_returnflag
-        |  GROUP BY 1, 2),
-        |c AS (
-        |  SELECT l_returnflag, bucket, cnt,
-        |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
-        |  FROM h),
-        |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS quantile)
-        |SELECT c.l_returnflag, q.quantile,
-        |       lo + (hi - lo) / CAST(64 AS DOUBLE) *
-        |         (CAST(c.bucket AS DOUBLE)
-        |          + (q.quantile * CAST(n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)) AS est_value
-        |FROM q, c JOIN st ON c.l_returnflag = st.l_returnflag
-        |WHERE CAST(c.cum AS DOUBLE) >= q.quantile * CAST(n AS DOUBLE)
-        |QUALIFY row_number() OVER (PARTITION BY c.l_returnflag, q.quantile
-        |                           ORDER BY c.bucket) = 1""".stripMargin,
+    // B37c/d: histOracleSql with every stage keyed by the group; the
+    // merge twin shares it VERBATIM (cell-wise integer addition is
+    // exact, the family pattern).
+    "b37_hist_grouped" -> histGroupedOracleSql,
+    "b37_hist_grouped_merge" -> histGroupedOracleSql,
     // B39: same bigint-to-string leading digit, same nine literal
     // constants CAST AS DOUBLE (a bare DuckDB numeric literal is
     // DECIMAL — §6b round-5 note), same rounded division.

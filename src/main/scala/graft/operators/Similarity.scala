@@ -430,6 +430,30 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** E13: label-partitioned kNN — "the k nearest neighbors of the
+    * query WITHIN EACH class" (per-cluster exemplars, per-source
+    * nearest examples, contrastive-pair mining): one corpus scan
+    * scores against the broadcast query, then `row_number <= k` per
+    * label triggers WindowGroupLimit — each partition keeps its local
+    * k per label before the one (label)-keyed exchange, so the wire
+    * carries O(k × labels × partitions) rows at any corpus size. The
+    * composed alternative (one filtered e1 per label) scans the corpus
+    * |labels| times; this is the single-pass form.
+    */
+  def knnPerLabel(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("label")).orderBy(col("score").desc, col("vec_id"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("label"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** E7: scalar quantization (SQ8) — each corpus vector stored as
     * 256-level byte codes plus per-vector (min, step): a 4× memory cut
     * on the corpus side of similarity search (the dominant cost of a
@@ -905,6 +929,10 @@ object Similarity {
     // E12: SQ8-candidates → exact rerank — the two-stage serving form;
     // exact scores out, compressed scan in.
     "e12_sq8_rerank" -> ((s, d) => sq8Rerank(t(s, d, "embeddings"), 0L, 50, 10)),
+
+    // E13: top-5 per label for query 0 — class-conditioned retrieval in
+    // one scan (WindowGroupLimit prunes per partition).
+    "e13_knn_per_label" -> ((s, d) => knnPerLabel(t(s, d, "embeddings"), 0L, 5)),
     // E5: batch kNN join — top-10 neighbors for query vectors 0..7.
     "e5_knn_join" -> ((s, d) => knnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
     // E1: exact brute-force cosine top-20 for query vector 0.
@@ -1039,6 +1067,31 @@ object Similarity {
         |           (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
         |  FROM e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, score FROM s WHERE score >= CAST(0.2 AS DOUBLE)""".stripMargin,
+
+    // E13: e1's arithmetic with a per-label QUALIFY — same fold, same
+    // (score desc, vec_id) tiebreak within each class.
+    "e13_knn_per_label" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.label, e.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |  FROM e, q WHERE e.vec_id <> 0)
+        |SELECT label, vec_id, score,
+        |       CAST(row_number() OVER (PARTITION BY label
+        |                               ORDER BY score DESC, vec_id) AS INT) AS rnk
+        |FROM s
+        |QUALIFY rnk <= 5""".stripMargin,
 
     // E12: e7's SQ8 scoring as the 50-candidate stage, exact cosine
     // over the raw vectors as the rerank — both stages' ties broken by

@@ -285,4 +285,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 1L)))   // parallel ⇒ same bucket
     assert(!pairs.contains((0L, 2L))) // antipodal ⇒ all sign bits flip
   }
+
+  test("E13 per-label kNN: equals the per-class filtered exact top-k; plan prunes per partition") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.table(spark, SF, "embeddings")
+    val df = Similarity.knnPerLabel(emb, 0L, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-label top-k must prune before the label shuffle\n$plan")
+    val got = df.collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"))).toSet
+    // reference: brute-force each label independently through e1's exact scorer
+    val labels = emb.select(col("label")).distinct().collect().map(_.getInt(0))
+    val want = labels.flatMap { l =>
+      Similarity.cosineTopK(
+        emb.filter(col("label") === l || col("vec_id") === 0L), 0L, 5)
+        .collect().map(r => (l, r.getAs[Long]("vec_id")))
+    }.toSet
+    assert(got === want)
+  }
 }
