@@ -492,6 +492,54 @@ object Fraud {
         .filter(col("mz") > lit(3.5))
         .select(col("event_id"), col("user_id"), col("value"),
           col("med"), col("mad"), col("mz"))
+    }),
+
+    // C23: two-sample Kolmogorov–Smirnov drift statistic on a fixed
+    // 256-cell grid — "has the spend distribution SHIFTED between two
+    // slices" (week-over-week drift, A/B split integrity, train-vs-
+    // serve skew). The exact KS needs a global sorted ECDF pass — a
+    // single-partition window at any scale — so the engine form
+    // computes D on the histogram grid: max-cell-mass-bounded error,
+    // ONE map-side-combined 256-group aggregate + a 256-row window,
+    // scan-bound forever (the b37 move applied to a test statistic).
+    // Slices = event_id parity (deterministic, both non-empty); counts
+    // are exact longs, the ECDFs are ratio doubles (unrounded, §6b),
+    // the argmax cell takes the (d desc, bucket asc) tiebreak.
+    "c23_ks_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("value"), (col("event_id") % 2).as("g"))
+      val row = ev.agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      // degenerate lo==hi decided at plan-build time (driver literals —
+      // the histBucket guard without a per-row branch)
+      val bucketExpr =
+        if (hi == lo) lit(0L)
+        else least(
+          floor((col("value") - lit(lo)) / ((lit(hi) - lit(lo)) / lit(256.0)))
+            .cast("long"), lit(255L))
+      val cells = ev
+        .withColumn("bucket", bucketExpr)
+        .groupBy(col("bucket")).agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      cells
+        .withColumn("cum0", sum(col("c0")).over(w))
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .withColumn("n0", sum(col("c0")).over(wAll))
+        .withColumn("n1", sum(col("c1")).over(wAll))
+        .withColumn("d", abs(col("cum0").cast("double") / col("n0").cast("double")
+          - col("cum1").cast("double") / col("n1").cast("double")))
+        .orderBy(col("d").desc, col("bucket"))
+        .limit(1)
+        .select(
+          (lit(lo) + (lit(hi) - lit(lo)) / lit(256.0)
+            * (col("bucket") + lit(1)).cast("double")).as("at_value"),
+          col("d").as("ks_stat"), col("n0"), col("n1"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -700,7 +748,35 @@ object Fraud {
           |       CAST(0.6745 AS DOUBLE) * dev / mad AS mz
           |FROM md
           |WHERE mad > 0
-          |  AND CAST(0.6745 AS DOUBLE) * dev / mad > CAST(3.5 AS DOUBLE)""".stripMargin
+          |  AND CAST(0.6745 AS DOUBLE) * dev / mad > CAST(3.5 AS DOUBLE)""".stripMargin,
+
+      // C23: same grid arithmetic through floor() (the §6b cast rule),
+      // same parity slices, same (d desc, bucket) argmax.
+      "c23_ks_drift" ->
+        """WITH ev AS (
+          |  SELECT value, event_id % 2 AS g FROM events WHERE value IS NOT NULL),
+          |st AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+          |cells AS (
+          |  SELECT least(CAST(floor((value - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT), 255) AS bucket,
+          |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          |  FROM ev, st GROUP BY 1),
+          |cum AS (
+          |  SELECT bucket, c0, c1,
+          |         CAST(sum(c0) OVER (ORDER BY bucket
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0,
+          |         CAST(sum(c1) OVER (ORDER BY bucket
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+          |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+          |         CAST(sum(c1) OVER () AS BIGINT) AS n1
+          |  FROM cells)
+          |SELECT lo + (hi - lo) / CAST(256.0 AS DOUBLE) * CAST(bucket + 1 AS DOUBLE) AS at_value,
+          |       abs(CAST(cum0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          |           - CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS ks_stat,
+          |       n0, n1
+          |FROM cum, st
+          |ORDER BY ks_stat DESC, bucket
+          |LIMIT 1""".stripMargin
     )
   }
 }

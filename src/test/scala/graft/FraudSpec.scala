@@ -233,4 +233,31 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(r(0).getAs[Double]("mad") === 1.0)
     assert(r(0).getAs[Double]("mz") === 0.6745 * 990.0 / 1.0)
   }
+
+  test("C23 KS drift: identical slices score zero; a shifted slice is detected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    def write(dir: String, rows: Seq[(Long, Double)]): Unit =
+      rows.map { case (e, v) => (e, 1L, 1704100000000000000L + e * 60000000000L, v) }
+        .toDF("event_id", "user_id", "ts", "value")
+        .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // identical distributions in both parity slices -> D = 0
+    val same = tmpDir("graft_ks_same")
+    write(same, (0L until 40L).map(i => i -> (10.0 + (i / 2 % 10))))
+    val d0 = Fraud.queries("c23_ks_drift")(spark, same).collect()(0)
+    assert(d0.getAs[Double]("ks_stat") === 0.0,
+      s"identical slices must give D=0, got $d0")
+    // even ids ~10, odd ids ~1000 -> D = 1 (complete separation)
+    val shifted = tmpDir("graft_ks_shift")
+    write(shifted, (0L until 40L).map(i =>
+      i -> (if (i % 2 == 0) 10.0 + i else 1000.0 + i)))
+    val d1 = Fraud.queries("c23_ks_drift")(spark, shifted).collect()(0)
+    assert(d1.getAs[Double]("ks_stat") === 1.0,
+      s"disjoint slices must give D=1, got $d1")
+    // the real corpus: D in [0, 1], both slices populated
+    val r = Fraud.queries("c23_ks_drift")(spark, SF).collect()(0)
+    assert(r.getAs[Double]("ks_stat") >= 0.0 && r.getAs[Double]("ks_stat") <= 1.0)
+    assert(r.getAs[Long]("n0") > 0L && r.getAs[Long]("n1") > 0L)
+  }
 }
