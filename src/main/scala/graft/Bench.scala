@@ -47,7 +47,8 @@ object Bench {
     "c20_event_transitions", "f13_token_entropy", "f14_source_kl",
     "i17_weighted_sample", "c21_burstiness", "i18_source_profile",
     "b44_activity_streaks", "c22_mad_anomaly", "b37_hist_grouped",
-    "b37_hist_grouped_merge", "e13_knn_per_label", "c23_ks_drift")
+    "b37_hist_grouped_merge", "e13_knn_per_label", "c23_ks_drift",
+    "c24_psi_drift")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

@@ -540,6 +540,50 @@ object Fraud {
           (lit(lo) + (lit(hi) - lit(lo)) / lit(256.0)
             * (col("bucket") + lit(1)).cast("double")).as("at_value"),
           col("d").as("ks_stat"), col("n0"), col("n1"))
+    }),
+
+    // C24: PSI (population stability index) on the same 256-cell grid
+    // as c23 — the industry drift score (≥0.2 = action): PSI =
+    // Σ (p−q)·ln(p/q) over cells, empty-on-either-side cells skipped
+    // (the standard no-smoothing variant, reported via n_cells_used).
+    // Portability (the f14 machinery under a harder constraint): the
+    // mass difference is EXACT integers ((c0·n1 − c1·n0) through
+    // DECIMAL(12,0) products — counts bounded 1e12/slice, documented),
+    // the log-ratio is four 8dp-pinned integer lns assembled in
+    // DECIMAL(10,8), and their product stays at precision 35 ≤ 38 so
+    // Spark's adjusted-scale truncation (§6b) never fires; ONE double
+    // division by n0·n1 at the very end.
+    "c24_psi_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("value"), (col("event_id") % 2).as("g"))
+      val row = ev.agg(min(col("value")), max(col("value"))).head()
+      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      val bucketExpr =
+        if (hi == lo) lit(0L)
+        else least(
+          floor((col("value") - lit(lo)) / ((lit(hi) - lit(lo)) / lit(256.0)))
+            .cast("long"), lit(255L))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      def ln8(c: Column): Column = round(log(c), 8).cast("decimal(10,8)")
+      def d12(c: Column): Column = c.cast("decimal(12,0)")
+      ev
+        .withColumn("bucket", bucketExpr)
+        .groupBy(col("bucket")).agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+        .withColumn("n0", sum(col("c0")).over(wAll))
+        .withColumn("n1", sum(col("c1")).over(wAll))
+        .filter(col("c0") > 0 && col("c1") > 0)
+        .withColumn("contrib",
+          (d12(col("c0")) * d12(col("n1")) - d12(col("c1")) * d12(col("n0"))) *
+            (ln8(col("c0")) - ln8(col("n0")) - ln8(col("c1")) + ln8(col("n1"))))
+        .groupBy(col("n0"), col("n1")).agg(
+          count(lit(1)).as("n_cells_used"),
+          sum(col("contrib")).as("s"))
+        .select(
+          (col("s").cast("double") /
+            (col("n0").cast("double") * col("n1").cast("double"))).as("psi"),
+          col("n_cells_used"), col("n0"), col("n1"))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
@@ -776,7 +820,38 @@ object Fraud {
           |       n0, n1
           |FROM cum, st
           |ORDER BY ks_stat DESC, bucket
-          |LIMIT 1""".stripMargin
+          |LIMIT 1""".stripMargin,
+
+      // C24: same grid, same exact-integer mass differences through
+      // DECIMAL(12,0) products, same four-ln DECIMAL(10,8) assembly;
+      // one double division at the end.
+      "c24_psi_drift" ->
+        """WITH ev AS (
+          |  SELECT value, event_id % 2 AS g FROM events WHERE value IS NOT NULL),
+          |st AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+          |cells AS (
+          |  SELECT least(CAST(floor((value - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT), 255) AS bucket,
+          |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+          |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          |  FROM ev, st GROUP BY 1),
+          |tot AS (
+          |  SELECT bucket, c0, c1,
+          |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+          |         CAST(sum(c1) OVER () AS BIGINT) AS n1
+          |  FROM cells),
+          |contrib AS (
+          |  SELECT n0, n1,
+          |         (CAST(c0 AS DECIMAL(12,0)) * CAST(n1 AS DECIMAL(12,0))
+          |          - CAST(c1 AS DECIMAL(12,0)) * CAST(n0 AS DECIMAL(12,0))) *
+          |         (CAST(round(ln(c0), 8) AS DECIMAL(10,8))
+          |          - CAST(round(ln(n0), 8) AS DECIMAL(10,8))
+          |          - CAST(round(ln(c1), 8) AS DECIMAL(10,8))
+          |          + CAST(round(ln(n1), 8) AS DECIMAL(10,8))) AS contrib
+          |  FROM tot WHERE c0 > 0 AND c1 > 0)
+          |SELECT CAST(sum(contrib) AS DOUBLE)
+          |         / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS psi,
+          |       count(*) AS n_cells_used, n0, n1
+          |FROM contrib GROUP BY n0, n1""".stripMargin
     )
   }
 }

@@ -260,4 +260,31 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Double]("ks_stat") >= 0.0 && r.getAs[Double]("ks_stat") <= 1.0)
     assert(r.getAs[Long]("n0") > 0L && r.getAs[Long]("n1") > 0L)
   }
+
+  test("C24 PSI: zero on identical slices, large under a shift, non-negative everywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    def write(dir: String, rows: Seq[(Long, Double)]): Unit =
+      rows.map { case (e, v) => (e, 1L, 1704100000000000000L + e * 60000000000L, v) }
+        .toDF("event_id", "user_id", "ts", "value")
+        .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val same = tmpDir("graft_psi_same")
+    write(same, (0L until 40L).map(i => i -> (10.0 + (i / 2 % 10))))
+    val p0 = Fraud.queries("c24_psi_drift")(spark, same).collect()(0)
+    assert(p0.getAs[Double]("psi") === 0.0, s"identical slices: $p0")
+    // a partial mass shift (not disjoint — disjoint cells are skipped by
+    // the no-smoothing variant): slice 0 spreads over ten even values,
+    // slice 1 piles onto the {10, 12} subset of that same support, so
+    // the used cells stay two-sided while the masses diverge hard
+    val shift = tmpDir("graft_psi_shift")
+    write(shift, (0L until 40L).map { i =>
+      if (i % 2 == 0) i -> (10.0 + (i % 20)) else i -> (10.0 + (i % 4) - 1) })
+    val p1 = Fraud.queries("c24_psi_drift")(spark, shift).collect()(0)
+    assert(p1.getAs[Double]("psi") > 0.1, s"shifted slices: $p1")
+    // PSI is a sum of (p-q)ln(p/q) terms, each non-negative
+    val r = Fraud.queries("c24_psi_drift")(spark, SF).collect()(0)
+    assert(r.getAs[Double]("psi") >= 0.0)
+    assert(r.getAs[Long]("n_cells_used") > 0L)
+  }
 }
