@@ -45,8 +45,29 @@ object Tables {
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                => raw
     }
-    else raw
+    else normalizeTemporal(raw)
   }
+
+  /** Defensive normalization for the OTHER regeneration-sensitive
+    * physical types (the events.ts lesson generalized — every operator
+    * is built against one logical type per column, and the driver's
+    * testdata generator has already changed physical types between
+    * rounds once): any DATE or TIMESTAMP_NTZ column is cast to the
+    * session-local TimestampType, which is wall-clock-preserving under
+    * the UTC session and a no-op on the current generation. Values are
+    * unchanged either way — DuckDB reads the same parquet and its
+    * DATE/TIMESTAMP comparisons coerce identically — this only pins the
+    * SPARK-side type so epoch casts, RANGE frames, unix_micros and
+    * datediff keep the exact semantics they were verified with.
+    */
+  private def normalizeTemporal(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case DateType | TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
+    }
 
   /** Transaction event schema (reference: src/spark/jobs/spark.py:70-80). */
   val transactionSchema: StructType = StructType(Seq(

@@ -322,4 +322,22 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     val merged = Tables.mergeUpsert(base, updates, Seq("id"), Seq(col("version")))
     assert(merged.collect().map(_.getString(1)).toSeq === Seq("new"))
   }
+
+  test("table() pins regeneration-sensitive temporal types to session timestamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    import org.apache.spark.sql.types.TimestampType
+    val dir = tmpDir("graft_typenorm")
+    // a DATE-typed orders generation (the events.ts lesson generalized):
+    // operators are built against TimestampType and must keep it
+    Seq((1L, 10L, "O", 100.0, "1996-01-02", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val t = Tables.table(spark, dir, "orders")
+    assert(t.schema("o_orderdate").dataType === TimestampType)
+    val v = t.select(org.apache.spark.sql.functions.date_format(col("o_orderdate"),
+      "yyyy-MM-dd HH:mm:ss")).collect()(0).getString(0)
+    assert(v === "1996-01-02 00:00:00", s"wall clock must be preserved, got $v")
+  }
 }
