@@ -45,6 +45,14 @@ object Tables {
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                => raw
     }
+    else if (name == "embeddings") raw.schema("embedding").dataType match {
+      // the native FloatVecDot expression is type-strict on
+      // array<float>; a generation shipping list<double> must come back
+      // to float32 (the precision every oracle's CAST AS REAL mirrors)
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => raw
+    }
     else normalizeTemporal(raw)
   }
 

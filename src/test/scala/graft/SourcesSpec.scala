@@ -340,4 +340,22 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       "yyyy-MM-dd HH:mm:ss")).collect()(0).getString(0)
     assert(v === "1996-01-02 00:00:00", s"wall clock must be preserved, got $v")
   }
+
+  test("table() pins embeddings to float32 elements for the native vector path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val dir = tmpDir("graft_embnorm")
+    Seq((0L, Seq(1.0, 2.0, 3.0), 1), (1L, Seq(0.5, 0.25, 0.125), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val t = Tables.table(spark, dir, "embeddings")
+    assert(t.schema("embedding").dataType === ArrayType(FloatType),
+      s"double-element generation must come back as float32, got ${t.schema("embedding").dataType}")
+    // and the native dot path runs on it
+    val d = t.filter(col("vec_id") === 0L)
+      .select(graft.operators.Similarity.dot(col("embedding"), col("embedding")))
+      .collect()(0).getDouble(0)
+    assert(d === 14.0)
+  }
 }
