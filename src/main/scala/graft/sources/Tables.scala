@@ -580,6 +580,42 @@ object Tables {
     }.toIndexedSeq: _*)
   }
 
+  /** A15: schema-drift report — the DECISION step in front of alignTo:
+    * a load whose schema silently gained, lost, or retyped columns is
+    * the classic quiet data-corruption path (alignTo would
+    * null-backfill a dropped column into the warehouse forever). One
+    * row per drifted column with a drift kind and a per-column
+    * compatibility verdict: `added` and `widened` (a lossless numeric/
+    * type widening Spark can cast implicitly) are compatible — the
+    * load may proceed through alignTo — while `removed` and `retyped`
+    * demand a human. Pure metadata comparison on the driver (two
+    * schemas, no data scan); case-insensitive like alignTo's
+    * resolution so the report and the aligner never disagree.
+    */
+  def schemaDrift(incoming: StructType, target: StructType): Seq[(String, String, String, String, Boolean)] = {
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) | (FloatType, DoubleType) |
+           (IntegerType, DoubleType) | (DateType, TimestampType) => true
+      case _ => false
+    }
+    val in = incoming.fields.map(f => f.name.toLowerCase -> f).toMap
+    val tg = target.fields.map(f => f.name.toLowerCase -> f).toMap
+    val removed = target.fields.filterNot(f => in.contains(f.name.toLowerCase))
+      .map(f => (f.name, "removed", f.dataType.simpleString, "", false))
+    val added = incoming.fields.filterNot(f => tg.contains(f.name.toLowerCase))
+      .map(f => (f.name, "added", "", f.dataType.simpleString, true))
+    val retyped = incoming.fields.flatMap { f =>
+      tg.get(f.name.toLowerCase).collect {
+        case t if t.dataType != f.dataType && widens(f.dataType, t.dataType) =>
+          (f.name, "widened", t.dataType.simpleString, f.dataType.simpleString, true)
+        case t if t.dataType != f.dataType && !widens(f.dataType, t.dataType) =>
+          (f.name, "retyped", t.dataType.simpleString, f.dataType.simpleString, false)
+      }
+    }
+    (removed ++ added ++ retyped).sortBy(_._1).toSeq
+  }
+
   /** The reference's warehouse-load job (src/airflow/dags/
     * load_to_snowflake.py + scripts) as ONE idempotent library call:
     * read the date-partitioned sink (partition columns recovered from

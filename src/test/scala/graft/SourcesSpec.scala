@@ -358,4 +358,30 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0).getDouble(0)
     assert(d === 14.0)
   }
+
+  test("A15 schema drift: added/widened pass, removed/retyped demand a human, clean is silent") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("transaction_id", StringType), StructField("user_id", LongType),
+      StructField("amount", DoubleType), StructField("note", StringType)))
+    // incoming: note dropped, user_id arrives narrower (int -> the
+    // target long is a lossless alignTo cast = widened/compatible),
+    // amount retyped lossy, channel added
+    val incoming = StructType(Seq(
+      StructField("transaction_id", StringType), StructField("user_id", IntegerType),
+      StructField("amount", StringType), StructField("channel", StringType)))
+    val drift = Tables.schemaDrift(incoming, target)
+      .map(d => d._1 -> ((d._2, d._5))).toMap
+    assert(drift("note") === (("removed", false)))
+    assert(drift("user_id") === (("widened", true)))
+    assert(drift("amount") === (("retyped", false)))
+    assert(drift("channel") === (("added", true)))
+    assert(Tables.schemaDrift(target, target).isEmpty, "identical schemas drift-free")
+    // case-insensitivity matches alignTo's resolution
+    val cased = StructType(Seq(
+      StructField("Transaction_ID", StringType), StructField("USER_ID", LongType),
+      StructField("amount", DoubleType), StructField("note", StringType)))
+    assert(Tables.schemaDrift(cased, target).isEmpty,
+      "case differences are not drift (alignTo resolves them)")
+  }
 }
