@@ -35,6 +35,48 @@ object Fraud {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.table(s, d, name)
 
+  /** The c23/c24 drift grid: 256 cells over a PINNED [lo, hi] — pinned
+    * because drift is measured against a reference binning, and because
+    * a streaming monitor (H17) must bucket every micro-batch on the
+    * identical grid. Degenerate lo==hi is decided at plan-build time
+    * (driver literals, the histBucket guard without a per-row branch).
+    */
+  def driftBucket(v: Column, lo: Double, hi: Double): Column =
+    if (hi == lo) lit(0L)
+    else least(
+      floor((v - lit(lo)) / ((lit(hi) - lit(lo)) / lit(256.0))).cast("long"),
+      lit(255L))
+
+  /** PSI from a (bucket, c0, c1) cell table — the c24 arithmetic shared
+    * VERBATIM with the H17 streaming monitor, so served-from-cells and
+    * one-shot-batch scores are bit-identical by construction: exact
+    * integer mass differences through DECIMAL(12,0) products (counts
+    * bounded 1e12/slice), the log-ratio as four 8dp-pinned integer lns
+    * in DECIMAL(10,8) (product precision 35 ≤ 38 — the adjusted-scale
+    * trap never fires), one double division at the end. Totals are
+    * taken over ALL cells BEFORE the both-sides-present filter (the
+    * no-smoothing PSI variant, used-cell count reported).
+    */
+  def psiFromCells(cells: DataFrame): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    def ln8(c: Column): Column = round(log(c), 8).cast("decimal(10,8)")
+    def d12(c: Column): Column = c.cast("decimal(12,0)")
+    cells
+      .withColumn("n0", sum(col("c0")).over(wAll))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .filter(col("c0") > 0 && col("c1") > 0)
+      .withColumn("contrib",
+        (d12(col("c0")) * d12(col("n1")) - d12(col("c1")) * d12(col("n0"))) *
+          (ln8(col("c0")) - ln8(col("n0")) - ln8(col("c1")) + ln8(col("n1"))))
+      .groupBy(col("n0"), col("n1")).agg(
+        count(lit(1)).as("n_cells_used"),
+        sum(col("contrib")).as("s"))
+      .select(
+        (col("s").cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double"))).as("psi"),
+        col("n_cells_used"), col("n0"), col("n1"))
+  }
+
   /** Transactions fact: one row per lineitem, order attributes attached.
     * Key-to-key inner join on the order key; at scale both sides are
     * co-partitioned by orderkey (bucketing) so this is shuffle-free.
@@ -510,15 +552,8 @@ object Fraud {
         .select(col("value"), (col("event_id") % 2).as("g"))
       val row = ev.agg(min(col("value")), max(col("value"))).head()
       val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-      // degenerate lo==hi decided at plan-build time (driver literals —
-      // the histBucket guard without a per-row branch)
-      val bucketExpr =
-        if (hi == lo) lit(0L)
-        else least(
-          floor((col("value") - lit(lo)) / ((lit(hi) - lit(lo)) / lit(256.0)))
-            .cast("long"), lit(255L))
       val cells = ev
-        .withColumn("bucket", bucketExpr)
+        .withColumn("bucket", driftBucket(col("value"), lo, hi))
         .groupBy(col("bucket")).agg(
           sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
           sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
@@ -558,32 +593,11 @@ object Fraud {
         .select(col("value"), (col("event_id") % 2).as("g"))
       val row = ev.agg(min(col("value")), max(col("value"))).head()
       val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-      val bucketExpr =
-        if (hi == lo) lit(0L)
-        else least(
-          floor((col("value") - lit(lo)) / ((lit(hi) - lit(lo)) / lit(256.0)))
-            .cast("long"), lit(255L))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-      def ln8(c: Column): Column = round(log(c), 8).cast("decimal(10,8)")
-      def d12(c: Column): Column = c.cast("decimal(12,0)")
-      ev
-        .withColumn("bucket", bucketExpr)
+      psiFromCells(ev
+        .withColumn("bucket", driftBucket(col("value"), lo, hi))
         .groupBy(col("bucket")).agg(
           sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
-          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
-        .withColumn("n0", sum(col("c0")).over(wAll))
-        .withColumn("n1", sum(col("c1")).over(wAll))
-        .filter(col("c0") > 0 && col("c1") > 0)
-        .withColumn("contrib",
-          (d12(col("c0")) * d12(col("n1")) - d12(col("c1")) * d12(col("n0"))) *
-            (ln8(col("c0")) - ln8(col("n0")) - ln8(col("c1")) + ln8(col("n1"))))
-        .groupBy(col("n0"), col("n1")).agg(
-          count(lit(1)).as("n_cells_used"),
-          sum(col("contrib")).as("s"))
-        .select(
-          (col("s").cast("double") /
-            (col("n0").cast("double") * col("n1").cast("double"))).as("psi"),
-          col("n_cells_used"), col("n0"), col("n1"))
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1")))
     })
 
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).

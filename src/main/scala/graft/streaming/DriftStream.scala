@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Fraud
+
+/** H17: streaming distribution-drift monitor — the c23/c24 grid kept up
+  * to date by the stream itself, so "has live spend drifted from the
+  * reference distribution" is answered from a fixed-size cell table
+  * without re-scanning raw history (the H12 cell-maintenance pattern
+  * applied to a test statistic instead of a sketch).
+  *
+  * The grid [lo, hi] is PINNED at monitor creation (a drift score is
+  * only meaningful against a fixed reference binning — and every
+  * micro-batch must bucket identically), via [[Fraud.driftBucket]], the
+  * same expression the batch statistics compile.
+  *
+  * Exactly-once by LAYOUT (H12's contract): each micro-batch writes its
+  * own per-bucket counts under `batch_id=<id>` with dynamic partition
+  * overwrite, so a crash-replayed batch replaces its own subtree rather
+  * than double-counting. Serving merges cells with an integer sum —
+  * associative, commutative — so the served grid equals the one-shot
+  * batch histogram over the same rows bit-for-bit, whatever the
+  * batching; and because the PSI is then computed by the SHARED
+  * [[Fraud.psiFromCells]] arithmetic, the streamed monitor's score is
+  * BIT-IDENTICAL to the batch c24 statistic over the same data
+  * (asserted in StreamingSpec H17).
+  *
+  * Scale: the exchange per batch carries ≤256 integer cells per
+  * partition; the state table grows one tiny partition per micro-batch
+  * and [[SketchStream.consolidateCells]]'s age-out applies unchanged if
+  * the monitor runs for months.
+  */
+object DriftStream {
+
+  /** Maintain the incoming-side cell table: bucket each micro-batch of
+    * `stream` (a `value` column) on the pinned grid and land counts
+    * under `cellsDir/batch_id=<id>/`.
+    */
+  def maintainDriftCells(stream: DataFrame, lo: Double, hi: Double,
+                         cellsDir: String, checkpoint: String): StreamingQuery = {
+    // heal a crashed consolidation before the first batch can recreate
+    // the dir (the SketchStream lesson — the stream writer is the first
+    // thing an operator restarts)
+    graft.sources.Tables.recoverCrashedSwap(stream.sparkSession, cellsDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.filter(col("value").isNotNull)
+          .select(Fraud.driftBucket(col("value"), lo, hi).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+          .withColumn("batch_id", lit(id))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve the PSI of the maintained incoming cells against a reference
+    * cell table (`bucket`, `cnt` — typically the training/last-known-
+    * good histogram on the same grid). Missing buckets on either side
+    * are zero-mass cells; the shared [[Fraud.psiFromCells]] then applies
+    * the standard no-smoothing variant (both-sides-present cells only,
+    * totals over everything).
+    */
+  def psiFromDriftCells(spark: SparkSession, cellsDir: String,
+                        reference: DataFrame): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    val incoming = spark.read.parquet(cellsDir)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("c1"))
+    val ref = reference.select(col("bucket"), col("cnt").as("c0"))
+    Fraud.psiFromCells(
+      ref.join(incoming, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1")))
+  }
+}

@@ -292,6 +292,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(online.values.exists(_._2) && online.values.exists(!_._2))
   }
 
+  test("H17 streaming drift monitor serves PSI bit-identical to the batch c24 statistic") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    // the real corpus split by parity: slice 0 is the pinned reference,
+    // slice 1 arrives as a 2-micro-batch stream — exactly c24's two
+    // slices, so the served score must equal the batch statistic
+    val ev = graft.sources.Tables.table(spark, SF, "events")
+      .filter(col("value").isNotNull)
+    val bounds = ev.agg(min(col("value")), max(col("value"))).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val ref = ev.filter(col("event_id") % 2 === 0)
+      .select(graft.operators.Fraud.driftBucket(col("value"), lo, hi).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val in = tmpDir("graft_drift_in")
+    val cells = tmpDir("graft_drift_cells")
+    val ckpt = tmpDir("graft_drift_ckpt")
+    val slice1 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("value")).collect().map(_.getDouble(0))
+    val (a, b) = slice1.splitAt(slice1.length / 2)
+    // Double.toString round-trips exactly through the JSON reader
+    Files.writeString(Paths.get(in, "a.json"),
+      a.map(v => s"""{"value":$v}""").mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"),
+      b.map(v => s"""{"value":$v}""").mkString("\n"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("value DOUBLE"))
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.streaming.DriftStream
+      .maintainDriftCells(stream, lo, hi, cells, ckpt).awaitTermination()
+    val online = graft.streaming.DriftStream
+      .psiFromDriftCells(spark, cells, ref).collect()(0)
+    val batch = graft.operators.Fraud.queries("c24_psi_drift")(spark, SF).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(online.getAs[Double]("psi")) ===
+      java.lang.Double.doubleToLongBits(batch.getAs[Double]("psi")),
+      s"streamed PSI ${online.getAs[Double]("psi")} != batch ${batch.getAs[Double]("psi")}")
+    assert(online.getAs[Long]("n_cells_used") === batch.getAs[Long]("n_cells_used"))
+    assert(online.getAs[Long]("n0") === batch.getAs[Long]("n0"))
+    assert(online.getAs[Long]("n1") === batch.getAs[Long]("n1"))
+    // a committed-checkpoint restart processes nothing and serves the
+    // same score (replay safety on the serve path)
+    graft.streaming.DriftStream
+      .maintainDriftCells(spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("value DOUBLE"))
+        .option("maxFilesPerTrigger", 1).json(in), lo, hi, cells, ckpt)
+      .awaitTermination()
+    val again = graft.streaming.DriftStream
+      .psiFromDriftCells(spark, cells, ref).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(again.getAs[Double]("psi")) ===
+      java.lang.Double.doubleToLongBits(online.getAs[Double]("psi")))
+  }
+
   test("H14 streaming token-budget gate admits exactly the batch I11 prefix") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
