@@ -47,27 +47,56 @@ object Fraud {
       floor((v - lit(lo)) / ((lit(hi) - lit(lo)) / lit(256.0))).cast("long"),
       lit(255L))
 
+  /** Driver-side grid bounds for c23/c24: min/max of the (already
+    * null-filtered) `value` column. A global agg always yields exactly
+    * one row, but on an EMPTY input (no events, or all-NULL values) that
+    * row holds NULLs — `getDouble` would NPE. Degrade to the (0,0)
+    * degenerate grid instead: the downstream cell aggregate is empty
+    * anyway, so both statistics come back as empty frames rather than a
+    * driver crash. The oracle twins carry the matching `hi = lo` CASE
+    * guard so engine and oracle degrade identically.
+    */
+  def driftBounds(ev: DataFrame): (Double, Double) = {
+    val row = ev.agg(min(col("value")), max(col("value"))).head()
+    if (row.isNullAt(0)) (0.0, 0.0) else (row.getDouble(0), row.getDouble(1))
+  }
+
   /** PSI from a (bucket, c0, c1) cell table — the c24 arithmetic shared
     * VERBATIM with the H17 streaming monitor, so served-from-cells and
     * one-shot-batch scores are bit-identical by construction: exact
     * integer mass differences through DECIMAL(12,0) products (counts
     * bounded 1e12/slice), the log-ratio as four 8dp-pinned integer lns
-    * in DECIMAL(10,8) (product precision 35 ≤ 38 — the adjusted-scale
-    * trap never fires), one double division at the end. Totals are
+    * in DECIMAL(10,8), one double division at the end. Totals are
     * taken over ALL cells BEFORE the both-sides-present filter (the
     * no-smoothing PSI variant, used-cell count reported).
+    *
+    * Decimal-width discipline (the §6b adjusted-scale trap): the naive
+    * mass×(four-ln-sum) product is (26,0)×(13,8) → precision 40 > 38,
+    * which Spark silently ROUNDS to scale 6 while DuckDB keeps exact
+    * scale 8 — cross-engine parity then holds only when the 6dp
+    * truncation happens to be lossless (balanced n0=n1 fixtures). So
+    * the multiply is DISTRIBUTED over two (11,8) ln-pair differences:
+    * (26,0)×(11,8) → (38,8) EXACT, each half down-cast to (37,8)
+    * (true bound ≲ 1e24·ln(1e12)² ≈ 5.6e25 ≪ 1e29) so their sum is
+    * (38,8) exact, and the 256-cell aggregate stays within (38,8)
+    * (≤ 2.9e28 < 1e30). Every intermediate on both engines is an exact
+    * multiple of 1e-8, so the final CAST-to-double agrees bitwise for
+    * ANY cell table — balanced or not (PsiParitySpec).
     */
   def psiFromCells(cells: DataFrame): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     def ln8(c: Column): Column = round(log(c), 8).cast("decimal(10,8)")
     def d12(c: Column): Column = c.cast("decimal(12,0)")
+    def d37(c: Column): Column = c.cast("decimal(37,8)")
     cells
       .withColumn("n0", sum(col("c0")).over(wAll))
       .withColumn("n1", sum(col("c1")).over(wAll))
       .filter(col("c0") > 0 && col("c1") > 0)
+      .withColumn("mass",
+        d12(col("c0")) * d12(col("n1")) - d12(col("c1")) * d12(col("n0")))
       .withColumn("contrib",
-        (d12(col("c0")) * d12(col("n1")) - d12(col("c1")) * d12(col("n0"))) *
-          (ln8(col("c0")) - ln8(col("n0")) - ln8(col("c1")) + ln8(col("n1"))))
+        d37(col("mass") * (ln8(col("c0")) - ln8(col("n0")))) +
+          d37(col("mass") * (ln8(col("n1")) - ln8(col("c1")))))
       .groupBy(col("n0"), col("n1")).agg(
         count(lit(1)).as("n_cells_used"),
         sum(col("contrib")).as("s"))
@@ -550,8 +579,7 @@ object Fraud {
     "c23_ks_drift" -> ((s, d) => {
       val ev = t(s, d, "events").filter(col("value").isNotNull)
         .select(col("value"), (col("event_id") % 2).as("g"))
-      val row = ev.agg(min(col("value")), max(col("value"))).head()
-      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      val (lo, hi) = driftBounds(ev)
       val cells = ev
         .withColumn("bucket", driftBucket(col("value"), lo, hi))
         .groupBy(col("bucket")).agg(
@@ -584,15 +612,16 @@ object Fraud {
     // Portability (the f14 machinery under a harder constraint): the
     // mass difference is EXACT integers ((c0·n1 − c1·n0) through
     // DECIMAL(12,0) products — counts bounded 1e12/slice, documented),
-    // the log-ratio is four 8dp-pinned integer lns assembled in
-    // DECIMAL(10,8), and their product stays at precision 35 ≤ 38 so
-    // Spark's adjusted-scale truncation (§6b) never fires; ONE double
-    // division by n0·n1 at the very end.
+    // the log-ratio is four 8dp-pinned integer lns in DECIMAL(10,8)
+    // applied as two PAIRED differences so every product stays ≤ (38,8)
+    // exact (the psiFromCells width discipline — the naive 4-term sum
+    // would push the product to precision 40 and trip the §6b
+    // adjusted-scale rounding); ONE double division by n0·n1 at the
+    // very end.
     "c24_psi_drift" -> ((s, d) => {
       val ev = t(s, d, "events").filter(col("value").isNotNull)
         .select(col("value"), (col("event_id") % 2).as("g"))
-      val row = ev.agg(min(col("value")), max(col("value"))).head()
-      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      val (lo, hi) = driftBounds(ev)
       psiFromCells(ev
         .withColumn("bucket", driftBucket(col("value"), lo, hi))
         .groupBy(col("bucket")).agg(
@@ -815,7 +844,9 @@ object Fraud {
           |  SELECT value, event_id % 2 AS g FROM events WHERE value IS NOT NULL),
           |st AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
           |cells AS (
-          |  SELECT least(CAST(floor((value - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT), 255) AS bucket,
+          |  SELECT CASE WHEN hi = lo THEN 0
+          |              ELSE least(CAST(floor((value - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT), 255)
+          |         END AS bucket,
           |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
           |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
           |  FROM ev, st GROUP BY 1),
@@ -837,14 +868,19 @@ object Fraud {
           |LIMIT 1""".stripMargin,
 
       // C24: same grid, same exact-integer mass differences through
-      // DECIMAL(12,0) products, same four-ln DECIMAL(10,8) assembly;
-      // one double division at the end.
+      // DECIMAL(12,0) products, same paired-ln DECIMAL(10,8) assembly
+      // distributed to keep every product ≤ (38,8) exact on BOTH
+      // engines (psiFromCells width discipline); one double division
+      // at the end. All intermediates are exact multiples of 1e-8, so
+      // the engines agree bitwise for unbalanced slices too.
       "c24_psi_drift" ->
         """WITH ev AS (
           |  SELECT value, event_id % 2 AS g FROM events WHERE value IS NOT NULL),
           |st AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
           |cells AS (
-          |  SELECT least(CAST(floor((value - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT), 255) AS bucket,
+          |  SELECT CASE WHEN hi = lo THEN 0
+          |              ELSE least(CAST(floor((value - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT), 255)
+          |         END AS bucket,
           |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
           |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
           |  FROM ev, st GROUP BY 1),
@@ -853,15 +889,18 @@ object Fraud {
           |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
           |         CAST(sum(c1) OVER () AS BIGINT) AS n1
           |  FROM cells),
+          |mass AS (
+          |  SELECT n0, n1, c0, c1,
+          |         CAST(c0 AS DECIMAL(12,0)) * CAST(n1 AS DECIMAL(12,0))
+          |          - CAST(c1 AS DECIMAL(12,0)) * CAST(n0 AS DECIMAL(12,0)) AS m
+          |  FROM tot WHERE c0 > 0 AND c1 > 0),
           |contrib AS (
           |  SELECT n0, n1,
-          |         (CAST(c0 AS DECIMAL(12,0)) * CAST(n1 AS DECIMAL(12,0))
-          |          - CAST(c1 AS DECIMAL(12,0)) * CAST(n0 AS DECIMAL(12,0))) *
-          |         (CAST(round(ln(c0), 8) AS DECIMAL(10,8))
-          |          - CAST(round(ln(n0), 8) AS DECIMAL(10,8))
-          |          - CAST(round(ln(c1), 8) AS DECIMAL(10,8))
-          |          + CAST(round(ln(n1), 8) AS DECIMAL(10,8))) AS contrib
-          |  FROM tot WHERE c0 > 0 AND c1 > 0)
+          |         CAST(m * (CAST(round(ln(c0), 8) AS DECIMAL(10,8))
+          |                   - CAST(round(ln(n0), 8) AS DECIMAL(10,8))) AS DECIMAL(37,8))
+          |         + CAST(m * (CAST(round(ln(n1), 8) AS DECIMAL(10,8))
+          |                     - CAST(round(ln(c1), 8) AS DECIMAL(10,8))) AS DECIMAL(37,8)) AS contrib
+          |  FROM mass)
           |SELECT CAST(sum(contrib) AS DOUBLE)
           |         / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS psi,
           |       count(*) AS n_cells_used, n0, n1

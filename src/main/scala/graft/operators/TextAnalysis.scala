@@ -287,7 +287,7 @@ object TextAnalysis {
     def ln8(c: Column): Column = round(log(c), 8).cast("decimal(18,8)")
     // tot is one row by construction — the only hinted broadcast here;
     // ns (per-source) and ct (vocabulary-sized) stay unhinted for AQE
-    st.join(ns, Seq("source")).join(ct, Seq("term")).crossJoin(broadcast(tot))
+    val out = st.join(ns, Seq("source")).join(ct, Seq("term")).crossJoin(broadcast(tot))
       .withColumn("contrib",
         // (10,0) multiplier for the same precision-39 truncation trap
         // documented in tokenEntropy
@@ -298,6 +298,14 @@ object TextAnalysis {
       // no terminal round — same true-decimal-tie hazard as tokenEntropy
       .select(col("source"), col("n_tokens"),
         (col("s").cast("double") / col("n_tokens")).as("kl_div"))
+    // materialize the |sources|-row result eagerly (Dedup's
+    // checkpointFresh move), then RELEASE the vocab-sized cache — a
+    // lazily-returned frame would pin the (source,term) table in
+    // executor memory for the rest of the session (the whole Verify/
+    // Bench battery runs after this, and Bench invokes f14 three times)
+    val materialized = out.localCheckpoint(true)
+    st.unpersist(false)
+    materialized
   }
 
   /** Top-k keyword extraction per document: the TF-IDF stage ranked

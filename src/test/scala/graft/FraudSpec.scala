@@ -287,4 +287,44 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Double]("psi") >= 0.0)
     assert(r.getAs[Long]("n_cells_used") > 0L)
   }
+
+  test("C24/H17 psiFromCells: exact-decimal parity on UNBALANCED cells (n0 != n1, odd counts)") {
+    import spark.implicits._
+    // The §6b adjusted-scale trap regression: a naive mass×(4-ln-sum)
+    // product is (26,0)×(13,8) → precision 40, which Spark rounds to
+    // scale 6 — lossless only on balanced fixtures (n0 = n1 multiples
+    // of 1000 cancel the ln(n) terms). This fixture is deliberately
+    // unbalanced and odd-count so any 6dp truncation WOULD surface;
+    // the oracle here is the same arithmetic in exact BigDecimal.
+    val cells = Seq(
+      (0L, 29L, 13L), (1L, 7L, 5L), (2L, 11L, 0L), (3L, 0L, 3L),
+      (4L, 1000L, 1L), (5L, 3L, 977L), (6L, 123L, 456L))
+      .toDF("bucket", "c0", "c1")
+    val n0 = 29L + 7 + 11 + 0 + 1000 + 3 + 123   // 1173
+    val n1 = 13L + 5 + 0 + 3 + 1 + 977 + 456     // 1455
+    // ln8 mimics Spark's chain exactly: Round(HALF_UP on the
+    // Double.toString decimal) to a double, then cast to decimal(10,8)
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    def ln8(x: Long): BigDecimal = {
+      val rounded = BigDecimal(math.log(x.toDouble)).setScale(8, HALF_UP).toDouble
+      BigDecimal(rounded).setScale(8, HALF_UP)
+    }
+    val used = Seq((29L, 13L), (7L, 5L), (1000L, 1L), (3L, 977L), (123L, 456L))
+    val sExact = used.map { case (c0, c1) =>
+      val mass = BigDecimal(c0 * n1 - c1 * n0)
+      mass * (ln8(c0) - ln8(n0)) + mass * (ln8(n1) - ln8(c1))
+    }.sum
+    // fixture probativeness: the exact sum must NOT be a 6dp multiple,
+    // or this spec couldn't distinguish exact-scale-8 from the trap
+    assert((sExact * BigDecimal(1000000)) % 1 != 0,
+      s"fixture lossless at 6dp — not probative: $sExact")
+    val expected = sExact.toDouble / (n0.toDouble * n1.toDouble)
+    val row = Fraud.psiFromCells(cells).collect()(0)
+    assert(row.getAs[Long]("n0") === n0)
+    assert(row.getAs[Long]("n1") === n1)
+    assert(row.getAs[Long]("n_cells_used") === used.size.toLong)
+    assert(java.lang.Double.doubleToLongBits(row.getAs[Double]("psi")) ===
+      java.lang.Double.doubleToLongBits(expected),
+      s"Spark psi ${row.getAs[Double]("psi")} != exact-decimal $expected")
+  }
 }
