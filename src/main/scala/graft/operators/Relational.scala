@@ -788,6 +788,56 @@ object Relational {
           "minmax", "zscore", "pct_rank")
     }),
 
+    // B43b: the 100 TB form of the per-group feature scaler — b43's
+    // percent_rank window concentrates the WHOLE fact onto |groups|
+    // partitions (3 return flags ⇒ 3 reducers at any scale); this twin
+    // replaces it with a deterministic 128-cell histogram rank (the b21/
+    // b37 move applied to ranking): per-group cell counts are map-side-
+    // combined partials, the cumulative below-mass is a window over
+    // ≤128 rows per group, and the join-back is a broadcast of a
+    // ≤|groups|×128-row table — no data-sized ordered partition
+    // anywhere. minmax/zscore are identical to b43 (broadcast-stats
+    // arithmetic). pct_rank_approx = strictly-below mass / (n−1) is an
+    // exact-integer ratio off the same floor-bucket rule as b21/c23, so
+    // unlike percentile_approx sketches it is engine-portable and
+    // carries a FULL DuckDB oracle; accuracy vs the exact rank is
+    // bounded by one cell's mass (RelationalSpec).
+    "b43_feature_scale_approx" -> ((s, d) => {
+      val k = 128
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice").as("x"))
+      val stats = li.groupBy(col("l_returnflag")).agg(
+        min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(28,6)")).cast("double").as("sx2"))
+      val mean = col("sx") / col("n")
+      val variance = (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+      val bucketed = li.join(stats, Seq("l_returnflag"))
+        .withColumn("bucket",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(
+              floor((col("x") - col("mn")) /
+                ((col("mx") - col("mn")) / lit(k.toDouble))).cast("long"),
+              lit(k - 1L))))
+      val cells = bucketed.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = cells
+        .withColumn("below", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+        .select(col("l_returnflag"), col("bucket"), col("below"))
+      bucketed.join(cum, Seq("l_returnflag", "bucket"))
+        .withColumn("minmax", round((col("x") - col("mn")) / (col("mx") - col("mn")), 8))
+        .withColumn("zscore", round((col("x") - mean) / sqrt(variance), 8))
+        .withColumn("pct_rank_approx",
+          when(col("n") > 1,
+            col("below").cast("double") / (col("n") - 1).cast("double"))
+            .otherwise(lit(0.0)))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "x",
+          "minmax", "zscore", "pct_rank_approx")
+    }),
+
     // B44: gaps-and-islands activity streaks — "longest run of
     // consecutive active days per user", the classic islands problem:
     // day − row_number(day) is constant within a consecutive run, so
@@ -1578,6 +1628,38 @@ object Relational {
         |       round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 8) AS zscore,
         |       percent_rank() OVER (PARTITION BY li.l_returnflag ORDER BY x) AS pct_rank
         |FROM li JOIN st ON li.l_returnflag = st.l_returnflag""".stripMargin,
+
+    // B43b: same stats CTE, same floor-bucket rule as b21/c23 (through
+    // floor() — the §6b cast rule), exact-integer below-mass ratio.
+    "b43_feature_scale_approx" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice AS x
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, min(x) AS mn, max(x) AS mx, count(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sx2
+        |  FROM li GROUP BY 1),
+        |b AS (
+        |  SELECT li.*, mn, mx, n, sx, sx2,
+        |         CASE WHEN mx = mn THEN 0
+        |              ELSE least(CAST(floor((x - mn) / ((mx - mn) / CAST(128.0 AS DOUBLE))) AS BIGINT), 127)
+        |         END AS bucket
+        |  FROM li JOIN st ON li.l_returnflag = st.l_returnflag),
+        |cells AS (
+        |  SELECT l_returnflag, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, bucket,
+        |         COALESCE(CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |                  0) AS below
+        |  FROM cells)
+        |SELECT l_orderkey, l_linenumber, b.l_returnflag, x,
+        |       round((x - mn) / (mx - mn), 8) AS minmax,
+        |       round((x - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)), 8) AS zscore,
+        |       CASE WHEN n > 1 THEN CAST(below AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |            ELSE CAST(0 AS DOUBLE) END AS pct_rank_approx
+        |FROM b JOIN cum ON b.l_returnflag = cum.l_returnflag AND b.bucket = cum.bucket""".stripMargin,
 
     // B44: same islands key (day − row_number), HUGEINT sum cast back.
     "b44_activity_streaks" ->

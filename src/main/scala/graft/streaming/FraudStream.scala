@@ -111,6 +111,73 @@ object FraudStream {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("user_id"), col("total_spent"), col("n_tx"))
 
+  /** H18: streaming spend-trend maintenance — the batch c6 statistic
+    * kept current by the stream itself (the H12/H17 cell pattern applied
+    * to the windowed trend the reference sinks in complete mode,
+    * spark.py:171-200 — re-expressed so nothing is ever rewritten).
+    *
+    * Each micro-batch lands per-(hour-window, user) PARTIAL cells under
+    * `batch_id=<id>` with dynamic partition overwrite (exactly-once by
+    * layout: a crash-replayed batch replaces its own subtree). A cell
+    * holds the batch's exact DECIMAL(18,6) spend sum — decimal addition
+    * is associative/commutative, so serving folds partials into the same
+    * exact total the one-shot batch aggregate computes, whatever the
+    * batching — plus the batch's distinct event count.
+    *
+    * Contract for the count side (same as every keyed event log): an
+    * `event_id` never spans two micro-batches — true for exactly-once
+    * file-stream delivery of a keyed fact; an at-least-once feed needs
+    * [[dedupWithinWatermark]] upstream. Under that contract the served
+    * trend is BIT-IDENTICAL to `c6_user_spend_trend` over the same rows
+    * at the doubleToLongBits level (asserted in StreamingSpec H18).
+    *
+    * Scale: the exchange per batch carries one cell per (window, user)
+    * touched by the batch — partial-aggregated map-side; the state table
+    * grows one tiny partition per micro-batch, and
+    * [[SketchStream.consolidateCells]]'s age-out pattern applies (fold
+    * aged batches by the same decimal/long addition serving performs).
+    */
+  def maintainSpendTrendCells(events: DataFrame, cellsDir: String,
+                              checkpoint: String): StreamingQuery = {
+    graft.sources.Tables.recoverCrashedSwap(events.sparkSession, cellsDir)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,6)")).as("dec_sum"),
+               countDistinct(col("event_id")).as("n_events"))
+          .select(col("window.start").as("ws"), col("window.end").as("we"),
+                  col("user_id"), col("dec_sum"), col("n_events"))
+          .withColumn("batch_id", lit(id))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve the user-spend trend from the maintained cells: fold the
+    * decimal partials (exact) and the per-batch distinct counts, then
+    * apply c6's exact projection — same column names, same formatting,
+    * same terminal double cast.
+    */
+  def spendTrendFromCells(spark: SparkSession, cellsDir: String): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    spark.read.parquet(cellsDir)
+      .groupBy(col("ws"), col("we"), col("user_id"))
+      .agg(sum(col("dec_sum")).as("dec_total"),
+           sum(col("n_events")).as("num_events"))
+      .select(graft.Cols.fmtTs(col("ws")).as("window_start"),
+              graft.Cols.fmtTs(col("we")).as("window_end"),
+              col("user_id"),
+              col("dec_total").cast("double").as("total_spent"),
+              col("num_events"))
+  }
+
   /** End-to-end pipeline start (reference: write_streams foreachBatch):
     * scored records land in a date-partitioned parquet sink keyed by
     * payment_method/tx_year/tx_month/tx_day; AvailableNow makes the same

@@ -215,6 +215,37 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"$mismatched of $checked off-boundary customers disagree with exact ntile")
   }
 
+  test("B43b histogram rank is within one cell's mass of the exact percent_rank") {
+    import org.apache.spark.sql.functions.col
+    // key includes x: the synthetic lineitem's (orderkey, linenumber) is
+    // NOT unique (≈23% dup rows), and both rank forms are pure functions
+    // of (group, x) — ties collapse to identical values, so the Map is
+    // lossless for this comparison
+    def keyed(name: String, rankCol: String) =
+      Relational.queries(name)(spark, SF).collect()
+        .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+          r.getAs[Double]("x")) ->
+          ((r.getAs[String]("l_returnflag"), r.getAs[Double](rankCol)))).toMap
+    val exact = keyed("b43_feature_scale", "pct_rank")
+    val approx = keyed("b43_feature_scale_approx", "pct_rank_approx")
+    assert(exact.keySet === approx.keySet)
+    // error bound: below-mass rank can differ from the true rank by at
+    // most the population of the row's own cell, so per group the gap is
+    // ≤ max cell mass / (n − 1)
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+    val groupN = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val worst = exact.iterator.map { case (k, (rf, e)) =>
+      math.abs(e - approx(k)._2) * (groupN(rf) - 1) }.max
+    val maxCell = groupN.values.max / 8.0 // sanity ceiling: cells are ~n/128, allow 16x skew
+    assert(worst <= maxCell,
+      s"histogram rank off by $worst rows — exceeds any plausible cell mass ($maxCell)")
+    // and the ranks must agree closely in absolute terms
+    val maxAbs = exact.iterator.map { case (k, (_, e)) =>
+      math.abs(e - approx(k)._2) }.max
+    assert(maxAbs <= 0.05, s"max |approx − exact| = $maxAbs > 0.05")
+  }
+
   test("I7 CDC apply keeps latest change and honors trailing deletes") {
     import spark.implicits._
     val changes = Seq(

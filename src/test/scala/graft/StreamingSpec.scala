@@ -751,4 +751,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(u1(0).getAs[Long]("num_transactions") === 2L)
     assert(u1(0).getAs[String]("window_start") === "2024-03-01 10:00:00")
   }
+
+  test("H18 streaming trend cells serve the batch c6 statistic bit-identically") {
+    // the real events fact delivered as a 3-micro-batch stream through
+    // the foreachBatch cell sink; the served fold must equal the batch
+    // c6 aggregate at the doubleToLongBits level (the r5 verdict's
+    // training-serving parity gap for the trend sink)
+    val ev = Tables.table(spark, SF, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val in = tmpDir("graft_trend_in")
+    val cells = tmpDir("graft_trend_cells")
+    val ckpt = tmpDir("graft_trend_ckpt")
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    FraudStream.maintainSpendTrendCells(stream, cells, ckpt).awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[Long]("user_id")) ->
+        ((r.getAs[Double]("total_spent"), r.getAs[Long]("num_events")))).toMap
+    val served = keyed(FraudStream.spendTrendFromCells(spark, cells))
+    val batch = keyed(graft.operators.Fraud.queries("c6_user_spend_trend")(spark, SF))
+    assert(served.keySet === batch.keySet)
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, (total, n)) =>
+      assert(java.lang.Double.doubleToLongBits(served(k)._1) ===
+        java.lang.Double.doubleToLongBits(total),
+        s"$k: served total_spent ${served(k)._1} != batch $total — trend sink skew")
+      assert(served(k)._2 === n, s"$k num_events skew")
+    }
+    // a committed-checkpoint restart replays nothing and serves the same
+    val again = FraudStream.maintainSpendTrendCells(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      cells, ckpt)
+    again.awaitTermination()
+    assert(keyed(FraudStream.spendTrendFromCells(spark, cells)) === served)
+  }
 }
