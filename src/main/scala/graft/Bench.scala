@@ -51,7 +51,19 @@ object Bench {
     "i17_weighted_sample", "c21_burstiness", "i18_source_profile",
     "b44_activity_streaks", "c22_mad_anomaly", "b37_hist_grouped",
     "b37_hist_grouped_merge", "e13_knn_per_label", "c23_ks_drift",
-    "c24_psi_drift")
+    "c24_psi_drift",
+    // round-6 additions: the Gopher gate battery (scan-speed row-local),
+    // the bigram LM scorer (f6/f9's gram-keyed shuffle on 2-gram keys),
+    // the ANN recall harness (three retrievals + k-row joins), and the
+    // sqrt-temperature mixture weights (|sources|-row fold)
+    "f15_gopher_rules", "f17_bigram_logprob",
+    "e14_ann_recall", "i19_mixture_weights",
+    // round-6 continuation: boilerplate + novelty (the two d12-class
+    // gram-shuffle curation signals), the banded curriculum layout,
+    // the MinHash estimator-quality harness (e14's dedup twin), and
+    // the per-segment Gini concentration statistic
+    "f16_boilerplate", "f18_novelty", "i20_curriculum_order",
+    "d17_minhash_quality", "c25_gini_concentration")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.
@@ -184,7 +196,15 @@ object Bench {
         .mkString("{", ",", "}")
     val headlineNames = headline.toSet
     val (headQs, studyQs) = all.partition { case (k, _) => headlineNames(k) }
-    val total = all.map(_._2).filter(_ >= 0).sum
+    // the maintenance-study entries are THROUGHPUT/amplification
+    // metrics, not wall-seconds: they stay in the studies map but must
+    // not enter the "unit":"sec" total (summing rows/s in made the
+    // first r6 capture read 146,838 "seconds")
+    def nonSeconds(n: String): Boolean =
+      n.endsWith("_rows_per_s") || n.endsWith("_cells_per_batch")
+    val total = all.collect {
+      case (k, v) if !nonSeconds(k) && v >= 0 => v
+    }.sum
     val scalingPart = scaling.map(s => s""","scaling":$s""").getOrElse("")
     // 1. studies + scaling: its own line, size-unconstrained (diagnostic)
     println(s"""{"metric":"studies","queries":${qmap(studyQs)}$scalingPart,"sf":"$sfDir"}""")
@@ -710,7 +730,11 @@ object Bench {
     // sketches, one corpus pass) — its cost term is grams/doc, corpus-
     // dependent like g5's, so the exponent is MEASURED here rather than
     // asserted in prose (the r5 verdict's evidence gap)
-    "d15_source_overlap" -> "documents")
+    "d15_source_overlap" -> "documents",
+    // round-6 continuation: the bigram LM scorer — the widest new
+    // shuffle key (2-gram vocab grows super-linearly in corpus size
+    // until saturation, f6's class) — measured, not asserted
+    "f17_bigram_logprob" -> "documents")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time

@@ -601,7 +601,41 @@ object Dedup {
       .groupBy(md5(col("normalized")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** D17: MinHash estimator-quality harness — the dedup twin of E14's
+    * ANN recall gate: for every LSH candidate pair, the signature-level
+    * Jaccard estimate (matching positions / 16) laid beside the exact
+    * shingle-set Jaccard (D4) with the absolute error. This is the
+    * measurement that sizes a production MinHash deployment (how many
+    * permutations for the banding threshold you run at) — var(est) =
+    * J(1−J)/k, and the harness shows the realized error on the real
+    * corpus rather than the textbook bound. Everything is
+    * deterministic (md5-derived permutations), so the error table
+    * itself is oracle-checkable.
+    *
+    * Cost: the signature pass, the candidate pass, and D4's
+    * shingle-set pass (estimates only exist for bucketed candidates —
+    * never all pairs). At 100 TB the three passes share one persisted
+    * signature table; here each stays lineage-fresh for clarity.
+    */
+  def minhashQuality(docs: DataFrame): DataFrame = {
+    val sigs = withMinhashes(docs, "text", "doc_id")
+    val cands = minhashCandidates(docs)
+    val est = cands
+      .join(sigs.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(sigs.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("ma.mh"), col("mb.mh"), (x, y) => x === y),
+          b => b)).cast("double") / 16).as("est_jaccard"))
+    ngramJaccard(docs, cands)
+      .join(est, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D17: per-candidate MinHash-estimate vs exact-Jaccard error table.
+    "d17_minhash_quality" -> ((s, d) => minhashQuality(t(s, d, "documents"))),
 
     // D14: canonicalized exact dedup (F5 ∘ D1 composition).
     "d14_dedup_normalized" -> ((s, d) => dedupNormalized(t(s, d, "documents"))),
@@ -966,6 +1000,32 @@ object Dedup {
           |FROM hs""".stripMargin,
 
       "d2_minhash_lsh" -> (bandsCte + "\nSELECT doc_a, doc_b FROM cand"),
+
+      // D17: the bands CTE already carries the full 16-slot signatures
+      // (mh) and raw shingle lists (sh) — the estimate is matching
+      // positions / 16 (a dyadic rational, exact in double), the exact
+      // side is d4's intersect/union arithmetic verbatim.
+      "d17_minhash_quality" -> (bandsCte +
+        """,
+          |est AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |         CAST(len(list_filter(range(1, 17),
+          |           i -> ma.m[i] = mb.m[i])) AS DOUBLE) / 16 AS est_jaccard
+          |  FROM cand c
+          |  JOIN mh ma ON c.doc_a = ma.doc_id
+          |  JOIN mh mb ON c.doc_b = mb.doc_id),
+          |sets AS (
+          |  SELECT doc_id, list_distinct(s) AS s FROM sh),
+          |ex AS (
+          |  SELECT doc_a, doc_b,
+          |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+          |  FROM cand
+          |  JOIN sets sa ON doc_a = sa.doc_id
+          |  JOIN sets sb ON doc_b = sb.doc_id)
+          |SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+          |       abs(e.est_jaccard - x.jaccard) AS abs_err
+          |FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b""".stripMargin),
 
       // Transitive closure via recursive CTE reproduces the label
       // propagation fixpoint: cluster id = min doc_id reachable.

@@ -523,6 +523,40 @@ object Fraud {
           ((col("sigma") - mean) / (col("sigma") + mean)).as("burstiness"))
     }),
 
+    // C25: Gini spend-concentration per event type — the inequality
+    // statistic fraud teams watch per segment ("is this category's
+    // volume suddenly carried by a handful of accounts?"): G =
+    // Σ(2i−n−1)·x_(i) / (n·Σx) over per-user totals sorted ascending.
+    // All sums are exact DECIMAL — per-user totals (18,6) through the
+    // proven value-sum recipe, the (2i−n−1) coefficient capped at
+    // (12,0) so the product stays (31,6) ≤ 38 (the c24 width lesson) —
+    // and only the final ratio is double. Ties sort (x, user_id):
+    // deterministic rank, engine-identical. The per-type ordered
+    // window is b43's |groups|-partition concentration class — at
+    // 100 TB the b43_approx histogram-Lorenz rewrite is the escape
+    // hatch; groups here = |event types|.
+    "c25_gini_concentration" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val perUser = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("x"))
+      val wr = W.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
+      perUser
+        .select(col("event_type"), col("x"), col("user_id"),
+          row_number().over(wr).cast("long").as("i"),
+          count(lit(1)).over(W.partitionBy(col("event_type"))).as("n"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_users"),
+          sum(col("x")).as("sx"),
+          sum((col("i") * 2 - col("n") - 1).cast("decimal(12,0)") * col("x")).as("num"))
+        .select(col("event_type"), col("n_users"),
+          col("sx").cast("double").as("total_value"),
+          when(col("sx") =!= 0,
+            col("num").cast("double") /
+              (col("n_users").cast("double") * col("sx").cast("double")))
+            .otherwise(0.0).as("gini"))
+    }),
+
     // C22: MAD-based robust anomaly score (Iglewicz–Hoaglin modified
     // z-score 0.6745·|x−med|/MAD > 3.5) — the robust twin of c11: mean
     // and σ are THEMSELVES corrupted by the outliers fraud creates
@@ -807,6 +841,33 @@ object Fraud {
           |SELECT user_id, n_gaps, sg / n_gaps AS mean_gap_us,
           |       (sigma - sg / n_gaps) / (sigma + sg / n_gaps) AS burstiness
           |FROM sv WHERE sigma > 0""".stripMargin,
+
+      // C25: exact decimal Gini sums — the (12,0)×(18,6) coefficient
+      // product stays (31,6), summed exact on both engines; only the
+      // final ratio is double (numerator and denominator casts of the
+      // same exact decimals).
+      "c25_gini_concentration" ->
+        """WITH pu AS (
+          |  SELECT event_type, user_id,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+          |  FROM events GROUP BY 1, 2),
+          |r AS (
+          |  SELECT event_type, x,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM pu),
+          |g AS (
+          |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+          |         SUM(x) AS sx,
+          |         SUM(CAST(2 * i - n - 1 AS DECIMAL(12,0)) * x) AS num
+          |  FROM r GROUP BY 1)
+          |SELECT event_type, n_users,
+          |       CAST(sx AS DOUBLE) AS total_value,
+          |       CASE WHEN sx <> 0
+          |            THEN CAST(num AS DOUBLE)
+          |                 / (CAST(n_users AS DOUBLE) * CAST(sx AS DOUBLE))
+          |            ELSE CAST(0.0 AS DOUBLE) END AS gini
+          |FROM g""".stripMargin,
 
       // C22: same lower-median order statistics ((n+1) div 2 ↔
       // (n+1)//2), same literals; mz is a product/ratio of identical

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Cols._
+import graft.operators.TextAnalysis
 import graft.sources.Tables
 
 /** Dataset profiling — the pre-load audit every warehouse load and every
@@ -273,7 +274,74 @@ object Profile {
       .select(col("doc_id"), col(strataCol), col("rnk"))
   }
 
+  /** I19: temperature-scaled source-mixture weights — the multilingual/
+    * multi-domain sampling formula (mBERT/XLM-R exponent α = 0.5):
+    * w_s = n_s^α / Σ_t n_t^α, flattening the source distribution so
+    * low-resource sources are upsampled relative to their raw share.
+    * α = 0.5 is computed as sqrt — IEEE-754 correctly-rounded on every
+    * engine, unlike a general pow(x, α) which is libm-dependent (§6b:
+    * estimators stick to + − × ÷ sqrt). Each source's token allocation
+    * from a fixed budget goes through floor (the §6b cast-parity rule).
+    *
+    * The only corpus pass is the per-source token count (map-side
+    * combined, |sources| rows out). The normalizer is a deterministic
+    * LEFT FOLD of the per-source sqrt terms in source order — a SUM()
+    * over doubles would be partition-order-dependent; |sources| is
+    * governance-bounded (thousands at most), so the one-row fold is
+    * trivially cheap at any corpus scale.
+    */
+  def mixtureWeights(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+    val tot = perSource
+      .agg(sort_array(collect_list(struct(col("source"), col("sq")))).as("a"))
+      .select(expr(
+        "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.sq)").as("total_sq"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("sq") / col("total_sq")).as("weight"))
+      .withColumn("alloc_tokens", floor(col("weight") * lit(budgetTokens)))
+  }
+
+  /** I20: curriculum ordering — the band-then-shuffle layout curriculum
+    * training readers consume: each doc gets a quality band (its F2
+    * score bucketed into `bands` levels; floor + clamp, §6b cast
+    * parity) and a deterministic position inside (band, shard) — the
+    * loader walks bands high-to-low and streams shards in parallel,
+    * which is exactly I10's sharded-window trick applied per band: NO
+    * global sort exists anywhere, each window orders one
+    * (band, shard) slice, so the plan scales like the shuffle that
+    * feeds it. Salted-md5 in-band order keeps the schedule replayable
+    * across runs, engines, and cluster sizes.
+    */
+  def curriculumOrder(docs: DataFrame, bands: Int = 10,
+                      shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("curr:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("band"), col("shard"))
+      .orderBy(col("hv"), col("doc_id"))
+    q.select(col("doc_id"), col("quality_score"), h.as("hv"))
+      .withColumn("band",
+        least(lit(bands - 1L), floor(col("quality_score") * bands)))
+      .withColumn("shard", pmod(col("hv"), lit(shards.toLong)))
+      .select(col("doc_id"), col("quality_score"), col("band"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I19: sqrt-temperature mixture weights + budget allocation.
+    "i19_mixture_weights" -> ((s, d) =>
+      mixtureWeights(Tables.table(s, d, "documents"))),
+
+    // I20: quality-banded curriculum layout (F2 score + sharded order).
+    "i20_curriculum_order" -> ((s, d) =>
+      curriculumOrder(Tables.table(s, d, "documents"))),
 
     // I16: exact-k per stratum (WindowGroupLimit per-partition pruning).
     "i16_stratified_k" -> ((s, d) =>
@@ -349,6 +417,53 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    // I19: sqrt is correctly-rounded IEEE on both engines; the
+    // normalizer is the same explicit left fold in source order; the
+    // allocation goes through floor before the BIGINT cast (§6b).
+    // I20: the f2 quality formula verbatim (same literals), the i10
+    // md5-prefix hash recipe, floor+least band clamp (§6b cast parity),
+    // and per-(band, shard) row_number windows.
+    "i20_curriculum_order" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct_chars,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |      + (CAST(stop_hits AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+        |      + (CAST(1.0 AS DOUBLE) - CASE WHEN n_chars_m > 0
+        |           THEN CAST(punct_chars AS DOUBLE) / n_chars_m
+        |           ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE) AS quality_score
+        |  FROM m),
+        |h AS (
+        |  SELECT doc_id, quality_score,
+        |    least(9, CAST(floor(quality_score * 10) AS BIGINT)) AS band,
+        |    CAST(('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM q)
+        |SELECT doc_id, quality_score, band, hv % 64 AS shard,
+        |       row_number() OVER (PARTITION BY band, hv % 64
+        |                          ORDER BY hv, doc_id) AS pos
+        |FROM h""".stripMargin,
+
+    "i19_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |sq AS (
+        |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq FROM s),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(sq ORDER BY source)), (acc, x) -> acc + x) AS total_sq
+        |  FROM sq)
+        |SELECT source, n_tokens, sq / total_sq AS weight,
+        |       CAST(floor(sq / total_sq * 1000000) AS BIGINT) AS alloc_tokens
+        |FROM sq, t""".stripMargin,
     // I12: same salted hash, same (hk, id) order — the k rows are exact.
     "i12_uniform_sample_k" ->
       """SELECT doc_id, source,

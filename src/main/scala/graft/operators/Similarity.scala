@@ -901,7 +901,40 @@ object Similarity {
     selected.toSeq.toDF("rank", "vec_id", "relevance", "mmr")
   }
 
+  /** E14: ANN recall@k evaluation — the index-quality harness every
+    * vector deployment runs before trusting an approximate index: each
+    * ANN method's top-k (E2 LSH multi-probe, E3 IVF) is scored against
+    * the exact E1 truth set for the same query, recall = |ANN ∩ exact|
+    * / k. Both methods and the truth set are fully deterministic here
+    * (md5-portable planes, seeded centroids), so the recall numbers
+    * themselves are oracle-checkable — the oracle recomputes all three
+    * lists in SQL and intersects them.
+    *
+    * The truth join is a k-row left-semi against k-row frames — the
+    * evaluation itself costs nothing; the corpus cost is the three
+    * retrievals. At 100 TB the same harness runs over a SAMPLED query
+    * set (each query an independent broadcast probe against the
+    * persisted index — E6's partition-pruned read), and the exact
+    * truth pass is the one full scan you pay per evaluation batch,
+    * amortized over all queries in it (e5's batch-kNN shape).
+    */
+  def annRecall(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 20): DataFrame = {
+    val exact = cosineTopK(embeddings, queryVecId, k).select(col("vec_id"))
+    Seq(("lsh", annTopK(embeddings, queryVecId, k)),
+        ("ivf", ivfTopK(embeddings, queryVecId, k)))
+      .map { case (name, ann) =>
+        ann.select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(name).as("method"), lit(k.toLong).as("k"), col("n_hit"),
+            (col("n_hit").cast("double") / k).as("recall"))
+      }.reduce(_.unionByName(_))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E14: recall@20 of the LSH and IVF indexes vs the exact truth set.
+    "e14_ann_recall" -> ((s, d) => annRecall(t(s, d, "embeddings"))),
 
     // E10: MMR diversified re-rank of the e1 pool (driver greedy over a
     // BOUNDED candidate list; oracle is a recursive CTE replaying the
@@ -965,7 +998,27 @@ object Similarity {
     "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20))
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = baseOracles
+    // E14 composes the three retrieval oracles verbatim (each keeps its
+    // own WITH scope inside a derived table), so the recall oracle can
+    // never drift from the lists it grades.
+    base + ("e14_ann_recall" ->
+      s"""WITH exact AS (SELECT vec_id FROM (${base("e1_cosine_topk")})),
+         |lsh AS (SELECT vec_id FROM (${base("e2_ann_lsh")})),
+         |ivf AS (SELECT vec_id FROM (${base("e3_ann_ivf")})),
+         |m AS (
+         |  SELECT 'lsh' AS method, count(*) AS n_hit FROM lsh
+         |    WHERE vec_id IN (SELECT vec_id FROM exact)
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, count(*) AS n_hit FROM ivf
+         |    WHERE vec_id IN (SELECT vec_id FROM exact))
+         |SELECT method, CAST(20 AS BIGINT) AS k, n_hit,
+         |       CAST(n_hit AS DOUBLE) / 20 AS recall
+         |FROM m""".stripMargin)
+  }
+
+  private def baseOracles: Map[String, String] = Map(
     // E8: centroid seeding, argmin encode, and ADC table lookups are all
     // deterministic double arithmetic; the 2-D tables are rebuilt in SQL
     // as ordered nested lists and every fold is an explicit left

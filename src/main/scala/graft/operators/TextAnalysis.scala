@@ -394,7 +394,174 @@ object TextAnalysis {
     */
   val bm25QueryTerms: Seq[String] = Seq("dup", "vector", "window")
 
+  /** The Gopher required-stopword list (Rae et al. 2021, appendix A1.1:
+    * a document must contain at least 2 of these to pass).
+    */
+  private val gopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** F15: Gopher-style document quality gates (Rae et al. 2021, the
+    * MassiveWeb filter set) — the rule battery LLM pipelines run before
+    * any model-based scoring: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    * fraction, and the required-stopword test. The line-level rules
+    * (bullet/ellipsis line fractions) are omitted because this corpus
+    * is single-line by construction; the doc-level battery is the
+    * discriminating part here (the stopword gate splits en from
+    * es/de/fr/zh, the word-count gate splits short docs).
+    *
+    * All counts are exact integers, every ratio one double division —
+    * engine-portable with no rounding. Pure per-row expressions: at
+    * 100 TB this runs at scan speed inside WholeStageCodegen and is
+    * the cheapest possible admission gate (f2's shape). The token
+    * array is materialized ONCE in its own projection; every consumer
+    * reads the attribute (§6b CollapseProject rule).
+    */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"),
+        size(col("tok")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("word_chars"),
+        // two separate counts, not one alternation: Java regex is
+        // leftmost-first, RE2 leftmost-longest — identical only when
+        // the patterns can't compete for the same position
+        (regexp_count(col("text"), lit("#"))
+          + regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("n_symbols"),
+        size(filter(col("tok"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+        gopherStop.map(w => when(array_contains(col("tok"), w), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("req_stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("word_chars"), col("n_symbols"),
+        col("n_alpha_words"), col("req_stop_hits"),
+        (col("word_chars").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("n_symbols").cast("double") / col("n_words")).as("symbol_ratio"),
+        (col("n_alpha_words").cast("double") / col("n_words")).as("alpha_word_frac"))
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_word_frac") >= 0.8)
+      .withColumn("r_stopword", col("req_stop_hits") >= 2)
+      .withColumn("passes_gopher",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol")
+          && col("r_alpha") && col("r_stopword"))
+
+  /** F17: bigram language-model scoring — the next step up from F9's
+    * unigram CCNet-style filter: each document scored by the corpus's
+    * own add-one-smoothed bigram model, p(w2|w1) = (c(w1 w2) + 1) /
+    * (c(w1 ·) + V). Low-tail documents read as token soup to their own
+    * corpus — the standard perplexity-filter admission signal.
+    *
+    * Plan shape: bigrams are built row-locally from the token array
+    * (guarded `sequence`, §6b — a doc below 2 tokens yields an empty
+    * array and simply drops out of the explode, never a negative
+    * range), shuffle once on the gram key for counts; the prefix
+    * totals and the model join are gram-keyed aggregates of that same
+    * count table (vocab²-bounded, not corpus-bounded); V rides as a
+    * broadcast scalar. The per-doc mean folds ln-at-8dp values through
+    * DECIMAL(18,8) so the reduction is associative — bit-identical
+    * across partitionings and engines (f9's recipe).
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(
+        when(size(col("tok")) >= 2,
+          transform(sequence(lit(1), size(col("tok")) - 1), i =>
+            concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1))))
+          .otherwise(array())).as("gram"))
+    val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val cpre = c2.groupBy(col("w1")).agg(sum(col("c")).as("cpre"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("term"))
+      .agg(countDistinct(col("term")).as("vocab"))
+    // the w1/gram model joins are vocab-sized — UNHINTED (AQE
+    // broadcasts while they fit, term-keyed shuffle join beyond; the
+    // f6/f9 class); only the 1-row V keeps its hint
+    val lp = c2.join(cpre, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        round(log((col("c") + 1.0) / (col("cpre") + col("vocab"))), 8))
+    grams.join(lp.select(col("gram"), col("logp")), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp").cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .as("mean_logprob"))
+  }
+
+  /** F16: per-source boilerplate detection — the recurring-template
+    * finder (site headers, license blurbs, navigation chrome repeat
+    * VERBATIM across a source's documents; RefinedWeb/C4 both strip
+    * them): for each source, the word-`n`-gram appearing in the most
+    * DISTINCT documents of that source, with a deterministic (df desc,
+    * gram asc) tie-break, plus how much of the source it covers.
+    *
+    * Plan: row-local gram build → per-doc distinct → one (source,gram)
+    * aggregate; `row_number = 1` compiles to WindowGroupLimit so each
+    * partition prunes to its local argmax per source BEFORE the
+    * |sources|-keyed exchange. Output is |sources| rows. At 100 TB the
+    * gram table is the operator's real cost (d12's class — one corpus
+    * pass, counted grams on the wire, never raw text twice).
+    */
+  def boilerplate(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("source"), col("doc_id"), explode(
+        when(size(col("tok")) >= n,
+          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+            i => array_join(slice(col("tok"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val df = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("df").desc, col("gram"))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(nDocs, Seq("source"))
+      .select(col("source"), col("gram").as("boilerplate_gram"), col("df"),
+        col("n_docs"),
+        (col("df").cast("double") / col("n_docs")).as("boilerplate_frac"))
+  }
+
+  /** F18: n-gram novelty scoring — the marginal-contribution signal
+    * data-pruning pipelines rank by ("how much of this document has
+    * the corpus already seen?"): per doc, the fraction of its DISTINCT
+    * word-`n`-grams whose first corpus occurrence (min doc_id) is an
+    * earlier document. Ingest-order doc_ids make this "novel at the
+    * time it arrived"; near-dups score ≈ 0, fresh text ≈ 1.
+    *
+    * Plan: row-local gram build → per-doc distinct (one gram-keyed
+    * shuffle) → min-doc_id per gram (map-side combined) → join back on
+    * the gram key it is ALREADY partitioned by → per-doc count. Counts
+    * are exact integers, the score one double division. At 100 TB the
+    * wire carries counted grams once (d12's corpus-pass class); 64-bit
+    * gram fingerprints are the bandwidth cut when gram strings dominate
+    * (trade: loses the SQL-oracle portability the string form keeps).
+    */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val dg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(
+        when(size(col("tok")) >= n,
+          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+            i => array_join(slice(col("tok"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val first = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    dg.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        (lit(1.0) - col("n_seen").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f16_boilerplate" -> ((s, d) => boilerplate(t(s, d, "documents"))),
+    "f18_novelty" -> ((s, d) => novelty(t(s, d, "documents"))),
+    "f15_gopher_rules" -> ((s, d) => gopherRules(t(s, d, "documents"))),
+    "f17_bigram_logprob" -> ((s, d) => bigramLogprob(t(s, d, "documents"))),
     "f12_bm25_search" -> ((s, d) => bm25(t(s, d, "documents"), bm25QueryTerms)),
     "f11_chunk_split" -> ((s, d) => chunkSplit(t(s, d, "documents"))),
     "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
@@ -425,6 +592,117 @@ object TextAnalysis {
       |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // F15: exact integer counts + single double divisions — the only
+    // cross-engine care points are replace-not-regexp for word_chars
+    // (f2's recipe) and two separate symbol counts (leftmost-first vs
+    // leftmost-longest alternation semantics never compete).
+    "f15_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |       w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(str_split(text, ' '), 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(str_split(text, ' '), 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS req_stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words, word_chars, n_symbols, n_alpha_words, req_stop_hits,
+        |    CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+        |    CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+        |    CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac
+        |  FROM m)
+        |SELECT doc_id, n_words, word_chars, n_symbols, n_alpha_words, req_stop_hits,
+        |  mean_word_len, symbol_ratio, alpha_word_frac,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+        |  (symbol_ratio <= 0.1) AS r_symbol,
+        |  (alpha_word_frac >= 0.8) AS r_alpha,
+        |  (req_stop_hits >= 2) AS r_stopword,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |    AND req_stop_hits >= 2) AS passes_gopher
+        |FROM r""".stripMargin,
+
+    // F16: exact counts + a (df desc, gram asc) argmax — list_distinct
+    // has no cross-engine twin needed because the per-doc distinct is
+    // expressed relationally (SELECT DISTINCT) on both sides.
+    "f16_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, str_split(text, ' ') AS tok FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source, doc_id,
+        |    unnest(list_transform(range(1, len(tok) - 6),
+        |      i -> array_to_string(tok[i:i+7], ' '))) AS gram
+        |  FROM toks WHERE len(tok) >= 8),
+        |df AS (
+        |  SELECT source, gram, count(*) AS df FROM grams GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, gram, df FROM (
+        |    SELECT source, gram, df,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY df DESC, gram) AS rn
+        |    FROM df) WHERE rn = 1),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.source, t.gram AS boilerplate_gram, t.df, nd.n_docs,
+        |       CAST(t.df AS DOUBLE) / nd.n_docs AS boilerplate_frac
+        |FROM top t JOIN nd USING (source)""".stripMargin,
+
+    // F18: exact integer counts, one double division; DISTINCT grams
+    // and min-doc_id first occurrence are order-free aggregates.
+    "f18_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(tok) - 1),
+        |      i -> array_to_string(tok[i:i+2], ' '))) AS gram
+        |  FROM toks WHERE len(tok) >= 3),
+        |fo AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |       CAST(1.0 AS DOUBLE)
+        |         - CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) AS novelty
+        |FROM dg JOIN fo USING (gram) GROUP BY 1""".stripMargin,
+
+    // F17: f9's portability recipe on the bigram model — ln at 8 dp,
+    // decimal-folded per-doc sum; range(1, len) is empty for len < 2 in
+    // DuckDB just as the guarded sequence is in Spark, so sub-2-token
+    // docs drop out identically on both sides.
+    "f17_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+        |  FROM toks),
+        |c2 AS (
+        |  SELECT gram, count(*) AS c, split_part(gram, ' ', 1) AS w1
+        |  FROM grams GROUP BY 1),
+        |cpre AS (
+        |  SELECT w1, CAST(sum(c) AS BIGINT) AS cpre FROM c2 GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT term) AS vocab FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents)),
+        |lp AS (
+        |  SELECT gram, round(ln((c + 1.0) / (cpre + vocab)), 8) AS logp
+        |  FROM c2 JOIN cpre USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(logp AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS mean_logprob
+        |FROM grams JOIN lp USING (gram) GROUP BY 1""".stripMargin,
+
     // F12: same ln-at-8dp idf, same evaluation grouping. The one
     // explicit CAST matters: DuckDB types bare `tf * 2.2` as DECIMAL
     // and computes it EXACTLY (6.6, not double 6.6000000000000005),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.BloomFunctions
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 
 /** Streaming corpus-curation gate — the admission filter a training-data
   * ingest runs on every arriving document micro-batch:
@@ -75,6 +75,21 @@ object CurationStream {
         "left_anti")
       .drop("nrm", "bucket")
   }
+
+  /** H18: streaming Gopher admission gate — the F15 rule battery
+    * applied to every arriving micro-batch. `gopherRules` is a pure
+    * row-local projection, so the IDENTICAL batch code plans as a
+    * streaming map: the gate is stateless (no watermark, no state
+    * store, no shuffle), sustains any stream volume at scan speed, and
+    * the decision columns are bit-exact with the batch F15 pass by
+    * construction — asserted in the parity spec (the H12–H17 pattern:
+    * stream == batch at the doubleToLongBits level), not assumed.
+    * Returns every scored document; downstream sinks filter on
+    * `passes_gopher` (kept as a column so rejects can be routed to a
+    * quarantine sink — the A10 dead-letter discipline).
+    */
+  def gopherGate(docs: DataFrame): DataFrame =
+    TextAnalysis.gopherRules(docs)
 
   /** The gate: admitted documents only, with the token count attached.
     * `docs` must carry (doc_id, ts, text); duplicates share identical

@@ -244,4 +244,55 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .sortBy { case (l, c) => (-c, l) }.head._1
     assert(rows.head.getAs[String]("top_lang") === want)
   }
+
+  test("I19 mixture weights: sqrt flattening, exact normalization, budget floor") {
+    import spark.implicits._
+    // source A: 9 tokens, source B: 1 token → sqrt gives 3:1, so the
+    // flattened mix is 75/25 where the raw share would be 90/10
+    val docs = Seq(
+      (1L, "w w w w w", "A"),
+      (2L, "w w w w", "A"),
+      (3L, "w", "B")).toDF("doc_id", "text", "source")
+    val out = Profile.mixtureWeights(docs, budgetTokens = 1000000L).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"),
+          r.getAs[Long]("alloc_tokens")))).toMap
+    assert(out("A") === ((9L, 0.75, 750000L)))
+    assert(out("B") === ((1L, 0.25, 250000L)))
+    // upsampled vs raw share, but never above the dominant source
+    assert(out("B")._2 > 0.1 && out("B")._2 < out("A")._2)
+    // exact normalization on the real corpus too (the fold makes the
+    // normalizer deterministic, so the weights are replayable)
+    val real = Profile.mixtureWeights(
+      graft.sources.Tables.table(spark, SF, "documents")).collect()
+    val totalW = real.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(totalW - 1.0) < 1e-12)
+    assert(real.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L)
+  }
+
+  test("I20 curriculum order: band = clamped f2 decile, per-(band,shard) ranks contiguous, replayable") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    val out = Profile.curriculumOrder(docs).collect()
+    assert(out.length === docs.count())
+    // band recomputed from the f2 score it rode in with
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      val want = math.min(9L, math.floor(q * 10).toLong)
+      assert(r.getAs[Long]("band") === want)
+      assert(r.getAs[Long]("shard") >= 0L && r.getAs[Long]("shard") < 64L)
+    }
+    // positions are 1..n within every (band, shard) slice — a loader can
+    // stream any slice independently
+    out.groupBy(r => (r.getAs[Long]("band"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ===
+          (1L to rows.length).toSeq)
+      }
+    // replayable: a second plan yields the identical layout
+    val again = Profile.curriculumOrder(docs).collect()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("band"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    assert(keyed(out) === keyed(again))
+  }
 }

@@ -285,4 +285,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0L) === 0L && rows(1L) === 0L)
     assert(rows(2L) === 2L && rows(3L) === 2L)
   }
+
+  test("D17 MinHash quality: exact-dup pair estimates 1.0 at zero error; est on the 1/16 grid") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"), // identical to 1 → same signature
+      (3L, "w1 w2 w3 w4 w5 zz"), // near-dup (shingle Jaccard 3/5)
+      (4L, "q1 q2 q3 q4 q5 q6")) // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashQuality(docs).collect()
+    val m = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(m.contains((1L, 2L)), "identical docs must band together")
+    val r12 = m((1L, 2L))
+    assert(r12.getAs[Double]("est_jaccard") === 1.0)
+    assert(r12.getAs[Double]("jaccard") === 1.0)
+    assert(r12.getAs[Double]("abs_err") === 0.0)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(est * 16 === math.rint(est * 16), "estimate must sit on the k=16 grid")
+      assert(r.getAs[Double]("abs_err") ===
+        math.abs(est - r.getAs[Double]("jaccard")))
+    }
+    // the real corpus: every candidate pair carries a finite error row
+    val corpus = Dedup.minhashQuality(Tables.table(spark, SF, "documents"))
+    val n = corpus.count()
+    val nCand = Dedup.minhashCandidates(Tables.table(spark, SF, "documents")).count()
+    assert(n === nCand, "one error row per candidate pair")
+  }
 }

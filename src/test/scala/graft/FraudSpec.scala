@@ -327,4 +327,29 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       java.lang.Double.doubleToLongBits(expected),
       s"Spark psi ${row.getAs[Double]("psi")} != exact-decimal $expected")
   }
+
+  test("C25 Gini: equal spenders score exactly 0, one-account concentration scores (n-1)/n") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = tmpDir("graft_gini")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000000L
+    // 'flat': four users spending 5.0 each (as 2.5 + 2.5, so per-user
+    // totals are genuinely aggregated); 'conc': three zero-spend users
+    // and one carrying all 10.0 → sorted coefs (-3,-1,1,3), G = 30/40
+    val rows =
+      (1 to 4).flatMap(u => Seq(
+        (u * 10L, u.toLong, t0 + u * 1000000L, 2.5, "flat"),
+        (u * 10L + 1, u.toLong, t0 + u * 2000000L, 2.5, "flat"))) ++
+      (1 to 3).map(u => (100L + u, u.toLong, t0 + u * 3000000L, 0.0, "conc")) :+
+      (200L, 4L, t0 + 9000000L, 10.0, "conc")
+    rows.toDF("event_id", "user_id", "ts", "value", "event_type")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Fraud.queries("c25_gini_concentration")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("total_value"),
+          r.getAs[Double]("gini")))).toMap
+    assert(out("flat") === ((4L, 20.0, 0.0)))
+    assert(out("conc") === ((4L, 10.0, 0.75)))
+  }
 }

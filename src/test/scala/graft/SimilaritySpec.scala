@@ -304,4 +304,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }.toSet
     assert(got === want)
   }
+
+  test("E14 recall harness equals the independently intersected ANN∩exact fractions") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
+    val expect = Map(
+      "lsh" -> Similarity.annTopK(e, 0L, 20).collect().map(_.getLong(0)).count(exact.contains),
+      "ivf" -> Similarity.ivfTopK(e, 0L, 20).collect().map(_.getLong(0)).count(exact.contains))
+    val out = Similarity.annRecall(e, 0L, 20).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    assert(out.keySet === Set("lsh", "ivf"))
+    expect.foreach { case (m, n) =>
+      assert(out(m) === ((20L, n.toLong, n / 20.0)),
+        s"method $m recall must equal the hand-joined intersection")
+    }
+    out.values.foreach { case (_, n, r) =>
+      assert(n >= 0L && n <= 20L && r >= 0.0 && r <= 1.0)
+    }
+  }
 }

@@ -787,4 +787,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     again.awaitTermination()
     assert(keyed(FraudStream.spendTrendFromCells(spark, cells)) === served)
   }
+
+  test("H18 streaming Gopher gate equals the batch F15 decisions bit-exactly") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("graft_gopher_in")
+    val ckpt = tmpDir("graft_gopher_ckpt")
+    import spark.implicits._
+    // the real corpus admits nothing (word-soup fails the required-
+    // stopword gate) — append one crafted passing doc so the admitted
+    // set is exercised, not vacuously empty
+    val passing = "the of " + Seq.fill(48)("word").mkString(" ")
+    val docs = Tables.table(spark, SF, "documents").select($"doc_id", $"text")
+      .unionByName(Seq((100000L, passing)).toDF("doc_id", "text"))
+    docs.repartition(3).write.mode("overwrite").json(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.streaming.CurationStream.gopherGate(stream)
+      .writeStream.format("memory").queryName("gopher_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("mean_word_len")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("symbol_ratio")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("alpha_word_frac")),
+        r.getAs[Long]("req_stop_hits"), r.getAs[Boolean]("passes_gopher")))
+    }.toMap
+    val streamed = keyed(spark.table("gopher_gate"))
+    val batch = keyed(graft.operators.TextAnalysis.gopherRules(docs))
+    assert(streamed.size === batch.size && streamed.size === 501)
+    assert(streamed === batch, "stream and batch F15 decisions must be bit-identical")
+    val admitted = streamed.filter(_._2._6).keySet
+    assert(admitted === Set(100000L), "exactly the crafted doc passes the full battery")
+  }
 }

@@ -168,4 +168,101 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(!kl.isNaN && !kl.isInfinite)
     }
   }
+
+  test("F15 Gopher gates: each rule fires on exactly its designed violation") {
+    val fifty = Seq.fill(48)("word")
+    val corpus = docs(
+      1L -> ("the of " + fifty.mkString(" ")),          // passes everything
+      2L -> "the of word",                              // too short
+      3L -> Seq.fill(50)("word").mkString(" "),         // no required stopwords
+      4L -> ("the of " + Seq.fill(48)("1234").mkString(" ")), // numeric soup
+      5L -> ("the of " + Seq.fill(48)("#").mkString(" ")))    // symbol soup
+    val out = TextAnalysis.gopherRules(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc1 metric spot-check: 50 words, 2+3+48*4 = 197 non-space chars
+    assert(out(1L).getAs[Long]("n_words") === 50L)
+    assert(out(1L).getAs[Double]("mean_word_len") === 197.0 / 50)
+    assert(out(1L).getAs[Double]("alpha_word_frac") === 1.0)
+    assert(out(1L).getAs[Long]("req_stop_hits") === 2L)
+    assert(out(1L).getAs[Boolean]("passes_gopher"))
+    def flags(id: Long) = Seq("r_word_count", "r_mean_len", "r_symbol",
+      "r_alpha", "r_stopword").map(f => f -> out(id).getAs[Boolean](f)).toMap
+    assert(!flags(2L)("r_word_count") && flags(2L)("r_stopword"))
+    assert(!flags(3L)("r_stopword") && flags(3L)("r_word_count"))
+    assert(!flags(4L)("r_alpha") && flags(4L)("r_stopword"))
+    assert(!flags(5L)("r_symbol"))
+    assert(out(5L).getAs[Long]("n_symbols") === 48L)
+    Seq(2L, 3L, 4L, 5L).foreach(id =>
+      assert(!out(id).getAs[Boolean]("passes_gopher"), s"doc $id must fail"))
+  }
+
+  test("F16 boilerplate: cross-doc recurring gram wins; in-doc repeats count once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmpl = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val corpus = Seq(
+      // srcA: the template occurs in docs 1 and 2 (df=2 of 3)
+      (1L, s"$tmpl tail1", "srcA"),
+      (2L, s"lead $tmpl", "srcA"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9", "srcA"),
+      // srcB: no recurring gram → df=1 everywhere, tie broken on gram asc
+      (4L, "b1 b2 b3 b4 b5 b6 b7 b8", "srcB"),
+      (5L, "c1 c2 c3 c4 c5 c6 c7 c8", "srcB"),
+      // srcC: one SHORT doc (no grams) — source still profiled? no: no
+      // gram rows → absent from the report, n_docs join can't rescue it
+      (6L, "too short", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplate(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[String]("boilerplate_gram"), r.getAs[Long]("df"),
+          r.getAs[Long]("n_docs"), r.getAs[Double]("boilerplate_frac")))).toMap
+    assert(out("srcA") === ((tmpl, 2L, 3L, 2.0 / 3)))
+    // df=1 tie → lexicographically smallest gram of srcB
+    assert(out("srcB")._2 === 1L)
+    assert(out("srcB")._1 === "b1 b2 b3 b4 b5 b6 b7 b8")
+    assert(!out.contains("srcC"), "a gram-less source has no boilerplate row")
+    // a doc repeating the template internally must still count df once
+    val rep = Seq((1L, s"$tmpl $tmpl", "srcD"), (2L, "d1 d2 d3 d4 d5 d6 d7 d8", "srcD"))
+      .toDF("doc_id", "text", "source")
+    val dfRep = TextAnalysis.boilerplate(rep)
+      .filter(col("source") === "srcD").head().getAs[Long]("df")
+    assert(dfRep === 1L, "per-doc distinct: in-doc repetition is not cross-doc df")
+  }
+
+  test("F18 novelty: first occurrence owns the gram; dups score 0; short docs drop") {
+    val corpus = docs(
+      1L -> "a b c d",   // both 3-grams first seen here
+      2L -> "a b c x",   // shares "a b c" with doc 1
+      3L -> "a b c d",   // exact dup of doc 1
+      4L -> "q r",       // < 3 tokens
+      5L -> "z z z z z") // one DISTINCT gram, novel
+    val out = TextAnalysis.novelty(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L))
+    assert(out(1L) === ((2L, 0L, 1.0)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 2L, 0.0)))
+    assert(out(5L) === ((1L, 0L, 1.0)), "in-doc repetition collapses to one distinct gram")
+  }
+
+  test("F17 bigram LM: add-one smoothed hand model; sub-2-token docs drop out") {
+    val corpus = docs(1L -> "a b", 2L -> "a b", 3L -> "a c", 4L -> "z")
+    val out = TextAnalysis.bigramLogprob(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_logprob"))).toMap
+    // vocab = {a,b,c,z} = 4; c("a b") = 2, c("a c") = 1, cpre(a) = 3
+    def ln8(x: Double): Double = BigDecimal(math.log(x))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = ln8((2.0 + 1.0) / (3 + 4))
+    val pAC = ln8((1.0 + 1.0) / (3 + 4))
+    assert(out.keySet === Set(1L, 2L, 3L), "the 1-token doc must drop out")
+    assert(out(1L) === ((1L, pAB)))
+    assert(out(2L) === ((1L, pAB)))
+    assert(out(3L) === ((1L, pAC)))
+    // the repeated bigram is likelier than the singleton under the
+    // corpus's own model — the perplexity-filter ordering
+    assert(out(1L)._2 > out(3L)._2)
+  }
 }
