@@ -256,4 +256,51 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // per-user stats are user-cardinality-sized: same rule as g5
     assertNoJoinHints(SparkEntry.queries("c11_zscore")(spark, SF), "c11_zscore")
   }
+
+  test("f15 Gopher gates: row-local — no exchange, no join, one scan") {
+    val p = SparkEntry.queries("f15_gopher_rules")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange "), s"the admission gate must not shuffle\n$p")
+    assert(!p.contains("Join"), "no join in a per-row rule battery")
+  }
+
+  test("f18 novelty: first-occurrence min partial-aggregates before its exchange") {
+    val p = SparkEntry.queries("f18_novelty")(spark, SF)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // partial_min under the gram key: the wire carries one (gram, min)
+    // per partition, never the raw gram stream
+    assert(p.contains("partial_min"), s"min(doc_id) must map-side combine\n$p")
+    // the model join-back must not be a compile-time broadcast force
+    assertNoJoinHints(SparkEntry.queries("f18_novelty")(spark, SF), "f18_novelty")
+  }
+
+  test("i20 curriculum: every window is (band, shard)-partitioned — no global sort") {
+    val p = SparkEntry.queries("i20_curriculum_order")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // a SinglePartition exchange would be the global-sort anti-pattern
+    // (the b24/b43 class); the layout must scale with the shuffle
+    assert(!p.contains("SinglePartition"),
+      s"curriculum layout must not serialize into one partition\n$p")
+    assert(p.contains("Window"), "the per-slice rank is a window function")
+  }
+
+  test("f16 boilerplate: per-source argmax compiles to WindowGroupLimit") {
+    val p = SparkEntry.queries("f16_boilerplate")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 must prune map-side before the source exchange\n$p")
+  }
+
+  test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
+    val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
+      .queryExecution.executedPlan.toString
+    // k-row truth sets joined to k-row ANN lists: any CartesianProduct
+    // here means a scoring-side regression re-introduced an all-pairs
+    val cart = "CartesianProduct".r.findAllIn(p).size
+    // the broadcast 1-row query joins are BroadcastNestedLoopJoin by
+    // construction (cross join with a single-row side) — those are the
+    // only nested-loop shapes allowed
+    assert(cart === 0, s"no cartesian in the recall harness\n$p")
+  }
 }
