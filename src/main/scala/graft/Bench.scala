@@ -63,7 +63,10 @@ object Bench {
     // the MinHash estimator-quality harness (e14's dedup twin), and
     // the per-segment Gini concentration statistic
     "f16_boilerplate", "f18_novelty", "i20_curriculum_order",
-    "d17_minhash_quality", "c25_gini_concentration")
+    "d17_minhash_quality",
+    // the c25 exact/approx pair side-by-side (the b43/c7 pattern) and
+    // the incremental dedup composition
+    "c25_gini_concentration", "c25_gini_approx", "d18_incremental_dedup")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

@@ -632,7 +632,41 @@ object Dedup {
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
   }
 
+  /** D18: incremental near-dup candidates — the production dedup shape
+    * at 100 TB: a NEW load slice (delta) is deduped against the
+    * existing corpus via its band table, and the base corpus is never
+    * re-sketched (here the base bands are recomputed for the harness;
+    * in production they are the bucketed band table the previous load
+    * persisted — A12's layout keyed on (band_id, band_key), so the
+    * collision join is co-located and shuffle-free). Candidates =
+    * (base × delta bucket collisions) ∪ (delta-internal collisions),
+    * which is set-equal to the full-corpus candidate pairs touching
+    * the delta — band keys are per-document, so a pair's collision
+    * can't depend on which side sketched first. That equivalence IS
+    * the oracle: the SQL runs the full-corpus banding and filters to
+    * delta-touching pairs.
+    */
+  def incrementalCandidates(base: DataFrame, delta: DataFrame): DataFrame = {
+    val bb = lshBands(base)
+      .select(col("doc_id").as("base_id"), col("band_id"), col("band_key"))
+    val db = lshBands(delta)
+      .select(col("doc_id").as("delta_id"), col("band_id"), col("band_key"))
+    val cross = bb.join(db, Seq("band_id", "band_key"))
+      .select(least(col("base_id"), col("delta_id")).as("doc_a"),
+        greatest(col("base_id"), col("delta_id")).as("doc_b"))
+    cross.unionByName(minhashCandidates(delta)).distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D18: delta-vs-corpus incremental dedup (delta stand-in: every
+    // 7th doc — no load-slice column ships with the testdata).
+    "d18_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      incrementalCandidates(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
 
     // D17: per-candidate MinHash-estimate vs exact-Jaccard error table.
     "d17_minhash_quality" -> ((s, d) => minhashQuality(t(s, d, "documents"))),
@@ -1000,6 +1034,12 @@ object Dedup {
           |FROM hs""".stripMargin,
 
       "d2_minhash_lsh" -> (bandsCte + "\nSELECT doc_a, doc_b FROM cand"),
+
+      // D18: the full-corpus banding filtered to delta-touching pairs —
+      // the equivalence the incremental composition must honor.
+      "d18_incremental_dedup" -> (bandsCte +
+        "\nSELECT DISTINCT doc_a, doc_b FROM cand" +
+        "\nWHERE doc_a % 7 = 0 OR doc_b % 7 = 0"),
 
       // D17: the bands CTE already carries the full 16-slot signatures
       // (mh) and raw shingle lists (sh) — the estimate is matching

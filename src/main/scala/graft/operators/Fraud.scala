@@ -557,6 +557,53 @@ object Fraud {
             .otherwise(0.0).as("gini"))
     }),
 
+    // C25b: the 100 TB escape hatch shipped (the b43_approx pattern):
+    // Gini from a 128-cell equal-width histogram of per-user totals —
+    // grouped-data Gini with each cell's users treated as equal
+    // spenders: num = Σ_c mass_c·(2·N_prev + n_c − n), all coefficients
+    // integers and every product (24,6)×(12,0) = (37,6) ≤ 38 exact.
+    // NO per-group ordered window over users exists anywhere — the
+    // rank window runs over ≤128 cell rows per type; the per-user pass
+    // is one keyed aggregate + a row-local floor bucket. The floor
+    // bucketing rule is engine-portable (c23's recipe), so unlike a
+    // percentile sketch the approximation carries a FULL oracle.
+    "c25_gini_approx" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val perUser = t(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("x"))
+      val bounds = perUser.groupBy(col("event_type"))
+        .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      val cells = perUser.join(bounds, Seq("event_type"))
+        .withColumn("bucket",
+          when(col("hi") > col("lo"),
+            least(lit(127L), floor((col("x").cast("double") - col("lo"))
+              / (col("hi") - col("lo")) * 128)))
+            .otherwise(lit(0L)))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_c"),
+          sum(col("x")).cast("decimal(24,6)").as("mass_c"))
+      val wOrd = W.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wAll = W.partitionBy(col("event_type"))
+      cells
+        .select(col("event_type"), col("bucket"), col("n_c"), col("mass_c"),
+          coalesce(sum(col("n_c")).over(wOrd), lit(0L)).as("n_prev"),
+          sum(col("n_c")).over(wAll).as("n"),
+          sum(col("mass_c")).over(wAll).as("sx"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_users"),
+          max(col("sx")).cast("double").as("total_value"),
+          sum(col("mass_c")
+            * (col("n_prev") * 2 + col("n_c") - col("n")).cast("decimal(12,0)"))
+            .as("num"))
+        .select(col("event_type"), col("n_users"), col("total_value"),
+          when(col("total_value") =!= 0.0,
+            col("num").cast("double")
+              / (col("n_users").cast("double") * col("total_value")))
+            .otherwise(0.0).as("gini"))
+    }),
+
     // C22: MAD-based robust anomaly score (Iglewicz–Hoaglin modified
     // z-score 0.6745·|x−med|/MAD > 3.5) — the robust twin of c11: mean
     // and σ are THEMSELVES corrupted by the outliers fraud creates
@@ -866,6 +913,48 @@ object Fraud {
           |       CASE WHEN sx <> 0
           |            THEN CAST(num AS DOUBLE)
           |                 / (CAST(n_users AS DOUBLE) * CAST(sx AS DOUBLE))
+          |            ELSE CAST(0.0 AS DOUBLE) END AS gini
+          |FROM g""".stripMargin,
+
+      // C25b: same floor-bucket rule (c23's recipe), same grouped-Gini
+      // integer coefficients; every decimal product (24,6)×(12,0) =
+      // (37,6) exact on both engines.
+      "c25_gini_approx" ->
+        """WITH pu AS (
+          |  SELECT event_type, user_id,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+          |  FROM events GROUP BY 1, 2),
+          |b AS (
+          |  SELECT event_type, min(CAST(x AS DOUBLE)) AS lo,
+          |         max(CAST(x AS DOUBLE)) AS hi
+          |  FROM pu GROUP BY 1),
+          |bk AS (
+          |  SELECT pu.event_type, x,
+          |         CASE WHEN b.hi > b.lo
+          |              THEN least(127, CAST(floor((CAST(x AS DOUBLE) - b.lo)
+          |                     / (b.hi - b.lo) * 128) AS BIGINT))
+          |              ELSE 0 END AS bucket
+          |  FROM pu JOIN b USING (event_type)),
+          |cells AS (
+          |  SELECT event_type, bucket, count(*) AS n_c,
+          |         CAST(SUM(x) AS DECIMAL(24,6)) AS mass_c
+          |  FROM bk GROUP BY 1, 2),
+          |w AS (
+          |  SELECT event_type, bucket, n_c, mass_c,
+          |         coalesce(SUM(n_c) OVER (PARTITION BY event_type ORDER BY bucket
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_prev,
+          |         SUM(n_c) OVER (PARTITION BY event_type) AS n,
+          |         SUM(mass_c) OVER (PARTITION BY event_type) AS sx
+          |  FROM cells),
+          |g AS (
+          |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+          |         CAST(max(sx) AS DOUBLE) AS total_value,
+          |         SUM(mass_c * CAST(n_prev * 2 + n_c - n AS DECIMAL(12,0))) AS num
+          |  FROM w GROUP BY 1)
+          |SELECT event_type, n_users, total_value,
+          |       CASE WHEN total_value <> 0
+          |            THEN CAST(num AS DOUBLE)
+          |                 / (CAST(n_users AS DOUBLE) * total_value)
           |            ELSE CAST(0.0 AS DOUBLE) END AS gini
           |FROM g""".stripMargin,
 

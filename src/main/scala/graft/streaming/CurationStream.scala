@@ -76,6 +76,21 @@ object CurationStream {
       .drop("nrm", "bucket")
   }
 
+  /** H19: stream-vs-corpus exact-dup admission — the incremental D1:
+    * each arriving document's content digest is anti-joined against the
+    * STATIC corpus digest table (in production the persisted D1 output,
+    * bucketed on the digest so the stream side's per-batch join probes
+    * are co-located reads). Stream-static anti joins hold no state
+    * across batches and the static side plans once, so the gate
+    * sustains any stream volume; in-stream duplicates are still caught
+    * by H10's watermarked dropDuplicates upstream — the two compose as
+    * (H10 ∘ H19), exactly how a production ingest layers "new vs
+    * corpus" and "new vs new".
+    */
+  def corpusDedupGate(stream: DataFrame, corpusDigests: DataFrame): DataFrame =
+    stream.withColumn("content_hash", md5(col("text")))
+      .join(corpusDigests.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
   /** H18: streaming Gopher admission gate — the F15 rule battery
     * applied to every arriving micro-batch. `gopherRules` is a pure
     * row-local projection, so the IDENTICAL batch code plans as a

@@ -314,4 +314,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val nCand = Dedup.minhashCandidates(Tables.table(spark, SF, "documents")).count()
     assert(n === nCand, "one error row per candidate pair")
   }
+
+  test("D18 incremental candidates == full-corpus candidates touching the delta") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, SF, "documents")
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val incremental = Dedup.incrementalCandidates(base, delta).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val touching = full.filter { case (a, b) => a % 7 == 0 || b % 7 == 0 }
+    assert(incremental === touching,
+      "band keys are per-doc: incremental must equal the delta-touching slice of a full run")
+    // and never a base-base pair (the corpus is not re-deduped)
+    assert(incremental.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 })
+  }
 }

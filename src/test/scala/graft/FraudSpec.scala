@@ -351,5 +351,25 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
           r.getAs[Double]("gini")))).toMap
     assert(out("flat") === ((4L, 20.0, 0.0)))
     assert(out("conc") === ((4L, 10.0, 0.75)))
+    // the histogram-Lorenz twin is exact on both hand shapes: 'flat'
+    // degenerates to one cell (lo=hi → G=0) and 'conc' puts the two
+    // distinct values in separate cells
+    val approx = Fraud.queries("c25_gini_approx")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("total_value"),
+          r.getAs[Double]("gini")))).toMap
+    assert(approx === out)
+  }
+
+  test("C25b approx Gini tracks exact within one cell's dispersion on the real corpus") {
+    def keyed(name: String) = Fraud.queries(name)(spark, SF).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap
+    val exact = keyed("c25_gini_concentration")
+    val approx = keyed("c25_gini_approx")
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (t, g) =>
+      assert(math.abs(approx(t) - g) <= 0.02,
+        s"type $t: approx ${approx(t)} vs exact $g drifted beyond a cell width")
+    }
   }
 }

@@ -822,4 +822,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val admitted = streamed.filter(_._2._6).keySet
     assert(admitted === Set(100000L), "exactly the crafted doc passes the full battery")
   }
+
+  test("H19 corpus-digest gate: known corpus text blocked, fresh text admitted, stateless") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    val in = tmpDir("graft_cdg_in")
+    val ckpt = tmpDir("graft_cdg_ckpt")
+    val corpus = Seq("old doc one", "old doc two").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    Files.writeString(Paths.get(in, "a.json"),
+      """{"doc_id":1,"text":"old doc one"}""" + "\n" +
+      """{"doc_id":2,"text":"brand new doc"}""" + "\n")
+    Files.writeString(Paths.get(in, "b.json"),
+      """{"doc_id":3,"text":"old doc two"}""" + "\n" +
+      """{"doc_id":4,"text":"another new doc"}""" + "\n")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.streaming.CurationStream.corpusDedupGate(stream, corpus)
+      .writeStream.format("memory").queryName("corpus_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val admitted = spark.table("corpus_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted === Set(2L, 4L),
+      "corpus texts must be blocked across BOTH micro-batches, fresh texts admitted")
+  }
 }
