@@ -35,4 +35,53 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_o_bucketed")
     }
   }
+
+  test("D18 production shape: persisted band table makes the delta collision join one-sided") {
+    import graft.operators.Dedup
+    val docs = Tables.table(spark, SF, "documents")
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    // the previous load persisted its bands bucketed on the COMBINED
+    // band key (band_id embedded — the planner only reuses a bucketed
+    // layout when the bucket column IS the join key, so a compound
+    // (band_id, band_key) join would re-shuffle both sides): the base
+    // side of the collision join then needs NO exchange — only the
+    // (small) delta side shuffles. This is the "never re-sketch,
+    // never re-shuffle the corpus" claim of SURVEY D18, asserted on a
+    // real plan.
+    def keyed(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      Dedup.lshBands(df).select(col("doc_id").as(idAs),
+        concat_ws(":", col("band_id"), col("band_key")).as("bkey"))
+    Tables.writeBucketed(keyed(base, "base_id"), "graft_bands_bucketed", "bkey", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bands_bucketed")
+        .join(keyed(delta, "delta_id"), Seq("bkey"))
+        .select(least(col("base_id"), col("delta_id")).as("doc_a"),
+          greatest(col("base_id"), col("delta_id")).as("doc_b"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the only KEYED shuffle allowed is the delta side's bkey
+      // exchange (lshBands' round-robin CPU-spread is a narrow-stage
+      // repartition, not a join shuffle); the base side must scan
+      // bucketed with no exchange at all
+      val keyedExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(keyedExchanges === 1,
+        s"only the delta side may hash-shuffle (got $keyedExchanges):\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"base side must use the bucketed layout:\n$plan")
+      // and the result equals the inline cross-pair computation
+      val persisted = joined.distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      // incrementalCandidates includes delta-delta pairs; the persisted
+      // join covers base-delta only, so compare against that subset
+      val inline: Set[(Long, Long)] = Dedup.incrementalCandidates(base, delta)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      val crossOnly = inline.filter { case (a, b) => (a % 7 == 0) != (b % 7 == 0) }
+      assert(persisted === crossOnly,
+        "the persisted-table join must reproduce the inline base-delta pairs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bands_bucketed")
+    }
+  }
 }
