@@ -66,7 +66,9 @@ object Bench {
     "d17_minhash_quality",
     // the c25 exact/approx pair side-by-side (the b43/c7 pattern) and
     // the incremental dedup composition
-    "c25_gini_concentration", "c25_gini_approx", "d18_incremental_dedup")
+    "c25_gini_concentration", "c25_gini_approx", "d18_incremental_dedup",
+    // corpus diagnostics + the dedup-aware weighting composition
+    "f20_zipf_slope", "i22_dedup_mixture")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

@@ -333,7 +333,43 @@ object Profile {
         row_number().over(w).cast("long").as("pos"))
   }
 
+  /** I22: dedup-aware mixture weights — I19 run on the corpus D1 would
+    * keep ("dedup before weighting"): duplicate-heavy sources otherwise
+    * buy sampling mass with copies, exactly the bias exact-dedup exists
+    * to remove. Per source: raw token count, unique token count (only
+    * each content hash's keeper counts), and the sqrt-temperature
+    * weight/allocation computed over UNIQUE tokens. The keeper
+    * restriction is a digest groupBy (D1's single shuffle) semi-joined
+    * back — at 100 TB both legs ride the same digest partitioning.
+    */
+  def dedupAwareMixtureWeights(docs: DataFrame,
+                               budgetTokens: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      md5(col("text")).as("content_hash"))
+    val keepers = toks.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val raw = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens_raw"))
+    val unique = toks.join(keepers, Seq("content_hash", "doc_id"), "left_semi")
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("sq", sqrt(col("n_tokens").cast("double")))
+    val tot = unique
+      .agg(sort_array(collect_list(struct(col("source"), col("sq")))).as("a"))
+      .select(expr(
+        "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.sq)").as("total_sq"))
+    unique.join(raw, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens_raw"),
+        col("n_tokens").as("n_tokens_unique"),
+        (col("sq") / col("total_sq")).as("weight"))
+      .withColumn("alloc_tokens", floor(col("weight") * lit(budgetTokens)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // I22: mixture weights over the deduped corpus (D1 ∘ I19).
+    "i22_dedup_mixture" -> ((s, d) =>
+      dedupAwareMixtureWeights(Tables.table(s, d, "documents"))),
 
     // I19: sqrt-temperature mixture weights + budget allocation.
     "i19_mixture_weights" -> ((s, d) =>
@@ -417,6 +453,36 @@ object Profile {
   )
 
   def oracles: Map[String, String] = Map(
+    // I22: d1's digest-keeper restriction + i19's fold recipe; a
+    // source left with zero unique docs drops from both sides (inner
+    // join on the unique leg).
+    "i22_dedup_mixture" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         md5(text) AS content_hash
+        |  FROM documents),
+        |k AS (
+        |  SELECT content_hash, min(doc_id) AS doc_id FROM toks GROUP BY 1),
+        |raw AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens_raw
+        |  FROM toks GROUP BY 1),
+        |u AS (
+        |  SELECT t.source, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+        |  FROM toks t JOIN k ON t.content_hash = k.content_hash
+        |                    AND t.doc_id = k.doc_id
+        |  GROUP BY 1),
+        |sq AS (
+        |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq FROM u),
+        |t2 AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(sq ORDER BY source)), (acc, x) -> acc + x) AS total_sq
+        |  FROM sq)
+        |SELECT s.source, r.n_tokens_raw, s.n_tokens AS n_tokens_unique,
+        |       s.sq / t2.total_sq AS weight,
+        |       CAST(floor(s.sq / t2.total_sq * 1000000) AS BIGINT) AS alloc_tokens
+        |FROM sq s JOIN raw r USING (source), t2""".stripMargin,
+
     // I19: sqrt is correctly-rounded IEEE on both engines; the
     // normalizer is the same explicit left fold in source order; the
     // allocation goes through floor before the BIGINT cast (§6b).

@@ -557,7 +557,47 @@ object TextAnalysis {
         (lit(1.0) - col("n_seen").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** F20: Zipf rank-frequency slope — the corpus-health diagnostic
+    * (natural language sits near slope −1 on log rank vs log freq;
+    * generated/templated text flattens or cliffs): least-squares fit of
+    * ln(freq) on ln(rank) over the top-`topK` terms. The term count is
+    * the f6 shuffle; the top-K compiles to TakeOrderedAndProject
+    * (per-partition heads, never a vocab sort) and the rank window then
+    * runs over the collected K rows only — bounded like e10's pool.
+    * Portability: both lns pinned at 8 dp into DECIMAL(18,8); the four
+    * regression sums are exact decimal ((18,8)² products = (37,16) ≤
+    * 38); the closing slope/intercept algebra runs in DOUBLE as the
+    * IDENTICAL op sequence on identical inputs on both engines (a
+    * decimal n·Σxy would need precision 49 — the c24 overflow class,
+    * avoided by design).
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    top
+      .select(col("freq"), row_number().over(w).cast("long").as("rnk"))
+      .select(
+        round(log(col("rnk").cast("double")), 8).cast("decimal(18,8)").as("x"),
+        round(log(col("freq").cast("double")), 8).cast("decimal(18,8)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sx2"))
+      .select(col("n").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sx2") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sx2") - col("sx") * col("sx")) * col("sx"))
+          / col("n")).as("intercept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f20_zipf_slope" -> ((s, d) => zipfSlope(t(s, d, "documents"))),
     "f16_boilerplate" -> ((s, d) => boilerplate(t(s, d, "documents"))),
     "f18_novelty" -> ((s, d) => novelty(t(s, d, "documents"))),
     "f15_gopher_rules" -> ((s, d) => gopherRules(t(s, d, "documents"))),
@@ -633,6 +673,34 @@ object TextAnalysis {
         |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
         |    AND req_stop_hits >= 2) AS passes_gopher
         |FROM r""".stripMargin,
+
+    // F20: same (freq desc, term) top-K, lns at 8 dp into decimal,
+    // exact decimal regression sums, and the closing algebra spelled
+    // as the identical double op sequence.
+    "f20_zipf_slope" ->
+      """WITH tc AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT term, freq,
+        |         row_number() OVER (ORDER BY freq DESC, term) AS rnk
+        |  FROM tc QUALIFY rnk <= 100),
+        |xy AS (
+        |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |         CAST(round(ln(CAST(freq AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        |  FROM top),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx,
+        |         CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |         CAST(SUM(x * x) AS DOUBLE) AS sx2
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |       (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+        |       (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n AS intercept
+        |FROM s""".stripMargin,
 
     // F16: exact counts + a (df desc, gram asc) argmax — list_distinct
     // has no cross-engine twin needed because the per-doc distinct is

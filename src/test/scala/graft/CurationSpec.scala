@@ -270,6 +270,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(real.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L)
   }
 
+  test("I22 dedup-aware weights: copies buy no mass; clean sources keep the i19 weights") {
+    import spark.implicits._
+    // source A: a doc duplicated once (5 tokens twice) + a clean 4-token
+    // doc → raw 14, unique 9; source B: 1 token. Unique-token sqrt mix
+    // = 3:1 → 75/25, identical to the i19 hand case — the duplicate
+    // changed NOTHING because only the keeper counts.
+    val docs = Seq(
+      (1L, "w w w w w", "A"),
+      (2L, "w w w w w", "A"), // exact dup of 1 → not a keeper
+      (3L, "w w w w", "A"),
+      (4L, "w", "B")).toDF("doc_id", "text", "source")
+    val out = Profile.dedupAwareMixtureWeights(docs, budgetTokens = 1000000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens_raw"), r.getAs[Long]("n_tokens_unique"),
+          r.getAs[Double]("weight"), r.getAs[Long]("alloc_tokens")))).toMap
+    assert(out("A") === ((14L, 9L, 0.75, 750000L)))
+    assert(out("B") === ((1L, 1L, 0.25, 250000L)))
+    // real corpus: unique <= raw everywhere, weights normalize exactly
+    val real = Profile.dedupAwareMixtureWeights(
+      graft.sources.Tables.table(spark, SF, "documents")).collect()
+    real.foreach(r => assert(
+      r.getAs[Long]("n_tokens_unique") <= r.getAs[Long]("n_tokens_raw")))
+    assert(math.abs(real.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-12)
+    // the synthetic corpus has NEAR-dups but no byte-exact dups, so
+    // i22 must degenerate to i19 exactly — the composition is sound
+    // only if the no-dup fixed point holds bit-for-bit
+    val i19 = Profile.mixtureWeights(
+      graft.sources.Tables.table(spark, SF, "documents")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_tokens_unique") === r.getAs[Long]("n_tokens_raw"))
+      assert(r.getAs[Double]("weight") === i19(r.getAs[String]("source")))
+    }
+  }
+
   test("I20 curriculum order: band = clamped f2 decile, per-(band,shard) ranks contiguous, replayable") {
     val docs = graft.sources.Tables.table(spark, SF, "documents")
     val out = Profile.curriculumOrder(docs).collect()

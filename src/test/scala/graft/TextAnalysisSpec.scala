@@ -196,6 +196,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(!out(id).getAs[Boolean]("passes_gopher"), s"doc $id must fail"))
   }
 
+  test("F20 Zipf slope: matches the hand regression; negative on ranked frequencies") {
+    // term frequencies 8/4/2/1 at ranks 1..4
+    val corpus = docs(
+      1L -> (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") :+ "dd")
+        .mkString(" "))
+    val out = TextAnalysis.zipfSlope(corpus, topK = 100).head()
+    assert(out.getAs[Long]("n_terms") === 4L)
+    def ln8(v: Double): Double = BigDecimal(math.log(v))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(ln8)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(ln8)
+    val n = 4.0
+    // the same decimal-exact sums the engine computes: sums of 8dp
+    // values are exact in BigDecimal, then the identical double algebra
+    def dsum(vs: Seq[Double]) = vs.map(BigDecimal(_)).sum.toDouble
+    val (sx, sy) = (dsum(xs), dsum(ys))
+    val sxy = xs.zip(ys).map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum.toDouble
+    val sx2 = xs.map(a => BigDecimal(a) * BigDecimal(a)).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(out.getAs[Double]("slope") === slope)
+    assert(out.getAs[Double]("intercept") === intercept)
+    // freq halves per rank while ln(rank) grows sub-linearly, so the
+    // fitted slope is steeper than -1 (≈ -1.459 on these four points)
+    assert(slope < -1.4 && slope > -1.5)
+    // real corpus: a defined, finite, negative slope
+    val real = TextAnalysis.zipfSlope(
+      graft.sources.Tables.table(spark, SF, "documents")).head()
+    // the synthetic vocab is tiny (~31 terms at sf0.001) — the fit
+    // covers min(topK, |vocab|) terms
+    assert(real.getAs[Long]("n_terms") > 10L && real.getAs[Long]("n_terms") <= 100L)
+    assert(real.getAs[Double]("slope") < 0.0)
+  }
+
   test("F16 boilerplate: cross-doc recurring gram wins; in-doc repeats count once") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
