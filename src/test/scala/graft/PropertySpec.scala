@@ -252,4 +252,28 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     // in the c22 scaladoc; asserted here only for the robust form)
   }
 
+  test("aggregation-order independence: decimal-folded scores are bit-identical across partitionings") {
+    // THE cluster-size-independence claim behind every §6b FP recipe,
+    // asserted directly: the same operator over the same rows split
+    // into different partition counts (different partial-aggregation
+    // orders) must produce doubleToLongBits-identical results. A raw
+    // double SUM() would fail this; the decimal folds cannot.
+    import graft.operators.{Profile, TextAnalysis}
+    import graft.sources.Tables
+    val docs = Tables.table(spark, SF, "documents")
+    def bits(df: org.apache.spark.sql.DataFrame, key: String, v: String) =
+      df.collect().map(r => r.getAs[Any](key) ->
+        java.lang.Double.doubleToLongBits(r.getAs[Double](v))).toMap
+    def invariant(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  key: String, v: String, label: String): Unit = {
+      val a = bits(f(docs.repartition(3)), key, v)
+      val b = bits(f(docs.repartition(17)), key, v)
+      assert(a.nonEmpty && a === b, s"$label drifted across partitionings")
+    }
+    invariant(TextAnalysis.bigramLogprob, "doc_id", "mean_logprob", "f17 bigram LM")
+    invariant(TextAnalysis.zipfSlope(_), "n_terms", "slope", "f20 Zipf slope")
+    invariant(Profile.mixtureWeights(_), "source", "weight", "i19 mixture weights")
+    invariant(TextAnalysis.novelty(_), "doc_id", "novelty", "f18 novelty")
+    invariant(d => TextAnalysis.sourceKlDivergence(d), "source", "kl_div", "f14 KL")
+  }
 }
