@@ -929,7 +929,8 @@ object Bench {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
     val names = Seq("h12_cms_maintain_rows_per_s", "h12_cms_cells_per_batch",
-      "h17_drift_maintain_rows_per_s", "h17_drift_cells_per_batch")
+      "h17_drift_maintain_rows_per_s", "h17_drift_cells_per_batch",
+      "h20_ivf_maintain_rows_per_s")
     try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_maint").toString
       val ev = Tables.table(spark, sfDir, "events")
@@ -953,10 +954,26 @@ object Bench {
         s"$tmp/drift_cells", s"$tmp/drift_ckpt").awaitTermination()
       val tDrift = (System.nanoTime() - t1) / 1e9
       val driftCells = spark.read.parquet(s"$tmp/drift_cells").count().toDouble
+      // H20: vector-index delta maintenance — the embeddings corpus
+      // streamed through cell assignment into the (cell, batch_id)
+      // delta layout; base index built first (centroid model source)
+      val emb = Tables.table(spark, sfDir, "embeddings")
+      val nVecs = emb.count().toDouble
+      graft.operators.Similarity.buildIvfIndex(emb, s"$tmp/ivf")
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(16).write.parquet(s"$tmp/ivf_in")
+      val embSchema = spark.read.parquet(s"$tmp/ivf_in").schema
+      val t2 = System.nanoTime()
+      graft.streaming.IndexStream.maintainIvfIndex(
+        spark.readStream.schema(embSchema).option("maxFilesPerTrigger", 4)
+          .parquet(s"$tmp/ivf_in"),
+        s"$tmp/ivf", s"$tmp/ivf_ckpt").awaitTermination()
+      val tIvf = (System.nanoTime() - t2) / 1e9
       Seq("h12_cms_maintain_rows_per_s" -> nRows / tCms,
           "h12_cms_cells_per_batch" -> cmsCells / nBatches,
           "h17_drift_maintain_rows_per_s" -> nRows / tDrift,
-          "h17_drift_cells_per_batch" -> driftCells / nBatches)
+          "h17_drift_cells_per_batch" -> driftCells / nBatches,
+          "h20_ivf_maintain_rows_per_s" -> nVecs / tIvf)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] maintenance study failed: ${e.getMessage}")

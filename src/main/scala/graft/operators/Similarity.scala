@@ -217,8 +217,8 @@ object Similarity {
   /** Cosine of each centroid against the row's vector, as one array
     * column (literal centroid vectors — no join, no shuffle).
     */
-  private def centScores(cents: Array[(Array[Float], Double)],
-                         embCol: Column, nrmCol: Column): Column = array(
+  private[graft] def centScores(cents: Array[(Array[Float], Double)],
+                                embCol: Column, nrmCol: Column): Column = array(
     cents.toIndexedSeq.map { case (cv, cn) =>
       dot(embCol, typedLit(cv.toSeq)) / (nrmCol * lit(cn))
     }: _*)
@@ -226,9 +226,9 @@ object Similarity {
   /** The query's nProbes closest cells, computed driver-side from the
     * collected centroid model.
     */
-  private def probeCellsFor(cents: Array[(Array[Float], Double)],
-                            qVec: Array[Float], qNrm: Double,
-                            nProbes: Int): Seq[Int] =
+  private[graft] def probeCellsFor(cents: Array[(Array[Float], Double)],
+                                   qVec: Array[Float], qNrm: Double,
+                                   nProbes: Int): Seq[Int] =
     cents.zipWithIndex.map { case ((cv, cn), i) =>
       val d = cv.zip(qVec).map { case (a, b) => a.toDouble * b.toDouble }.sum / (cn * qNrm)
       (i, d)
@@ -278,12 +278,28 @@ object Similarity {
       .map { case ((cv, cn), i) => (i, cv.toSeq, cn) }.toSeq
       .toDF("cent_id", "embedding", "nrm")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(e, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Cell assignment against a pinned centroid model — shared by the
+    * batch index build and the H20 streaming maintenance path, so the
+    * two can never drift (the H12 shared-arithmetic rule).
+    */
+  private[graft] def assignCells(e: DataFrame,
+                                 cents: Array[(Array[Float], Double)]): DataFrame =
     e.withColumn("cs", centScores(cents, col("embedding"), col("nrm")))
       .withColumn("cell",
         (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
       .drop("cs")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
-  }
+
+  /** The collected centroid model of a persisted index (tiny — the IVF
+    * "model" row set).
+    */
+  private[graft] def readCentroids(spark: SparkSession,
+                                   dir: String): Array[(Array[Float], Double)] =
+    spark.read.parquet(s"$dir/centroids").orderBy(col("cent_id")).collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
 
   /** Probe a persisted IVF index with an external query vector: the
     * query routes through the (collected, tiny) centroid table to its
@@ -294,9 +310,7 @@ object Similarity {
   def probeIvfIndexVec(spark: SparkSession, dir: String, qVec: Array[Float],
                        k: Int, nProbes: Int = 2,
                        excludeVecId: Option[Long] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cent_id")).collect()
-      .map(r => (r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val cents = readCentroids(spark, dir)
     val qNrm = math.sqrt(qVec.map(x => x.toDouble * x.toDouble).sum)
     require(qNrm > 0, "query vector has zero norm")
     val probeCells = probeCellsFor(cents, qVec, qNrm, nProbes)

@@ -823,6 +823,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(admitted === Set(100000L), "exactly the crafted doc passes the full battery")
   }
 
+  test("H20 streaming index maintenance: maintained probe equals a full rebuild bit-exactly") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexStream
+    val emb = Tables.table(spark, SF, "embeddings")
+    val baseDir = tmpDir("graft_ivf_base")
+    val fullDir = tmpDir("graft_ivf_full")
+    val in = tmpDir("graft_ivf_in")
+    val ckpt = tmpDir("graft_ivf_ckpt")
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    Similarity.buildIvfIndex(base, baseDir)
+    // the reference: one-shot batch build over the SAME corpus (both
+    // seed centroids from the first 16 ids, all < 400 → same model)
+    Similarity.buildIvfIndex(emb, fullDir)
+    delta.select("vec_id", "embedding").repartition(3)
+      .write.mode("overwrite").parquet(in)
+    val schema = delta.select("vec_id", "embedding").schema
+    IndexStream.maintainIvfIndex(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      baseDir, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$baseDir/delta")
+      .select("batch_id").distinct().count() > 1,
+      "the delta must have landed across multiple micro-batches")
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("score")))).toSeq
+    val served = keyed(IndexStream.probeMaintained(spark, baseDir, qVec, 20))
+    val rebuilt = keyed(Similarity.probeIvfIndexVec(spark, fullDir, qVec, 20))
+    assert(served === rebuilt,
+      "streamed-in vectors must serve identically to a batch rebuild")
+    // exactly-once: draining the SAME input against the SAME checkpoint
+    // adds nothing and serves the same answer
+    val before = spark.read.parquet(s"$baseDir/delta").count()
+    IndexStream.maintainIvfIndex(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+      baseDir, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$baseDir/delta").count() === before)
+    assert(keyed(IndexStream.probeMaintained(spark, baseDir, qVec, 20)) === served)
+  }
+
   test("H19 corpus-digest gate: known corpus text blocked, fresh text admitted, stateless") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import spark.implicits._
