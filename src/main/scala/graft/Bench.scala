@@ -68,7 +68,9 @@ object Bench {
     // the incremental dedup composition
     "c25_gini_concentration", "c25_gini_approx", "d18_incremental_dedup",
     // corpus diagnostics + the dedup-aware weighting composition
-    "f20_zipf_slope", "i22_dedup_mixture")
+    "f20_zipf_slope", "i22_dedup_mixture",
+    // threshold-calibration histogram + the media integrity audit
+    "d19_threshold_calibration", "g7_payload_audit")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

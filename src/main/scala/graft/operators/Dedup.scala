@@ -657,7 +657,33 @@ object Dedup {
     cross.unionByName(minhashCandidates(delta)).distinct()
   }
 
+  /** D19: similarity-threshold calibration — the histogram a curation
+    * team reads before choosing the near-dup cut: every LSH-bucketed
+    * candidate pair's exact cosine, binned over [−1, 1] into `bins`
+    * equal cells, with the descending cumulative count ("how many
+    * pairs would a threshold at this bin's floor admit"). Scores only
+    * exist for bucketed candidates (never all pairs), the bin map is
+    * row-local, and the cumulative window runs over ≤`bins` rows —
+    * the operator costs one d5b pass regardless of corpus size.
+    * bin_lo is the identical double op sequence on both engines.
+    */
+  def thresholdCalibration(embeddings: DataFrame, bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cosineVerify(embeddings, Similarity.annCandidates(embeddings), -1.1)
+      .select(least(lit(bins - 1L),
+        floor((col("cos_sim") + lit(1.0)) / lit(2.0) * bins)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        (lit(-1.0) + col("bin") * (lit(2.0) / bins)).as("bin_lo"),
+        col("n_pairs"),
+        sum(col("n_pairs")).over(Window.orderBy(col("bin").desc)).as("n_at_or_above"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D19: candidate-pair cosine histogram + descending cumulative.
+    "d19_threshold_calibration" -> ((s, d) =>
+      thresholdCalibration(t(s, d, "embeddings"))),
 
     // D18: delta-vs-corpus incremental dedup (delta stand-in: every
     // 7th doc — no load-slice column ships with the testdata).
@@ -837,6 +863,31 @@ object Dedup {
     * shingling, same 60-bit hash, same affine permutations, same banding.
     */
   def oracles: Map[String, String] = {
+    // d5b's LSH-bucketed, exact-scored pairs WITHOUT the threshold
+    // filter — shared by d5b (threshold applied) and d19 (binned).
+    val blockedScoredSql =
+      s"""WITH bk AS (
+         |  SELECT vec_id, ${Similarity.bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, len(embedding) + 1),
+         |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+         |           (x, y) -> x + y)) AS nrm
+         |  FROM embeddings
+         |  WHERE nrm > 0)
+         |SELECT c.vec_a, c.vec_b,
+         |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list_transform(range(1, len(ea.embedding) + 1),
+         |           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+         |         (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos_sim
+         |FROM cand c
+         |JOIN e ea ON c.vec_a = ea.vec_id
+         |JOIN e eb ON c.vec_b = eb.vec_id""".stripMargin
     val bandsCte =
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
@@ -1161,30 +1212,22 @@ object Dedup {
       // bucket pairs (each vector lands in exactly ONE bucket, so the
       // grouped-bucket expansion is precisely this self-join), then the
       // same exact-cosine verification as d5 on candidates only.
-      "d5_embed_neardup_blocked" ->
-        s"""WITH bk AS (
-           |  SELECT vec_id, ${Similarity.bucketSql("embedding")} AS bucket
-           |  FROM embeddings),
-           |cand AS (
-           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-           |e AS (
-           |  SELECT vec_id, embedding,
-           |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |           list_transform(range(1, len(embedding) + 1),
-           |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-           |           (x, y) -> x + y)) AS nrm
-           |  FROM embeddings
-           |  WHERE nrm > 0)
-           |SELECT c.vec_a, c.vec_b,
-           |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |         list_transform(range(1, len(ea.embedding) + 1),
-           |           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
-           |         (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cos_sim
-           |FROM cand c
-           |JOIN e ea ON c.vec_a = ea.vec_id
-           |JOIN e eb ON c.vec_b = eb.vec_id
-           |WHERE cos_sim > 0.4""".stripMargin,
+      "d5_embed_neardup_blocked" -> (blockedScoredSql + "\nWHERE cos_sim > 0.4"),
+
+      // D19: d5b's scored pairs (threshold-free), binned; bin_lo is the
+      // identical double op sequence; the cumulative window mirrors the
+      // ≤bins-row Spark window.
+      "d19_threshold_calibration" ->
+        s"""WITH binned AS (
+           |  SELECT least(19, CAST(floor((cos_sim + CAST(1.0 AS DOUBLE))
+           |           / CAST(2.0 AS DOUBLE) * 20) AS BIGINT)) AS bin
+           |  FROM ($blockedScoredSql)),
+           |g AS (SELECT bin, count(*) AS n_pairs FROM binned GROUP BY 1)
+           |SELECT bin,
+           |       CAST(-1.0 AS DOUBLE) + bin * (CAST(2.0 AS DOUBLE) / 20) AS bin_lo,
+           |       n_pairs,
+           |       CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS n_at_or_above
+           |FROM g""".stripMargin,
 
       // D10: the d5b-blocked edges fed through the same transitive-closure
       // oracle as d9 — clusters over ALL embedding ids, unmatched ids

@@ -269,7 +269,45 @@ object Multimodal {
       .limit(k)
   }
 
+  /** G7: payload-integrity audit — A10's dead-letter discipline applied
+    * to binary media: every payload checked against its DECLARED
+    * metadata (size, content digest, dimension bounds, format
+    * whitelist) with per-rule flags and a `quarantine` verdict, so a
+    * corrupt/truncated blob routes to a dead-letter sink instead of
+    * poisoning the decode stage. All checks are row-local (digest +
+    * integer compares at scan speed); the declared columns ride in on
+    * the doc-id join, co-partitioned with the payload at the source.
+    * On this synthetic corpus declared == actual everywhere (the
+    * payload IS the encoded text), so violations are exercised by the
+    * spec's crafted corruption, while the oracle pins the rule
+    * arithmetic bit-for-bit.
+    */
+  def integrityAudit(docs: DataFrame): DataFrame = {
+    val media = withPayload(docs)
+    val decl = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("declared_bytes"),
+      md5(col("text")).as("declared_digest"))
+    media.join(decl, Seq("doc_id"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        octet_length(col("payload")).cast("long").as("actual_bytes"),
+        col("declared_bytes"),
+        md5(col("payload")).as("actual_digest"), col("declared_digest"))
+      .withColumn("r_nonempty", col("actual_bytes") > 0)
+      .withColumn("r_size", col("actual_bytes") === col("declared_bytes"))
+      .withColumn("r_digest", col("actual_digest") === col("declared_digest"))
+      .withColumn("r_dims",
+        col("width").between(64, 959) && col("height").between(64, 959))
+      .withColumn("r_format", col("format").isin("fake/rgb8", "fake/gray8"))
+      .withColumn("quarantine",
+        !(col("r_nonempty") && col("r_size") && col("r_digest")
+          && col("r_dims") && col("r_format")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G7: payload-vs-declared-metadata audit with quarantine verdict.
+    "g7_payload_audit" -> ((s, d) =>
+      integrityAudit(Tables.table(s, d, "documents"))),
+
     // G5: banded perceptual-hash near-dup over the payload bytes.
     "g5_phash_neardup" -> ((s, d) =>
       phashNearDup(withPayload(Tables.table(s, d, "documents")))),
@@ -331,6 +369,32 @@ object Multimodal {
       |  FROM m)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // G7: the payload is the encoded text, so every declared/actual
+    // pair recomputes from `text` (md5(string) digests the UTF-8 bytes
+    // on both engines); width/height use g1's spelling.
+    "g7_payload_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, 'fake/rgb8' AS format,
+        |         CAST((doc_id*131 + strlen(text)*7) % 896 + 64 AS INT) AS width,
+        |         CAST((doc_id*239 + strlen(text)*11) % 896 + 64 AS INT) AS height,
+        |         CAST(strlen(text) AS BIGINT) AS actual_bytes,
+        |         CAST(strlen(text) AS BIGINT) AS declared_bytes,
+        |         md5(text) AS actual_digest,
+        |         md5(text) AS declared_digest
+        |  FROM documents)
+        |SELECT doc_id, format, width, height, actual_bytes, declared_bytes,
+        |       actual_digest, declared_digest,
+        |       actual_bytes > 0 AS r_nonempty,
+        |       actual_bytes = declared_bytes AS r_size,
+        |       actual_digest = declared_digest AS r_digest,
+        |       (width BETWEEN 64 AND 959 AND height BETWEEN 64 AND 959) AS r_dims,
+        |       format IN ('fake/rgb8', 'fake/gray8') AS r_format,
+        |       NOT (actual_bytes > 0 AND actual_bytes = declared_bytes
+        |            AND actual_digest = declared_digest
+        |            AND width BETWEEN 64 AND 959 AND height BETWEEN 64 AND 959
+        |            AND format IN ('fake/rgb8', 'fake/gray8')) AS quarantine
+        |FROM p""".stripMargin,
+
     // G6: the same fingerprint CTE, one query row, bit_count(xor) rank.
     "g6_phash_knn" -> (phashCteSql +
       """,

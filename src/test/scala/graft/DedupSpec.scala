@@ -315,6 +315,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(n === nCand, "one error row per candidate pair")
   }
 
+  test("D19 calibration: bins cover every scored pair; cumulative is a true survival curve") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, SF, "embeddings")
+    val rows = Dedup.thresholdCalibration(emb).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Double]("bin_lo"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_at_or_above")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val total = Dedup.cosineVerify(emb,
+      graft.operators.Similarity.annCandidates(emb), -1.1).count()
+    assert(rows.map(_._3).sum === total, "every candidate pair lands in exactly one bin")
+    // survival: n_at_or_above is the suffix sum, nonincreasing in bin
+    val suffix = rows.map(_._3).scanRight(0L)(_ + _).init
+    assert(rows.map(_._4).toSeq === suffix.toSeq)
+    rows.foreach { case (bin, lo, _, _) =>
+      assert(bin >= 0L && bin <= 19L)
+      assert(lo === -1.0 + bin * (2.0 / 20))
+    }
+  }
+
   test("D18 incremental candidates == full-corpus candidates touching the delta") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.table(spark, SF, "documents")

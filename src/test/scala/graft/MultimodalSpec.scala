@@ -118,4 +118,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .map(v => v.doc_id -> v.embedding).toMap
     assert(out.forall(v => again(v.doc_id) === v.embedding))
   }
+
+  test("G7 integrity audit: intact payloads pass every rule; an empty payload quarantines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a healthy document body"),
+      (2L, "another fine payload"),
+      (3L, "")) // empty → zero bytes → dead-letter
+      .toDF("doc_id", "text")
+    val out = Multimodal.integrityAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = out(id)
+      Seq("r_nonempty", "r_size", "r_digest", "r_dims", "r_format")
+        .foreach(f => assert(r.getAs[Boolean](f), s"doc $id failed $f"))
+      assert(!r.getAs[Boolean]("quarantine"))
+      assert(r.getAs[String]("actual_digest") === r.getAs[String]("declared_digest"))
+    }
+    assert(!out(3L).getAs[Boolean]("r_nonempty"))
+    assert(out(3L).getAs[Boolean]("quarantine"), "an empty payload must dead-letter")
+    // the real corpus is intact end to end
+    val real = Multimodal.integrityAudit(
+      graft.sources.Tables.table(spark, SF, "documents"))
+    assert(real.filter(col("quarantine")).count() === 0L)
+  }
 }
