@@ -58,6 +58,34 @@ object IndexStream {
       .start()
   }
 
+  /** Fold the accumulated delta into the base layout — the A13
+    * small-file compaction applied to the index: base ∪ delta rewritten
+    * as one `cell=`-partitioned table through a staging directory (the
+    * crash-safe swap: the live `vectors` path is replaced only after
+    * the full rewrite lands), then the delta is cleared. Probes before
+    * and after serve identical results (spec'd bit-exact); run it when
+    * delta file counts start to dominate probe I/O — the same trigger
+    * A13 uses for partitioned sinks.
+    */
+  def compactIndexDelta(spark: SparkSession, dir: String): Unit = {
+    val cols = Seq("vec_id", "embedding", "nrm", "cell").map(col)
+    val base = spark.read.parquet(s"$dir/vectors").select(cols: _*)
+    val delta =
+      try Some(spark.read.parquet(s"$dir/delta").select(cols: _*))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (delta.isEmpty) return
+    val staged = s"$dir/vectors_staging"
+    base.unionByName(delta.get)
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    // swap: the staged tree becomes the live one, then the delta goes
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/delta"), true)
+  }
+
   /** Probe base ∪ delta with an external query vector — the serve path
     * of the maintained index. Identical routing/scoring/ordering to
     * `Similarity.probeIvfIndexVec`; both legs prune to the probe

@@ -863,6 +863,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       baseDir, ckpt).awaitTermination()
     assert(spark.read.parquet(s"$baseDir/delta").count() === before)
     assert(keyed(IndexStream.probeMaintained(spark, baseDir, qVec, 20)) === served)
+    // compaction folds the delta into the base layout; the probe is
+    // unchanged bit-for-bit and the delta directory is gone
+    IndexStream.compactIndexDelta(spark, baseDir)
+    assert(keyed(IndexStream.probeMaintained(spark, baseDir, qVec, 20)) === served)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$baseDir/delta")),
+      "compaction must clear the delta")
+    // and the compacted base alone now serves the full corpus (the
+    // one-shot probe path, no delta leg)
+    assert(keyed(Similarity.probeIvfIndexVec(spark, baseDir, qVec, 20)) === served)
   }
 
   test("H19 corpus-digest gate: known corpus text blocked, fresh text admitted, stateless") {
