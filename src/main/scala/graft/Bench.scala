@@ -69,8 +69,9 @@ object Bench {
     "c25_gini_concentration", "c25_gini_approx", "d18_incremental_dedup",
     // corpus diagnostics + the dedup-aware weighting composition
     "f20_zipf_slope", "i22_dedup_mixture",
-    // threshold-calibration histogram + the media integrity audit
-    "d19_threshold_calibration", "g7_payload_audit")
+    // threshold-calibration histogram + the media integrity audit +
+    // the vocabulary-drift PSI
+    "d19_threshold_calibration", "g7_payload_audit", "f21_vocab_psi")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

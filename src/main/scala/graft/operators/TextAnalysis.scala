@@ -596,7 +596,40 @@ object TextAnalysis {
           / col("n")).as("intercept"))
   }
 
+  /** The term-count cell table of a corpus slice — the unit both F21's
+    * batch comparison and H21's streaming monitor are built from (one
+    * shared derivation, so stream and batch cannot drift).
+    */
+  def termCells(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** F21: vocabulary drift — the PSI stability index on TERM cells
+    * instead of c24's value grid: "has the live corpus's vocabulary
+    * distribution moved away from the reference slice". PSI's
+    * no-smoothing variant handles unseen terms natively (a term absent
+    * from either side is skipped, counts still enter the totals), which
+    * is exactly the failure mode KL(live‖ref) cannot survive. The
+    * score rides the SHARED Fraud.psiFromCells arithmetic — the same
+    * decimal-exact mass products and 8dp lns as c24/H17, so the
+    * streaming twin (H21) is bit-identical by construction. At web
+    * scale the cell table is vocabulary-sized: top-K vocab + an
+    * aggregated tail cell is the bandwidth cut (same trade as f9's).
+    */
+  def vocabPsi(reference: DataFrame, incoming: DataFrame): DataFrame =
+    Fraud.psiFromCells(
+      termCells(reference).withColumnRenamed("cnt", "c0")
+        .join(termCells(incoming).withColumnRenamed("cnt", "c1"),
+          Seq("term"), "full_outer")
+        .select(coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f21_vocab_psi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      vocabPsi(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     "f20_zipf_slope" -> ((s, d) => zipfSlope(t(s, d, "documents"))),
     "f16_boilerplate" -> ((s, d) => boilerplate(t(s, d, "documents"))),
     "f18_novelty" -> ((s, d) => novelty(t(s, d, "documents"))),
@@ -673,6 +706,43 @@ object TextAnalysis {
         |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
         |    AND req_stop_hits >= 2) AS passes_gopher
         |FROM r""".stripMargin,
+
+    // F21: c24's PSI arithmetic verbatim on term cells (the decimal
+    // widths and 8dp lns are the same psiFromCells recipe).
+    "f21_vocab_psi" ->
+      """WITH t0 AS (
+        |  SELECT term, count(*) AS c0 FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id % 2 = 0) GROUP BY 1),
+        |t1 AS (
+        |  SELECT term, count(*) AS c1 FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id % 2 = 1) GROUP BY 1),
+        |cells AS (
+        |  SELECT CAST(coalesce(c0, 0) AS BIGINT) AS c0,
+        |         CAST(coalesce(c1, 0) AS BIGINT) AS c1
+        |  FROM t0 FULL OUTER JOIN t1 USING (term)),
+        |tot AS (
+        |  SELECT c0, c1,
+        |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+        |         CAST(sum(c1) OVER () AS BIGINT) AS n1
+        |  FROM cells),
+        |mass AS (
+        |  SELECT n0, n1, c0, c1,
+        |         CAST(c0 AS DECIMAL(12,0)) * CAST(n1 AS DECIMAL(12,0))
+        |          - CAST(c1 AS DECIMAL(12,0)) * CAST(n0 AS DECIMAL(12,0)) AS m
+        |  FROM tot WHERE c0 > 0 AND c1 > 0),
+        |contrib AS (
+        |  SELECT n0, n1,
+        |         CAST(m * (CAST(round(ln(c0), 8) AS DECIMAL(10,8))
+        |                   - CAST(round(ln(n0), 8) AS DECIMAL(10,8))) AS DECIMAL(37,8))
+        |         + CAST(m * (CAST(round(ln(n1), 8) AS DECIMAL(10,8))
+        |                     - CAST(round(ln(c1), 8) AS DECIMAL(10,8))) AS DECIMAL(37,8)) AS contrib
+        |  FROM mass)
+        |SELECT CAST(sum(contrib) AS DOUBLE)
+        |         / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS psi,
+        |       count(*) AS n_cells_used, n0, n1
+        |FROM contrib GROUP BY n0, n1""".stripMargin,
 
     // F20: same (freq desc, term) top-K, lns at 8 dp into decimal,
     // exact decimal regression sums, and the closing algebra spelled

@@ -62,6 +62,53 @@ object DriftStream {
       .start()
   }
 
+  /** H21: streaming vocabulary-drift monitor — the text twin of the
+    * value-grid monitor above: each micro-batch of documents lands its
+    * term counts under `batch_id=` (same exactly-once-by-layout
+    * contract), and serving scores the merged term cells against a
+    * pinned reference vocabulary through the SHARED Fraud.psiFromCells
+    * arithmetic — so the live "has the corpus's language shifted"
+    * score is bit-identical to the batch F21 statistic over the same
+    * rows (asserted in StreamingSpec H21). Cells are keyed on the TERM
+    * (psiFromCells never looks at the key, only the count pair), and
+    * PSI's no-smoothing variant absorbs unseen terms on either side.
+    * The term derivation is TextAnalysis.termCells on both paths — one
+    * shared expression, no drift.
+    */
+  def maintainTermCells(stream: DataFrame, cellsDir: String,
+                        checkpoint: String): StreamingQuery = {
+    graft.sources.Tables.recoverCrashedSwap(stream.sparkSession, cellsDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.TextAnalysis.termCells(batch)
+          .withColumn("batch_id", lit(id))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve the vocabulary PSI of the maintained term cells against a
+    * reference cell table (`term`, `cnt` — typically termCells of the
+    * training corpus).
+    */
+  def vocabPsiFromCells(spark: SparkSession, cellsDir: String,
+                        reference: DataFrame): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    val incoming = spark.read.parquet(cellsDir)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("c1"))
+    Fraud.psiFromCells(
+      reference.select(col("term"), col("cnt").cast("long").as("c0"))
+        .join(incoming, Seq("term"), "full_outer")
+        .select(coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1")))
+  }
+
   /** Serve the PSI of the maintained incoming cells against a reference
     * cell table (`bucket`, `cnt` — typically the training/last-known-
     * good histogram on the same grid). Missing buckets on either side

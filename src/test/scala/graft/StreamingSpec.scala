@@ -292,6 +292,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(online.values.exists(_._2) && online.values.exists(!_._2))
   }
 
+  test("H21 streaming vocabulary monitor serves PSI bit-identical to the batch f21 statistic") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.table(spark, SF, "documents")
+    val ref = graft.operators.TextAnalysis.termCells(
+      docs.filter(col("doc_id") % 2 === 0))
+    val in = tmpDir("graft_vocab_in")
+    val cells = tmpDir("graft_vocab_cells")
+    val ckpt = tmpDir("graft_vocab_ckpt")
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .repartition(3).write.mode("overwrite").json(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    graft.streaming.DriftStream.maintainTermCells(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      cells, ckpt).awaitTermination()
+    assert(spark.read.parquet(cells).select("batch_id").distinct().count() > 1,
+      "term cells must have landed across multiple micro-batches")
+    val online = graft.streaming.DriftStream
+      .vocabPsiFromCells(spark, cells, ref).collect()(0)
+    val batch = graft.operators.TextAnalysis
+      .queries("f21_vocab_psi")(spark, SF).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(online.getAs[Double]("psi")) ===
+      java.lang.Double.doubleToLongBits(batch.getAs[Double]("psi")),
+      s"streamed vocab PSI ${online.getAs[Double]("psi")} != batch ${batch.getAs[Double]("psi")}")
+    assert(online.getAs[Long]("n_cells_used") === batch.getAs[Long]("n_cells_used"))
+    assert(online.getAs[Long]("n0") === batch.getAs[Long]("n0"))
+    assert(online.getAs[Long]("n1") === batch.getAs[Long]("n1"))
+  }
+
   test("H17 streaming drift monitor serves PSI bit-identical to the batch c24 statistic") {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     // the real corpus split by parity: slice 0 is the pinned reference,
