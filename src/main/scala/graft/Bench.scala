@@ -70,8 +70,9 @@ object Bench {
     // corpus diagnostics + the dedup-aware weighting composition
     "f20_zipf_slope", "i22_dedup_mixture",
     // threshold-calibration histogram + the media integrity audit +
-    // the vocabulary-drift PSI
-    "d19_threshold_calibration", "g7_payload_audit", "f21_vocab_psi")
+    // the vocabulary-drift PSI + the collusion-pair report
+    "d19_threshold_calibration", "g7_payload_audit", "f21_vocab_psi",
+    "c27_collusion_pairs")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB.

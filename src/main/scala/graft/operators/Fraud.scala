@@ -242,6 +242,44 @@ object Fraud {
       .toDF("rule_id", "kind", "threshold", "weight", "priority")
   }
 
+  /** C27: collusion-pair detection — pairs of users repeatedly
+    * co-present on the same (day, device/attribute) cell: the
+    * relay/mule-ring signal ("these two accounts keep showing up on
+    * the same device on the same days"). Candidate pairs come from
+    * GROUPED-BUCKET expansion on the (day, k) cell — d2's shape: one
+    * distinct pass, one cell-keyed shuffle, pairs expanded inside
+    * each cell, NEVER a fact self-join. Hub attributes (cells above
+    * `maxBucket` distinct users) are excluded before expansion — a
+    * device shared by thousands carries no collusion signal and would
+    * otherwise be the quadratic blowup; this is the standard
+    * frequency cap, mirrored in the oracle so the cut is part of the
+    * checked semantics. In-day repeat events collapse in the distinct
+    * (co-presence is counted once per day). Output is pairs with ≥
+    * `minShared` shared cells — output-sized, the collusion report.
+    */
+  def collusionPairs(events: DataFrame, minShared: Int = 3,
+                     maxBucket: Int = 64): DataFrame = {
+    val uk = events
+      .select(to_date(col("ts")).as("day"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        col("user_id"))
+      .distinct()
+    uk.groupBy(col("day"), col("k"))
+      .agg(array_sort(collect_list(col("user_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS user_a, element_at(ids, j) AS user_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.user_a"), col("p.user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C1–C4: enrichment join + rule scoring, full projection.
@@ -522,6 +560,9 @@ object Fraud {
           mean.as("mean_gap_us"),
           ((col("sigma") - mean) / (col("sigma") + mean)).as("burstiness"))
     }),
+
+    // C27: collusion-pair detection — see [[collusionPairs]].
+    "c27_collusion_pairs" -> ((s, d) => collusionPairs(t(s, d, "events"))),
 
     // C25: Gini spend-concentration per event type — the inequality
     // statistic fraud teams watch per segment ("is this category's
@@ -888,6 +929,26 @@ object Fraud {
           |SELECT user_id, n_gaps, sg / n_gaps AS mean_gap_us,
           |       (sigma - sg / n_gaps) / (sigma + sg / n_gaps) AS burstiness
           |FROM sv WHERE sigma > 0""".stripMargin,
+
+      // C27: the same (day, k, user) distinct, the same ≤64 cell cap
+      // (part of the checked semantics), pair expansion as a self-join
+      // — fine for the oracle engine, never the Spark plan.
+      "c27_collusion_pairs" ->
+        """WITH uk AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+          |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          |         user_id
+          |  FROM events),
+          |cell AS (
+          |  SELECT day, k, count(*) AS n FROM uk GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.user_id AS user_a, b.user_id AS user_b
+          |  FROM uk a
+          |  JOIN uk b ON a.day = b.day AND a.k = b.k AND a.user_id < b.user_id
+          |  JOIN cell c ON a.day = c.day AND a.k = c.k
+          |  WHERE c.n <= 64)
+          |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_shared
+          |FROM p GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
       // C25: exact decimal Gini sums — the (12,0)×(18,6) coefficient
       // product stays (31,6), summed exact on both engines; only the

@@ -361,6 +361,41 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(approx === out)
   }
 
+  test("C27 collusion: repeated co-presence pairs, in-day dedup, hub cells excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(day: Int, sec: Int) =
+      new java.sql.Timestamp(day0 + day * 86400000L + sec * 1000L)
+    def ev(id: Long, u: Long, t: java.sql.Timestamp, k: Int) =
+      (id, u, t, s"""{"k": $k}""")
+    val rows = Seq(
+      // users 1,2 share k=5 on days 0,1,2 (day 0 TWICE for user 1 —
+      // in-day repeats must count once) → n_shared = 3
+      ev(1, 1, ts(0, 0), 5), ev(2, 1, ts(0, 60), 5), ev(3, 2, ts(0, 30), 5),
+      ev(4, 1, ts(1, 0), 5), ev(5, 2, ts(1, 0), 5),
+      ev(6, 1, ts(2, 0), 5), ev(7, 2, ts(2, 0), 5),
+      // users 3,4 share k=9 on only 2 days → below minShared
+      ev(8, 3, ts(0, 0), 9), ev(9, 4, ts(0, 0), 9),
+      ev(10, 3, ts(1, 0), 9), ev(11, 4, ts(1, 0), 9),
+      // a hub: users 10..14 all on k=77 day 0 — excluded at maxBucket=4
+      ev(20, 10, ts(0, 0), 77), ev(21, 11, ts(0, 0), 77), ev(22, 12, ts(0, 0), 77),
+      ev(23, 13, ts(0, 0), 77), ev(24, 14, ts(0, 0), 77))
+    val events = rows.toDF("event_id", "user_id", "ts", "props")
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", lit(1.0))
+    val out = Fraud.collusionPairs(events, minShared = 3, maxBucket = 4)
+      .collect().map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(out === Map((1L, 2L) -> 3L),
+      s"only the 3-day pair survives (got $out)")
+    // raising the cap back in admits the hub's 10 pairs at n_shared=1,
+    // still below minShared → same report; dropping minShared shows them
+    val loose = Fraud.collusionPairs(events, minShared = 1, maxBucket = 64)
+      .collect()
+    assert(loose.length === 1 + 1 + 10, "pair(1,2) + pair(3,4) + C(5,2) hub pairs")
+  }
+
   test("C25b approx Gini tracks exact within one cell's dispersion on the real corpus") {
     def keyed(name: String) = Fraud.queries(name)(spark, SF).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap
