@@ -292,6 +292,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"rn=1 must prune map-side before the source exchange\n$p")
   }
 
+  test("c27 collusion: grouped-bucket expansion — NO join of any kind in the plan") {
+    // the naive formulation is a fact self-join on (day, k); the
+    // operator's whole scale story is that pairs expand INSIDE cells
+    // after one keyed aggregate — so any Join operator appearing here
+    // is a regression to the quadratic plan
+    val p = SparkEntry.queries("c27_collusion_pairs")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"collusion pairs must not plan a join\n$p")
+    assert(p.contains("Generate"), "the in-cell pair expansion is an explode")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString
