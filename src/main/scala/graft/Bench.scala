@@ -743,7 +743,11 @@ object Bench {
     // round-6 continuation: the bigram LM scorer — the widest new
     // shuffle key (2-gram vocab grows super-linearly in corpus size
     // until saturation, f6's class) — measured, not asserted
-    "f17_bigram_logprob" -> "documents")
+    "f17_bigram_logprob" -> "documents",
+    // the collusion report: per-cell pair expansion is quadratic in
+    // CELL size (capped), but cell count and co-presence density are
+    // corpus-dependent like g5's band collisions — measured
+    "c27_collusion_pairs" -> "events")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time
