@@ -58,53 +58,88 @@ object IndexStream {
       .start()
   }
 
+  /** Base ∪ delta with per-vec_id precedence: the LATEST delta batch's
+    * row wins over earlier batches, which win over base — so a vector
+    * re-ingested (or updated) through the stream occupies exactly one
+    * slot with its freshest embedding instead of two slots with stale
+    * and fresh scores (round-6 advice). Precedence is the delta's own
+    * batch_id (base rows rank −1); within one batch a duplicate vec_id
+    * carries identical assignCells output, so the pick is value-stable.
+    */
+  private def dedupPreferDelta(base: DataFrame,
+                               delta: Option[DataFrame]): DataFrame = {
+    val cols = Seq("vec_id", "embedding", "nrm", "cell").map(col)
+    val unioned = delta match {
+      case None => base.select(cols: _*)
+      case Some(d) =>
+        base.select(cols :+ lit(-1L).as("pri"): _*)
+          .unionByName(d.select(cols :+ col("batch_id").cast("long").as("pri"): _*))
+    }
+    if (delta.isEmpty) unioned
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("pri").desc)
+      unioned.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(cols: _*)
+    }
+  }
+
   /** Fold the accumulated delta into the base layout — the A13
-    * small-file compaction applied to the index: base ∪ delta rewritten
-    * as one `cell=`-partitioned table through a staging directory (the
-    * crash-safe swap: the live `vectors` path is replaced only after
-    * the full rewrite lands), then the delta is cleared. Probes before
-    * and after serve identical results (spec'd bit-exact); run it when
-    * delta file counts start to dominate probe I/O — the same trigger
-    * A13 uses for partitioned sinks.
+    * small-file compaction applied to the index: base ∪ delta (latest
+    * row per vec_id — see [[dedupPreferDelta]]) rewritten as one
+    * `cell=`-partitioned table through the SHARED staging-swap
+    * discipline (`Tables.stagingSwap`): the new layout is complete in a
+    * sibling staging dir before the live tree is touched, the swap is a
+    * metadata-only rename with its result CHECKED, and a crash in the
+    * delete-to-rename window is healed by `Tables.recoverCrashedSwap`
+    * on the next compact/probe (round-6 advice — the hand-rolled
+    * delete-then-rename here was the one swap sink outside that
+    * discipline). Probes before and after serve identical results
+    * (spec'd bit-exact); run it when delta file counts start to
+    * dominate probe I/O — the same trigger A13 uses.
     */
   def compactIndexDelta(spark: SparkSession, dir: String): Unit = {
-    val cols = Seq("vec_id", "embedding", "nrm", "cell").map(col)
-    val base = spark.read.parquet(s"$dir/vectors").select(cols: _*)
+    graft.sources.Tables.recoverCrashedSwap(spark, s"$dir/vectors")
+    val base = spark.read.parquet(s"$dir/vectors")
     val delta =
-      try Some(spark.read.parquet(s"$dir/delta").select(cols: _*))
+      try Some(spark.read.parquet(s"$dir/delta"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     if (delta.isEmpty) return
-    val staged = s"$dir/vectors_staging"
-    base.unionByName(delta.get)
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
-    // swap: the staged tree becomes the live one, then the delta goes
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    graft.sources.Tables.stagingSwap(spark, s"$dir/vectors") { staging =>
+      dedupPreferDelta(base, delta)
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/delta"), true)
   }
 
   /** Probe base ∪ delta with an external query vector — the serve path
     * of the maintained index. Identical routing/scoring/ordering to
     * `Similarity.probeIvfIndexVec`; both legs prune to the probe
-    * cells (partition filters on `cell=`).
+    * cells (partition filters on `cell=`), and within the probed cells
+    * each vec_id contributes its FRESHEST row ([[dedupPreferDelta]] —
+    * the per-vec_id window runs on the pruned nProbes-cell slice, not
+    * the corpus). Caveat, documented: an update that MOVES a vector to
+    * a different cell is reconciled globally at compaction; between
+    * compactions the stale copy is shadowed only when its cell is
+    * probed alongside the fresh one — the standard bounded-staleness
+    * trade of a delta-maintained index.
     */
   def probeMaintained(spark: SparkSession, dir: String, qVec: Array[Float],
                       k: Int, nProbes: Int = 2): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, s"$dir/vectors")
     val cents = Similarity.readCentroids(spark, dir)
     val qNrm = math.sqrt(qVec.map(x => x.toDouble * x.toDouble).sum)
     require(qNrm > 0, "query vector has zero norm")
     val probeCells = Similarity.probeCellsFor(cents, qVec, qNrm, nProbes)
     val base = spark.read.parquet(s"$dir/vectors")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val delta =
-      try Some(spark.read.parquet(s"$dir/delta")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell")))
+      try Some(spark.read.parquet(s"$dir/delta"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    delta.fold(base)(base.unionByName(_))
-      .filter(col("cell").isin(probeCells: _*))
+    dedupPreferDelta(
+      base.filter(col("cell").isin(probeCells: _*)),
+      delta.map(_.filter(col("cell").isin(probeCells: _*))))
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         (Similarity.dot(col("embedding"), typedLit(qVec.toSeq))
           / (col("nrm") * lit(qNrm))).as("score"))

@@ -303,6 +303,43 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Generate"), "the in-cell pair expansion is an explode")
   }
 
+  test("f21/c24 PSI: totals are a partial-aggregated 1-row broadcast — no window anywhere") {
+    // the round-6 verdict's one scale-killer: psiFromCells' totals used
+    // to be sum().over(Window.partitionBy(lit(1))), which concentrates
+    // the WHOLE cell table on one task — fatal when f21/H21 feed it a
+    // vocabulary-sized cell table. The fix computes n0/n1 as a scalar
+    // aggregate (map-side partial: one row per partition reaches the
+    // single reducer) broadcast-crossJoined back. Guard: NO Window
+    // operator may appear on either path; the totals branch must share
+    // the cells subplan's shuffle (ReusedExchange — asserted on the
+    // final adaptive plan after execution, where AQE stage reuse lands).
+    for (q <- Seq("f21_vocab_psi", "c24_psi_drift")) {
+      val df = SparkEntry.queries(q)(spark, SF)
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        s"$q must not plan a window — the totals window is the scale-killer")
+      df.collect() // drives THIS dataset's own QueryExecution to the final plan
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true"), s"$q did not finalize adaptively")
+      assert(fin.contains("ReusedExchange"),
+        s"$q totals branch must reuse the cells exchange, not recompute it\n$fin")
+    }
+  }
+
+  test("c25 approx twin: no per-user ordered window — ranks run over cell rows only") {
+    // the exact c25 sorts every user inside each event_type (the b43
+    // |groups|-window concentration class); the histogram-Lorenz twin
+    // exists as the 100 TB escape hatch, so its plan must never regress
+    // to a user-level window: every windowspec here partitions on
+    // event_type over <=128 cell rows and must not reference user_id
+    val p = SparkEntry.queries("c25_gini_approx")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("user_id"))
+    assert(!badWindow, s"approx Gini must not window over users\n$p")
+    assert(p.contains("windowspecdefinition"),
+      "the cell-level cumulative windows should still be present")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString
