@@ -624,11 +624,72 @@ object TextAnalysis {
         .select(coalesce(col("c0"), lit(0L)).as("c0"),
           coalesce(col("c1"), lit(0L)).as("c1")))
 
+  /** F21b: the at-scale vocabulary-PSI cut — top-`topK` reference terms
+    * kept as individual cells, everything else folded into ONE tail
+    * cell (mass preserved, so the totals n0/n1 equal the exact form's
+    * bit-for-bit). This is the benched 100 TB shape: the PSI algebra
+    * runs over ≤ topK+1 cells however large the vocabulary, while the
+    * exact f21 keeps a cell per term.
+    *
+    * The cut is DETERMINISTIC and engine-portable, so unlike a sketch
+    * it carries a full oracle: membership is decided by comparing each
+    * cell against the K-th boundary under the total order
+    * (c0 DESC, term ASC) — `c0 > kc OR (c0 = kc AND term <= kt)` — the
+    * f20 recipe (binary string collation agrees across engines). The
+    * boundary itself comes from two chained TakeOrderedAndProject
+    * limits (top-K, then its minimum) — never a vocabulary-wide rank
+    * window; the tail fold is one scalar aggregate. A vocabulary
+    * smaller than K degenerates to the exact statistic (every cell is
+    * top, the tail is the empty (0,0) cell, which the both-present
+    * filter drops and whose mass contribution is zero).
+    */
+  def vocabPsiTopK(reference: DataFrame, incoming: DataFrame,
+                   topK: Int = 256): DataFrame =
+    psiTopKFromCells(
+      termCells(reference).withColumnRenamed("cnt", "c0")
+        .join(termCells(incoming).withColumnRenamed("cnt", "c1"),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1")),
+      topK)
+
+  /** The top-K + tail cut on an explicit (term, c0, c1) cell table —
+    * shared by the batch f21b entry above and the H21 streaming serve
+    * path (`DriftStream.vocabPsiTopKFromCells`), so the streamed
+    * at-scale score is bit-identical to the batch one by construction
+    * (the psiFromCells sharing rule applied to the cut itself).
+    */
+  def psiTopKFromCells(cells: DataFrame, topK: Int = 256): DataFrame = {
+    val boundary = cells.select(col("c0"), col("term"))
+      .orderBy(col("c0").desc, col("term").asc).limit(topK)
+      .orderBy(col("c0").asc, col("term").desc).limit(1)
+      .select(col("c0").as("kc"), col("term").as("kt"))
+    val tagged = cells.crossJoin(broadcast(boundary))
+      .withColumn("is_top", col("c0") > col("kc") ||
+        (col("c0") === col("kc") && col("term") <= col("kt")))
+    val top = tagged.filter(col("is_top")).select(col("c0"), col("c1"))
+    val tail = tagged.filter(!col("is_top"))
+      .agg(coalesce(sum(col("c0")), lit(0L)).cast("long").as("c0"),
+        coalesce(sum(col("c1")), lit(0L)).cast("long").as("c1"))
+    Fraud.psiFromCells(top.unionByName(tail))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f21_vocab_psi" -> ((s, d) => {
       val docs = t(s, d, "documents")
       vocabPsi(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
+    }),
+    // topK pinned to 16 here (operator default 256): the synthetic
+    // documents corpus has a 31-word vocabulary, so only a sub-vocab K
+    // makes the tail cell real — with K >= |vocab| the cut provably
+    // degenerates to the exact statistic and the oracle would check
+    // nothing beyond f21's
+    "f21_vocab_psi_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      vocabPsiTopK(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), topK = 16)
     }),
     "f20_zipf_slope" -> ((s, d) => zipfSlope(t(s, d, "documents"))),
     "f16_boilerplate" -> ((s, d) => boilerplate(t(s, d, "documents"))),
@@ -727,6 +788,60 @@ object TextAnalysis {
         |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
         |         CAST(sum(c1) OVER () AS BIGINT) AS n1
         |  FROM cells),
+        |mass AS (
+        |  SELECT n0, n1, c0, c1,
+        |         CAST(c0 AS DECIMAL(12,0)) * CAST(n1 AS DECIMAL(12,0))
+        |          - CAST(c1 AS DECIMAL(12,0)) * CAST(n0 AS DECIMAL(12,0)) AS m
+        |  FROM tot WHERE c0 > 0 AND c1 > 0),
+        |contrib AS (
+        |  SELECT n0, n1,
+        |         CAST(m * (CAST(round(ln(c0), 8) AS DECIMAL(10,8))
+        |                   - CAST(round(ln(n0), 8) AS DECIMAL(10,8))) AS DECIMAL(37,8))
+        |         + CAST(m * (CAST(round(ln(n1), 8) AS DECIMAL(10,8))
+        |                     - CAST(round(ln(c1), 8) AS DECIMAL(10,8))) AS DECIMAL(37,8)) AS contrib
+        |  FROM mass)
+        |SELECT CAST(sum(contrib) AS DOUBLE)
+        |         / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS psi,
+        |       count(*) AS n_cells_used, n0, n1
+        |FROM contrib GROUP BY n0, n1""".stripMargin,
+
+    // F21b: the same PSI arithmetic over the deterministic top-K + tail
+    // cut — boundary membership by (c0 DESC, term ASC) comparison (the
+    // f20 collation recipe), tail folded by integer sums (HUGEINT cast
+    // back to BIGINT, the SURVEY 6b lesson).
+    "f21_vocab_psi_topk" ->
+      """WITH t0 AS (
+        |  SELECT term, count(*) AS c0 FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id % 2 = 0) GROUP BY 1),
+        |t1 AS (
+        |  SELECT term, count(*) AS c1 FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id % 2 = 1) GROUP BY 1),
+        |cells AS (
+        |  SELECT term,
+        |         CAST(coalesce(c0, 0) AS BIGINT) AS c0,
+        |         CAST(coalesce(c1, 0) AS BIGINT) AS c1
+        |  FROM t0 FULL OUTER JOIN t1 USING (term)),
+        |kth AS (
+        |  SELECT c0 AS kc, term AS kt FROM (
+        |    SELECT c0, term FROM cells ORDER BY c0 DESC, term ASC LIMIT 16)
+        |  ORDER BY c0 ASC, term DESC LIMIT 1),
+        |tagged AS (
+        |  SELECT c.c0, c.c1,
+        |         (c.c0 > kc OR (c.c0 = kc AND c.term <= kt)) AS is_top
+        |  FROM cells c CROSS JOIN kth),
+        |cut AS (
+        |  SELECT c0, c1 FROM tagged WHERE is_top
+        |  UNION ALL
+        |  SELECT CAST(coalesce(sum(c0), 0) AS BIGINT),
+        |         CAST(coalesce(sum(c1), 0) AS BIGINT)
+        |  FROM tagged WHERE NOT is_top),
+        |tot AS (
+        |  SELECT c0, c1,
+        |         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+        |         CAST(sum(c1) OVER () AS BIGINT) AS n1
+        |  FROM cut),
         |mass AS (
         |  SELECT n0, n1, c0, c1,
         |         CAST(c0 AS DECIMAL(12,0)) * CAST(n1 AS DECIMAL(12,0))

@@ -109,6 +109,29 @@ object DriftStream {
           coalesce(col("c1"), lit(0L)).as("c1")))
   }
 
+  /** Serve the AT-SCALE vocabulary PSI: the same merged term cells as
+    * [[vocabPsiFromCells]], scored through the top-K + tail cut
+    * (`TextAnalysis.psiTopKFromCells` — the shared cut, so the served
+    * score is bit-identical to the batch `f21_vocab_psi_topk` over the
+    * same rows, spec'd in StreamingSpec H21). This is the serving shape
+    * for a web-scale vocabulary: the PSI algebra touches ≤ topK+1
+    * cells however many terms the monitor has accumulated.
+    */
+  def vocabPsiTopKFromCells(spark: SparkSession, cellsDir: String,
+                            reference: DataFrame,
+                            topK: Int = 256): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    val incoming = spark.read.parquet(cellsDir)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("c1"))
+    graft.operators.TextAnalysis.psiTopKFromCells(
+      reference.select(col("term"), col("cnt").cast("long").as("c0"))
+        .join(incoming, Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1")),
+      topK)
+  }
+
   /** Serve the PSI of the maintained incoming cells against a reference
     * cell table (`bucket`, `cnt` — typically the training/last-known-
     * good histogram on the same grid). Missing buckets on either side

@@ -313,7 +313,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // operator may appear on either path; the totals branch must share
     // the cells subplan's shuffle (ReusedExchange — asserted on the
     // final adaptive plan after execution, where AQE stage reuse lands).
-    for (q <- Seq("f21_vocab_psi", "c24_psi_drift")) {
+    for (q <- Seq("f21_vocab_psi", "f21_vocab_psi_topk", "c24_psi_drift")) {
       val df = SparkEntry.queries(q)(spark, SF)
       assert(!df.queryExecution.executedPlan.toString.contains("Window"),
         s"$q must not plan a window — the totals window is the scale-killer")

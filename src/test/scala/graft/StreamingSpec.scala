@@ -319,6 +319,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(online.getAs[Long]("n_cells_used") === batch.getAs[Long]("n_cells_used"))
     assert(online.getAs[Long]("n0") === batch.getAs[Long]("n0"))
     assert(online.getAs[Long]("n1") === batch.getAs[Long]("n1"))
+    // the at-scale serve (top-K + tail cut) is bit-identical to the
+    // batch f21b statistic over the same rows — same shared cut code
+    val onlineTopK = graft.streaming.DriftStream
+      .vocabPsiTopKFromCells(spark, cells, ref, topK = 16).collect()(0)
+    val batchTopK = graft.operators.TextAnalysis
+      .queries("f21_vocab_psi_topk")(spark, SF).collect()(0)
+    assert(java.lang.Double.doubleToLongBits(onlineTopK.getAs[Double]("psi")) ===
+      java.lang.Double.doubleToLongBits(batchTopK.getAs[Double]("psi")),
+      s"streamed top-K PSI ${onlineTopK.getAs[Double]("psi")} != batch ${batchTopK.getAs[Double]("psi")}")
+    assert(onlineTopK.getAs[Long]("n_cells_used") === batchTopK.getAs[Long]("n_cells_used"))
+    assert(onlineTopK.getAs[Long]("n0") === batchTopK.getAs[Long]("n0"))
+    assert(onlineTopK.getAs[Long]("n1") === batchTopK.getAs[Long]("n1"))
+    // and the cut actually engaged: the 31-word vocabulary exceeds
+    // K=16, so the top-K serve touches strictly fewer cells (16 top +
+    // the real tail cell) than the exact one
+    assert(onlineTopK.getAs[Long]("n_cells_used") <= 17L &&
+      onlineTopK.getAs[Long]("n_cells_used") < online.getAs[Long]("n_cells_used"))
   }
 
   test("H17 streaming drift monitor serves PSI bit-identical to the batch c24 statistic") {
@@ -901,6 +918,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // and the compacted base alone now serves the full corpus (the
     // one-shot probe path, no delta leg)
     assert(keyed(Similarity.probeIvfIndexVec(spark, baseDir, qVec, 20)) === served)
+  }
+
+  test("H20 delta precedence: a re-ingested vec_id serves ONCE with its freshest embedding") {
+    import graft.operators.Similarity
+    import graft.streaming.IndexStream
+    import spark.implicits._
+    val emb = Tables.table(spark, SF, "embeddings")
+    val dir = tmpDir("graft_ivf_upd")
+    val in = tmpDir("graft_ivf_upd_in")
+    val ckpt = tmpDir("graft_ivf_upd_ckpt")
+    Similarity.buildIvfIndex(emb, dir)
+    def embOf(id: Long): Seq[Float] =
+      emb.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
+    val (eA, eB) = (embOf(6L), embOf(7L))
+    val schema = emb.select("vec_id", "embedding").schema
+    def drain(): Unit = IndexStream.maintainIvfIndex(
+      spark.readStream.schema(schema).parquet(in), dir, ckpt).awaitTermination()
+    // batch 0 re-ingests vec 5 as eA; batch 1 (a later AvailableNow
+    // drain over the same checkpoint) updates it again to eB — the
+    // advice scenario: without precedence the stale and fresh rows
+    // would each occupy a top-k slot
+    Seq((5L, eA)).toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    drain()
+    Seq((5L, eB)).toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(s"$dir/delta").filter(col("vec_id") === 5L).count() === 2,
+      "both updates must be in the delta layout")
+    // query along the freshest embedding: its cell is certainly probed
+    val res = IndexStream.probeMaintained(spark, dir, eB.toArray, 10).collect()
+    val ids = res.map(_.getAs[Long]("vec_id"))
+    assert(ids.length === ids.distinct.length,
+      s"a vec_id occupies two top-k slots: ${ids.mkString(",")}")
+    // (score desc, vec_id asc) ties 5-as-eB with the real 7 — 5 first
+    assert(ids.take(2).toSeq === Seq(5L, 7L),
+      s"the updated vector must serve its fresh embedding, got ${ids.toSeq}")
+    // compaction reconciles globally: exactly one vec-5 row, the latest
+    IndexStream.compactIndexDelta(spark, dir)
+    val after = spark.read.parquet(s"$dir/vectors").filter(col("vec_id") === 5L).collect()
+    assert(after.length === 1, "compaction must keep one row per vec_id")
+    assert(after.head.getAs[scala.collection.Seq[Float]]("embedding").toSeq === eB,
+      "compaction must keep the LATEST batch's embedding")
+    val resAfter = IndexStream.probeMaintained(spark, dir, eB.toArray, 10).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(resAfter.take(2).toSeq === Seq(5L, 7L))
   }
 
   test("H19 corpus-digest gate: known corpus text blocked, fresh text admitted, stateless") {
