@@ -61,7 +61,11 @@ object Bench {
     "d10_embed_clusters_blocked", "d12_dup_span_agg",
     "d13_winnow_fingerprints", "e5_knn_join",
     "f3_token_count", "f4_fingerprint", "f11_chunk_split",
-    "g4_embed_batched", "g6_phash_knn", "i16_stratified_k")
+    "g4_embed_batched", "g6_phash_knn", "i16_stratified_k",
+    // round-7 additions: the dormancy-reactivation report (c22's
+    // one-exchange window class) and the epoch/repetition plan (i19's
+    // fold + closing algebra)
+    "c26_reactivation", "i21_epoch_plan")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -299,7 +299,47 @@ object Fraud {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** C26: dormancy-reactivation detection — accounts that go quiet and
+    * come back SPENDING: an event after >= `dormantDays` of per-user
+    * silence whose value is >= `burstFactor` x the account's own prior
+    * mean (classic account-takeover shape: the fraudster inherits a
+    * stale account and immediately monetizes it; the account's own
+    * history is the baseline, so whales and minnows self-calibrate).
+    *
+    * One exchange on user_id carries the whole chain (the c22
+    * discipline): the gap is a lag() of the event DATE (integer day
+    * arithmetic — exact on both engines), and the prior mean is a
+    * RUNNING DECIMAL(18,6) sum over preceding rows divided once into
+    * double — decimal addition is associative, so DuckDB's segment-tree
+    * window accumulation and Spark's running frame agree bit-for-bit
+    * (the 6b analytic-fold rule applied to a window). First events
+    * (no history) never flag. Output is flagged rows only —
+    * output-sized, like c27's report.
+    */
+  def reactivationBursts(events: DataFrame, dormantDays: Int = 2,
+                         burstFactor: Double = 1.5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wo = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prior = wo.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .repartition(col("user_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        datediff(to_date(col("ts")), lag(to_date(col("ts")), 1).over(wo))
+          .cast("long").as("gap_days"),
+        (sum(col("value").cast("decimal(18,6)")).over(prior).cast("double")
+          / count(lit(1)).over(prior).cast("double")).as("prior_mean"))
+      .filter(col("gap_days") >= dormantDays &&
+        col("value") >= lit(burstFactor) * col("prior_mean"))
+      .select(col("event_id"), col("user_id"), col("gap_days"),
+        col("prior_mean"), col("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C26: dormancy-reactivation burst report.
+    "c26_reactivation" -> ((s, d) => reactivationBursts(t(s, d, "events"))),
 
     // C1–C4: enrichment join + rule scoring, full projection.
     "c1_fraud_enrich" -> ((s, d) => scoredTransactions(s, d)),
@@ -948,6 +988,25 @@ object Fraud {
           |SELECT user_id, n_gaps, sg / n_gaps AS mean_gap_us,
           |       (sigma - sg / n_gaps) / (sigma + sg / n_gaps) AS burstiness
           |FROM sv WHERE sigma > 0""".stripMargin,
+
+      // C26: integer day-gap lag + a running DECIMAL prior sum (window
+      // decimal addition is associative — DuckDB's segment tree and
+      // Spark's running frame agree exactly), ONE double division, the
+      // burst factor pinned with CAST AS DOUBLE (the §6b decimal-
+      // literal rule).
+      "c26_reactivation" ->
+        """WITH g AS (
+          |  SELECT event_id, user_id, value,
+          |         CAST(CAST(ts AS DATE) - lag(CAST(ts AS DATE)) OVER w AS BIGINT) AS gap_days,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+          |                OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+          |           / count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           AS prior_mean
+          |  FROM events WHERE value IS NOT NULL
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT event_id, user_id, gap_days, prior_mean, value
+          |FROM g
+          |WHERE gap_days >= 2 AND value >= CAST(1.5 AS DOUBLE) * prior_mean""".stripMargin,
 
       // C27: the same (day, k, user) distinct, the same ≤64 cell cap
       // (part of the checked semantics), pair expansion as a self-join

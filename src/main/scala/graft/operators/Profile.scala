@@ -305,6 +305,38 @@ object Profile {
       .withColumn("alloc_tokens", floor(col("weight") * lit(budgetTokens)))
   }
 
+  /** I21: per-source epoch/repetition plan — the scheduling step
+    * between mixture weights and a training run: each source's
+    * temperature-scaled token allocation ([[mixtureWeights]], reused
+    * verbatim so the two reports cannot drift) is converted into
+    * EPOCHS over that source's actual tokens, capped at `maxEpochs`
+    * (repeating a small source beyond a few epochs stops buying
+    * quality — the data-constrained-scaling rule of thumb — so the
+    * cap turns surplus allocation into a visible shortfall instead of
+    * silent over-repetition). Reported per source: the raw epoch
+    * demand, the capped plan, planned tokens (floor — §6b cast
+    * parity), and the shortfall a re-weighting pass could redistribute.
+    *
+    * Arithmetic is the |sources|-row closing algebra on top of i19's
+    * fold: two double divisions, one least(), one multiply, one floor
+    * — IEEE-identical across engines, so the plan carries a full
+    * oracle. The only corpus pass is i19's per-source token count.
+    */
+  def epochPlan(docs: DataFrame, budgetTokens: Long = 2000000L,
+                maxEpochs: Double = 4.0): DataFrame =
+    mixtureWeights(docs, budgetTokens)
+      .withColumn("epochs_raw",
+        col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("epochs", least(lit(maxEpochs), col("epochs_raw")))
+      .withColumn("capped", col("epochs_raw") > lit(maxEpochs))
+      .withColumn("planned_tokens",
+        floor(col("epochs") * col("n_tokens").cast("double")))
+      .withColumn("shortfall_tokens",
+        col("alloc_tokens") - col("planned_tokens"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs_raw"), col("epochs"),
+        col("capped"), col("planned_tokens"), col("shortfall_tokens"))
+
   /** I20: curriculum ordering — the band-then-shuffle layout curriculum
     * training readers consume: each doc gets a quality band (its F2
     * score bucketed into `bands` levels; floor + clamp, §6b cast
@@ -374,6 +406,14 @@ object Profile {
     // I19: sqrt-temperature mixture weights + budget allocation.
     "i19_mixture_weights" -> ((s, d) =>
       mixtureWeights(Tables.table(s, d, "documents"))),
+
+    // I21: per-source epoch/repetition plan (i19's allocation → capped
+    // epochs + shortfall). Budget pinned to 100k here (operator default
+    // 2M): at sf0.01 that caps 2 of 20 sources, so BOTH branches of
+    // the least()/capped logic are oracle-exercised — a larger budget
+    // caps everything and the plan degenerates.
+    "i21_epoch_plan" -> ((s, d) =>
+      epochPlan(Tables.table(s, d, "documents"), budgetTokens = 100000L)),
 
     // I20: quality-banded curriculum layout (F2 score + sharded order).
     "i20_curriculum_order" -> ((s, d) =>
@@ -530,6 +570,39 @@ object Profile {
         |SELECT source, n_tokens, sq / total_sq AS weight,
         |       CAST(floor(sq / total_sq * 1000000) AS BIGINT) AS alloc_tokens
         |FROM sq, t""".stripMargin,
+
+    // I21: i19's fold + the closing epoch algebra — two double
+    // divisions, least(), one multiply, floor; every constant pinned
+    // with CAST AS DOUBLE (§6b decimal-literal rule).
+    "i21_epoch_plan" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |sq AS (
+        |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS sq FROM s),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(sq ORDER BY source)), (acc, x) -> acc + x) AS total_sq
+        |  FROM sq),
+        |w AS (
+        |  SELECT source, n_tokens, sq / total_sq AS weight,
+        |         CAST(floor(sq / total_sq * 100000) AS BIGINT) AS alloc_tokens
+        |  FROM sq, t),
+        |e AS (
+        |  SELECT source, n_tokens, weight, alloc_tokens,
+        |         CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs_raw
+        |  FROM w),
+        |p AS (
+        |  SELECT source, n_tokens, weight, alloc_tokens, epochs_raw,
+        |         least(CAST(4.0 AS DOUBLE), epochs_raw) AS epochs,
+        |         epochs_raw > CAST(4.0 AS DOUBLE) AS capped
+        |  FROM e)
+        |SELECT source, n_tokens, weight, alloc_tokens, epochs_raw, epochs, capped,
+        |       CAST(floor(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens,
+        |       alloc_tokens - CAST(floor(epochs * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+        |         AS shortfall_tokens
+        |FROM p""".stripMargin,
     // I12: same salted hash, same (hk, id) order — the k rows are exact.
     "i12_uniform_sample_k" ->
       """SELECT doc_id, source,

@@ -270,6 +270,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(real.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L)
   }
 
+  test("I21 epoch plan: surplus allocation caps into shortfall, uncapped sources spend their allocation") {
+    import spark.implicits._
+    // i19's hand case (9:1 tokens → 75/25 weights) at budget 40:
+    // A allocates 30 over 9 tokens → 3.33 epochs, under the 4.0 cap;
+    // B allocates 10 over 1 token → 10 raw epochs, capped at 4 → plans
+    // 4 tokens and surfaces a 6-token shortfall for redistribution
+    val docs = Seq(
+      (1L, "w w w w w", "A"),
+      (2L, "w w w w", "A"),
+      (3L, "w", "B")).toDF("doc_id", "text", "source")
+    val out = Profile.epochPlan(docs, budgetTokens = 40L).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Double]("epochs"),
+          r.getAs[Boolean]("capped"), r.getAs[Long]("planned_tokens"),
+          r.getAs[Long]("shortfall_tokens")))).toMap
+    assert(out("A") === ((30L, 30.0 / 9.0, false, 30L, 0L)))
+    assert(out("B") === ((10L, 4.0, true, 4L, 6L)))
+    // real-corpus invariants: epochs never exceed the cap, a capped
+    // source always shows positive shortfall, an uncapped one spends
+    // its allocation to within the floor rounding unit
+    val real = Profile.epochPlan(
+      graft.sources.Tables.table(spark, SF, "documents"), 100000L).collect()
+    real.foreach { r =>
+      assert(r.getAs[Double]("epochs") <= 4.0)
+      assert(r.getAs[Long]("planned_tokens") <= r.getAs[Long]("alloc_tokens"))
+      if (r.getAs[Boolean]("capped"))
+        assert(r.getAs[Long]("shortfall_tokens") > 0L)
+      else assert(r.getAs[Long]("shortfall_tokens") <= 1L)
+    }
+  }
+
   test("I22 dedup-aware weights: copies buy no mass; clean sources keep the i19 weights") {
     import spark.implicits._
     // source A: a doc duplicated once (5 tokens twice) + a clean 4-token

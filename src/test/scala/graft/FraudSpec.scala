@@ -172,6 +172,39 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       "every event except each user's first contributes exactly one transition")
   }
 
+  test("C26 reactivation: dormancy gap + burst over the account's own prior mean; first events and quiet returns never flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val ev = Seq(
+      // user 1: two quiet days (mean 10), 3-day silence, 40 on return
+      (1L, 1L, "2024-01-01 09:00:00", 10.0),
+      (2L, 1L, "2024-01-02 09:00:00", 10.0),
+      (3L, 1L, "2024-01-05 09:00:00", 40.0), // gap 3, 40 >= 1.5*10 → flag
+      (4L, 1L, "2024-01-06 09:00:00", 5.0),  // gap 1 → never
+      // user 2: long gap but the return spend is ordinary → no flag
+      (10L, 2L, "2024-01-01 09:00:00", 100.0),
+      (11L, 2L, "2024-01-10 09:00:00", 120.0),
+      // user 3: single event — no history, no flag
+      (20L, 3L, "2024-01-01 09:00:00", 999.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("value"))
+    val out = Fraud.reactivationBursts(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("event_id") === 3L)
+    assert(r.getAs[Long]("gap_days") === 3L)
+    assert(r.getAs[Double]("prior_mean") === 10.0)
+    assert(r.getAs[Double]("value") === 40.0)
+    // real corpus: flags exist, every flagged row satisfies both rules
+    val corpus = Fraud.queries("c26_reactivation")(spark, SF).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { x =>
+      assert(x.getAs[Long]("gap_days") >= 2L)
+      assert(x.getAs[Double]("value") >= 1.5 * x.getAs[Double]("prior_mean"))
+    }
+  }
+
   test("C21 burstiness: metronome scores near -1, burst-silence scores positive, all in (-1,1)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -325,6 +325,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("c26 reactivation: lag + running prior mean ride ONE user exchange and ONE scan") {
+    // the c22 discipline: the up-front user repartition must satisfy
+    // both window passes — a second exchange means the windows stopped
+    // sharing the partitioning, a second scan means a join-back crept in
+    val p = SparkEntry.queries("c26_reactivation")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$p")
+    assert(scans == 1, s"got $scans scans")
+  }
+
   test("c25 approx twin: no per-user ordered window — ranks run over cell rows only") {
     // the exact c25 sorts every user inside each event_type (the b43
     // |groups|-window concentration class); the histogram-Lorenz twin
