@@ -247,6 +247,72 @@ object Stateful {
       }
   }
 
+  case class ReactState(last_day: Long, prior_sum_unscaled: Long, prior_n: Long)
+  case class ReactivationAlert(user_id: Long, event_id: Long, gap_days: Long,
+                               prior_mean: Double, value: Double)
+
+  /** H22: online dormancy-reactivation detection — the streaming serve
+    * path of the batch c26 report, bit-identical (the H13 parity rule).
+    * Per-user state is 24 bytes: the last event's epoch day, the
+    * running DECIMAL(18,6) value sum as its unscaled long, and the
+    * event count. Every step replicates the batch arithmetic exactly:
+    * the day gap is integer epoch-day subtraction (to_date under the
+    * session's UTC zone = Instant at UTC → LocalDate), the prior mean
+    * is decimal-sum→double divided by count→double (the same cast
+    * sequence the batch window chain compiles), and the burst compare
+    * uses the identical double multiply — so the flagged set and every
+    * reported mean match the batch report at the doubleToLongBits
+    * level (spec'd in StreamingSpec H22).
+    *
+    * Ordering contract (H13): rows fold in (ts, event_id) order within
+    * each micro-batch; across batches parity requires per-user ordered
+    * arrival — the replay/backfill contract. The unscaled-long sum
+    * fails fast via longValueExact at ~9.2e12 (scale 6), the CUSUM
+    * bound.
+    */
+  def reactivationAlerts(ds: Dataset[Ev], dormantDays: Long = 2L,
+                         burstFactor: Double = 1.5): Dataset[ReactivationAlert] = {
+    implicit val outEnc = Encoders.product[ReactivationAlert]
+    implicit val stateEnc = Encoders.product[ReactState]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ReactState, ReactivationAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[ReactState]) =>
+          var st = state.getOption.orNull
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.flatMap { e =>
+            val day = e.ts.toInstant
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+            val alert =
+              if (st == null) None
+              else {
+                val gap = day - st.last_day
+                // decimal→double then long→double division: the batch
+                // chain's exact cast sequence
+                val priorMean = java.math.BigDecimal
+                  .valueOf(st.prior_sum_unscaled, 6).doubleValue / st.prior_n.toDouble
+                if (gap >= dormantDays && e.value >= burstFactor * priorMean)
+                  Some(ReactivationAlert(uid, e.event_id, gap, priorMean, e.value))
+                else None
+              }
+            // the same shortest-decimal-then-HALF_UP conversion the
+            // batch DECIMAL(18,6) cast applies (the H16 rule)
+            val v6 = java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            st =
+              if (st == null) ReactState(day, v6, 1L)
+              else ReactState(day, Math.addExact(st.prior_sum_unscaled, v6),
+                st.prior_n + 1L)
+            alert
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {
     implicit val alertEnc = Encoders.product[VelocityAlert]
     implicit val stateEnc = Encoders.product[VelocityState]

@@ -292,6 +292,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(online.values.exists(_._2) && online.values.exists(!_._2))
   }
 
+  test("H22 streaming reactivation alerts match the batch c26 report bit-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    val in = tmpDir("graft_react_in")
+    val ckpt = tmpDir("graft_react_ckpt")
+    val batchDir = tmpDir("graft_react_batch")
+    // awkward decimals exercise the DECIMAL(18,6) sum parity; user 1
+    // goes dormant 3 days and bursts (flag), user 2's long-gap return
+    // is ordinary spend (no flag); the file split puts the burst in a
+    // LATER micro-batch than the history it is judged against
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 09:00:00", 10.1234567),
+      (2L, 1L, "2024-01-02 09:00:00", 9.8765433),
+      (10L, 2L, "2024-01-01 09:00:00", 100.0),
+      (3L, 1L, "2024-01-05 09:00:00", 30.5),
+      (11L, 2L, "2024-01-10 09:00:00", 120.0),
+      (4L, 1L, "2024-01-06 09:00:00", 1.0))
+    def json(r: (Long, Long, String, Double)) =
+      s"""{"event_id":${r._1},"user_id":${r._2},"ts":"${r._3.replace(' ', 'T')}.000Z","value":${r._4}}"""
+    Files.writeString(Paths.get(in, "a.json"), rows.take(3).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), rows.drop(3).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .as[graft.streaming.Stateful.Ev]
+    graft.streaming.Stateful.reactivationAlerts(stream)
+      .writeStream.format("memory").queryName("react_online")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val online = spark.sql(
+      "SELECT event_id, gap_days, prior_mean, value FROM react_online")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          r.getDouble(3)))).toMap
+    rows.map { case (e, u, t, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t).getTime * 1000000L, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val offline = graft.operators.Fraud.queries("c26_reactivation")(spark, batchDir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("gap_days"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("prior_mean")),
+          r.getAs[Double]("value")))).toMap
+    assert(online.keySet === Set(3L), s"only the dormant burst flags, got ${online.keySet}")
+    assert(online === offline, "streamed alerts must equal the batch report bit-exactly")
+    // the judged mean is the exact decimal of the two prior spends
+    assert(online(3L)._1 === 3L && online(3L)._2 ===
+      java.lang.Double.doubleToLongBits(10.0))
+  }
+
   test("H21 streaming vocabulary monitor serves PSI bit-identical to the batch f21 statistic") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = Tables.table(spark, SF, "documents")
