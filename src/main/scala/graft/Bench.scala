@@ -765,7 +765,12 @@ object Bench {
     // the collusion report: per-cell pair expansion is quadratic in
     // CELL size (capped), but cell count and co-presence density are
     // corpus-dependent like g5's band collisions — measured
-    "c27_collusion_pairs" -> "events")
+    "c27_collusion_pairs" -> "events",
+    // round-7: the reactivation report (c18/c22's one-exchange window
+    // class — exp should track the events shuffle) and the epoch plan
+    // (i19's corpus pass + |sources|-row algebra — scan-bound)
+    "c26_reactivation" -> "events",
+    "i21_epoch_plan" -> "documents")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time

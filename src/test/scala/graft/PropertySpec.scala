@@ -276,4 +276,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     invariant(TextAnalysis.novelty(_), "doc_id", "novelty", "f18 novelty")
     invariant(d => TextAnalysis.sourceKlDivergence(d), "source", "kl_div", "f14 KL")
   }
+
+  test("F21b top-K cut on random cell tables: totals mass-preserved, bounded cells, degenerate at K >= |vocab|") {
+    import spark.implicits._
+    import graft.operators.{Fraud, TextAnalysis}
+    val gen = Gen.listOfN(60, for {
+      c0 <- Gen.chooseNum(0L, 500L)
+      c1 <- Gen.chooseNum(0L, 500L)
+    } yield (c0, c1))
+    for (seed <- Seq(5L, 21L, 77L)) {
+      val counts = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val cells = counts.zipWithIndex
+        .map { case ((c0, c1), i) => (f"t$i%03d", c0, c1) }
+        .toDF("term", "c0", "c1")
+        // a (0,0) term exists in neither corpus — the full-outer join
+        // that builds real cell tables can never produce it
+        .filter(col("c0") > 0 || col("c1") > 0)
+      def one(df: org.apache.spark.sql.DataFrame) = {
+        val rs = df.collect(); assert(rs.length === 1); rs.head
+      }
+      val exact = one(Fraud.psiFromCells(cells.select(col("c0"), col("c1"))))
+      // the tail fold is an integer sum, so the grand totals — PSI's
+      // denominator and every mass term's n0/n1 — are EXACTLY the
+      // exact form's, whatever K keeps
+      val cut = one(TextAnalysis.psiTopKFromCells(cells, topK = 8))
+      assert(cut.getAs[Long]("n0") === exact.getAs[Long]("n0"), s"seed $seed n0")
+      assert(cut.getAs[Long]("n1") === exact.getAs[Long]("n1"), s"seed $seed n1")
+      assert(cut.getAs[Long]("n_cells_used") <= 9L, s"seed $seed cell bound")
+      // K >= |vocab|: every cell is top, the tail is the filtered-out
+      // (0,0) cell — the cut IS the exact statistic, bit for bit
+      val degen = one(TextAnalysis.psiTopKFromCells(cells, topK = 1000))
+      assert(java.lang.Double.doubleToLongBits(degen.getAs[Double]("psi")) ===
+        java.lang.Double.doubleToLongBits(exact.getAs[Double]("psi")), s"seed $seed degenerate psi")
+      assert(degen.getAs[Long]("n_cells_used") === exact.getAs[Long]("n_cells_used"))
+    }
+  }
 }
