@@ -322,7 +322,7 @@ object Profile {
     * — IEEE-identical across engines, so the plan carries a full
     * oracle. The only corpus pass is i19's per-source token count.
     */
-  def epochPlan(docs: DataFrame, budgetTokens: Long = 2000000L,
+  def epochPlan(docs: DataFrame, budgetTokens: Long = 1000000L,
                 maxEpochs: Double = 4.0): DataFrame =
     mixtureWeights(docs, budgetTokens)
       .withColumn("epochs_raw",
@@ -409,9 +409,10 @@ object Profile {
 
     // I21: per-source epoch/repetition plan (i19's allocation → capped
     // epochs + shortfall). Budget pinned to 100k here (operator default
-    // 2M): at sf0.01 that caps 2 of 20 sources, so BOTH branches of
-    // the least()/capped logic are oracle-exercised — a larger budget
-    // caps everything and the plan degenerates.
+    // 1M, matching mixtureWeights'): at sf0.01 that caps 2 of 20
+    // sources, so BOTH branches of the least()/capped logic are
+    // oracle-exercised — a larger budget caps everything and the plan
+    // degenerates.
     "i21_epoch_plan" -> ((s, d) =>
       epochPlan(Tables.table(s, d, "documents"), budgetTokens = 100000L)),
 

@@ -616,13 +616,22 @@ object TextAnalysis {
     * scale the cell table is vocabulary-sized: top-K vocab + an
     * aggregated tail cell is the bandwidth cut (same trade as f9's).
     */
+  /** The (term, c0, c1) cell table both f21 forms score — ONE builder
+    * (full-outer join of the two slices' term cells, absences as zero
+    * counts) so the exact and top-K paths can never drift.
+    */
+  private def joinedTermCells(reference: DataFrame,
+                              incoming: DataFrame): DataFrame =
+    termCells(reference).withColumnRenamed("cnt", "c0")
+      .join(termCells(incoming).withColumnRenamed("cnt", "c1"),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+
   def vocabPsi(reference: DataFrame, incoming: DataFrame): DataFrame =
     Fraud.psiFromCells(
-      termCells(reference).withColumnRenamed("cnt", "c0")
-        .join(termCells(incoming).withColumnRenamed("cnt", "c1"),
-          Seq("term"), "full_outer")
-        .select(coalesce(col("c0"), lit(0L)).as("c0"),
-          coalesce(col("c1"), lit(0L)).as("c1")))
+      joinedTermCells(reference, incoming).select(col("c0"), col("c1")))
 
   /** F21b: the at-scale vocabulary-PSI cut — top-`topK` reference terms
     * kept as individual cells, everything else folded into ONE tail
@@ -645,14 +654,7 @@ object TextAnalysis {
     */
   def vocabPsiTopK(reference: DataFrame, incoming: DataFrame,
                    topK: Int = 256): DataFrame =
-    psiTopKFromCells(
-      termCells(reference).withColumnRenamed("cnt", "c0")
-        .join(termCells(incoming).withColumnRenamed("cnt", "c1"),
-          Seq("term"), "full_outer")
-        .select(col("term"),
-          coalesce(col("c0"), lit(0L)).as("c0"),
-          coalesce(col("c1"), lit(0L)).as("c1")),
-      topK)
+    psiTopKFromCells(joinedTermCells(reference, incoming), topK)
 
   /** The top-K + tail cut on an explicit (term, c0, c1) cell table —
     * shared by the batch f21b entry above and the H21 streaming serve

@@ -93,21 +93,31 @@ object DriftStream {
       .start()
   }
 
+  /** The maintained term cells merged against a reference cell table
+    * (`term`, `cnt` — typically termCells of the training corpus) —
+    * ONE builder for both serve paths below, so the exact and top-K
+    * scores are computed from the identical cell table by construction.
+    */
+  private def mergedTermCells(spark: SparkSession, cellsDir: String,
+                              reference: DataFrame): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    val incoming = spark.read.parquet(cellsDir)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("c1"))
+    reference.select(col("term"), col("cnt").cast("long").as("c0"))
+      .join(incoming, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+  }
+
   /** Serve the vocabulary PSI of the maintained term cells against a
     * reference cell table (`term`, `cnt` — typically termCells of the
     * training corpus).
     */
   def vocabPsiFromCells(spark: SparkSession, cellsDir: String,
-                        reference: DataFrame): DataFrame = {
-    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
-    val incoming = spark.read.parquet(cellsDir)
-      .groupBy(col("term")).agg(sum(col("cnt")).as("c1"))
+                        reference: DataFrame): DataFrame =
     Fraud.psiFromCells(
-      reference.select(col("term"), col("cnt").cast("long").as("c0"))
-        .join(incoming, Seq("term"), "full_outer")
-        .select(coalesce(col("c0"), lit(0L)).as("c0"),
-          coalesce(col("c1"), lit(0L)).as("c1")))
-  }
+      mergedTermCells(spark, cellsDir, reference).select(col("c0"), col("c1")))
 
   /** Serve the AT-SCALE vocabulary PSI: the same merged term cells as
     * [[vocabPsiFromCells]], scored through the top-K + tail cut
@@ -119,18 +129,9 @@ object DriftStream {
     */
   def vocabPsiTopKFromCells(spark: SparkSession, cellsDir: String,
                             reference: DataFrame,
-                            topK: Int = 256): DataFrame = {
-    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
-    val incoming = spark.read.parquet(cellsDir)
-      .groupBy(col("term")).agg(sum(col("cnt")).as("c1"))
+                            topK: Int = 256): DataFrame =
     graft.operators.TextAnalysis.psiTopKFromCells(
-      reference.select(col("term"), col("cnt").cast("long").as("c0"))
-        .join(incoming, Seq("term"), "full_outer")
-        .select(col("term"),
-          coalesce(col("c0"), lit(0L)).as("c0"),
-          coalesce(col("c1"), lit(0L)).as("c1")),
-      topK)
-  }
+      mergedTermCells(spark, cellsDir, reference), topK)
 
   /** Serve the PSI of the maintained incoming cells against a reference
     * cell table (`bucket`, `cnt` — typically the training/last-known-

@@ -63,24 +63,26 @@ object IndexStream {
     * re-ingested (or updated) through the stream occupies exactly one
     * slot with its freshest embedding instead of two slots with stale
     * and fresh scores (round-6 advice). Precedence is the delta's own
-    * batch_id (base rows rank −1); within one batch a duplicate vec_id
-    * carries identical assignCells output, so the pick is value-stable.
+    * batch_id (base rows rank −1). An exact re-ingest tied WITHIN one
+    * batch is value-identical so any pick serves the same answer; two
+    * DIFFERENT updates to one vec_id in one micro-batch have no
+    * arrival order to honor (the source is a file listing), so the
+    * tie breaks on hash(embedding) — arbitrary but STABLE, the same
+    * winner on every probe, replay, and compaction.
     */
   private def dedupPreferDelta(base: DataFrame,
                                delta: Option[DataFrame]): DataFrame = {
     val cols = Seq("vec_id", "embedding", "nrm", "cell").map(col)
-    val unioned = delta match {
+    delta match {
       case None => base.select(cols: _*)
       case Some(d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("pri").desc, hash(col("embedding")))
         base.select(cols :+ lit(-1L).as("pri"): _*)
           .unionByName(d.select(cols :+ col("batch_id").cast("long").as("pri"): _*))
-    }
-    if (delta.isEmpty) unioned
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("pri").desc)
-      unioned.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(cols: _*)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(cols: _*)
     }
   }
 
