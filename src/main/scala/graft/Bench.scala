@@ -63,9 +63,10 @@ object Bench {
     "f3_token_count", "f4_fingerprint", "f11_chunk_split",
     "g4_embed_batched", "g6_phash_knn", "i16_stratified_k",
     // round-7 additions: the dormancy-reactivation report (c22's
-    // one-exchange window class) and the epoch/repetition plan (i19's
-    // fold + closing algebra)
-    "c26_reactivation", "i21_epoch_plan")
+    // one-exchange window class), the epoch/repetition plan (i19's
+    // fold + closing algebra), and ring resolution over the c27 pair
+    // graph (d8's component loop on an output-sized input)
+    "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

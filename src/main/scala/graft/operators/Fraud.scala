@@ -336,7 +336,38 @@ object Fraud {
         col("prior_mean"), col("value"))
   }
 
+  /** C28: collusion RINGS — the c27 pair graph resolved into connected
+    * components: "these ACCOUNTS form one mule ring", not just "these
+    * two keep co-occurring". Reuses [[Dedup.clustersFromPairs]] (d8's
+    * pointer-jumping label propagation, O(log diameter) rounds)
+    * verbatim on the pair graph, which is OUTPUT-sized — the fact
+    * table never enters the loop, so ring resolution costs what the
+    * report costs, not what the corpus costs. `minShared` should sit
+    * ABOVE c27's default here: ring membership is transitive, so a
+    * loose edge threshold fuses everything into one giant component
+    * (measured on the testdata: >=3 gives one 150-user blob, >=6
+    * gives 12 rings of 3–6) — the ring id is the smallest member id,
+    * deterministic across runs and engines.
+    */
+  def collusionRings(events: DataFrame, minShared: Int = 6,
+                     maxBucket: Int = 64, minRing: Int = 3): DataFrame = {
+    val pairs = collusionPairs(events, minShared, maxBucket)
+      .select(col("user_a").as("doc_a"), col("user_b").as("doc_b"))
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    Dedup.clustersFromPairs(members, pairs)
+      .filter(col("cluster_size") >= minRing)
+      .select(col("doc_id").as("user_id"), col("cluster_id").as("ring_id"),
+        col("cluster_size").as("ring_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C28: collusion rings (minRing=2 so the tiny sf0.001 graph still
+    // emits its one pair-component; sf0.01 yields a dozen multi-user
+    // rings at minShared=6).
+    "c28_collusion_rings" -> ((s, d) =>
+      collusionRings(t(s, d, "events"), minRing = 2)),
 
     // C26: dormancy-reactivation burst report.
     "c26_reactivation" -> ((s, d) => reactivationBursts(t(s, d, "events"))),
@@ -1007,6 +1038,42 @@ object Fraud {
           |SELECT event_id, user_id, gap_days, prior_mean, value
           |FROM g
           |WHERE gap_days >= 2 AND value >= CAST(1.5 AS DOUBLE) * prior_mean""".stripMargin,
+
+      // C28: c27's pair derivation at the ring threshold, components
+      // via a recursive reachability CTE (id reaches comp) closed by a
+      // min-label group — fine for the oracle engine on the
+      // output-sized pair graph; the Spark side never materializes
+      // reachability, it label-propagates in O(log diameter) rounds.
+      "c28_collusion_rings" ->
+        """WITH RECURSIVE uk AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+          |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          |         user_id
+          |  FROM events),
+          |cell AS (
+          |  SELECT day, k, count(*) AS n FROM uk GROUP BY 1, 2),
+          |p AS (
+          |  SELECT a.user_id AS user_a, b.user_id AS user_b
+          |  FROM uk a
+          |  JOIN uk b ON a.day = b.day AND a.k = b.k AND a.user_id < b.user_id
+          |  JOIN cell c ON a.day = c.day AND a.k = c.k
+          |  WHERE c.n <= 64
+          |  GROUP BY 1, 2 HAVING count(*) >= 6),
+          |e AS (
+          |  SELECT user_a AS u, user_b AS v FROM p
+          |  UNION ALL
+          |  SELECT user_b, user_a FROM p),
+          |walks(id, comp) AS (
+          |  SELECT u, u FROM e
+          |  UNION
+          |  SELECT e.u, w.comp FROM e JOIN walks w ON e.v = w.id),
+          |rings AS (
+          |  SELECT id AS user_id, min(comp) AS ring_id FROM walks GROUP BY id),
+          |sized AS (
+          |  SELECT user_id, ring_id,
+          |         count(*) OVER (PARTITION BY ring_id) AS ring_size
+          |  FROM rings)
+          |SELECT user_id, ring_id, ring_size FROM sized WHERE ring_size >= 2""".stripMargin,
 
       // C27: the same (day, k, user) distinct, the same ≤64 cell cap
       // (part of the checked semantics), pair expansion as a self-join

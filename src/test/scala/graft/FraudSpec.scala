@@ -172,6 +172,33 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       "every event except each user's first contributes exactly one transition")
   }
 
+  test("C28 rings: transitive closure of qualifying pairs; below-threshold edges and small components drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+    // six days of co-presence: {1,2,3} share device 7 (a triangle),
+    // {10,11} share device 8 (a pair); {20,21} share device 9 on only
+    // FIVE days — below the minShared=6 edge threshold, never an edge
+    val rows = for {
+      d <- 1 to 6
+      (u, k) <- Seq(1L -> 7, 2L -> 7, 3L -> 7, 10L -> 8, 11L -> 8) ++
+        (if (d <= 5) Seq(20L -> 9, 21L -> 9) else Seq())
+    } yield (u * 100 + d, u, f"2024-01-$d%02d 09:00:00", k)
+    val ev = rows.toDF("event_id", "user_id", "ts", "k")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"),
+        concat(lit("{\"k\":"), col("k"), lit("}")).as("props"))
+    val rings3 = Fraud.collusionRings(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("ring_id"), r.getAs[Long]("ring_size")))).toMap
+    assert(rings3 === Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L))),
+      s"only the triangle is a ring at minRing=3, got $rings3")
+    val rings2 = Fraud.collusionRings(ev, minRing = 2).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("ring_id")).toMap
+    assert(rings2.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(rings2(10L) === 10L && rings2(11L) === 10L,
+      "the pair component keeps its own min-member ring id")
+  }
+
   test("C26 reactivation: dormancy gap + burst over the account's own prior mean; first events and quiet returns never flag") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, to_timestamp}
