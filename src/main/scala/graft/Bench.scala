@@ -66,7 +66,8 @@ object Bench {
     // one-exchange window class), the epoch/repetition plan (i19's
     // fold + closing algebra), and ring resolution over the c27 pair
     // graph (d8's component loop on an output-sized input)
-    "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings")
+    "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings",
+    "g8_phash_clusters")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

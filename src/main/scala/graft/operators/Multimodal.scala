@@ -246,6 +246,25 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** G8: perceptual-hash near-dup CLUSTERS — the media twin of d8: the
+    * g5 pair graph resolved into connected components with a canonical
+    * keeper per cluster (the row a curation pass keeps; everything
+    * else in the cluster is the drop list). Reuses
+    * [[Dedup.clustersFromPairs]] verbatim on the OUTPUT-sized pair
+    * table — payloads never enter the loop, only doc-id labels — so
+    * cluster resolution costs what the pair report costs. Completes
+    * the media dedup lifecycle (fingerprint → banded pairs → clusters
+    * → keeper), mirroring documents' d2→d7→d8.
+    */
+  def phashClusters(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val pairs = phashNearDup(media, maxHamming).select(col("doc_a"), col("doc_b"))
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    Dedup.clustersFromPairs(members, pairs)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_canonical"))
+  }
+
   /** G6: perceptual-hash kNN — "find the k images most like this one"
     * by Hamming distance over the 60-bit aHash fingerprints (the query
     * surface of an image-similarity search, where G5 is the dedup
@@ -311,6 +330,10 @@ object Multimodal {
     // G5: banded perceptual-hash near-dup over the payload bytes.
     "g5_phash_neardup" -> ((s, d) =>
       phashNearDup(withPayload(Tables.table(s, d, "documents")))),
+
+    // G8: media near-dup clusters + keeper (d8's loop on g5's pairs).
+    "g8_phash_clusters" -> ((s, d) =>
+      phashClusters(withPayload(Tables.table(s, d, "documents")))),
 
     // G6: Hamming kNN from doc 0's fingerprint (≥60-byte payload at
     // every SF, so the query row always exists).
@@ -418,6 +441,36 @@ object Multimodal {
         |       CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
         |FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
         |WHERE bit_count(xor(fa.phash, fb.phash)) <= 6""".stripMargin),
+
+    // G8: g5's pair derivation + the recursive reachability close (the
+    // c28 oracle recipe applied to media pairs).
+    "g8_phash_clusters" -> ("WITH RECURSIVE " + phashCteSql.stripPrefix("WITH ") +
+      """,
+        |bands AS (
+        |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
+        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
+        |  WHERE bit_count(xor(fa.phash, fb.phash)) <= 6),
+        |e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM p),
+        |walks(id, comp) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, w.comp FROM e JOIN walks w ON e.v = w.id),
+        |clusters AS (
+        |  SELECT id AS doc_id, min(comp) AS cluster_id FROM walks GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       doc_id = cluster_id AS is_canonical
+        |FROM clusters""".stripMargin),
 
     // g1's stub features are byte statistics; on this corpus (verified
     // single-byte at every SF) ascii(char) = byte value and both engines

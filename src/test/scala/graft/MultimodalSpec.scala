@@ -42,6 +42,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((1L, 4L)), s"far payload must not pair: $pairs")
   }
 
+  test("G8 phash clusters: pair endpoints share a cluster, one min-id canonical each, far payload excluded") {
+    import spark.implicits._
+    val base = ('a' to 'z').mkString + ('A' to 'Z').mkString + "01234567" // 60 chars
+    val nearby = base.updated(10, 'K').updated(40, '0')
+    val far = base.reverse.updated(5, '~')
+    // 1≡2 exactly, 3 near both → one {1,2,3} cluster; 4 never pairs
+    val docs = Seq(1L -> base, 2L -> base, 3L -> nearby, 4L -> far).toDF("doc_id", "text")
+    val out = Multimodal.phashClusters(Multimodal.withPayload(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical")))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L, true)), 2L -> ((1L, 3L, false)), 3L -> ((1L, 3L, false))),
+      s"expected one {1,2,3} cluster with doc 1 canonical, got $out")
+    // corpus invariants: exactly one canonical (= the min member) per
+    // cluster, and every cluster has >= 2 members (singletons have no
+    // pair and never enter the report)
+    val corpus = graft.operators.Multimodal.queries("g8_phash_clusters")(spark, SF)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
+    assert(corpus.nonEmpty)
+    corpus.groupBy(_._2).foreach { case (cid, g) =>
+      assert(g.count(_._4) === 1, s"cluster $cid canonical count != 1")
+      assert(g.map(_._1).min === cid, s"cluster $cid id is not the min member")
+      assert(g.head._3 === g.length.toLong && g.length >= 2)
+    }
+  }
+
   test("G6 Hamming kNN: identical payload ranks first at distance 0, far payload last") {
     import spark.implicits._
     val base = ('a' to 'z').mkString + ('A' to 'Z').mkString + "01234567" // 60 chars
