@@ -226,8 +226,39 @@ object Dedup {
   def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
                         maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialize the (possibly expensive) candidate generator ONCE —
-    // the two union branches below would otherwise each recompute it
+    val labels = componentLabels(pairs, maxIter)
+    val assigned = docs.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    assigned
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** [[clustersFromPairs]] restricted to the pair ENDPOINTS — for
+    * callers whose membership set IS the pair graph (c28 collusion
+    * rings, g8 media clusters). Deriving membership from the loop's
+    * own checkpointed edge table (instead of re-selecting endpoints
+    * from the caller's un-materialized pair plan) means the possibly
+    * expensive candidate generator executes exactly ONCE; singletons
+    * never appear (they have no pair by definition).
+    */
+  def clustersFromPairsOnly(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    componentLabels(pairs, maxIter)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** The min-label loop itself: pairs → converged (id, comp) labels
+    * over the pair endpoints. The pair plan is checkpointed ONCE up
+    * front — both union branches and every iteration read the
+    * materialized copy.
+    */
+  private def componentLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
     val p = checkpointFresh(pairs)
     val edges = checkpointFresh(
       p.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -260,13 +291,7 @@ object Dedup {
       throw new IllegalStateException(
         s"clustersFromPairs did not converge in $maxIter rounds " +
           "(component diameter too large) — raise maxIter")
-    val assigned = docs.select(col("doc_id"))
-      .join(labels.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-    assigned
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    labels
   }
 
   /** Exact cosine near-dup pairs above `threshold` — the shared

@@ -338,7 +338,7 @@ object Fraud {
 
   /** C28: collusion RINGS — the c27 pair graph resolved into connected
     * components: "these ACCOUNTS form one mule ring", not just "these
-    * two keep co-occurring". Reuses [[Dedup.clustersFromPairs]] (d8's
+    * two keep co-occurring". Reuses [[Dedup.clustersFromPairsOnly]] (d8's
     * pointer-jumping label propagation, O(log diameter) rounds)
     * verbatim on the pair graph, which is OUTPUT-sized — the fact
     * table never enters the loop, so ring resolution costs what the
@@ -350,16 +350,13 @@ object Fraud {
     * deterministic across runs and engines.
     */
   def collusionRings(events: DataFrame, minShared: Int = 6,
-                     maxBucket: Int = 64, minRing: Int = 3): DataFrame = {
-    val pairs = collusionPairs(events, minShared, maxBucket)
-      .select(col("user_a").as("doc_a"), col("user_b").as("doc_b"))
-    val members = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    Dedup.clustersFromPairs(members, pairs)
+                     maxBucket: Int = 64, minRing: Int = 3): DataFrame =
+    Dedup.clustersFromPairsOnly(
+      collusionPairs(events, minShared, maxBucket)
+        .select(col("user_a").as("doc_a"), col("user_b").as("doc_b")))
       .filter(col("cluster_size") >= minRing)
       .select(col("doc_id").as("user_id"), col("cluster_id").as("ring_id"),
         col("cluster_size").as("ring_size"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -844,6 +841,26 @@ object Fraud {
     // C12 top spenders per window = b11_rank_topn (SURVEY §2 C12).
   )
 
+  /** The c27/c28-shared raw co-presence pair rows (`pr`: one row per
+    * shared (day, k) cell per user pair, hub cells capped at 64) — the
+    * checked pair semantics live HERE once; c27 closes with its
+    * n_shared group, c28 with the ring threshold + reachability.
+    */
+  private val collusionPairCte: String =
+    """uk AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+      |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |         user_id
+      |  FROM events),
+      |cell AS (
+      |  SELECT day, k, count(*) AS n FROM uk GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b
+      |  FROM uk a
+      |  JOIN uk b ON a.day = b.day AND a.k = b.k AND a.user_id < b.user_id
+      |  JOIN cell c ON a.day = c.day AND a.k = c.k
+      |  WHERE c.n <= 64)""".stripMargin
+
   def oracles: Map[String, String] = {
     val scoredSql =
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS transaction_id,
@@ -1039,26 +1056,18 @@ object Fraud {
           |FROM g
           |WHERE gap_days >= 2 AND value >= CAST(1.5 AS DOUBLE) * prior_mean""".stripMargin,
 
-      // C28: c27's pair derivation at the ring threshold, components
-      // via a recursive reachability CTE (id reaches comp) closed by a
-      // min-label group — fine for the oracle engine on the
-      // output-sized pair graph; the Spark side never materializes
-      // reachability, it label-propagates in O(log diameter) rounds.
+      // C28: c27's pair derivation (the SHARED collusionPairCte — one
+      // place owns the checked distinct/hub-cap semantics) at the ring
+      // threshold, components via a recursive reachability CTE (id
+      // reaches comp) closed by a min-label group — fine for the
+      // oracle engine on the output-sized pair graph; the Spark side
+      // never materializes reachability, it label-propagates in
+      // O(log diameter) rounds.
       "c28_collusion_rings" ->
-        """WITH RECURSIVE uk AS (
-          |  SELECT DISTINCT CAST(ts AS DATE) AS day,
-          |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-          |         user_id
-          |  FROM events),
-          |cell AS (
-          |  SELECT day, k, count(*) AS n FROM uk GROUP BY 1, 2),
+        (s"WITH RECURSIVE $collusionPairCte," +
+        """
           |p AS (
-          |  SELECT a.user_id AS user_a, b.user_id AS user_b
-          |  FROM uk a
-          |  JOIN uk b ON a.day = b.day AND a.k = b.k AND a.user_id < b.user_id
-          |  JOIN cell c ON a.day = c.day AND a.k = c.k
-          |  WHERE c.n <= 64
-          |  GROUP BY 1, 2 HAVING count(*) >= 6),
+          |  SELECT user_a, user_b FROM pr GROUP BY 1, 2 HAVING count(*) >= 6),
           |e AS (
           |  SELECT user_a AS u, user_b AS v FROM p
           |  UNION ALL
@@ -1073,27 +1082,16 @@ object Fraud {
           |  SELECT user_id, ring_id,
           |         count(*) OVER (PARTITION BY ring_id) AS ring_size
           |  FROM rings)
-          |SELECT user_id, ring_id, ring_size FROM sized WHERE ring_size >= 2""".stripMargin,
+          |SELECT user_id, ring_id, ring_size FROM sized WHERE ring_size >= 2""".stripMargin),
 
       // C27: the same (day, k, user) distinct, the same ≤64 cell cap
       // (part of the checked semantics), pair expansion as a self-join
       // — fine for the oracle engine, never the Spark plan.
       "c27_collusion_pairs" ->
-        """WITH uk AS (
-          |  SELECT DISTINCT CAST(ts AS DATE) AS day,
-          |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-          |         user_id
-          |  FROM events),
-          |cell AS (
-          |  SELECT day, k, count(*) AS n FROM uk GROUP BY 1, 2),
-          |p AS (
-          |  SELECT a.user_id AS user_a, b.user_id AS user_b
-          |  FROM uk a
-          |  JOIN uk b ON a.day = b.day AND a.k = b.k AND a.user_id < b.user_id
-          |  JOIN cell c ON a.day = c.day AND a.k = c.k
-          |  WHERE c.n <= 64)
+        (s"WITH $collusionPairCte" +
+        """
           |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_shared
-          |FROM p GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+          |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
 
       // C25: exact decimal Gini sums — the (12,0)×(18,6) coefficient
       // product stays (31,6), summed exact on both engines; only the

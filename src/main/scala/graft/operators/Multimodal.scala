@@ -250,20 +250,17 @@ object Multimodal {
     * g5 pair graph resolved into connected components with a canonical
     * keeper per cluster (the row a curation pass keeps; everything
     * else in the cluster is the drop list). Reuses
-    * [[Dedup.clustersFromPairs]] verbatim on the OUTPUT-sized pair
+    * [[Dedup.clustersFromPairsOnly]] verbatim on the OUTPUT-sized pair
     * table — payloads never enter the loop, only doc-id labels — so
     * cluster resolution costs what the pair report costs. Completes
     * the media dedup lifecycle (fingerprint → banded pairs → clusters
     * → keeper), mirroring documents' d2→d7→d8.
     */
-  def phashClusters(media: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val pairs = phashNearDup(media, maxHamming).select(col("doc_a"), col("doc_b"))
-    val members = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    Dedup.clustersFromPairs(members, pairs)
+  def phashClusters(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.clustersFromPairsOnly(
+      phashNearDup(media, maxHamming).select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
-  }
 
   /** G6: perceptual-hash kNN — "find the k images most like this one"
     * by Hamming distance over the 60-bit aHash fingerprints (the query
@@ -373,6 +370,26 @@ object Multimodal {
     * corpus: ascii = byte), same integer mean-threshold bits, same
     * acc*2+b fold.
     */
+  /** The g5/g8-shared verified pair derivation (`pv`: banded
+    * candidates + hamming verify ≤ 6) — the banding formula and the
+    * cap live HERE once; g5 selects the pairs, g8 closes them into
+    * components.
+    */
+  private val phashPairSql: String =
+    """
+      |bands AS (
+      |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
+      |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pv AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
+      |  FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
+      |  WHERE bit_count(xor(fa.phash, fb.phash)) <= 6)""".stripMargin
+
   private val phashCteSql: String =
     """WITH ch AS (
       |  SELECT doc_id, list_transform(str_split(substr(text, 1, 60), ''), c -> ascii(c)) AS codes
@@ -428,39 +445,20 @@ object Multimodal {
 
     // G5: the banding itself is reproduced over the shared fingerprint
     // CTE, so the BANDED result is exact.
-    "g5_phash_neardup" -> (phashCteSql +
-      """,
-        |bands AS (
-        |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
-        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |       CAST(bit_count(xor(fa.phash, fb.phash)) AS BIGINT) AS hamming
-        |FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
-        |WHERE bit_count(xor(fa.phash, fb.phash)) <= 6""".stripMargin),
+    "g5_phash_neardup" -> (phashCteSql + "," + phashPairSql +
+      """
+        |SELECT doc_a, doc_b, hamming FROM pv""".stripMargin),
 
-    // G8: g5's pair derivation + the recursive reachability close (the
-    // c28 oracle recipe applied to media pairs).
+    // G8: g5's pair derivation (the SHARED phashPairSql — banding and
+    // hamming cap live in one place) + the recursive reachability
+    // close (the c28 oracle recipe applied to media pairs).
     "g8_phash_clusters" -> ("WITH RECURSIVE " + phashCteSql.stripPrefix("WITH ") +
+      "," + phashPairSql +
       """,
-        |bands AS (
-        |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
-        |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |p AS (
-        |  SELECT c.doc_a, c.doc_b
-        |  FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
-        |  WHERE bit_count(xor(fa.phash, fb.phash)) <= 6),
         |e AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  SELECT doc_a AS u, doc_b AS v FROM pv
         |  UNION ALL
-        |  SELECT doc_b, doc_a FROM p),
+        |  SELECT doc_b, doc_a FROM pv),
         |walks(id, comp) AS (
         |  SELECT u, u FROM e
         |  UNION
