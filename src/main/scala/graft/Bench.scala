@@ -67,7 +67,7 @@ object Bench {
     // fold + closing algebra), and ring resolution over the c27 pair
     // graph (d8's component loop on an output-sized input)
     "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings",
-    "g8_phash_clusters")
+    "g8_phash_clusters", "d16_quality_keeper")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

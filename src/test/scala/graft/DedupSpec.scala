@@ -262,6 +262,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"(${blocked.size}/${exact.size})")
   }
 
+  test("D16 keeper is the best-quality cluster member, not the smallest id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // base: 50 words, 10 of them stopwords; doc 3 appends 10 extra
+    // non-stop words — same shingle mass plus a tail, so it near-dups
+    // with 1/2, and its token count pushes the f2 length term up more
+    // than the diluted stop ratio pulls down: the KEEPER is doc 3,
+    // while the cluster id (min member) stays 1 — keeper != canonical
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "the", "a", "of")
+    val body = (1 to 40).map(i => s"w$i")
+    val base = (stop ++ body).mkString(" ")
+    val extra = base + " " + (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(1L -> base, 2L -> base, 3L -> extra).toDF("doc_id", "text")
+    val out = Dedup.qualityKeepers(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper")))).toMap
+    assert(out.values.map(_._1).toSet === Set(1L), s"one cluster expected: $out")
+    assert(out.filter(_._2._2).keySet === Set(3L),
+      s"the higher-quality copy must be the keeper: $out")
+    // corpus invariants: exactly one keeper per cluster, and it is the
+    // (quality DESC, doc_id ASC) head; scores equal f2's
+    val corpus = Dedup.queries("d16_quality_keeper")(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Double]("quality_score"), r.getAs[Boolean]("is_keeper")))
+    val f2 = graft.operators.TextAnalysis.queries("f2_quality")(spark, SF)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    corpus.foreach { case (id, _, s, _) =>
+      assert(java.lang.Double.doubleToLongBits(s) ===
+        java.lang.Double.doubleToLongBits(f2(id))) }
+    corpus.groupBy(_._2).foreach { case (cid, g) =>
+      assert(g.count(_._4) === 1, s"cluster $cid keeper count != 1")
+      val best = g.minBy(x => (-x._3, x._1))
+      assert(best._4, s"cluster $cid keeper is not the quality argmax")
+    }
+  }
+
   test("D9 semantic clusters group parallel embeddings, split orthogonal ones") {
     import spark.implicits._
     val e = Seq(
