@@ -64,8 +64,10 @@ object Bench {
     "g4_embed_batched", "g6_phash_knn", "i16_stratified_k",
     // round-7 additions: the dormancy-reactivation report (c22's
     // one-exchange window class), the epoch/repetition plan (i19's
-    // fold + closing algebra), and ring resolution over the c27 pair
-    // graph (d8's component loop on an output-sized input)
+    // fold + closing algebra), ring/cluster resolution over the
+    // c27/g5 pair graphs (d8's component loop on output-sized
+    // inputs), and the quality-argmax keeper (d8's loop + the f2
+    // projection + one id join)
     "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings",
     "g8_phash_clusters", "d16_quality_keeper")
 

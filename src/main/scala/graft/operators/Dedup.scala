@@ -203,9 +203,12 @@ object Dedup {
     * to the smaller doc_id — deterministic and engine-portable because
     * the score itself is the oracle-checked f2 arithmetic (identical
     * IEEE values on both engines, so the DESC order agrees). The rank
-    * window partitions by cluster_id (corpus-cardinality keys — never
-    * a global sort) and compiles to WindowGroupLimit pruning; cost on
-    * top of d8 is the f2 projection and one doc_id join.
+    * window partitions by cluster_id — corpus-cardinality keys, never
+    * a global sort, and each partition sorts only its cluster's
+    * members (clusters are candidate-pair-sized; no WindowGroupLimit
+    * pruning applies because every row is emitted with its keeper
+    * flag, not filtered to the top-1). Cost on top of d8 is the f2
+    * projection and one doc_id join.
     */
   def qualityKeepers(docs: DataFrame, maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1173,48 +1176,23 @@ object Dedup {
       // propagation fixpoint: cluster id = min doc_id reachable.
       "d8_dedup_clusters" -> d8ClustersSql(bandsCte),
 
-      // D16: d8's cluster assignment as CTEs + f2's quality arithmetic
-      // verbatim + a per-cluster (score DESC, doc_id) argmax — the
-      // b41/f16 first-of-order recipe, portable because the score is
-      // IEEE-identical on both engines.
-      "d16_quality_keeper" -> (bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """,
-          |edges AS (
-          |  SELECT doc_a AS u, doc_b AS v FROM cand
-          |  UNION ALL
-          |  SELECT doc_b, doc_a FROM cand),
-          |reach(u, v) AS (
-          |  SELECT u, v FROM edges
-          |  UNION
-          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-          |comp AS (
-          |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
-          |assigned AS (
-          |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-          |sized AS (
-          |  SELECT doc_id, cluster_id,
-          |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-          |  FROM assigned),
-          |m AS (
-          |  SELECT doc_id,
-          |    CAST(length(text) AS BIGINT) AS n_chars_m,
-          |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-          |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct_chars,
-          |    CAST(len(list_filter(str_split(text, ' '), w -> w IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS stop_hits
-          |  FROM documents),
-          |q AS (
-          |  SELECT doc_id,
-          |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-          |      + (CAST(stop_hits AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
-          |      + (CAST(1.0 AS DOUBLE) - CASE WHEN n_chars_m > 0
-          |           THEN CAST(punct_chars AS DOUBLE) / n_chars_m
-          |           ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE) AS quality_score
-          |  FROM m)
-          |SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality_score,
-          |       row_number() OVER (PARTITION BY s.cluster_id
-          |                          ORDER BY q.quality_score DESC, s.doc_id) = 1 AS is_keeper
-          |FROM sized s JOIN q ON s.doc_id = q.doc_id""".stripMargin),
+      // D16: COMPOSES the two existing sources of truth — d8's cluster
+      // oracle (the i13 wrapping pattern) and f2's quality oracle —
+      // plus a per-cluster (score DESC, doc_id) argmax: the checked
+      // cluster/score semantics each live in exactly one string, and
+      // the argmax is the b41/f16 first-of-order recipe, portable
+      // because the score is IEEE-identical on both engines.
+      "d16_quality_keeper" ->
+        s"""WITH clustered AS (
+           |  SELECT doc_id, cluster_id, cluster_size FROM (
+           |${d8ClustersSql(bandsCte)}) c),
+           |q AS (
+           |  SELECT doc_id, quality_score FROM (
+           |${TextAnalysis.oracles("f2_quality")}) f)
+           |SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality_score,
+           |       row_number() OVER (PARTITION BY s.cluster_id
+           |                          ORDER BY q.quality_score DESC, s.doc_id) = 1 AS is_keeper
+           |FROM clustered s JOIN q ON s.doc_id = q.doc_id""".stripMargin,
 
       // I13: the d8 component resolution wrapped in the I2 split CASE
       // applied to cluster_id — identical md5 bucket arithmetic to the
