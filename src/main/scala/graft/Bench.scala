@@ -69,7 +69,10 @@ object Bench {
     // inputs), and the quality-argmax keeper (d8's loop + the f2
     // projection + one id join)
     "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings",
-    "g8_phash_clusters", "d16_quality_keeper")
+    "g8_phash_clusters", "d16_quality_keeper",
+    // round-8 additions: the media quality keeper (g8's loop + the g7
+    // audit join) and the keeper-aware split (d16 + one md5 projection)
+    "g9_quality_keeper", "i13b_keeper_split")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since
@@ -137,9 +140,17 @@ object Bench {
     * moved 0.5 → 3.2 s across rounds on unchanged code (adjudicated as
     * a testdata-profile shift, r6 verdict), and as the feeder of
     * d7/d17/d18 its number carries the whole dedup family's signal.
+    * b5_agg_basic joined in round 8 (the r7 verdict's item 1): its
+    * driver reading moved 0.69 → 3.88 s on unchanged code — the
+    * sf0.001/0.01 readings matched r6, so the one sf0.1 reading was a
+    * stall, but it left the artifact of record carrying a super-linear
+    * exponent (1.225) for the battery's most BASIC aggregate; the
+    * membership rule is now standing policy: any headline entry whose
+    * round-over-round ratio exceeds 2× on unchanged code joins this set.
     */
   private val minOfFour: Set[String] =
-    Set("c7_category_trend", "c7_category_trend_approx", "d2_minhash_lsh")
+    Set("c7_category_trend", "c7_category_trend_approx", "d2_minhash_lsh",
+      "b5_agg_basic")
 
   /** One bench reading. `seconds=false` marks study metrics in OTHER
     * units (bytes-on-disk MB, rows/s, cells/batch, state rows): they
@@ -244,9 +255,9 @@ object Bench {
         System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
     // 3. LAST line: compact headline, kept inside the driver's tail
-    // window — precision drops until it fits (the round-7 81-name set
-    // needs 1 decimal at ~1.88 KB; 0 decimals is the last resort and
-    // still ranks regressions coarsely)
+    // window — precision drops until it fits (at headline.size ≈ 78
+    // names the 3-decimal form runs ~1.9 KB, right at the edge; 0
+    // decimals is the last resort and still ranks regressions coarsely)
     def headLine(decimals: Int): String =
       s"""{"metric":"total","value":${num(total, decimals)},"unit":"sec",""" +
         s""""queries":${qmap(headQs, decimals)},"sf":"$sfDir"}"""
@@ -774,7 +785,15 @@ object Bench {
     // class — exp should track the events shuffle) and the epoch plan
     // (i19's corpus pass + |sources|-row algebra — scan-bound)
     "c26_reactivation" -> "events",
-    "i21_epoch_plan" -> "documents")
+    "i21_epoch_plan" -> "documents",
+    // round-8 (the r7 verdict's item 7): the component-loop family over
+    // corpus-dependent pair graphs — c28 rides c27's co-presence density
+    // (events), g8 rides g5's band-collision density (documents); both
+    // are measured per regeneration so round-over-round moves are
+    // attributable to the corpus, not re-litigated (the d2/c27 lesson
+    // institutionalized)
+    "c28_collusion_rings" -> "events",
+    "g8_phash_clusters" -> "documents")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time

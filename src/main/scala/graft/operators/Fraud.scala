@@ -785,6 +785,12 @@ object Fraud {
     // Slices = event_id parity (deterministic, both non-empty); counts
     // are exact longs, the ECDFs are ratio doubles (unrounded, §6b),
     // the argmax cell takes the (d desc, bucket asc) tiebreak.
+    // Totals n0/n1 are a 1-row scalar aggregate broadcast-crossJoined
+    // back (the psiFromCells idiom, swept here by the r7 verdict for
+    // uniformity — integer sums are order-independent, so the swap is
+    // oracle-neutral); the one REMAINING single-partition stage is the
+    // cumulative-ECDF window, inherent to a global CDF and bounded by
+    // construction at 256 cells (PlanSpec pins exactly one Window).
     "c23_ks_drift" -> ((s, d) => {
       val ev = t(s, d, "events").filter(col("value").isNotNull)
         .select(col("value"), (col("event_id") % 2).as("g"))
@@ -797,13 +803,11 @@ object Fraud {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
+      val totals = cells.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
       cells
         .withColumn("cum0", sum(col("c0")).over(w))
         .withColumn("cum1", sum(col("c1")).over(w))
-        .withColumn("n0", sum(col("c0")).over(wAll))
-        .withColumn("n1", sum(col("c1")).over(wAll))
+        .crossJoin(broadcast(totals))
         .withColumn("d", abs(col("cum0").cast("double") / col("n0").cast("double")
           - col("cum1").cast("double") / col("n1").cast("double")))
         .orderBy(col("d").desc, col("bucket"))

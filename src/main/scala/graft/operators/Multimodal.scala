@@ -262,6 +262,43 @@ object Multimodal {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("is_canonical"))
 
+  /** G9: quality-aware keeper per media near-dup cluster — d16's
+    * argmax-keeper pattern applied to g8's clusters with g7's audit as
+    * the quality signal: each cluster keeps its un-corrupt
+    * (non-quarantined) copy with the highest declared resolution, ties
+    * to the smaller doc_id — the production curation choice (g8's
+    * min-id canonical keeps WHICHEVER copy has the smallest id,
+    * corrupt or thumbnail included). Completes the media dedup story
+    * to parity with text (d2→d7→d8→d16 ⇔ g5→g8→g9). The rank window
+    * partitions by cluster_id (corpus-cardinality keys, cluster-sized
+    * partitions — d16's plan shape); the quality columns ride one
+    * doc_id join. All three sort keys are exact integers, so the
+    * argmax is deterministic and engine-portable with no FP hazard.
+    *
+    * Split from [[phashQualityKeepers]] so a spec can inject a
+    * CORRUPTED audit: on any corpus built through [[withPayload]] the
+    * payload IS the encoded text, so quarantine is false for every
+    * clustered doc (the ≥60-byte phash floor already excludes empty
+    * payloads) and the intact key only bites on real corruption.
+    */
+  def qualityKeepersFrom(clusters: DataFrame, audit: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("intact").desc, col("resolution").desc, col("doc_id"))
+    clusters
+      .join(audit.select(col("doc_id"),
+        when(col("quarantine"), 0).otherwise(1).as("intact"),
+        (col("width").cast("long") * col("height")).as("resolution")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("intact"), col("resolution"),
+        (row_number().over(w) === 1).as("is_keeper"))
+  }
+
+  def phashQualityKeepers(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    qualityKeepersFrom(phashClusters(withPayload(docs), maxHamming),
+      integrityAudit(docs))
+
   /** G6: perceptual-hash kNN — "find the k images most like this one"
     * by Hamming distance over the 60-bit aHash fingerprints (the query
     * surface of an image-similarity search, where G5 is the dedup
@@ -331,6 +368,10 @@ object Multimodal {
     // G8: media near-dup clusters + keeper (d8's loop on g5's pairs).
     "g8_phash_clusters" -> ((s, d) =>
       phashClusters(withPayload(Tables.table(s, d, "documents")))),
+
+    // G9: quality-aware keeper per media cluster (g8 × g7, d16's argmax).
+    "g9_quality_keeper" -> ((s, d) =>
+      phashQualityKeepers(Tables.table(s, d, "documents"))),
 
     // G6: Hamming kNN from doc 0's fingerprint (≥60-byte payload at
     // every SF, so the query row always exists).
@@ -408,32 +449,61 @@ object Multimodal {
       |           (acc, b) -> acc * 2 + b) AS phash
       |  FROM m)""".stripMargin
 
+  /** The g7 audit twin: the payload is the encoded text, so every
+    * declared/actual pair recomputes from `text` (md5(string) digests
+    * the UTF-8 bytes on both engines); width/height use g1's spelling.
+    * Shared by the g7 entry and g9's quality CTE (the d16 composition
+    * rule — the checked audit semantics live in exactly one string).
+    */
+  private val g7AuditSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 'fake/rgb8' AS format,
+      |         CAST((doc_id*131 + strlen(text)*7) % 896 + 64 AS INT) AS width,
+      |         CAST((doc_id*239 + strlen(text)*11) % 896 + 64 AS INT) AS height,
+      |         CAST(strlen(text) AS BIGINT) AS actual_bytes,
+      |         CAST(strlen(text) AS BIGINT) AS declared_bytes,
+      |         md5(text) AS actual_digest,
+      |         md5(text) AS declared_digest
+      |  FROM documents)
+      |SELECT doc_id, format, width, height, actual_bytes, declared_bytes,
+      |       actual_digest, declared_digest,
+      |       actual_bytes > 0 AS r_nonempty,
+      |       actual_bytes = declared_bytes AS r_size,
+      |       actual_digest = declared_digest AS r_digest,
+      |       (width BETWEEN 64 AND 959 AND height BETWEEN 64 AND 959) AS r_dims,
+      |       format IN ('fake/rgb8', 'fake/gray8') AS r_format,
+      |       NOT (actual_bytes > 0 AND actual_bytes = declared_bytes
+      |            AND actual_digest = declared_digest
+      |            AND width BETWEEN 64 AND 959 AND height BETWEEN 64 AND 959
+      |            AND format IN ('fake/rgb8', 'fake/gray8')) AS quarantine
+      |FROM p""".stripMargin
+
+  /** The g8/g9-shared cluster derivation: fingerprints → banded+verified
+    * pairs (phashPairSql) → recursive reachability close → per-cluster
+    * sizes. One string, so the cluster semantics g9's keeper ranks over
+    * are EXACTLY the ones g8 reports (the c28 oracle recipe applied to
+    * media pairs).
+    */
+  private lazy val phashClusterPrefix: String =
+    "WITH RECURSIVE " + phashCteSql.stripPrefix("WITH ") + "," + phashPairSql +
+      """,
+        |e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pv
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pv),
+        |walks(id, comp) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, w.comp FROM e JOIN walks w ON e.v = w.id),
+        |clusters AS (
+        |  SELECT id AS doc_id, min(comp) AS cluster_id FROM walks GROUP BY id),
+        |sized AS (
+        |  SELECT doc_id, cluster_id,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM clusters)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // G7: the payload is the encoded text, so every declared/actual
-    // pair recomputes from `text` (md5(string) digests the UTF-8 bytes
-    // on both engines); width/height use g1's spelling.
-    "g7_payload_audit" ->
-      """WITH p AS (
-        |  SELECT doc_id, 'fake/rgb8' AS format,
-        |         CAST((doc_id*131 + strlen(text)*7) % 896 + 64 AS INT) AS width,
-        |         CAST((doc_id*239 + strlen(text)*11) % 896 + 64 AS INT) AS height,
-        |         CAST(strlen(text) AS BIGINT) AS actual_bytes,
-        |         CAST(strlen(text) AS BIGINT) AS declared_bytes,
-        |         md5(text) AS actual_digest,
-        |         md5(text) AS declared_digest
-        |  FROM documents)
-        |SELECT doc_id, format, width, height, actual_bytes, declared_bytes,
-        |       actual_digest, declared_digest,
-        |       actual_bytes > 0 AS r_nonempty,
-        |       actual_bytes = declared_bytes AS r_size,
-        |       actual_digest = declared_digest AS r_digest,
-        |       (width BETWEEN 64 AND 959 AND height BETWEEN 64 AND 959) AS r_dims,
-        |       format IN ('fake/rgb8', 'fake/gray8') AS r_format,
-        |       NOT (actual_bytes > 0 AND actual_bytes = declared_bytes
-        |            AND actual_digest = declared_digest
-        |            AND width BETWEEN 64 AND 959 AND height BETWEEN 64 AND 959
-        |            AND format IN ('fake/rgb8', 'fake/gray8')) AS quarantine
-        |FROM p""".stripMargin,
+    "g7_payload_audit" -> g7AuditSql,
 
     // G6: the same fingerprint CTE, one query row, bit_count(xor) rank.
     "g6_phash_knn" -> (phashCteSql +
@@ -452,23 +522,30 @@ object Multimodal {
     // G8: g5's pair derivation (the SHARED phashPairSql — banding and
     // hamming cap live in one place) + the recursive reachability
     // close (the c28 oracle recipe applied to media pairs).
-    "g8_phash_clusters" -> ("WITH RECURSIVE " + phashCteSql.stripPrefix("WITH ") +
-      "," + phashPairSql +
-      """,
-        |e AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pv
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pv),
-        |walks(id, comp) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT e.u, w.comp FROM e JOIN walks w ON e.v = w.id),
-        |clusters AS (
-        |  SELECT id AS doc_id, min(comp) AS cluster_id FROM walks GROUP BY id)
-        |SELECT doc_id, cluster_id,
-        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+    "g8_phash_clusters" -> (phashClusterPrefix +
+      """
+        |SELECT doc_id, cluster_id, cluster_size,
         |       doc_id = cluster_id AS is_canonical
-        |FROM clusters""".stripMargin),
+        |FROM sized""".stripMargin),
+
+    // G9: the SHARED cluster CTEs (g8's reachability close) joined to
+    // the SHARED g7 audit as the quality signal, closed with the
+    // per-cluster (intact DESC, resolution DESC, doc_id) argmax — the
+    // d16/b41/f16 first-of-order recipe, portable because every sort
+    // key is an exact integer.
+    "g9_quality_keeper" -> (phashClusterPrefix +
+      s""",
+        |q AS (
+        |  SELECT doc_id,
+        |         CASE WHEN quarantine THEN 0 ELSE 1 END AS intact,
+        |         CAST(width * height AS BIGINT) AS resolution
+        |  FROM (
+        |$g7AuditSql) a)
+        |SELECT s.doc_id, s.cluster_id, s.cluster_size, q.intact, q.resolution,
+        |       row_number() OVER (PARTITION BY s.cluster_id
+        |                          ORDER BY q.intact DESC, q.resolution DESC, s.doc_id) = 1
+        |         AS is_keeper
+        |FROM sized s JOIN q ON s.doc_id = q.doc_id""".stripMargin),
 
     // g1's stub features are byte statistics; on this corpus (verified
     // single-byte at every SF) ascii(char) = byte value and both engines

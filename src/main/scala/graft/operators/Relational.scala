@@ -676,17 +676,23 @@ object Relational {
     // engines — no log10, whose libm tail is engine-dependent); the
     // Benford expectations ride as nine literal constants spelled
     // identically in the oracle (§6b: never derive constants). One
-    // map-side-combined 9-group aggregate + a 9-row window: scan-bound
-    // at any scale.
+    // map-side-combined 9-group aggregate, with the grand total as a
+    // 1-row scalar aggregate broadcast-crossJoined back (the
+    // psiFromCells idiom, swept here by the r7 verdict — the former
+    // Window.partitionBy() total was bounded at 9 rows but was the
+    // exact pattern psiFromCells eliminated; integer sums are
+    // order-independent so the swap is oracle-neutral, and PlanSpec
+    // now pins the no-Window shape). Scan-bound at any scale.
     "b39_benford" -> ((s, d) => {
       val expected = typedLit(Seq(0.30103, 0.17609, 0.12494, 0.09691,
         0.07918, 0.06695, 0.05799, 0.05115, 0.04576))
-      t(s, d, "lineitem")
+      val counts = t(s, d, "lineitem")
         .select(substring(floor(col("l_extendedprice")).cast("string"), 1, 1)
           .cast("long").as("digit"))
         .groupBy(col("digit"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
         .select(col("digit"), col("cnt"),
           round(col("cnt").cast("double") / col("total"), 8).as("obs_p"),
           element_at(expected, col("digit").cast("int")).as("exp_p"))

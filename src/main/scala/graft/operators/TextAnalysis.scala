@@ -663,8 +663,17 @@ object TextAnalysis {
     * (the psiFromCells sharing rule applied to the cut itself).
     */
   def psiTopKFromCells(cells: DataFrame, topK: Int = 256): DataFrame = {
-    val boundary = cells.select(col("c0"), col("term"))
-      .orderBy(col("c0").desc, col("term").asc).limit(topK)
+    // The trailing `c1` sort key is UNREACHABLE (cells are keyed by
+    // term, so (c0, term) is already a total order) — its only job is
+    // to keep the c1 count referenced in the boundary subplan. Without
+    // it, column pruning rewrites the boundary's incoming-side
+    // aggregate to a count-less distinct, whose exchange no longer
+    // canonically matches the main branch's — and the boundary then
+    // pays a THIRD corpus scan instead of a ReusedExchange (found via
+    // the round-7 advice's scan-count audit; PlanSpec now bounds the
+    // f21 final plans at two scans).
+    val boundary = cells.select(col("c0"), col("term"), col("c1"))
+      .orderBy(col("c0").desc, col("term").asc, col("c1")).limit(topK)
       .orderBy(col("c0").asc, col("term").desc).limit(1)
       .select(col("c0").as("kc"), col("term").as("kt"))
     val tagged = cells.crossJoin(broadcast(boundary))

@@ -67,8 +67,11 @@ object IndexStream {
     * batch is value-identical so any pick serves the same answer; two
     * DIFFERENT updates to one vec_id in one micro-batch have no
     * arrival order to honor (the source is a file listing), so the
-    * tie breaks on hash(embedding) — arbitrary but STABLE, the same
-    * winner on every probe, replay, and compaction.
+    * tie breaks on xxhash64(embedding) with the embedding ARRAY itself
+    * as the final key — a TOTAL order over distinct values (a 32-bit
+    * hash alone can collide across two distinct updates, making the
+    * row_number winner arrival-order-dependent — the round-7 advice),
+    * so the same winner serves on every probe, replay, and compaction.
     */
   private def dedupPreferDelta(base: DataFrame,
                                delta: Option[DataFrame]): DataFrame = {
@@ -78,7 +81,7 @@ object IndexStream {
       case Some(d) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id"))
-          .orderBy(col("pri").desc, hash(col("embedding")))
+          .orderBy(col("pri").desc, xxhash64(col("embedding")), col("embedding"))
         base.select(cols :+ lit(-1L).as("pri"): _*)
           .unionByName(d.select(cols :+ col("batch_id").cast("long").as("pri"): _*))
           .withColumn("rn", row_number().over(w))

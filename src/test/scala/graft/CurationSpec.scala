@@ -361,4 +361,38 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         ((r.getAs[Long]("band"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
     assert(keyed(out) === keyed(again))
   }
+
+  test("I13b keeper split: cluster-atomic, keeper is the cluster argmax, consistent with i13 and d16") {
+    val q = SparkEntry.queries("i13b_keeper_split")(spark, SF).collect()
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    assert(q.length.toLong === docs.count(), "every document is assigned")
+    // (a) no near-dup pair straddles a boundary: the split is a pure
+    // function of cluster_id, so every cluster member shares it —
+    // transitively covering every candidate pair
+    q.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[String]("split")).distinct.length === 1,
+        s"cluster $cid members landed in different splits")
+      // (b) exactly one keeper per cluster and it is the
+      // (quality_score DESC, doc_id) argmax — the production contract:
+      // filter(split='train' AND is_keeper) trains on each train
+      // cluster's best copy
+      val kept = rows.filter(_.getAs[Boolean]("is_keeper"))
+      assert(kept.length === 1, s"cluster $cid must keep exactly one copy")
+      val best = rows.minBy(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      assert(kept.head.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"),
+        s"cluster $cid keeper is not the quality argmax")
+    }
+    // (c) the composition changes NOTHING about its inputs: splits
+    // equal i13's row-for-row, keeper flags equal d16's
+    val i13 = SparkEntry.queries("i13_leakage_safe_split")(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val d16 = SparkEntry.queries("d16_quality_keeper")(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_keeper")).toMap
+    q.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("split") === i13(id))
+      assert(r.getAs[Boolean]("is_keeper") === d16(id))
+    }
+  }
 }

@@ -171,4 +171,48 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       graft.sources.Tables.table(spark, SF, "documents"))
     assert(real.filter(col("quarantine")).count() === 0L)
   }
+
+  test("G9 quality keeper: corrupt copies never keep, resolution breaks intact ties, doc_id last") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-built clusters + audit (the qualityKeepersFrom split exists
+    // exactly so corruption can be injected: a withPayload corpus is
+    // never quarantined, so the intact key would otherwise be untestable)
+    val clusters = Seq(
+      // cluster 10: 11 is the highest-resolution copy but CORRUPT —
+      // intact must dominate resolution; 12 beats 10 on resolution
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      // cluster 20: both intact, equal resolution — doc_id tiebreak
+      (20L, 20L, 2L), (21L, 20L, 2L))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val audit = Seq(
+      (10L, false, 10, 10), (11L, true, 100, 100), (12L, false, 20, 20),
+      (20L, false, 30, 30), (21L, false, 30, 30))
+      .toDF("doc_id", "quarantine", "width", "height")
+    val keepers = Multimodal.qualityKeepersFrom(clusters, audit).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_keeper"), r.getAs[Int]("intact"),
+          r.getAs[Long]("resolution"))).toMap
+    assert(keepers(12L)._1, "cluster 10 must keep the intact high-res copy")
+    assert(!keepers(11L)._1, "the corrupt copy must never keep, whatever its resolution")
+    assert(!keepers(10L)._1)
+    assert(keepers(11L)._2 === 0 && keepers(10L)._2 === 1)
+    assert(keepers(20L)._1 && !keepers(21L)._1, "exact ties fall to the smaller doc_id")
+    // end-to-end on the real corpus: exactly one keeper per cluster,
+    // and every keeper is its cluster's (intact, resolution, -doc_id)
+    // argmax over the collected report
+    val real = Multimodal.phashQualityKeepers(
+      graft.sources.Tables.table(spark, SF, "documents")).collect()
+    val byCluster = real.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (cid, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("is_keeper"))
+      assert(kept.length === 1, s"cluster $cid must keep exactly one copy")
+      val best = rows.minBy(r => (-r.getAs[Int]("intact"),
+        -r.getAs[Long]("resolution"), r.getAs[Long]("doc_id")))
+      assert(kept.head.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"),
+        s"cluster $cid keeper is not the quality argmax")
+      assert(rows.length.toLong === rows.head.getAs[Long]("cluster_size"))
+    }
+  }
 }

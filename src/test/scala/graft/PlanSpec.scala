@@ -322,7 +322,44 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       assert(fin.contains("isFinalPlan=true"), s"$q did not finalize adaptively")
       assert(fin.contains("ReusedExchange"),
         s"$q totals branch must reuse the cells exchange, not recompute it\n$fin")
+      // f21b evaluates the cells subplan in FOUR branches (boundary
+      // limit, top filter, tail aggregate, psiFromCells totals) — the
+      // round-7 advice: only the totals reuse was asserted, so a
+      // planner change could silently recompute the full-outer term
+      // join per branch. Bound the physical corpus scans instead: the
+      // two slice aggregations scan documents once each, every further
+      // branch must come back as a ReusedExchange, so >2 scans in the
+      // FINAL plan means a reuse regression. (AdaptiveSparkPlanExec's
+      // toString appends the pre-execution `== Initial Plan ==` section,
+      // where nothing is reused yet — count only the final section.)
+      if (q.startsWith("f21")) {
+        val finalSection = fin.split("== Initial Plan ==").head
+        val scans = "Scan parquet".r.findAllIn(finalSection).size
+        assert(scans <= 2,
+          s"$q must scan documents at most twice (ref + incoming slice); " +
+            s"got $scans — a cells-subplan reuse regression\n$fin")
+      }
     }
+  }
+
+  test("c23/b39 grand totals: aggregate+broadcast, never a global-total window (the psiFromCells sweep)") {
+    // the r7 verdict's item 2: both were bounded by construction (256
+    // grid cells / 9 digits) but used the exact single-partition-window
+    // pattern psiFromCells eliminated — swept onto the aggregate +
+    // broadcast-crossJoin idiom so the codebase's totals discipline is
+    // uniform. b39 has NO window left at all; c23 keeps exactly ONE —
+    // the cumulative-ECDF pass, inherent to a global CDF and bounded at
+    // 256 cells by construction (that bounded-input invariant is what
+    // this count pins).
+    val b39 = SparkEntry.queries("b39_benford")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!b39.contains("Window ["),
+      s"b39 totals must be an aggregate+broadcast, not a window\n$b39")
+    val c23 = SparkEntry.queries("c23_ks_drift")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(c23).size
+    assert(windows == 1,
+      s"c23 must keep exactly the one cumulative-ECDF window, got $windows\n$c23")
   }
 
   test("c26 reactivation: lag + running prior mean ride ONE user exchange and ONE scan") {
