@@ -320,9 +320,17 @@ object Dedup {
     val edges = checkpointFresh(
       p.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // Initial labels fold the FIRST neighbor-min round in for free:
+    // comp_0 = min({id} ∪ neighbors) is exactly what one propagation
+    // round over identity labels produces (the pointer jump on
+    // identity is identity), and the groupBy costs the same shuffle
+    // the endpoint-distinct did — so the loop starts one round ahead,
+    // and with per-round wall time dominated by fixed job-scheduling
+    // latency (the round-8 profile) that is a full round-trip saved
+    // on every caller.
     var labels = checkpointFresh(
-      edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")))
+      edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u").as("id"), least(col("u"), col("mv")).as("comp")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
