@@ -102,6 +102,69 @@ object Stateful {
   case class EwmaState(trail: Seq[Double])
   case class EwmaFeature(user_id: Long, event_id: Long, ewma_value: Double)
 
+  /** Reorder-stage state: the per-user buffer of not-yet-final events
+    * plus the wrapped operator's own state.
+    */
+  case class Reorder[S](buf: Seq[Ev], inner: S)
+
+  /** Watermark-based per-user reorder-and-fold (the r7 verdict's item
+    * 4): the H13/H16/H22 cross-batch parity contracts required per-user
+    * event-time-ordered ARRIVAL — documented, but nothing enforced it.
+    * This combinator buffers each user's events in state and folds them
+    * through the wrapped per-event `step` in exact (ts, event_id) order
+    * only once the event-time watermark has passed them, so for any
+    * source whose disorder stays within `delay` the served values are
+    * bit-identical to the batch feature REGARDLESS of arrival order.
+    *
+    * Mechanics: events with ts ≤ watermark are ripe — released in
+    * sorted order through `step`; the rest stay buffered, with an
+    * EventTimeTimeout timer set to the earliest held timestamp so a
+    * user with no further arrivals still flushes when the watermark
+    * reaches their buffer (Spark's no-data micro-batch after the last
+    * data batch fires these timers). Events later than the watermark
+    * AT ARRIVAL (beyond-`delay` stragglers) release in their arrival
+    * batch — best-effort, the same lateness semantics as every
+    * watermarked operator. State cost: the inner state plus the ≤
+    * `delay`-window slice of each user's events — bounded by the
+    * source's actual disorder, not by history.
+    *
+    * The per-event arithmetic is the SAME function object the
+    * arrival-order operator folds (ewmaStep/cusumStep/reactStep), so
+    * ordered-arrival parity cannot drift between the two variants.
+    */
+  private def reorderedByWatermark[S, O](
+      ds: Dataset[Ev], delay: String, zero: S,
+      step: (S, Ev) => (S, Option[O]))(
+      implicit stEnc: org.apache.spark.sql.Encoder[Reorder[S]],
+      outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    implicit val keyEnc = Encoders.scalaLong
+    ds.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Reorder[S], O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Reorder[S]]) =>
+          val st = state.getOption.getOrElse(Reorder(Vector.empty[Ev], zero))
+          val buf = st.buf ++ evs
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, hold) = buf.partition(_.ts.getTime <= wm)
+          var inner = st.inner
+          val out = ripe.sortBy(e =>
+              (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+            .flatMap { e =>
+              val (s2, o) = step(inner, e)
+              inner = s2
+              o
+            }
+          state.update(Reorder(hold, inner))
+          // timer strictly above the current watermark (Spark rejects
+          // earlier); the held minimum is > wm by the partition above
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.ts.getTime).min, wm + 1L))
+          out.iterator
+      }
+  }
+
   /** H13: online/offline feature PARITY — the streaming serve path of
     * the batch c16 EWMA feature. State is the user's last ≤ 40 values
     * (c16's exact frame, 320 B/user), and each event's feature is the
@@ -118,10 +181,24 @@ object Stateful {
     * would collapse sub-millisecond spacing); ACROSS micro-batches the
     * fold follows arrival order, so parity requires per-user
     * event-time-ordered arrival (true for the replayed/backfilled
-    * sources the spec models; an out-of-order live source needs a
-    * watermark-reorder stage upstream, at which point this same
-    * operator applies unchanged).
+    * sources the spec models). For an out-of-order live source use
+    * [[ewmaFeaturesReordered]] — the same step function behind the
+    * watermark reorder stage, which turns the contract into a
+    * guarantee for any disorder within its delay (StreamingSpec pins
+    * both the plain operator's divergence edge and the reordered
+    * variant's restored bit-parity).
     */
+  /** The per-event H13 arithmetic, shared verbatim between the
+    * arrival-order operator and its watermark-reordered variant (the
+    * psiFromCells sharing rule applied to streaming steps: one
+    * function, so the two serve paths cannot drift).
+    */
+  private def ewmaStep(trail: Seq[Double], e: Ev): (Seq[Double], EwmaFeature) = {
+    val t2 = (trail :+ e.value).takeRight(40)
+    (t2, EwmaFeature(e.user_id, e.event_id,
+      t2.foldLeft(0.0)((a, x) => (a + x) / 2.0)))
+  }
+
   def ewmaFeatures(ds: Dataset[Ev]): Dataset[EwmaFeature] = {
     implicit val outEnc = Encoders.product[EwmaFeature]
     implicit val stateEnc = Encoders.product[EwmaState]
@@ -134,12 +211,31 @@ object Stateful {
           val ordered = evs.toSeq.sortBy(e =>
             (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
           val out = ordered.map { e =>
-            trail = (trail :+ e.value).takeRight(40)
-            EwmaFeature(uid, e.event_id, trail.foldLeft(0.0)((a, x) => (a + x) / 2.0))
+            val (t2, f) = ewmaStep(trail, e)
+            trail = t2
+            f
           }
           state.update(EwmaState(trail))
           out.iterator
       }
+  }
+
+  /** H13 under OUT-OF-ORDER arrival: the same exact EWMA arithmetic
+    * behind the [[reorderedByWatermark]] stage, which buffers each
+    * user's events and folds them in event-time order once the
+    * watermark passes — turning the documented ordered-arrival parity
+    * CONTRACT into a guarantee for any source whose disorder stays
+    * within `delay` (the r7 verdict's item 4).
+    */
+  def ewmaFeaturesReordered(ds: Dataset[Ev],
+                            delay: String = "10 minutes"): Dataset[EwmaFeature] = {
+    implicit val outEnc = Encoders.product[EwmaFeature]
+    implicit val stEnc = Encoders.product[Reorder[EwmaState]]
+    reorderedByWatermark[EwmaState, EwmaFeature](ds, delay, EwmaState(Nil),
+      (st, e) => {
+        val (t2, f) = ewmaStep(st.trail, e)
+        (EwmaState(t2), Some(f))
+      })
   }
 
   case class DocTokens(doc_id: Long, source: String, n_tokens: Long, hk: Long)
@@ -208,11 +304,34 @@ object Stateful {
     *
     * Ordering contract (H13): rows fold in (ts, event_id) order within
     * each micro-batch; across batches parity requires per-user ordered
-    * arrival, the replay/backfill contract. The unscaled-long state
-    * bounds S at ~9.2e12 (scale 6) — beyond it longValueExact fails
-    * fast rather than silently wrapping; a deployment tracking larger
-    * cumulative drift should widen the state to two longs.
+    * arrival, the replay/backfill contract — [[cusumScoresReordered]]
+    * guarantees it for out-of-order sources (disorder within its
+    * delay). The unscaled-long state bounds S at ~9.2e12 (scale 6) —
+    * beyond it longValueExact fails fast rather than silently
+    * wrapping; a deployment tracking larger cumulative drift should
+    * widen the state to two longs.
     */
+  /** The per-event H16 arithmetic on the stored unscaled-long repr
+    * (scale-6 decimal ↔ unscaled long is lossless, so stepping through
+    * the stored form is bit-identical to carrying the BigDecimal) —
+    * shared verbatim by the arrival-order operator and its reordered
+    * variant. Spark's double→DECIMAL(18,6) cast rounds the SHORTEST
+    * decimal repr (BigDecimal.valueOf) HALF_UP — replicated exactly,
+    * NOT new BigDecimal(double) (exact binary), which diverges on
+    * values like 0.1.
+    */
+  private def cusumStep(k6: java.math.BigDecimal, h: java.math.BigDecimal,
+                        sUnscaled: Long, e: Ev): (Long, CusumScore) = {
+    val zero = java.math.BigDecimal.ZERO.setScale(6)
+    var s = java.math.BigDecimal.valueOf(sUnscaled, 6)
+    val dev = java.math.BigDecimal.valueOf(e.value)
+      .setScale(6, java.math.RoundingMode.HALF_UP).subtract(k6)
+    s = s.add(dev)
+    if (s.signum() < 0) s = zero
+    (s.movePointRight(6).longValueExact(),
+      CusumScore(e.user_id, e.event_id, s.doubleValue, s.compareTo(h) > 0))
+  }
+
   def cusumScores(ds: Dataset[Ev],
                   k: java.math.BigDecimal = new java.math.BigDecimal("50.0"),
                   h: java.math.BigDecimal = new java.math.BigDecimal("200.0"))
@@ -225,26 +344,35 @@ object Stateful {
       .flatMapGroupsWithState[CusumState, CusumScore](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[CusumState]) =>
-          val zero = java.math.BigDecimal.ZERO.setScale(6)
-          var s = state.getOption
-            .map(st => java.math.BigDecimal.valueOf(st.s_unscaled, 6))
-            .getOrElse(zero)
+          var su = state.getOption.getOrElse(CusumState(0L)).s_unscaled
           val ordered = evs.toSeq.sortBy(e =>
             (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
           val out = ordered.map { e =>
-            // Spark's double→DECIMAL(18,6) cast rounds the SHORTEST
-            // decimal repr (BigDecimal.valueOf) HALF_UP — replicated
-            // exactly, NOT new BigDecimal(double) (exact binary), which
-            // diverges on values like 0.1
-            val dev = java.math.BigDecimal.valueOf(e.value)
-              .setScale(6, java.math.RoundingMode.HALF_UP).subtract(k6)
-            s = s.add(dev)
-            if (s.signum() < 0) s = zero
-            CusumScore(uid, e.event_id, s.doubleValue, s.compareTo(h) > 0)
+            val (s2, score) = cusumStep(k6, h, su, e)
+            su = s2
+            score
           }
-          state.update(CusumState(s.movePointRight(6).longValueExact()))
+          state.update(CusumState(su))
           out.iterator
       }
+  }
+
+  /** H16 under OUT-OF-ORDER arrival: [[cusumScores]]' exact step behind
+    * the watermark reorder stage — ordered-arrival parity becomes a
+    * guarantee for any source whose disorder stays within `delay`.
+    */
+  def cusumScoresReordered(ds: Dataset[Ev],
+      k: java.math.BigDecimal = new java.math.BigDecimal("50.0"),
+      h: java.math.BigDecimal = new java.math.BigDecimal("200.0"),
+      delay: String = "10 minutes"): Dataset[CusumScore] = {
+    implicit val outEnc = Encoders.product[CusumScore]
+    implicit val stEnc = Encoders.product[Reorder[CusumState]]
+    val k6 = k.setScale(6)
+    reorderedByWatermark[CusumState, CusumScore](ds, delay, CusumState(0L),
+      (st, e) => {
+        val (s2, score) = cusumStep(k6, h, st.s_unscaled, e)
+        (CusumState(s2), Some(score))
+      })
   }
 
   case class ReactState(last_day: Long, prior_sum_unscaled: Long, prior_n: Long)
@@ -266,10 +394,46 @@ object Stateful {
     *
     * Ordering contract (H13): rows fold in (ts, event_id) order within
     * each micro-batch; across batches parity requires per-user ordered
-    * arrival — the replay/backfill contract. The unscaled-long sum
-    * fails fast via longValueExact at ~9.2e12 (scale 6), the CUSUM
-    * bound.
+    * arrival — the replay/backfill contract, guaranteed for
+    * out-of-order sources by [[reactivationAlertsReordered]] (and the
+    * silent failure the plain fold risks — a burst arriving before its
+    * history looks like a first-ever event and the alert is MISSED —
+    * is pinned in StreamingSpec). The unscaled-long sum fails fast via
+    * longValueExact at ~9.2e12 (scale 6), the CUSUM bound.
     */
+  /** The per-event H22 arithmetic (null prior = first-ever event),
+    * shared verbatim by the arrival-order operator and its reordered
+    * variant. The day gap is integer epoch-day subtraction under UTC;
+    * the prior mean is decimal-sum→double divided by count→double (the
+    * batch window chain's exact cast sequence); v6 is the same
+    * shortest-decimal-then-HALF_UP conversion the batch DECIMAL(18,6)
+    * cast applies (the H16 rule).
+    */
+  private def reactStep(dormantDays: Long, burstFactor: Double,
+                        st: ReactState, e: Ev)
+      : (ReactState, Option[ReactivationAlert]) = {
+    val day = e.ts.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val alert =
+      if (st == null) None
+      else {
+        val gap = day - st.last_day
+        val priorMean = java.math.BigDecimal
+          .valueOf(st.prior_sum_unscaled, 6).doubleValue / st.prior_n.toDouble
+        if (gap >= dormantDays && e.value >= burstFactor * priorMean)
+          Some(ReactivationAlert(e.user_id, e.event_id, gap, priorMean, e.value))
+        else None
+      }
+    val v6 = java.math.BigDecimal.valueOf(e.value)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+    val st2 =
+      if (st == null) ReactState(day, v6, 1L)
+      else ReactState(day, Math.addExact(st.prior_sum_unscaled, v6),
+        st.prior_n + 1L)
+    (st2, alert)
+  }
+
   def reactivationAlerts(ds: Dataset[Ev], dormantDays: Long = 2L,
                          burstFactor: Double = 1.5): Dataset[ReactivationAlert] = {
     implicit val outEnc = Encoders.product[ReactivationAlert]
@@ -283,34 +447,27 @@ object Stateful {
           val ordered = evs.toSeq.sortBy(e =>
             (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
           val out = ordered.flatMap { e =>
-            val day = e.ts.toInstant
-              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
-            val alert =
-              if (st == null) None
-              else {
-                val gap = day - st.last_day
-                // decimal→double then long→double division: the batch
-                // chain's exact cast sequence
-                val priorMean = java.math.BigDecimal
-                  .valueOf(st.prior_sum_unscaled, 6).doubleValue / st.prior_n.toDouble
-                if (gap >= dormantDays && e.value >= burstFactor * priorMean)
-                  Some(ReactivationAlert(uid, e.event_id, gap, priorMean, e.value))
-                else None
-              }
-            // the same shortest-decimal-then-HALF_UP conversion the
-            // batch DECIMAL(18,6) cast applies (the H16 rule)
-            val v6 = java.math.BigDecimal.valueOf(e.value)
-              .setScale(6, java.math.RoundingMode.HALF_UP)
-              .movePointRight(6).longValueExact()
-            st =
-              if (st == null) ReactState(day, v6, 1L)
-              else ReactState(day, Math.addExact(st.prior_sum_unscaled, v6),
-                st.prior_n + 1L)
+            val (s2, alert) = reactStep(dormantDays, burstFactor, st, e)
+            st = s2
             alert
           }
           state.update(st)
           out.iterator
       }
+  }
+
+  /** H22 under OUT-OF-ORDER arrival: [[reactivationAlerts]]' exact step
+    * behind the watermark reorder stage. The null "no prior" state
+    * rides inside the Reorder wrapper as a null struct field.
+    */
+  def reactivationAlertsReordered(ds: Dataset[Ev], dormantDays: Long = 2L,
+      burstFactor: Double = 1.5,
+      delay: String = "10 minutes"): Dataset[ReactivationAlert] = {
+    implicit val outEnc = Encoders.product[ReactivationAlert]
+    implicit val stEnc = Encoders.product[Reorder[ReactState]]
+    reorderedByWatermark[ReactState, ReactivationAlert](ds, delay,
+      null.asInstanceOf[ReactState],
+      (st, e) => reactStep(dormantDays, burstFactor, st, e))
   }
 
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {

@@ -345,6 +345,147 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       java.lang.Double.doubleToLongBits(10.0))
   }
 
+  // Shared fixture driver for the out-of-order H13/H16/H22 specs (r7
+  // verdict item 4): writes the given per-batch JSON files (one file =
+  // one micro-batch), appends TWO sentinel-user files whose late
+  // timestamps push the event-time watermark past every real event —
+  // so the reorder stage's buffered tail flushes through the trailing
+  // no-data/data batches — runs `op` through a memory sink, and
+  // returns the collected rows with the sentinel user filtered out.
+  private def runOoo[O](name: String, batches: Seq[Seq[String]],
+      sentinelTs: Seq[String], select: String)(
+      op: org.apache.spark.sql.Dataset[Stateful.Ev] => org.apache.spark.sql.Dataset[O])
+      : Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val in = tmpDir(s"graft_ooo_${name}_in")
+    val ckpt = tmpDir(s"graft_ooo_${name}_ckpt")
+    // FileStreamSource orders batches by file modification time, and
+    // same-millisecond writes tie-break ARBITRARILY (observed: reversed)
+    // — pin strictly increasing mtimes so the delivery order IS the
+    // declared batch order, which is the whole point of these fixtures
+    val t0 = System.currentTimeMillis()
+    def writeAt(path: java.nio.file.Path, body: String, slot: Int): Unit = {
+      Files.writeString(path, body)
+      Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(t0 - 60000L + slot * 1000L))
+    }
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeAt(Paths.get(in, f"b$i%02d.json"), rows.mkString("\n"), i)
+    }
+    sentinelTs.zipWithIndex.foreach { case (t, i) =>
+      writeAt(Paths.get(in, f"s$i%02d.json"),
+        oooJson(900L + i, 999L, t, 0.0), batches.length + i)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[Stateful.Ev]
+    op(stream).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    spark.sql(s"SELECT $select FROM $name WHERE user_id <> 999").collect()
+  }
+
+  private def oooJson(e: Long, u: Long, t: String, v: Double): String =
+    s"""{"event_id":$e,"user_id":$u,"ts":"${t.replace(' ', 'T')}.000Z","value":$v}"""
+
+  private def oooBatchDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("graft_ooo_batch")
+    rows.map { case (e, u, t, v) =>
+        (e, u, java.sql.Timestamp.valueOf(t).getTime * 1000000L, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit("purchase")).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("H16 contract edge: out-of-order replay diverges; the watermark reorder restores parity") {
+    // user 101 in EVENT time: 10:00 v=10 (clamps), 10:01 v=120, 10:02
+    // v=30; ARRIVAL delivers the 10:00 event one micro-batch AFTER its
+    // successors — the replay/backfill contract violated
+    val rows = Seq((1L, 101L, "2024-01-01 10:00:00", 10.0),
+      (2L, 101L, "2024-01-01 10:01:00", 120.0),
+      (3L, 101L, "2024-01-01 10:02:00", 30.0))
+    val batches = Seq(
+      Seq(oooJson(2L, 101L, rows(1)._3, 120.0), oooJson(3L, 101L, rows(2)._3, 30.0)),
+      Seq(oooJson(1L, 101L, rows(0)._3, 10.0)))
+    val sentinels = Seq("2024-01-01 11:00:00", "2024-01-01 11:01:00")
+    val offline = graft.operators.Fraud.queries("c18_cusum_shift")(spark, oooBatchDir(rows))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("cusum")).toMap
+    val plain = runOoo("cusum_ooo_plain", batches, sentinels, "event_id, cusum")(
+      Stateful.cusumScores(_)).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the edge, pinned: the arrival-order fold scores the late event
+    // against state it should have PRECEDED (120's residual instead of
+    // a fresh clamp)
+    assert(plain(1L) !== offline(1L),
+      s"arrival-order fold must diverge on the late event (both ${plain(1L)})")
+    val reordered = runOoo("cusum_ooo_reorder", batches, sentinels, "event_id, cusum")(
+      Stateful.cusumScoresReordered(_)).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reordered.keySet === offline.keySet, "every buffered event must flush")
+    reordered.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(offline(id)),
+        s"event $id: reordered $v != batch ${offline(id)}")
+    }
+  }
+
+  test("H13 contract edge: out-of-order replay diverges; the watermark reorder restores parity") {
+    val rows = Seq((1L, 101L, "2024-01-01 10:00:00", 4.0),
+      (2L, 101L, "2024-01-01 10:01:00", 2.0),
+      (3L, 101L, "2024-01-01 10:02:00", 6.0))
+    val batches = Seq(
+      Seq(oooJson(2L, 101L, rows(1)._3, 2.0), oooJson(3L, 101L, rows(2)._3, 6.0)),
+      Seq(oooJson(1L, 101L, rows(0)._3, 4.0)))
+    val sentinels = Seq("2024-01-01 11:00:00", "2024-01-01 11:01:00")
+    val offline = graft.operators.Fraud.queries("c16_ewma_spend")(spark, oooBatchDir(rows))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma_value")).toMap
+    val plain = runOoo("ewma_ooo_plain", batches, sentinels, "event_id, ewma_value")(
+      Stateful.ewmaFeatures(_)).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain(1L) !== offline(1L),
+      s"arrival-order fold must diverge on the late event (both ${plain(1L)})")
+    val reordered = runOoo("ewma_ooo_reorder", batches, sentinels, "event_id, ewma_value")(
+      Stateful.ewmaFeaturesReordered(_)).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reordered.keySet === offline.keySet, "every buffered event must flush")
+    reordered.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(offline(id)),
+        s"event $id: reordered $v != batch ${offline(id)}")
+    }
+  }
+
+  test("H22 contract edge: the burst arriving before its history kills the alert; the reorder restores it") {
+    // in EVENT time user 1 builds a two-day history then bursts after a
+    // 3-day dormancy (the c26 alert); ARRIVAL delivers the burst FIRST,
+    // so the plain fold sees it as a first-ever event — no prior, no
+    // alert, silently
+    val rows = Seq((1L, 1L, "2024-01-01 09:00:00", 10.1234567),
+      (2L, 1L, "2024-01-02 09:00:00", 9.8765433),
+      (3L, 1L, "2024-01-05 09:00:00", 30.5))
+    val batches = Seq(
+      Seq(oooJson(3L, 1L, rows(2)._3, 30.5)),
+      Seq(oooJson(1L, 1L, rows(0)._3, 10.1234567),
+        oooJson(2L, 1L, rows(1)._3, 9.8765433)))
+    val sentinels = Seq("2024-01-20 09:00:00", "2024-01-20 10:00:00")
+    val offline = graft.operators.Fraud.queries("c26_reactivation")(spark, oooBatchDir(rows))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("gap_days"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("prior_mean"))))).toMap
+    assert(offline.keySet === Set(3L), "the batch report flags the burst")
+    val plain = runOoo("react_ooo_plain", batches, sentinels,
+      "event_id, gap_days, prior_mean")(Stateful.reactivationAlerts(_))
+    assert(plain.isEmpty,
+      "arrival-order fold must MISS the alert when the burst precedes its history")
+    val reordered = runOoo("react_ooo_reorder", batches, sentinels,
+      "event_id, gap_days, prior_mean")(Stateful.reactivationAlertsReordered(_))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))).toMap
+    assert(reordered === offline,
+      "the reordered alert must equal the batch report bit-exactly")
+  }
+
   test("H21 streaming vocabulary monitor serves PSI bit-identical to the batch f21 statistic") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = Tables.table(spark, SF, "documents")
