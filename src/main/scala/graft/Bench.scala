@@ -71,8 +71,13 @@ object Bench {
     "c26_reactivation", "i21_epoch_plan", "c28_collusion_rings",
     "g8_phash_clusters", "d16_quality_keeper",
     // round-8 additions: the media quality keeper (g8's loop + the g7
-    // audit join) and the keeper-aware split (d16 + one md5 projection)
-    "g9_quality_keeper", "i13b_keeper_split")
+    // audit join), the keeper-aware split (d16 + one md5 projection),
+    // graph cohesion on the c27 pairs (wedge-close joins on the
+    // output-sized graph), directional containment (d4's blocked
+    // plan), and frame-level media dedup (one frame-digest shuffle +
+    // capped in-cell expansion)
+    "g9_quality_keeper", "i13b_keeper_split", "c29_collusion_cohesion",
+    "d20_containment", "g10_shared_frames")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -147,6 +147,42 @@ object Dedup {
         (inter.cast("double") / (size(col("sa.s")) + size(col("sb.s")) - inter)).as("jaccard"))
   }
 
+  /** D20: asymmetric shingle CONTAINMENT of the LSH candidates —
+    * C(A→B) = |S_A ∩ S_B| / |S_A|, the directional statistic Jaccard
+    * dilutes: a paragraph wholly lifted into a 100× longer document
+    * scores Jaccard ≈ 0.01 (invisible below any dedup threshold) but
+    * containment_a = 1.0 — the sub-document copying / quote-farm /
+    * boilerplate-wrapper shape a symmetric verifier misses. Same
+    * blocked plan as d4 (sets joined to candidates only, never O(n²));
+    * both directions plus the max are reported so a single-threshold
+    * curation filter exists. Portability: int set sizes, one double
+    * division each; max over the two IEEE-identical doubles agrees
+    * across engines.
+    *
+    * Caveat shared with every LSH-blocked verifier, sharpened by
+    * asymmetry: candidates come from whole-document MinHash, whose
+    * collision probability tracks JACCARD — a tiny-in-huge containment
+    * pair rarely bands together, so at scale a containment-oriented
+    * recall pass blocks on the SMALL side's shingles (d12's duplicated-
+    * span fingerprints are exactly that machinery). Documented, not
+    * hidden: this operator scores the candidate set it is given.
+    */
+  def ngramContainment(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val sets = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("tok"))).as("s"))
+    val inter = size(array_intersect(col("sa.s"), col("sb.s")))
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / size(col("sa.s")).cast("double")).as("containment_a"),
+        (inter.cast("double") / size(col("sb.s")).cast("double")).as("containment_b"))
+      .withColumn("containment_max",
+        greatest(col("containment_a"), col("containment_b")))
+  }
+
   /** 32-bit SimHash fingerprint over distinct token hashes: bit b of the
     * fingerprint is the sign of Σ±1 across token hashes for that bit
     * (32 bits keeps the positional fold inside a signed long under ANSI
@@ -874,6 +910,13 @@ object Dedup {
       ngramJaccard(docs, minhashCandidates(docs))
     }),
 
+    // D20: asymmetric containment of the D2 candidates — the
+    // sub-document-copying statistic Jaccard dilutes.
+    "d20_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ngramContainment(docs, minhashCandidates(docs))
+    }),
+
     // D6: edit-distance verification of LSH candidates — levenshtein is
     // O(len²) per pair, affordable exactly because it only runs on the
     // LSH-blocked candidate set, never all pairs.
@@ -1285,6 +1328,29 @@ object Dedup {
           |SELECT doc_a, doc_b,
           |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
           |         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+          |FROM cand
+          |JOIN sets sa ON doc_a = sa.doc_id
+          |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
+
+      // D20: d4's sets CTE with the two directional divisions — int
+      // sizes cast to DOUBLE, one IEEE division each, greatest() over
+      // bit-identical doubles.
+      "d20_containment" -> (bandsCte +
+        """,
+          |sets AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          |  FROM toks WHERE len(t) >= 3)
+          |SELECT doc_a, doc_b,
+          |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |         / CAST(len(sa.s) AS DOUBLE) AS containment_a,
+          |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |         / CAST(len(sb.s) AS DOUBLE) AS containment_b,
+          |       greatest(
+          |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |           / CAST(len(sa.s) AS DOUBLE),
+          |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          |           / CAST(len(sb.s) AS DOUBLE)) AS containment_max
           |FROM cand
           |JOIN sets sa ON doc_a = sa.doc_id
           |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),

@@ -358,6 +358,52 @@ object Fraud {
       .select(col("doc_id").as("user_id"), col("cluster_id").as("ring_id"),
         col("cluster_size").as("ring_size"))
 
+  /** C29: collusion-graph cohesion metrics — per-user degree, triangle
+    * count, and local clustering coefficient 2T/(deg·(deg−1)) over the
+    * c27 pair graph. The metric c28's components cannot provide: a
+    * component says WHO is connected, the clustering coefficient says
+    * HOW — a tight mule ring (everyone co-occurs with everyone,
+    * coefficient → 1) vs a hub-and-spoke pattern around a shared
+    * public attribute (coefficient → 0) — the standard triage signal
+    * on fraud graphs.
+    *
+    * Scale: every join touches only the OUTPUT-sized pair graph
+    * (materialized once via localCheckpoint — three consumers would
+    * otherwise re-derive the fact-table pass each). The wedge
+    * expansion is quadratic in per-user degree, which the c27 hub cap
+    * (≤ maxBucket users/cell) and minShared threshold bound — the
+    * same discipline that bounds the pair expansion itself.
+    * Portability: counts are exact longs; the coefficient is ONE
+    * double division of exact integer casts (2T and deg·(deg−1)), so
+    * both engines hash-match bitwise.
+    */
+  def collusionGraphMetrics(events: DataFrame, minShared: Int = 3,
+                            maxBucket: Int = 64): DataFrame = {
+    val edges = collusionPairs(events, minShared, maxBucket)
+      .select(col("user_a"), col("user_b"))
+      .localCheckpoint(true)
+    val und = edges.select(col("user_a").as("u"), col("user_b").as("v"))
+      .union(edges.select(col("user_b").as("u"), col("user_a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    // wedges centered at u (two neighbors, canonically ordered), closed
+    // iff the outer pair is itself an edge — each triangle closes one
+    // wedge at each of its three corners, so the per-user count is
+    // exact without a /3 correction
+    val tri = und.as("a").join(und.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("u"), col("a.v").as("x"), col("b.v").as("y"))
+      .join(edges.select(col("user_a").as("x"), col("user_b").as("y")),
+        Seq("x", "y"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("u"), "left")
+      .select(col("u").as("user_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C28: collusion rings (minRing=2 so the tiny sf0.001 graph still
@@ -368,6 +414,10 @@ object Fraud {
 
     // C26: dormancy-reactivation burst report.
     "c26_reactivation" -> ((s, d) => reactivationBursts(t(s, d, "events"))),
+
+    // C29: per-user degree/triangles/clustering on the c27 pair graph.
+    "c29_collusion_cohesion" -> ((s, d) =>
+      collusionGraphMetrics(t(s, d, "events"))),
 
     // C1–C4: enrichment join + rule scoring, full projection.
     "c1_fraud_enrich" -> ((s, d) => scoredTransactions(s, d)),
@@ -1096,6 +1146,34 @@ object Fraud {
         """
           |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_shared
           |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
+
+      // C29: the SHARED collusionPairCte at c27's threshold, then the
+      // identical wedge-close joins — every count an exact integer, the
+      // coefficient ONE double division of the same integer casts.
+      "c29_collusion_cohesion" ->
+        (s"WITH $collusionPairCte," +
+        """
+          |pe AS (
+          |  SELECT user_a, user_b FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+          |und AS (
+          |  SELECT user_a AS u, user_b AS v FROM pe
+          |  UNION ALL
+          |  SELECT user_b, user_a FROM pe),
+          |deg AS (
+          |  SELECT u, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY u),
+          |tri AS (
+          |  SELECT a.u, CAST(count(*) AS BIGINT) AS t
+          |  FROM und a
+          |  JOIN und b ON a.u = b.u AND a.v < b.v
+          |  JOIN pe e ON e.user_a = a.v AND e.user_b = b.v
+          |  GROUP BY a.u)
+          |SELECT d.u AS user_id, d.degree,
+          |       coalesce(t.t, CAST(0 AS BIGINT)) AS n_triangles,
+          |       CASE WHEN d.degree >= 2
+          |            THEN CAST(2 * coalesce(t.t, 0) AS DOUBLE)
+          |                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+          |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+          |FROM deg d LEFT JOIN tri t ON d.u = t.u""".stripMargin),
 
       // C25: exact decimal Gini sums — the (12,0)×(18,6) coefficient
       // product stays (31,6), summed exact on both engines; only the

@@ -102,6 +102,56 @@ object Multimodal {
         expr(s"length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
           .cast("long").as("frame_bytes"))
 
+  /** G10: frame-level media dedup — g3's frame decomposition crossed
+    * with d1's exact-digest dedup and c27's grouped pair expansion:
+    * two videos share CONTENT when they share frames, even when the
+    * containers differ (re-encoded copies with trimmed intros, clips
+    * lifted into compilations). Every payload explodes into fixed-size
+    * frames (every=1 — dedup wants ALL frames, unlike g3's sampling),
+    * each frame digests row-locally (payload bytes never shuffle —
+    * only 16-byte digests), identical digests bucket together on one
+    * keyed shuffle, and in-cell pair expansion under the c27 hub cap
+    * (a ubiquitous intro/black frame must not explode quadratically —
+    * capped cells drop, part of the checked semantics) yields per-pair
+    * shared-frame counts. Containment is d20's asymmetric statistic at
+    * the media level: shared / |distinct frames of A| — a clip wholly
+    * contained in a longer video scores containment_a = 1.0 while its
+    * Jaccard is diluted away. Distinct (doc, digest) first, so a frame
+    * repeated WITHIN one video counts once (set semantics, matching
+    * d20). Portability: counts are exact longs; the two containments
+    * are single IEEE divisions of integer casts.
+    */
+  def sharedFrameDedup(media: DataFrame, frameBytes: Int = 64,
+                       minShared: Int = 2, maxBucket: Int = 64): DataFrame = {
+    val fd = frameSample(media, frameBytes, every = 1)
+      .select(col("doc_id"), md5(col("frame")).as("fh"))
+      .distinct()
+    val counts = fd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    val pairs = fd.groupBy(col("fh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_frames").as("frames_a")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_frames").as("frames_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_frames"),
+        col("frames_a"), col("frames_b"),
+        (col("shared_frames").cast("double") / col("frames_a").cast("double"))
+          .as("containment_a"),
+        (col("shared_frames").cast("double") / col("frames_b").cast("double"))
+          .as("containment_b"))
+  }
+
   /** Output row of the batched encoder: the vector plus the size of the
     * batch it was computed in (observable batching contract).
     */
@@ -378,6 +428,10 @@ object Multimodal {
     "g6_phash_knn" -> ((s, d) =>
       phashKnn(withPayload(Tables.table(s, d, "documents")), 0L)),
 
+    // G10: frame-level shared-content dedup (g3 × d1 × c27's cap).
+    "g10_shared_frames" -> ((s, d) =>
+      sharedFrameDedup(withPayload(Tables.table(s, d, "documents")))),
+
     // G4: batched inference plumbing (rows-only: stub encoder).
     "g4_embed_batched" -> ((s, d) =>
       embedBatched(withPayload(Tables.table(s, d, "documents"))).toDF()
@@ -572,5 +626,37 @@ object Multimodal {
         |       CAST(LEAST(64, nb - frame_idx*64) AS BIGINT) AS frame_bytes
         |FROM (SELECT doc_id, strlen(text) AS nb,
         |             unnest(range(0, CAST(CEIL(strlen(text) / 64.0) AS INT), 4)) AS frame_idx
-        |      FROM documents)""".stripMargin)
+        |      FROM documents)""".stripMargin,
+
+    // G10: frames are aligned 64-byte substrings of the payload (= the
+    // text on this single-byte corpus), so the oracle groups the RAW
+    // frame strings where the engine groups their md5 digests —
+    // identical partitions barring an md5 collision; the hub cap and
+    // the ≥2 shared threshold are part of the checked semantics.
+    "g10_shared_frames" ->
+      """WITH fr AS (
+        |  SELECT DISTINCT doc_id, substr(text, frame_idx*64 + 1, 64) AS f
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(0, CAST(CEIL(strlen(text) / 64.0) AS INT))) AS frame_idx
+        |        FROM documents)),
+        |cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM fr GROUP BY doc_id),
+        |cell AS (
+        |  SELECT f, count(*) AS n FROM fr GROUP BY f),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fr a
+        |  JOIN fr b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  JOIN cell c ON a.f = c.f
+        |  WHERE c.n <= 64),
+        |sp AS (
+        |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_frames
+        |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT s.doc_a, s.doc_b, s.shared_frames,
+        |       ca.n_frames AS frames_a, cb.n_frames AS frames_b,
+        |       CAST(s.shared_frames AS DOUBLE) / CAST(ca.n_frames AS DOUBLE) AS containment_a,
+        |       CAST(s.shared_frames AS DOUBLE) / CAST(cb.n_frames AS DOUBLE) AS containment_b
+        |FROM sp s
+        |JOIN cnt ca ON s.doc_a = ca.doc_id
+        |JOIN cnt cb ON s.doc_b = cb.doc_id""".stripMargin)
 }

@@ -387,4 +387,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // and never a base-base pair (the corpus is not re-deduped)
     assert(incremental.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 })
   }
+
+  test("D20 containment: a wholly-lifted paragraph scores 1.0 where Jaccard dilutes") {
+    import spark.implicits._
+    // doc 1 = six tokens (4 shingles); doc 2 = the same paragraph with a
+    // 20-token unique tail — every shingle of 1 appears in 2
+    val para = "alpha beta gamma delta epsilon zeta"
+    val tail = (1 to 20).map(i => s"tail$i").mkString(" ")
+    val docs = Seq((1L, para), (2L, s"$para $tail")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.ngramContainment(docs, cand).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("containment_a") === 1.0,
+      "the small side is fully contained")
+    val nB = 24 // 26 tokens -> 24 shingles
+    assert(r.getAs[Double]("containment_b") === 4.0 / nB)
+    assert(r.getAs[Double]("containment_max") === 1.0)
+    // the symmetric verifier on the same pair: diluted to 1/6 — below
+    // any practical dedup threshold, which is why d20 exists
+    val j = Dedup.ngramJaccard(docs, cand).collect().head.getAs[Double]("jaccard")
+    assert(j === 4.0 / 24.0 && j < 0.2)
+  }
 }

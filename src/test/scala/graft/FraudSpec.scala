@@ -456,6 +456,31 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(loose.length === 1 + 1 + 10, "pair(1,2) + pair(3,4) + C(5,2) hub pairs")
   }
 
+  test("C29 cohesion: a triangle's corners score 1.0, the apex with a pendant 1/3, leaves 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(day: Int) = new java.sql.Timestamp(day0 + day * 86400000L)
+    def ev(id: Long, u: Long, day: Int, k: Int) = (id, u, ts(day), s"""{"k": $k}""")
+    // triangle {1,2,3} from one shared cell; pendant 4 attached to 1
+    // only — degree(1)=3 with ONE closed wedge of its three
+    val rows = Seq(
+      ev(1, 1, 0, 5), ev(2, 2, 0, 5), ev(3, 3, 0, 5),
+      ev(4, 1, 1, 9), ev(5, 4, 1, 9))
+    val events = rows.toDF("event_id", "user_id", "ts", "props")
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", lit(1.0))
+    val out = Fraud.collusionGraphMetrics(events, minShared = 1).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering")))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3.0)),
+      s"apex: 3 partners, one closed of three wedges (got ${out(1L)})")
+    assert(out(2L) === ((2L, 1L, 1.0)) && out(3L) === ((2L, 1L, 1.0)),
+      "pure triangle corners are fully clustered")
+    assert(out(4L) === ((1L, 0L, 0.0)), "a leaf has no wedge to close")
+  }
+
   test("C25b approx Gini tracks exact within one cell's dispersion on the real corpus") {
     def keyed(name: String) = Fraud.queries(name)(spark, SF).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap

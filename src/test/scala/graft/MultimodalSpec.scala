@@ -172,6 +172,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(real.filter(col("quarantine")).count() === 0L)
   }
 
+  test("G10 shared frames: a clip inside a longer video scores containment 1.0; in-video repeats count once") {
+    import spark.implicits._
+    // 64-char aligned blocks so frame boundaries are exact
+    val X = "x" * 64; val Y = "y" * 64; val Z = "z" * 64; val W = "w" * 64
+    val docs = Seq(
+      (1L, X + Y),          // the clip: frames {X, Y}
+      (2L, X + Y + Z),      // the full video: frames {X, Y, Z}
+      (3L, W + W + W),      // unrelated, self-repeating
+      (4L, X + X)           // repeats a shared frame WITHIN itself
+    ).toDF("doc_id", "text")
+    val out = Multimodal.sharedFrameDedup(Multimodal.withPayload(docs)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("shared_frames"), r.getAs[Double]("containment_a"),
+          r.getAs[Double]("containment_b")))).toMap
+    // only (1,2) shares >= 2 distinct frames; doc 4 shares just {X}
+    // with 1 and 2 (in-video repetition buys no extra shared frames),
+    // doc 3 shares nothing
+    assert(out.keySet === Set((1L, 2L)), s"got ${out.keySet}")
+    assert(out((1L, 2L)) === ((2L, 1.0, 2.0 / 3.0)),
+      "the clip is fully contained; the long side dilutes to 2/3")
+  }
+
   test("G9 quality keeper: corrupt copies never keep, resolution breaks intact ties, doc_id last") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
