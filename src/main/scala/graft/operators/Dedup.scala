@@ -134,15 +134,27 @@ object Dedup {
   /** n-gram Jaccard verification of candidate pairs — joins candidates to
     * the distinct shingle sets and computes |A∩B| / |A∪B| exactly.
     */
-  def ngramJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
+  /** Distinct word-3-gram shingle sets joined onto an explicit
+    * candidate pair list as `sa`/`sb` — the shared scaffolding of the
+    * d4/d20 verifiers: the tokenization, the ≥3-token guard, the
+    * distinct-set derivation, and the candidate-join shape each mirror
+    * the oracle `toks`/`sets` CTEs in exactly ONE place, so a change
+    * to either verifier cannot silently diverge from its twin.
+    */
+  private def candidateShingleSets(docs: DataFrame,
+                                   candidates: DataFrame): DataFrame = {
     val sets = spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"), array_distinct(shingles(col("tok"))).as("s"))
-    val inter = size(array_intersect(col("sa.s"), col("sb.s")))
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+  }
+
+  def ngramJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val inter = size(array_intersect(col("sa.s"), col("sb.s")))
+    candidateShingleSets(docs, candidates)
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (size(col("sa.s")) + size(col("sb.s")) - inter)).as("jaccard"))
   }
@@ -168,14 +180,8 @@ object Dedup {
     * hidden: this operator scores the candidate set it is given.
     */
   def ngramContainment(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val sets = spread(docs)
-      .select(col("doc_id"), tokens(col("text")).as("tok"))
-      .filter(size(col("tok")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("tok"))).as("s"))
     val inter = size(array_intersect(col("sa.s"), col("sb.s")))
-    candidates
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+    candidateShingleSets(docs, candidates)
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / size(col("sa.s")).cast("double")).as("containment_a"),
         (inter.cast("double") / size(col("sb.s")).cast("double")).as("containment_b"))
@@ -985,10 +991,16 @@ object Dedup {
         Similarity.annCandidates(t(s, d, "embeddings")), 0.4))
   )
 
-  /** The D8 connected-component oracle (recursive CTE over the band
-    * candidates), shared verbatim by d8 and — wrapped in the I2 split
-    * CASE — by i13.
+  /** The I2/i13 md5 split-bucket CASE over `idExpr` — the checked
+    * bucket arithmetic lives in one string, shared by the i13 and i13b
+    * oracles (Profile's i2 oracle spells the doc-level form over its
+    * own column).
     */
+  private def splitCaseSql(idExpr: String): String =
+    s"CASE WHEN CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'\n" +
+      s"            WHEN CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'\n" +
+      "            ELSE 'test' END"
+
   /** The d16 keeper oracle body — shared verbatim by the d16 entry and
     * i13b's split wrapper, so the checked keeper semantics live in one
     * string.
@@ -1005,6 +1017,10 @@ object Dedup {
        |                          ORDER BY q.quality_score DESC, s.doc_id) = 1 AS is_keeper
        |FROM clustered s JOIN q ON s.doc_id = q.doc_id""".stripMargin
 
+  /** The D8 connected-component oracle (recursive CTE over the band
+    * candidates), shared verbatim by d8 and — wrapped in the I2 split
+    * CASE — by i13.
+    */
   private def d8ClustersSql(bandsCte: String): String =
     bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
@@ -1303,9 +1319,7 @@ object Dedup {
       // sources of truth; this string adds only the composition.
       "i13b_keeper_split" ->
         (s"SELECT doc_id, cluster_id,\n" +
-          "       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'\n" +
-          "            WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'\n" +
-          "            ELSE 'test' END AS split,\n" +
+          s"       ${splitCaseSql("cluster_id")} AS split,\n" +
           "       quality_score, is_keeper\n" +
           s"FROM (${d16KeeperSql(bandsCte)}) k"),
 
@@ -1314,9 +1328,7 @@ object Dedup {
       // i2_split oracle, evaluated on the cluster representative.
       "i13_leakage_safe_split" ->
         (s"SELECT doc_id, cluster_id,\n" +
-          "       CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'\n" +
-          "            WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'\n" +
-          "            ELSE 'test' END AS split\n" +
+          s"       ${splitCaseSql("cluster_id")} AS split\n" +
           s"FROM (${d8ClustersSql(bandsCte)}) clustered"),
 
       "d4_ngram_jaccard" -> (bandsCte +

@@ -370,15 +370,27 @@ object Fraud {
     * Scale: every join touches only the OUTPUT-sized pair graph
     * (materialized once via localCheckpoint — three consumers would
     * otherwise re-derive the fact-table pass each). The wedge
-    * expansion is quadratic in per-user degree, which the c27 hub cap
-    * (≤ maxBucket users/cell) and minShared threshold bound — the
-    * same discipline that bounds the pair expansion itself.
-    * Portability: counts are exact longs; the coefficient is ONE
-    * double division of exact integer casts (2T and deg·(deg−1)), so
-    * both engines hash-match bitwise.
+    * expansion is quadratic in per-user DEGREE, which nothing upstream
+    * bounds — the c27 cell cap bounds per-cell pairs, but a user
+    * co-present in many cells accrues degree across all of them
+    * (measured: the loose minShared=3 graph on the sf0.1 corpus is
+    * near-complete — 1500 users, avg degree ≈ 270, 57M wedges). Two
+    * guards, both part of the checked semantics: cohesion is scored on
+    * the STRONG-edge graph (the c28 argument — minShared=6 here; at
+    * loose thresholds the graph fuses toward completeness and every
+    * coefficient → 1, signal-free), and wedge CENTERS above
+    * `maxDegree` report NULL triangles/clustering with `hub_capped` =
+    * true — for a genuine hub the coefficient is the uninteresting
+    * → 0 tail, and the cap turns the worst case into
+    * users × maxDegree², linear in users (DOULION-style sampling is
+    * the refinement if capped hubs ever need scores). Portability:
+    * counts are exact longs; the coefficient is ONE double division of
+    * exact integer casts (2T and deg·(deg−1)), so both engines
+    * hash-match bitwise.
     */
-  def collusionGraphMetrics(events: DataFrame, minShared: Int = 3,
-                            maxBucket: Int = 64): DataFrame = {
+  def collusionGraphMetrics(events: DataFrame, minShared: Int = 6,
+                            maxBucket: Int = 64,
+                            maxDegree: Int = 256): DataFrame = {
     val edges = collusionPairs(events, minShared, maxBucket)
       .select(col("user_a"), col("user_b"))
       .localCheckpoint(true)
@@ -388,8 +400,10 @@ object Fraud {
     // wedges centered at u (two neighbors, canonically ordered), closed
     // iff the outer pair is itself an edge — each triangle closes one
     // wedge at each of its three corners, so the per-user count is
-    // exact without a /3 correction
-    val tri = und.as("a").join(und.as("b"),
+    // exact without a /3 correction; capped centers never expand
+    val centers = und.join(
+      deg.filter(col("degree") <= maxDegree).select(col("u")), Seq("u"))
+    val tri = centers.as("a").join(centers.as("b"),
         col("a.u") === col("b.u") && col("a.v") < col("b.v"))
       .select(col("a.u").as("u"), col("a.v").as("x"), col("b.v").as("y"))
       .join(edges.select(col("user_a").as("x"), col("user_b").as("y")),
@@ -397,10 +411,13 @@ object Fraud {
       .groupBy(col("u")).agg(count(lit(1)).as("n_triangles"))
     deg.join(tri, Seq("u"), "left")
       .select(col("u").as("user_id"), col("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        when(col("degree") >= 2,
-          (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double")
-            / (col("degree") * (col("degree") - 1)).cast("double"))
+        (col("degree") > maxDegree).as("hub_capped"),
+        when(col("degree") > maxDegree, lit(null).cast("bigint"))
+          .otherwise(coalesce(col("n_triangles"), lit(0L))).as("n_triangles"),
+        when(col("degree") > maxDegree, lit(null).cast("double"))
+          .when(col("degree") >= 2,
+            (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double")
+              / (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
   }
 
@@ -1147,14 +1164,17 @@ object Fraud {
           |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_shared
           |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
 
-      // C29: the SHARED collusionPairCte at c27's threshold, then the
-      // identical wedge-close joins — every count an exact integer, the
-      // coefficient ONE double division of the same integer casts.
+      // C29: the SHARED collusionPairCte at the c28 strong-edge
+      // threshold, then the identical wedge-close joins — every count
+      // an exact integer, the coefficient ONE double division of the
+      // same integer casts; the degree cap (NULL metrics above 256,
+      // part of the checked semantics) mirrors the engine's wedge-
+      // center exclusion.
       "c29_collusion_cohesion" ->
         (s"WITH $collusionPairCte," +
         """
           |pe AS (
-          |  SELECT user_a, user_b FROM pr GROUP BY 1, 2 HAVING count(*) >= 3),
+          |  SELECT user_a, user_b FROM pr GROUP BY 1, 2 HAVING count(*) >= 6),
           |und AS (
           |  SELECT user_a AS u, user_b AS v FROM pe
           |  UNION ALL
@@ -1168,8 +1188,11 @@ object Fraud {
           |  JOIN pe e ON e.user_a = a.v AND e.user_b = b.v
           |  GROUP BY a.u)
           |SELECT d.u AS user_id, d.degree,
-          |       coalesce(t.t, CAST(0 AS BIGINT)) AS n_triangles,
-          |       CASE WHEN d.degree >= 2
+          |       d.degree > 256 AS hub_capped,
+          |       CASE WHEN d.degree > 256 THEN NULL
+          |            ELSE coalesce(t.t, CAST(0 AS BIGINT)) END AS n_triangles,
+          |       CASE WHEN d.degree > 256 THEN NULL
+          |            WHEN d.degree >= 2
           |            THEN CAST(2 * coalesce(t.t, 0) AS DOUBLE)
           |                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
           |            ELSE CAST(0.0 AS DOUBLE) END AS clustering

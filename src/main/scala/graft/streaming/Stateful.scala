@@ -121,10 +121,21 @@ object Stateful {
     * EventTimeTimeout timer set to the earliest held timestamp so a
     * user with no further arrivals still flushes when the watermark
     * reaches their buffer (Spark's no-data micro-batch after the last
-    * data batch fires these timers). Events later than the watermark
-    * AT ARRIVAL (beyond-`delay` stragglers) release in their arrival
-    * batch — best-effort, the same lateness semantics as every
-    * watermarked operator. State cost: the inner state plus the ≤
+    * data batch fires these timers). Beyond-`delay` stragglers —
+    * events already older than the watermark AT ARRIVAL — are DROPPED
+    * by the engine before this function runs: flatMapGroupsWithState
+    * under EventTimeTimeout filters rows older than the late-events
+    * watermark (verified against FlatMapGroupsWithStateExecBase in
+    * Spark 4.1.2), the same lateness semantics as every watermarked
+    * aggregation. That is the trade against the plain variant, stated
+    * plainly: the plain operator folds a straggler (in the wrong
+    * order); this one omits it (choose `delay` from the source's real
+    * disorder bound). Ripeness compares at FULL timestamp precision
+    * (micros vs watermark-ms × 1000): a getTime comparison would
+    * release an event whose sub-millisecond component is still above
+    * the watermark, and a within-delay predecessor arriving next
+    * batch would then fold after it — breaking the exact guarantee
+    * this stage exists for. State cost: the inner state plus the ≤
     * `delay`-window slice of each user's events — bounded by the
     * source's actual disorder, not by history.
     *
@@ -146,7 +157,9 @@ object Stateful {
           val st = state.getOption.getOrElse(Reorder(Vector.empty[Ev], zero))
           val buf = st.buf ++ evs
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, hold) = buf.partition(_.ts.getTime <= wm)
+          def micros(e: Ev): Long =
+            e.ts.toInstant.getEpochSecond * 1000000L + e.ts.toInstant.getNano / 1000L
+          val (ripe, hold) = buf.partition(micros(_) <= wm * 1000L)
           var inner = st.inner
           val out = ripe.sortBy(e =>
               (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
@@ -157,12 +170,24 @@ object Stateful {
             }
           state.update(Reorder(hold, inner))
           // timer strictly above the current watermark (Spark rejects
-          // earlier); the held minimum is > wm by the partition above
+          // earlier): a held event's ms-truncated getTime can EQUAL wm
+          // (held by its sub-ms component), hence the max with wm + 1
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(hold.map(_.ts.getTime).min, wm + 1L))
           out.iterator
       }
+  }
+
+  /** The per-event H13 arithmetic, shared verbatim between the
+    * arrival-order operator and its watermark-reordered variant (the
+    * psiFromCells sharing rule applied to streaming steps: one
+    * function, so the two serve paths cannot drift).
+    */
+  private def ewmaStep(trail: Seq[Double], e: Ev): (Seq[Double], EwmaFeature) = {
+    val t2 = (trail :+ e.value).takeRight(40)
+    (t2, EwmaFeature(e.user_id, e.event_id,
+      t2.foldLeft(0.0)((a, x) => (a + x) / 2.0)))
   }
 
   /** H13: online/offline feature PARITY — the streaming serve path of
@@ -188,17 +213,6 @@ object Stateful {
     * both the plain operator's divergence edge and the reordered
     * variant's restored bit-parity).
     */
-  /** The per-event H13 arithmetic, shared verbatim between the
-    * arrival-order operator and its watermark-reordered variant (the
-    * psiFromCells sharing rule applied to streaming steps: one
-    * function, so the two serve paths cannot drift).
-    */
-  private def ewmaStep(trail: Seq[Double], e: Ev): (Seq[Double], EwmaFeature) = {
-    val t2 = (trail :+ e.value).takeRight(40)
-    (t2, EwmaFeature(e.user_id, e.event_id,
-      t2.foldLeft(0.0)((a, x) => (a + x) / 2.0)))
-  }
-
   def ewmaFeatures(ds: Dataset[Ev]): Dataset[EwmaFeature] = {
     implicit val outEnc = Encoders.product[EwmaFeature]
     implicit val stateEnc = Encoders.product[EwmaState]
@@ -290,27 +304,6 @@ object Stateful {
   case class CusumScore(user_id: Long, event_id: Long, cusum: Double,
                         shift_flag: Boolean)
 
-  /** H16: online CUSUM — the streaming serve path of the batch c18
-    * change-point statistic, bit-identical (the H13 parity rule). The
-    * batch closed form S_t = P_t − min(0, min P) IS the recurrence
-    * S_t = max(0, S_{t-1} + (x_t − k)), so streaming state is a single
-    * scale-6 decimal per user — 8 bytes, carried as the unscaled long.
-    * Every step replicates the batch engine's arithmetic exactly:
-    * value→DECIMAL(18,6) via the same shortest-decimal-then-HALF_UP
-    * conversion Spark's Cast applies, exact decimal add, exact clamp at
-    * zero, and the same h=200 decimal comparison — so the served score
-    * and flag match the batch feature at the doubleToLongBits level at
-    * any history length (spec'd in StreamingSpec).
-    *
-    * Ordering contract (H13): rows fold in (ts, event_id) order within
-    * each micro-batch; across batches parity requires per-user ordered
-    * arrival, the replay/backfill contract — [[cusumScoresReordered]]
-    * guarantees it for out-of-order sources (disorder within its
-    * delay). The unscaled-long state bounds S at ~9.2e12 (scale 6) —
-    * beyond it longValueExact fails fast rather than silently
-    * wrapping; a deployment tracking larger cumulative drift should
-    * widen the state to two longs.
-    */
   /** The per-event H16 arithmetic on the stored unscaled-long repr
     * (scale-6 decimal ↔ unscaled long is lossless, so stepping through
     * the stored form is bit-identical to carrying the BigDecimal) —
@@ -332,6 +325,27 @@ object Stateful {
       CusumScore(e.user_id, e.event_id, s.doubleValue, s.compareTo(h) > 0))
   }
 
+  /** H16: online CUSUM — the streaming serve path of the batch c18
+    * change-point statistic, bit-identical (the H13 parity rule). The
+    * batch closed form S_t = P_t − min(0, min P) IS the recurrence
+    * S_t = max(0, S_{t-1} + (x_t − k)), so streaming state is a single
+    * scale-6 decimal per user — 8 bytes, carried as the unscaled long.
+    * Every step replicates the batch engine's arithmetic exactly:
+    * value→DECIMAL(18,6) via the same shortest-decimal-then-HALF_UP
+    * conversion Spark's Cast applies, exact decimal add, exact clamp at
+    * zero, and the same h=200 decimal comparison — so the served score
+    * and flag match the batch feature at the doubleToLongBits level at
+    * any history length (spec'd in StreamingSpec).
+    *
+    * Ordering contract (H13): rows fold in (ts, event_id) order within
+    * each micro-batch; across batches parity requires per-user ordered
+    * arrival, the replay/backfill contract — [[cusumScoresReordered]]
+    * guarantees it for out-of-order sources (disorder within its
+    * delay). The unscaled-long state bounds S at ~9.2e12 (scale 6) —
+    * beyond it longValueExact fails fast rather than silently
+    * wrapping; a deployment tracking larger cumulative drift should
+    * widen the state to two longs.
+    */
   def cusumScores(ds: Dataset[Ev],
                   k: java.math.BigDecimal = new java.math.BigDecimal("50.0"),
                   h: java.math.BigDecimal = new java.math.BigDecimal("200.0"))
@@ -379,28 +393,6 @@ object Stateful {
   case class ReactivationAlert(user_id: Long, event_id: Long, gap_days: Long,
                                prior_mean: Double, value: Double)
 
-  /** H22: online dormancy-reactivation detection — the streaming serve
-    * path of the batch c26 report, bit-identical (the H13 parity rule).
-    * Per-user state is 24 bytes: the last event's epoch day, the
-    * running DECIMAL(18,6) value sum as its unscaled long, and the
-    * event count. Every step replicates the batch arithmetic exactly:
-    * the day gap is integer epoch-day subtraction (to_date under the
-    * session's UTC zone = Instant at UTC → LocalDate), the prior mean
-    * is decimal-sum→double divided by count→double (the same cast
-    * sequence the batch window chain compiles), and the burst compare
-    * uses the identical double multiply — so the flagged set and every
-    * reported mean match the batch report at the doubleToLongBits
-    * level (spec'd in StreamingSpec H22).
-    *
-    * Ordering contract (H13): rows fold in (ts, event_id) order within
-    * each micro-batch; across batches parity requires per-user ordered
-    * arrival — the replay/backfill contract, guaranteed for
-    * out-of-order sources by [[reactivationAlertsReordered]] (and the
-    * silent failure the plain fold risks — a burst arriving before its
-    * history looks like a first-ever event and the alert is MISSED —
-    * is pinned in StreamingSpec). The unscaled-long sum fails fast via
-    * longValueExact at ~9.2e12 (scale 6), the CUSUM bound.
-    */
   /** The per-event H22 arithmetic (null prior = first-ever event),
     * shared verbatim by the arrival-order operator and its reordered
     * variant. The day gap is integer epoch-day subtraction under UTC;
@@ -434,6 +426,28 @@ object Stateful {
     (st2, alert)
   }
 
+  /** H22: online dormancy-reactivation detection — the streaming serve
+    * path of the batch c26 report, bit-identical (the H13 parity rule).
+    * Per-user state is 24 bytes: the last event's epoch day, the
+    * running DECIMAL(18,6) value sum as its unscaled long, and the
+    * event count. Every step replicates the batch arithmetic exactly:
+    * the day gap is integer epoch-day subtraction (to_date under the
+    * session's UTC zone = Instant at UTC → LocalDate), the prior mean
+    * is decimal-sum→double divided by count→double (the same cast
+    * sequence the batch window chain compiles), and the burst compare
+    * uses the identical double multiply — so the flagged set and every
+    * reported mean match the batch report at the doubleToLongBits
+    * level (spec'd in StreamingSpec H22).
+    *
+    * Ordering contract (H13): rows fold in (ts, event_id) order within
+    * each micro-batch; across batches parity requires per-user ordered
+    * arrival — the replay/backfill contract, guaranteed for
+    * out-of-order sources by [[reactivationAlertsReordered]] (and the
+    * silent failure the plain fold risks — a burst arriving before its
+    * history looks like a first-ever event and the alert is MISSED —
+    * is pinned in StreamingSpec). The unscaled-long sum fails fast via
+    * longValueExact at ~9.2e12 (scale 6), the CUSUM bound.
+    */
   def reactivationAlerts(ds: Dataset[Ev], dormantDays: Long = 2L,
                          burstFactor: Double = 1.5): Dataset[ReactivationAlert] = {
     implicit val outEnc = Encoders.product[ReactivationAlert]

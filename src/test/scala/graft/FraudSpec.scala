@@ -479,6 +479,19 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) === ((2L, 1L, 1.0)) && out(3L) === ((2L, 1L, 1.0)),
       "pure triangle corners are fully clustered")
     assert(out(4L) === ((1L, 0L, 0.0)), "a leaf has no wedge to close")
+    // the degree cap: with maxDegree=2 the apex (degree 3) reports NULL
+    // metrics and hub_capped, never expands its wedges; the triangle
+    // corners keep their own exact counts (their wedges still close
+    // through the hub as an ENDPOINT)
+    val capped = Fraud.collusionGraphMetrics(events, minShared = 1, maxDegree = 2)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(capped(1L).getAs[Boolean]("hub_capped"))
+    assert(capped(1L).isNullAt(capped(1L).fieldIndex("n_triangles")))
+    assert(capped(1L).isNullAt(capped(1L).fieldIndex("clustering")))
+    assert(!capped(2L).getAs[Boolean]("hub_capped") &&
+      capped(2L).getAs[Long]("n_triangles") === 1L &&
+      capped(2L).getAs[Double]("clustering") === 1.0,
+      "uncapped corners keep exact metrics — the hub is only excluded as a CENTER")
   }
 
   test("C25b approx Gini tracks exact within one cell's dispersion on the real corpus") {

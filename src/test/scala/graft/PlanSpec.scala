@@ -351,15 +351,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // the cumulative-ECDF pass, inherent to a global CDF and bounded at
     // 256 cells by construction (that bounded-input invariant is what
     // this count pins).
-    val b39 = SparkEntry.queries("b39_benford")(spark, SF)
-      .queryExecution.executedPlan.toString
-    assert(!b39.contains("Window ["),
-      s"b39 totals must be an aggregate+broadcast, not a window\n$b39")
-    val c23 = SparkEntry.queries("c23_ks_drift")(spark, SF)
-      .queryExecution.executedPlan.toString
-    val windows = "Window \\[".r.findAllIn(c23).size
+    val b39df = SparkEntry.queries("b39_benford")(spark, SF)
+    assert(!b39df.queryExecution.executedPlan.toString.contains("Window ["),
+      "b39 totals must be an aggregate+broadcast, not a window")
+    val c23df = SparkEntry.queries("c23_ks_drift")(spark, SF)
+    val windows = "Window \\[".r.findAllIn(
+      c23df.queryExecution.executedPlan.toString).size
     assert(windows == 1,
-      s"c23 must keep exactly the one cumulative-ECDF window, got $windows\n$c23")
+      s"c23 must keep exactly the one cumulative-ECDF window, got $windows")
+    // the swap's rationale is that the totals branch REUSES the cell/
+    // count aggregate's exchange instead of recomputing the input —
+    // verify on each dataset's own finalized plan (the CLAUDE.md
+    // round-7 rule: a .write runs a separate QueryExecution, so drive
+    // collect() and read executedPlan, excluding the appended
+    // `== Initial Plan ==` section from the scan count)
+    for ((name, df) <- Seq("b39_benford" -> b39df, "c23_ks_drift" -> c23df)) {
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true"), s"$name did not finalize adaptively")
+      val finalSection = fin.split("== Initial Plan ==").head
+      assert(finalSection.contains("ReusedExchange"),
+        s"$name totals branch must reuse the counts exchange\n$fin")
+      val scans = "Scan parquet".r.findAllIn(finalSection).size
+      assert(scans <= 1,
+        s"$name must scan its fact once in the final plan, got $scans\n$fin")
+    }
   }
 
   test("c26 reactivation: lag + running prior mean ride ONE user exchange and ONE scan") {
