@@ -77,7 +77,16 @@ object Bench {
     // plan), and frame-level media dedup (one frame-digest shuffle +
     // capped in-cell expansion)
     "g9_quality_keeper", "i13b_keeper_split", "c29_collusion_cohesion",
-    "d20_containment", "g10_shared_frames")
+    "d20_containment", "g10_shared_frames",
+    // round-8 widening, second wave: IVF-routed PQ search (one
+    // codegen'd corpus pass, the e3×e8 composition), fixed-point
+    // PageRank (8 chained shuffles on the output-sized pair graph,
+    // zero driver round-trips), and the shard manifest (one corpus
+    // pass into a 32-row aggregate)
+    "e15_ann_ivfpq", "c30_collusion_pagerank", "i23_shard_manifest",
+    // temporal clip detection: one shingle-digest shuffle + capped
+    // in-cell expansion + islands on the output-sized match table
+    "g11_shared_clips")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

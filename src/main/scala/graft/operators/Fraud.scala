@@ -421,7 +421,75 @@ object Fraud {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** C30: PageRank centrality on the collusion graph — the influence
+    * ranking degree (c29) misses: a user tied to OTHER well-connected
+    * users outranks one with the same degree tied to leaves, which is
+    * exactly the "who anchors the ring" question once c28 has resolved
+    * membership. Runs on the same strong-edge pair graph as c28/c29.
+    *
+    * Engine-portable determinism (the §6b recipe extended to an
+    * iterative algorithm): ranks are FIXED-POINT longs scaled by 1e12 —
+    * integer sums are order-independent, so no float fold ever happens
+    * inside a shuffle. Each step is
+    *   pr' = (15·base + 85·Σ_{u→v} (pr(u) div deg(u))) div 100
+    * with `div` truncating integer division (== floor for these
+    * positive values, and == DuckDB's `//`), base = SCALE div N. The
+    * double `pagerank` column is ONE division of the exact long at the
+    * end. The oracle unrolls the identical `iters` steps as chained
+    * CTEs — no convergence test, so the two engines cannot disagree on
+    * when to stop.
+    *
+    * Scale: the iteration count is FIXED, so the whole computation is
+    * one lazy plan — `iters` shuffle stages on the OUTPUT-sized pair
+    * graph with ZERO driver round-trips (contrast the component loop,
+    * which must check convergence per round; power iteration needs no
+    * such check). Every node has degree ≥ 1 by construction (nodes
+    * exist only as edge endpoints), so there is no dangling-mass
+    * correction term. The edge list and degree table are checkpointed
+    * once; per-iteration cost is two small-side joins (AQE broadcasts
+    * the rank table while it is small) plus one aggregate.
+    */
+  def collusionPageRank(events: DataFrame, minShared: Int = 6,
+                        maxBucket: Int = 64, iters: Int = 8): DataFrame =
+    pageRankFromPairs(
+      collusionPairs(events, minShared, maxBucket)
+        .select(col("user_a"), col("user_b")), iters)
+
+  /** Power iteration over an undirected pair list — see
+    * [[collusionPageRank]] for the arithmetic and portability contract.
+    */
+  def pageRankFromPairs(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val scale = 1000000000000L
+    val edges = pairs.localCheckpoint(true)
+    val und = edges.select(col("user_a").as("u"), col("user_b").as("v"))
+      .union(edges.select(col("user_b").as("u"), col("user_a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    // node count: one scalar from the (output-sized, checkpointed)
+    // degree table — a bounded model value, like the centroid tables
+    val n = deg.count()
+    if (n == 0) {
+      return deg.select(col("u").as("user_id"), lit(0L).as("pr_fp"),
+        lit(0.0).as("pagerank")).limit(0)
+    }
+    val base = scale / n
+    var ranks = deg.select(col("u"), lit(base).as("fp"))
+    for (_ <- 1 to iters) {
+      ranks = und.join(ranks, Seq("u")).join(deg, Seq("u"))
+        .select(col("v").as("u"), expr("fp div degree").as("c"))
+        .groupBy(col("u")).agg(sum(col("c")).as("contrib"))
+        .select(col("u"),
+          expr(s"(${15L * base} + 85 * contrib) div 100").as("fp"))
+    }
+    ranks.select(col("u").as("user_id"), col("fp").as("pr_fp"),
+      (col("fp").cast("double") / lit(scale).cast("double")).as("pagerank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C30: fixed-point PageRank on the strong-edge collusion graph.
+    "c30_collusion_pagerank" -> ((s, d) =>
+      collusionPageRank(t(s, d, "events"))),
 
     // C28: collusion rings (minRing=2 so the tiny sf0.001 graph still
     // emits its one pair-component; sf0.01 yields a dozen multi-user
@@ -1197,6 +1265,42 @@ object Fraud {
           |                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
           |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
           |FROM deg d LEFT JOIN tri t ON d.u = t.u""".stripMargin),
+
+      // C30: the SHARED collusionPairCte at the strong-edge threshold,
+      // then the identical power iteration UNROLLED as 8 chained CTEs
+      // (fixed iteration count — the engines cannot disagree on when to
+      // stop). All rank arithmetic is BIGINT: `//` == Spark's `div` for
+      // these positive values, SUM(BIGINT)→HUGEINT cast back (§6b), and
+      // the only double is the final fp/1e12 division.
+      "c30_collusion_pagerank" ->
+        (s"WITH $collusionPairCte," +
+        """
+          |p AS (
+          |  SELECT user_a, user_b FROM pr GROUP BY 1, 2 HAVING count(*) >= 6),
+          |e AS (
+          |  SELECT user_a AS u, user_b AS v FROM p
+          |  UNION ALL
+          |  SELECT user_b, user_a FROM p),
+          |deg AS (
+          |  SELECT u, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),
+          |b AS (
+          |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base FROM deg),
+          |p0 AS (SELECT d.u, b.base AS fp FROM deg d, b),
+          |""".stripMargin +
+        (1 to 8).map { i =>
+          s"""p$i AS (
+             |  SELECT e.v AS u,
+             |         (15 * b.base +
+             |          85 * CAST(SUM(p${i - 1}.fp // d.degree) AS BIGINT)) // 100 AS fp
+             |  FROM p${i - 1}
+             |  JOIN e ON e.u = p${i - 1}.u
+             |  JOIN deg d ON d.u = p${i - 1}.u, b
+             |  GROUP BY e.v, b.base)""".stripMargin
+        }.mkString(",\n") +
+        """
+          |SELECT u AS user_id, fp AS pr_fp,
+          |       CAST(fp AS DOUBLE) / 1000000000000 AS pagerank
+          |FROM p8""".stripMargin),
 
       // C25: exact decimal Gini sums — the (12,0)×(18,6) coefficient
       // product stays (31,6), summed exact on both engines; only the

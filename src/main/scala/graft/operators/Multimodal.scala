@@ -152,6 +152,74 @@ object Multimodal {
           .as("containment_b"))
   }
 
+  /** G11: shared-CLIP detection — the temporal refinement of G10: two
+    * videos share a CLIP when they share a contiguous, order-preserving
+    * RUN of frames, not just a frame set (G10's set containment can't
+    * tell a lifted 10-second clip from scattered stock frames). The
+    * classic alignment shape: per-doc ordered frame digests roll into
+    * `shingle`-frame signatures (order-sensitive — a reshuffled copy
+    * shares frames but NO shingles), matching signatures across docs
+    * give (pos_a, pos_b) anchor points, and anchors on one DIAGONAL
+    * (constant pos_b − pos_a) with consecutive positions form an
+    * aligned run — gaps-and-islands (b44's recipe) per (pair, offset)
+    * recovers the longest run exactly. The reported clip spans
+    * run + shingle − 1 frames.
+    *
+    * Scale: payload bytes never shuffle (frames digest row-locally; the
+    * shingle signature is an md5 over three digests — 16 B keys); cell
+    * expansion rides the c27/g10 occurrence cap, so a ubiquitous
+    * intro/black-frame shingle drops instead of exploding; the island
+    * windows partition by (pair, offset) over the OUTPUT-sized match
+    * table. Portability: positions/counts are exact longs; the one
+    * argmax (longest run, ties → smallest offset then start) uses
+    * integer sort keys only, so both engines pick the same clip.
+    */
+  def sharedClips(media: DataFrame, frameBytes: Int = 64, shingle: Int = 3,
+                  minRun: Int = 2, maxBucket: Int = 64): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val frames = frameSample(media, frameBytes, every = 1)
+      .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("fh"))
+    val wDoc = W.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val leadCols = (1 until shingle).map(i =>
+      lead(col("fh"), i).over(wDoc).as(s"fh$i"))
+    val sh = frames
+      .select(col("doc_id") +: col("frame_idx").cast("long").as("pos") +:
+        col("fh") +: leadCols: _*)
+      .filter(col(s"fh${shingle - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws("|",
+          col("fh") +: (1 until shingle).map(i => col(s"fh$i")): _*)).as("sh"))
+    val matches = sh.groupBy(col("sh"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
+      .filter(size(col("occ")) > 1 && size(col("occ")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(occ) - 1),
+          |  i -> transform(sequence(i + 1, size(occ)),
+          |    j -> struct(element_at(occ, i) AS a, element_at(occ, j) AS b))))
+          |""".stripMargin)).as("p"))
+      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"),
+        (col("p.b.pos") - col("p.a.pos")).as("off"))
+    val wDiag = W.partitionBy(col("doc_a"), col("doc_b"), col("off"))
+      .orderBy(col("pos_a"))
+    val runs = matches
+      .withColumn("grp", col("pos_a") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("off"), col("grp"))
+      .agg(count(lit(1)).as("run_shingles"), min(col("pos_a")).as("start_a"))
+    val nm = matches.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_matches"))
+    val wBest = W.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("run_shingles").desc, col("off"), col("start_a"))
+    runs
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("run_shingles") >= minRun)
+      .join(nm, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_matches"),
+        col("off").as("best_offset"), col("run_shingles"),
+        (col("run_shingles") + lit(shingle - 1)).cast("long").as("clip_frames"))
+  }
+
   /** Output row of the batched encoder: the vector plus the size of the
     * batch it was computed in (observable batching contract).
     */
@@ -432,6 +500,10 @@ object Multimodal {
     "g10_shared_frames" -> ((s, d) =>
       sharedFrameDedup(withPayload(Tables.table(s, d, "documents")))),
 
+    // G11: temporal shared-clip detection (g10's ordered refinement).
+    "g11_shared_clips" -> ((s, d) =>
+      sharedClips(withPayload(Tables.table(s, d, "documents")))),
+
     // G4: batched inference plumbing (rows-only: stub encoder).
     "g4_embed_batched" -> ((s, d) =>
       embedBatched(withPayload(Tables.table(s, d, "documents"))).toDF()
@@ -658,5 +730,52 @@ object Multimodal {
         |       CAST(s.shared_frames AS DOUBLE) / CAST(cb.n_frames AS DOUBLE) AS containment_b
         |FROM sp s
         |JOIN cnt ca ON s.doc_a = ca.doc_id
-        |JOIN cnt cb ON s.doc_b = cb.doc_id""".stripMargin)
+        |JOIN cnt cb ON s.doc_b = cb.doc_id""".stripMargin,
+
+    // G11: the oracle shingles RAW frame strings where the engine
+    // shingles md5 digests (g10's digest↔string equivalence — aligned
+    // 64-byte substrings of the single-byte text corpus), then the
+    // same diagonal gaps-and-islands and the same integer-key argmax.
+    // Occurrence cap and minRun are part of the checked semantics.
+    "g11_shared_clips" ->
+      """WITH fr AS (
+        |  SELECT doc_id, frame_idx AS pos, substr(text, frame_idx*64 + 1, 64) AS f
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(0, CAST(CEIL(strlen(text) / 64.0) AS INT))) AS frame_idx
+        |        FROM documents)),
+        |sh AS (
+        |  SELECT a.doc_id, a.pos, a.f || '|' || b.f || '|' || c.f AS s
+        |  FROM fr a
+        |  JOIN fr b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN fr c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |cell AS (SELECT s, count(*) AS n FROM sh GROUP BY s),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS off
+        |  FROM sh a
+        |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cell c ON a.s = c.s
+        |  WHERE c.n <= 64),
+        |runs AS (
+        |  SELECT doc_a, doc_b, off,
+        |         CAST(count(*) AS BIGINT) AS run_shingles,
+        |         min(pos_a) AS start_a
+        |  FROM (SELECT m.*,
+        |               pos_a - row_number() OVER (
+        |                 PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS grp
+        |        FROM m)
+        |  GROUP BY doc_a, doc_b, off, grp),
+        |nm AS (
+        |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matches
+        |  FROM m GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_a, doc_b, off, run_shingles, start_a,
+        |         row_number() OVER (PARTITION BY doc_a, doc_b
+        |                            ORDER BY run_shingles DESC, off, start_a) AS rn
+        |  FROM runs)
+        |SELECT b.doc_a, b.doc_b, n.n_matches,
+        |       CAST(b.off AS BIGINT) AS best_offset, b.run_shingles,
+        |       b.run_shingles + 2 AS clip_frames
+        |FROM best b JOIN nm n USING (doc_a, doc_b)
+        |WHERE b.rn = 1 AND b.run_shingles >= 2""".stripMargin)
 }

@@ -113,6 +113,59 @@ object Profile {
         (col("prior") % budget).as("seq_offset"))
   }
 
+  /** I23: training-shard manifest — the per-shard summary a training
+    * job reads to PLAN a run over I9-packed shards without scanning
+    * them: document/sequence/token counts, the doc-id span, each
+    * shard's token share of the corpus, and an ORDER-INDEPENDENT
+    * content checksum (bit_xor of salted 60-bit doc hashes — XOR is
+    * commutative and cannot overflow, so any partitioning, replay
+    * order, or cluster size yields the same value; the integrity
+    * analogue of A13's row-count audit at manifest granularity, and
+    * the cheap "did the shard change" test an incremental rebuild
+    * needs).
+    *
+    * Scale: one corpus pass (narrow projection: shard, token count,
+    * hash — the token array never materializes past the expression)
+    * into a `shards`-sized aggregate. The per-shard table is
+    * checkpointed BEFORE the corpus-total branch reads it: the total
+    * is the psiFromCells scalar-aggregate + broadcast crossJoin idiom,
+    * and without the checkpoint the pruned-column total branch would
+    * get a canonically different exchange and re-scan the corpus (the
+    * §6b round-8 pruning/reuse trap — here the shared subplan is
+    * 32 rows, so materializing it is free and exact).
+    */
+  /** Shared I23/H23 projection: (doc_id, shard, n_tokens, hv). The
+    * batch manifest and the streaming maintenance path MUST derive
+    * these through this one expression set (the H13 shared-arithmetic
+    * rule) or the checksums silently diverge.
+    */
+  def shardObservations(docs: DataFrame, shards: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      graft.functions.HashFunctions
+        .md5Prefix60(concat(lit("man:"), col("doc_id").cast("string")))
+        .as("hv"))
+
+  def shardManifest(docs: DataFrame, budget: Int = 512,
+                    shards: Int = 32): DataFrame = {
+    val per = shardObservations(docs, shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(hv)").as("checksum"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("shard_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        expr(s"(shard_tokens + ${budget - 1}) div $budget").as("n_seqs"),
+        col("min_doc"), col("max_doc"), col("checksum"),
+        (col("shard_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"))
+  }
+
   /** I10: deterministic global shuffle — the randomize-before-training
     * pass. Each row's position is a pure function of its id (salted
     * md5): hash → shard, rank within shard by (hash, id). Replayable on
@@ -453,6 +506,10 @@ object Profile {
     "i9_pack_sequences" -> ((s, d) =>
       packSequences(Tables.table(s, d, "documents"))),
 
+    // I23: per-shard training manifest over the i9 shard layout.
+    "i23_shard_manifest" -> ((s, d) =>
+      shardManifest(Tables.table(s, d, "documents"))),
+
     // I5: expectation-style data-quality audit over the load tables.
     "i5_quality_audit" -> ((s, d) =>
       qualityAudit(Tables.table(s, d, "orders"), Tables.table(s, d, "lineitem"))),
@@ -710,6 +767,30 @@ object Profile {
         |       CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       round(CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 8) AS achieved_frac
         |FROM b GROUP BY source, target_pct""".stripMargin,
+
+    // I23: i9's shard/token projection, a per-shard group, and the
+    // corpus total as a separate scalar CTE (the psiFromCells idiom's
+    // SQL mirror). bit_xor is commutative on both engines; token_share
+    // is one double division of exact BIGINTs; n_seqs is ceil via
+    // integer `//` == Spark `div` on these non-negative values.
+    "i23_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(('0x' || substr(md5('man:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |per AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |         min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |         bit_xor(hv) AS checksum
+        |  FROM d GROUP BY shard),
+        |tot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens FROM per)
+        |SELECT shard, n_docs, shard_tokens,
+        |       CAST((shard_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+        |       min_doc, max_doc, checksum,
+        |       CAST(shard_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share
+        |FROM per, tot""".stripMargin,
 
     "i9_pack_sequences" ->
       """WITH d AS (

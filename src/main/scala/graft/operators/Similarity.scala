@@ -848,6 +848,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** E15: IVF-PQ — the composed serve path of a production vector index
+    * (the FAISS IVFPQ shape): route the query to its `nProbes` closest
+    * IVF cells, then ADC-score ONLY the vectors assigned to those cells
+    * over their 4-bit PQ codes. Both the cell assignment (argmax over
+    * literal centroid cosines) and the PQ encode (argmin over literal
+    * sub-centroid distances) are pure per-row projections — no join, no
+    * shuffle before the final top-k merge, so the whole search is one
+    * codegen'd corpus pass ending in TakeOrderedAndProject. At 100 TB
+    * the persisted form composes [[buildIvfIndex]]'s cell-partitioned
+    * layout with [[buildPqIndex]]'s codes: a probe reads 8 B/vector from
+    * nProbes/nCentroids of the corpus — the float vectors are never
+    * touched at serve time.
+    *
+    * Shares e3's routing arithmetic ([[seedCentroids]]/[[assignCells]]/
+    * [[probeCellsFor]]) and e8's codebook + ADC staging verbatim, so the
+    * oracle is the two oracle CTE chains composed on vec_id — the same
+    * 16 seed vectors serve as IVF centroids AND PQ codebook seeds, and
+    * the ADC score of a vec_id is bit-identical to [[pqTopK]]'s
+    * (routing prunes candidates; it never changes a score).
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                nCentroids: Int = 16, nProbes: Int = 2,
+                dim: Int = 64): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = seedCentroids(e, nCentroids)
+    val qRows = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).take(1)
+    if (qRows.isEmpty) {
+      return e.select(col("vec_id"), lit(0).as("cell"), lit(0.0).as("score")).limit(0)
+    }
+    val qVecF = qRows(0).getSeq[Float](0).toArray
+    val qVec = qVecF.map(_.toDouble)
+    val qNrm = qRows(0).getDouble(1)
+    val probeCells = probeCellsFor(cents, qVecF, qNrm, nProbes)
+    val book = pqCentroidTable(e, dim)
+    val sub = book(0)(0).length
+    val nsqTab = pqNsqTable(book)
+    // per-subspace query tables — the same driver-side left-to-right
+    // fold as pqTopKWith (and the oracle's list_reduce)
+    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+      var acc = 0.0
+      var d = 0
+      while (d < sub) { acc += qVec(s * sub + d) * book(s)(c)(d); d += 1 }
+      acc
+    }
+    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
+    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
+    // stage 1: route — per-row argmax cell against literal centroids,
+    // pruned to the query's probe cells (a row filter on a scan
+    // attribute; in the persisted form this is partition pruning)
+    val routed = assignCells(e, cents)
+      .filter(col("vec_id") =!= queryVecId)
+      .filter(col("cell").isin(probeCells: _*))
+    // stages 2–4: e8's encode/ADC staging (§6b: one HOF per projection,
+    // both ADC folds in ONE select) with `cell` carried through
+    val subsDf = routed.select(col("vec_id"), col("cell"),
+      transform(sequence(lit(0), lit(pqSubspaces - 1)),
+        s => slice(col("embedding"), s * sub + 1, lit(sub))).as("subs"))
+    val dists = subsDf.select(col("vec_id") +: col("cell") +:
+      (0 until pqSubspaces).map { s =>
+        array((0 until pqCentroids).map { c =>
+          lit(nsqTab(s)(c)) - lit(2.0) * dot(element_at(col("subs"), s + 1),
+            typedLit(book(s)(c).map(_.toFloat).toSeq))
+        }: _*).as(s"d$s")
+      }: _*)
+    val codes = dists.select(col("vec_id"), col("cell"),
+      array((0 until pqSubspaces).map { s =>
+        (array_position(col(s"d$s"), array_min(col(s"d$s"))) - 1).cast("int")
+      }: _*).as("codes"))
+    val adc = codes.select(col("vec_id"), col("cell"),
+      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(dotLit, (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+        .as("adc_dot"),
+      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+        .as("adc_nsq"))
+    val guarded =
+      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
+      else adc
+    guarded
+      .select(col("vec_id"), col("cell"),
+        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** E10: MMR-diversified top-k — re-rank the exact top-`nCand` pool so
     * results trade pure relevance for coverage: greedy argmax of
     *   λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
@@ -1008,6 +1096,10 @@ object Similarity {
     // E2b: IVF-style centroid-routed ANN top-20 (rows-only).
     "e3_ann_ivf" -> ((s, d) => ivfTopK(t(s, d, "embeddings"), 0L, 20)),
 
+    // E15: IVF-PQ — cell-routed candidates, PQ/ADC scoring; the e3×e8
+    // composition, oracle hash-matched (both halves are deterministic).
+    "e15_ann_ivfpq" -> ((s, d) => ivfPqTopK(t(s, d, "embeddings"), 0L, 20)),
+
     // E4: IVF with k-means-learned centroids (rows-only).
     "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20))
   )
@@ -1033,6 +1125,109 @@ object Similarity {
   }
 
   private def baseOracles: Map[String, String] = Map(
+    // E15: e3's routing CTEs (cells from the same 16 seeds, probe set =
+    // query's top-2 cells) feeding e8's codebook/encode/ADC CTEs, with
+    // the codes CTE restricted to the routed slice. One `cents` CTE
+    // serves both halves — the Spark side seeds IVF and PQ from the
+    // identical first-16-by-id vectors.
+    "e15_ann_ivfpq" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |cscore AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
+        |  FROM e, cents c
+        |  WHERE e.vec_id <> 0),
+        |cellof AS (
+        |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cent_id FROM (
+        |    SELECT c.cent_id,
+        |           row_number() OVER (ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, len(c.embedding) + 1),
+        |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+        |               (x, y) -> x + y) / (c.nrm * qv.q_nrm) DESC, c.cent_id) AS rn
+        |    FROM cents c, qv) WHERE rn <= 2),
+        |routed AS (
+        |  SELECT e.vec_id, e.embedding, co.cell
+        |  FROM e JOIN cellof co ON e.vec_id = co.vec_id
+        |  WHERE co.cell IN (SELECT cent_id FROM probes)),
+        |cl AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cent_id) AS sc FROM (
+        |      SELECT sp.s AS s, c.cent_id AS cent_id,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
+        |    GROUP BY s)),
+        |tabs AS (
+        |  SELECT list(dots ORDER BY s) AS dot_tab, list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(dotv ORDER BY cent_id) AS dots, list(nsqv ORDER BY cent_id) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cent_id AS cent_id,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS dotv,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c, qv q)
+        |    GROUP BY s)),
+        |codes AS (
+        |  SELECT r.vec_id, r.cell,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(r.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(r.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM routed r, cl, tabs t),
+        |adc AS (
+        |  SELECT co.vec_id, co.cell,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.dot_tab[s + 1][co.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_dot,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.nsq_tab[s + 1][co.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_nsq
+        |  FROM codes co, tabs t)
+        |SELECT a.vec_id, a.cell, a.adc_dot / (sqrt(a.adc_nsq) * qv.q_nrm) AS score
+        |FROM adc a, qv
+        |WHERE a.adc_nsq > 0
+        |ORDER BY score DESC, a.vec_id
+        |LIMIT 20""".stripMargin,
+
     // E8: centroid seeding, argmin encode, and ADC table lookups are all
     // deterministic double arithmetic; the 2-D tables are rebuilt in SQL
     // as ordered nested lists and every fold is an explicit left

@@ -300,6 +300,59 @@ object Stateful {
       }
   }
 
+  case class ShardObs(doc_id: Long, shard: Long, n_tokens: Long, hv: Long)
+  case class ManifestState(n_docs: Long, shard_tokens: Long, min_doc: Long,
+                           max_doc: Long, checksum: Long)
+  case class ShardManifestRow(shard: Long, n_docs: Long, shard_tokens: Long,
+                              n_seqs: Long, min_doc: Long, max_doc: Long,
+                              checksum: Long)
+
+  /** H23: streaming shard-manifest maintenance — the online twin of the
+    * batch I23 manifest (Profile.shardManifest): as documents land in
+    * the training store, each shard's manifest row (doc/token counts,
+    * id span, sequence count, content checksum) stays current without
+    * ever rescanning the shard.
+    *
+    * Every state transition here is COMMUTATIVE and ASSOCIATIVE (long
+    * adds, min/max, XOR), so batch parity is UNCONDITIONAL: any arrival
+    * order, any micro-batch partitioning, any replay produces exactly
+    * the state the batch manifest computes over the same doc set — the
+    * order-free end of the parity spectrum whose other end (H13/H16/
+    * H22) needs the watermark reorder stage. XOR is additionally its
+    * own inverse, so the checksum ALGEBRA supports retraction (a
+    * removal re-XORs the same hash; the count fields would ride signed
+    * deltas — this op is append-only, the checksum design leaves the
+    * door open). Inputs must come through Profile.shardObservations so the
+    * stream tokenizes/hashes with the SAME expressions as the batch
+    * manifest (the H13 shared-arithmetic rule).
+    *
+    * Scale: state is 40 bytes per shard and shard counts are
+    * 10²–10⁴ — nothing grows with stream volume; per batch each shard
+    * folds only its own slice, partitioned by the groupByKey.
+    */
+  def shardManifestStream(ds: Dataset[ShardObs],
+                          budget: Int = 512): Dataset[ShardManifestRow] = {
+    implicit val outEnc = Encoders.product[ShardManifestRow]
+    implicit val stateEnc = Encoders.product[ManifestState]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.groupByKey(_.shard)
+      .flatMapGroupsWithState[ManifestState, ShardManifestRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, docs: Iterator[ShardObs], state: GroupState[ManifestState]) =>
+          var st = state.getOption.getOrElse(
+            ManifestState(0L, 0L, Long.MaxValue, Long.MinValue, 0L))
+          docs.foreach { d =>
+            st = ManifestState(st.n_docs + 1, st.shard_tokens + d.n_tokens,
+              math.min(st.min_doc, d.doc_id), math.max(st.max_doc, d.doc_id),
+              st.checksum ^ d.hv)
+          }
+          state.update(st)
+          Iterator(ShardManifestRow(shard, st.n_docs, st.shard_tokens,
+            (st.shard_tokens + budget - 1) / budget,
+            st.min_doc, st.max_doc, st.checksum))
+      }
+  }
+
   case class CusumState(s_unscaled: Long)
   case class CusumScore(user_id: Long, event_id: Long, cusum: Double,
                         shift_flag: Boolean)

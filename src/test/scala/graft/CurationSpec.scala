@@ -202,6 +202,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(sharded(4L) === ((0L, 5L)))
   }
 
+  test("I23 shard manifest: counts match the packing; checksum is arrival-order invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "t t t t"), (2L, "t t t t t"), (3L, "t t t"), (4L, "t t")
+    ).toDF("doc_id", "text")
+    val m = Profile.shardManifest(docs, budget = 10, shards = 2).collect()
+      .map(x => x.getAs[Long]("shard") -> x).toMap
+    // shard 1: docs 1,3 (4+3=7 tokens, 1 seq); shard 0: docs 2,4 (5+2=7)
+    assert(m(1L).getAs[Long]("n_docs") === 2L)
+    assert(m(1L).getAs[Long]("shard_tokens") === 7L)
+    assert(m(1L).getAs[Long]("n_seqs") === 1L)
+    assert(m(0L).getAs[Long]("min_doc") === 2L && m(0L).getAs[Long]("max_doc") === 4L)
+    assert(m.values.map(_.getAs[Double]("token_share")).sum === 1.0)
+    // n_seqs = ceil(tokens/budget): 11 tokens over budget 10 -> 2 seqs
+    val m2 = Profile.shardManifest(docs, budget = 10, shards = 1).collect()
+    assert(m2.head.getAs[Long]("n_seqs") === 2L)
+    // checksum: XOR of doc hashes — permuting arrival order (and the
+    // partitioning that follows it) cannot change it
+    val fwd = Profile.shardManifest(docs, budget = 10, shards = 2).collect()
+      .map(x => x.getAs[Long]("shard") -> x.getAs[Long]("checksum")).toMap
+    val rev = Profile.shardManifest(
+      docs.orderBy(col("doc_id").desc).repartition(3), budget = 10, shards = 2)
+      .collect()
+      .map(x => x.getAs[Long]("shard") -> x.getAs[Long]("checksum")).toMap
+    assert(fwd === rev)
+    // and it actually discriminates: dropping a doc changes the shard's sum
+    val dropped = Profile.shardManifest(docs.filter(col("doc_id") =!= 3L),
+      budget = 10, shards = 2).collect()
+      .map(x => x.getAs[Long]("shard") -> x.getAs[Long]("checksum")).toMap
+    assert(dropped(1L) !== fwd(1L))
+    assert(dropped(0L) === fwd(0L), "untouched shard's checksum must not move")
+  }
+
   test("I17 weighted sample: exact k, top-k plan, deterministic, length-biased vs uniform") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.table(spark, SF, "documents")

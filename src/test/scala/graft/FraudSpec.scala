@@ -494,6 +494,34 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       "uncapped corners keep exact metrics — the hub is only excluded as a CENTER")
   }
 
+  test("C30 fixed-point PageRank: bit-exact against the integer recurrence; center outranks leaves") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("user_a", "user_b")
+    val out = Fraud.pageRankFromPairs(pairs, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the SAME integer recurrence folded directly — any
+    // arithmetic drift in the distributed form (division order, float
+    // creep, a lost floor) breaks equality exactly
+    val scale = 1000000000000L
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    val base = scale / 3
+    var pr = Map(1L -> base, 2L -> base, 3L -> base)
+    for (_ <- 1 to 8)
+      pr = pr.keys.map(v => v ->
+        (15L * base + 85L * nbrs(v).map(u => pr(u) / deg(u)).sum) / 100L).toMap
+    assert(out === pr)
+    assert(out(2L) > out(1L), "the path's center must outrank its leaves")
+    assert(out(1L) === out(3L), "symmetric leaves must tie exactly")
+    // the double column is one division of the exact long
+    val withD = Fraud.pageRankFromPairs(pairs, iters = 8).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2))
+    withD.foreach { case (fp, d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ===
+        java.lang.Double.doubleToLongBits(fp.toDouble / 1.0e12))
+    }
+  }
+
   test("C25b approx Gini tracks exact within one cell's dispersion on the real corpus") {
     def keyed(name: String) = Fraud.queries(name)(spark, SF).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap

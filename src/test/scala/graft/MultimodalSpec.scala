@@ -194,6 +194,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "the clip is fully contained; the long side dilutes to 2/3")
   }
 
+  test("G11 shared clips: contiguous aligned runs detected; scattered shared frames are not a clip") {
+    import spark.implicits._
+    def blk(c: Char) = c.toString * 64
+    val (a, b, c, d, e) = (blk('a'), blk('b'), blk('c'), blk('d'), blk('e'))
+    val docs = Seq(
+      // doc 1: frames a b c d e; doc 2 lifts the 4-frame run b c d e
+      // at its position 1 (offset 0 on the diagonal)
+      (1L, a + b + c + d + e),
+      (2L, blk('x') + b + c + d + e + blk('z')),
+      // doc 3 has the SAME frames b,c,d,e but reshuffled — shares the
+      // frame SET with 1 and 2 (g10 would pair them) yet no 3-frame
+      // ORDER, so no shingle matches and no clip
+      (3L, d + b + e + c)
+    ).toDF("doc_id", "text")
+    val out = Multimodal.sharedClips(Multimodal.withPayload(docs)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("best_offset"),
+          r.getAs[Long]("run_shingles"), r.getAs[Long]("clip_frames")))).toMap
+    assert(out.keySet === Set((1L, 2L)),
+      s"only the order-preserving pair is a clip (got ${out.keySet})")
+    // shingles (b,c,d) and (c,d,e): doc1 pos 1,2 ↔ doc2 pos 1,2 —
+    // run of 2 shingles on diagonal 0 ⇒ a 4-frame clip
+    assert(out((1L, 2L)) === ((2L, 0L, 2L, 4L)))
+    // sanity: g10 DOES pair the reshuffled copy — the two operators
+    // answer different questions
+    val setPairs = Multimodal.sharedFrameDedup(Multimodal.withPayload(docs))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(setPairs.contains((1L, 3L)),
+      "the reshuffled copy shares the frame set; only the ORDER is gone")
+  }
+
   test("G9 quality keeper: corrupt copies never keep, resolution breaks intact ties, doc_id last") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -54,6 +54,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "MMR order equals relevance order — the diversity term did nothing at this SF")
   }
 
+  test("E15 IVF-PQ: candidates come from the probe cells; ADC scores are e8's bit-for-bit") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val out = Similarity.ivfPqTopK(e, 0L, 20).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // routing restricts candidates to the query's nProbes=2 cells
+    assert(out.map(_.getAs[Int]("cell")).distinct.length <= 2)
+    // routing prunes, never rescores: every returned id's ADC score is
+    // the full-corpus PQ search's score for that id, bit-for-bit
+    val full = Similarity.pqTopK(e, 0L, 1000000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(full(r.getLong(0))) ===
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("score")),
+        s"vec ${r.getLong(0)}: ivfpq score diverged from pq")
+    }
+    // the pruned list is a genuine subset: fewer (or equal) candidates
+    // than the unrouted PQ search considered
+    assert(out.map(_.getLong(0)).toSet.subsetOf(full.keySet))
+  }
+
   test("E1 exact top-k ranks by cosine") {
     val e = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),

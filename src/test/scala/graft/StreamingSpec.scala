@@ -582,6 +582,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       java.lang.Double.doubleToLongBits(online.getAs[Double]("psi")))
   }
 
+  test("H23 streaming shard manifest equals batch I23 exactly under REVERSED arrival") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = tmpDir("graft_manifest_in")
+    val ckpt = tmpDir("graft_manifest_ckpt")
+    val docs = Tables.table(spark, SF, "documents")
+    // the real corpus through the SHARED projection, delivered in
+    // REVERSED doc order across two micro-batches — the arrival shape
+    // that breaks every order-dependent fold; the commutative state
+    // must not care
+    val obs = graft.operators.Profile.shardObservations(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("hv")))
+      .sortBy(-_._1)
+    def json(t: (Long, Long, Long, Long)) =
+      s"""{"doc_id":${t._1},"shard":${t._2},"n_tokens":${t._3},"hv":${t._4}}"""
+    val cut = obs.length / 2
+    Files.writeString(Paths.get(in, "a.json"), obs.take(cut).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), obs.drop(cut).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("shard", LongType), StructField("n_tokens", LongType),
+      StructField("hv", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .as[Stateful.ShardObs](org.apache.spark.sql.Encoders.product[Stateful.ShardObs])
+    Stateful.shardManifestStream(stream)
+      .writeStream.format("memory").queryName("manifest_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("min_doc"),
+        r.getAs[Long]("max_doc"), r.getAs[Long]("checksum"))
+    // final state per shard = the row with the largest n_docs (monotone)
+    val online = spark.sql("SELECT * FROM manifest_stream").collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .map { case (s, rows) => s -> key(rows.maxBy(_.getAs[Long]("n_docs"))) }
+    val offline = graft.operators.Profile.shardManifest(docs).collect()
+      .map(r => r.getAs[Long]("shard") -> key(r)).toMap
+    assert(online === offline,
+      "reversed-arrival streaming manifest must equal the batch manifest bit-for-bit")
+    // and the intermediate emissions are genuinely incremental: some
+    // shard emitted twice (both batches touched it) with growing counts
+    val twice = spark.sql("SELECT * FROM manifest_stream").collect()
+      .groupBy(_.getAs[Long]("shard")).filter(_._2.length >= 2)
+    assert(twice.nonEmpty, "two batches over 32 shards must revisit at least one shard")
+    twice.foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Long]("n_docs")).sorted
+      assert(ns.distinct.length === ns.length, "revisits must grow the doc count")
+    }
+  }
+
   test("H14 streaming token-budget gate admits exactly the batch I11 prefix") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
