@@ -685,23 +685,66 @@ object Similarity {
     * (no oracle contract) and a no-op for the seeded one (data floats).
     */
   def quantizePqWith(embeddings: DataFrame,
-                     cents: Array[Array[Array[Double]]]): DataFrame = {
+                     cents: Array[Array[Array[Double]]]): DataFrame =
+    pqEncodeCarrying(embeddings, cents, Nil)
+
+  /** The PQ encode staging (subvectors → 16-entry distance arrays →
+    * argmin codes, one HOF per projection per §6b) with extra columns
+    * carried through — shared by the plain encode ([[quantizePqWith]]),
+    * the IVF-routed search ([[ivfPqTopK]], carrying `cell`), and the
+    * persisted IVF-PQ index build ([[buildIvfPqIndex]]), so the encode
+    * arithmetic exists exactly once.
+    */
+  private def pqEncodeCarrying(df: DataFrame,
+                               cents: Array[Array[Array[Double]]],
+                               carry: Seq[String]): DataFrame = {
     val sub = cents(0)(0).length
     val nsq = pqNsqTable(cents)
-    embeddings
-      .select(col("vec_id"),
+    val carryCols = carry.map(col)
+    df
+      .select((col("vec_id") +: carryCols) :+
         transform(sequence(lit(0), lit(pqSubspaces - 1)),
-          s => slice(col("embedding"), s * sub + 1, lit(sub))).as("subs"))
-      .select(col("vec_id") +: (0 until pqSubspaces).map { s =>
+          s => slice(col("embedding"), s * sub + 1, lit(sub))).as("subs"): _*)
+      .select((col("vec_id") +: carryCols) ++ (0 until pqSubspaces).map { s =>
         array((0 until pqCentroids).map { c =>
           lit(nsq(s)(c)) - lit(2.0) * dot(element_at(col("subs"), s + 1),
             typedLit(cents(s)(c).map(_.toFloat).toSeq))
         }: _*).as(s"d$s")
       }: _*)
-      .select(col("vec_id"),
+      .select((col("vec_id") +: carryCols) :+
         array((0 until pqSubspaces).map { s =>
           (array_position(col(s"d$s"), array_min(col(s"d$s"))) - 1).cast("int")
-        }: _*).as("codes"))
+        }: _*).as("codes"): _*)
+  }
+
+  /** The ADC close (both table-lookup folds in ONE projection, the
+    * plan-build zero-norm guard, score, top-k) over a codes relation —
+    * shared by [[pqTopKWith]], [[searchPqIndex]], [[ivfPqTopK]], and
+    * [[probeIvfPqIndex]] so the serving arithmetic exists exactly once.
+    */
+  private def adcScored(codes: DataFrame, dotTab: Array[Array[Double]],
+                        nsqTab: Array[Array[Double]], qNrm: Double, k: Int,
+                        carry: Seq[String]): DataFrame = {
+    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
+    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
+    val carryCols = carry.map(col)
+    val adc = codes.select((col("vec_id") +: carryCols) ++ Seq(
+      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(dotLit, (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+        .as("adc_dot"),
+      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+        .as("adc_nsq")): _*)
+    val guarded =
+      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
+      else adc
+    guarded
+      .select((col("vec_id") +: carryCols) :+
+        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"): _*)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes: the
@@ -746,41 +789,22 @@ object Similarity {
       acc
     }
     val nsqTab = pqNsqTable(cents)
-    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
-    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
-    // BOTH ADC folds live in ONE projection: each references `codes`
-    // once, and two references together keep CollapseProject from
-    // inlining the (expensive) encode expression into the lambdas — as
-    // chained withColumns the single-referenced alias gets inlined and
-    // the full argmin encode re-evaluates per table lookup (measured
-    // 8.4s vs 1s at sf0.1; the §6b HOF-staging rule applied across a
-    // helper boundary).
-    val adc = quantizePqWith(embeddings, cents)
-      .filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"),
-        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(dotLit, (s + 1).cast("int")),
-            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
-          .as("adc_dot"),
-        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
-            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
-          .as("adc_nsq"))
-    // The zero-norm guard is a PLAN-BUILD decision: the driver holds the
-    // centroid norm table, so when every centroid has positive norm (the
-    // normal case) adc_nsq > 0 is a tautology and the row filter is
-    // omitted — as an expression filter it predicate-pushes below the
-    // projections and re-evaluates the whole encode chain per row in an
-    // interpreted Filter (measured 30s vs ~1s at sf0.1). The oracle's
-    // WHERE adc_nsq > 0 then passes every row identically.
-    val guarded =
-      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
-      else adc
-    guarded
-      .select(col("vec_id"),
-        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    // BOTH ADC folds live in ONE projection (inside adcScored): each
+    // references `codes` once, and two references together keep
+    // CollapseProject from inlining the (expensive) encode expression
+    // into the lambdas — as chained withColumns the single-referenced
+    // alias gets inlined and the full argmin encode re-evaluates per
+    // table lookup (measured 8.4s vs 1s at sf0.1; the §6b HOF-staging
+    // rule applied across a helper boundary). The zero-norm guard is a
+    // PLAN-BUILD decision there too: when every centroid has positive
+    // norm (the normal case) adc_nsq > 0 is a tautology and the row
+    // filter is omitted — as an expression filter it predicate-pushes
+    // below the projections and re-evaluates the whole encode chain per
+    // row in an interpreted Filter (measured 30s vs ~1s at sf0.1). The
+    // oracle's WHERE adc_nsq > 0 then passes every row identically.
+    adcScored(
+      quantizePqWith(embeddings, cents).filter(col("vec_id") =!= queryVecId),
+      dotTab, nsqTab, qNrm, k, Nil)
   }
 
   /** E8 persisted form: encode ONCE, store (vec_id, codes) — 1/16th the
@@ -820,32 +844,77 @@ object Similarity {
       acc
     }
     val nsqTab = pqNsqTable(cents)
-    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
-    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
     val codes = spark.read.parquet(s"$dir/codes")
     val filtered = excludeVecId
       .map(id => codes.filter(col("vec_id") =!= id)).getOrElse(codes)
     // codes here is a SCAN attribute (no encode to re-evaluate), but the
     // ADC shape mirrors pqTopK: one projection for both folds, and the
     // zero-norm guard only when a zero-norm centroid exists.
-    val adc = filtered
-      .select(col("vec_id"),
-        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(dotLit, (s + 1).cast("int")),
-            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
-          .as("adc_dot"),
-        aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
-            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
-          .as("adc_nsq"))
-    val guarded =
-      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
-      else adc
-    guarded
-      .select(col("vec_id"),
-        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    adcScored(filtered, dotTab, nsqTab, qNrm, k, Nil)
+  }
+
+  /** E16: persisted IVF-PQ index — [[buildIvfIndex]]'s cell-partitioned
+    * layout composed with [[buildPqIndex]]'s code storage: the corpus is
+    * routed and encoded ONCE, and what lands on disk is (vec_id, codes)
+    * partitioned BY CELL plus the two tiny model tables (IVF centroids,
+    * PQ codebook). A probe routes through the collected centroid table
+    * to its nProbes cells and ADC-scans ONLY those cell directories —
+    * partition pruning × 8-byte codes: probe I/O is
+    * nProbes/nCentroids × 1/16th of the float corpus, and the floats
+    * are never read at serve time. This is the durable form of
+    * [[ivfPqTopK]], which computes the same route+encode inline.
+    */
+  def buildIvfPqIndex(embeddings: DataFrame, dir: String,
+                      nCentroids: Int = 16, dim: Int = 64): Unit = {
+    val e = withNorm(embeddings)
+    val cents = seedCentroids(e, nCentroids)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case ((cv, cn), i) => (i, cv.toSeq, cn) }.toSeq
+      .toDF("cent_id", "embedding", "nrm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val book = pqCentroidTable(e, dim)
+    book.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "cent")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    pqEncodeCarrying(assignCells(e, cents), book, Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Probe a persisted IVF-PQ index with an external query vector — the
+    * fully pruned serve path (see [[buildIvfPqIndex]]): centroid and
+    * codebook tables collect driver-side (tiny model rows), the probe
+    * cells come from [[probeCellsFor]], and the scan touches only those
+    * cells' code files. Same scoring and ordering as [[ivfPqTopK]].
+    */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, qVec: Array[Float],
+                      k: Int, nProbes: Int = 2,
+                      excludeVecId: Option[Long] = None): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    val book = Array.ofDim[Array[Double]](pqSubspaces, pqCentroids)
+    spark.read.parquet(s"$dir/codebook").collect().foreach { r =>
+      book(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val sub = book(0)(0).length
+    val q = qVec.map(_.toDouble)
+    require(q.length == pqSubspaces * sub, s"query dim ${q.length} != index dim")
+    val qNrm = math.sqrt(q.map(x => x * x).sum)
+    require(qNrm > 0, "query vector has zero norm")
+    val probeCells = probeCellsFor(cents, qVec, qNrm, nProbes)
+    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+      var acc = 0.0
+      var d = 0
+      while (d < sub) { acc += q(s * sub + d) * book(s)(c)(d); d += 1 }
+      acc
+    }
+    val nsqTab = pqNsqTable(book)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("cell", col("cell").cast("int"))
+    val filtered = excludeVecId
+      .map(id => codes.filter(col("vec_id") =!= id)).getOrElse(codes)
+    adcScored(filtered, dotTab, nsqTab, qNrm, k, Seq("cell"))
   }
 
   /** E15: IVF-PQ — the composed serve path of a production vector index
@@ -893,47 +962,15 @@ object Similarity {
       while (d < sub) { acc += qVec(s * sub + d) * book(s)(c)(d); d += 1 }
       acc
     }
-    val dotLit = typedLit(dotTab.map(_.toSeq).toSeq)
-    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
     // stage 1: route — per-row argmax cell against literal centroids,
     // pruned to the query's probe cells (a row filter on a scan
     // attribute; in the persisted form this is partition pruning)
     val routed = assignCells(e, cents)
       .filter(col("vec_id") =!= queryVecId)
       .filter(col("cell").isin(probeCells: _*))
-    // stages 2–4: e8's encode/ADC staging (§6b: one HOF per projection,
-    // both ADC folds in ONE select) with `cell` carried through
-    val subsDf = routed.select(col("vec_id"), col("cell"),
-      transform(sequence(lit(0), lit(pqSubspaces - 1)),
-        s => slice(col("embedding"), s * sub + 1, lit(sub))).as("subs"))
-    val dists = subsDf.select(col("vec_id") +: col("cell") +:
-      (0 until pqSubspaces).map { s =>
-        array((0 until pqCentroids).map { c =>
-          lit(nsqTab(s)(c)) - lit(2.0) * dot(element_at(col("subs"), s + 1),
-            typedLit(book(s)(c).map(_.toFloat).toSeq))
-        }: _*).as(s"d$s")
-      }: _*)
-    val codes = dists.select(col("vec_id"), col("cell"),
-      array((0 until pqSubspaces).map { s =>
-        (array_position(col(s"d$s"), array_min(col(s"d$s"))) - 1).cast("int")
-      }: _*).as("codes"))
-    val adc = codes.select(col("vec_id"), col("cell"),
-      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
-        acc + element_at(element_at(dotLit, (s + 1).cast("int")),
-          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
-        .as("adc_dot"),
-      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
-        acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
-          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
-        .as("adc_nsq"))
-    val guarded =
-      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
-      else adc
-    guarded
-      .select(col("vec_id"), col("cell"),
-        (col("adc_dot") / (sqrt(col("adc_nsq")) * lit(qNrm))).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    // stages 2–5: e8's shared encode/ADC staging with `cell` carried
+    adcScored(pqEncodeCarrying(routed, book, Seq("cell")),
+      dotTab, nsqTab, qNrm, k, Seq("cell"))
   }
 
   /** E10: MMR-diversified top-k — re-rank the exact top-`nCand` pool so

@@ -405,6 +405,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "the cell-level cumulative windows should still be present")
   }
 
+  test("e15 IVF-PQ: one corpus scan, zero exchanges — route+encode fuse into the top-k pass") {
+    val p = plan("e15_ann_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not be a full sort\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected ONE embeddings scan (x2 in formatted), got $scans\n$p")
+    // both the cell routing (argmax over literal centroids) and the PQ
+    // encode (argmin over literal sub-centroids) are per-row
+    // projections: any Exchange before the top-k merge is a regression
+    assert(!p.contains("Exchange"), s"the IVF-PQ serve path must be shuffle-free\n$p")
+  }
+
+  test("c30 PageRank: checkpointed graph in, aggregates only — no window, no cartesian, no re-scan") {
+    val df = SparkEntry.queries("c30_collusion_pagerank")(spark, SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"),
+      s"rank arithmetic must be aggregates, never a window\n$p")
+    // the pair graph is localCheckpoint'd before the loop: the 8-step
+    // chain must read the checkpoint, never re-derive the fact pass
+    assert(!p.contains("Scan parquet"),
+      s"the iteration chain re-scanned the corpus\n$p")
+  }
+
+  test("i23 manifest: the totals branch reads the checkpointed per-shard table, not the corpus") {
+    val df = SparkEntry.queries("i23_shard_manifest")(spark, SF)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus scan happens ONCE, inside the eager checkpoint; the
+    // closing plan (per x broadcast total) must not touch parquet —
+    // this is the §6b pruning/reuse trap guard for the manifest
+    assert(!p.contains("Scan parquet"),
+      s"manifest close re-scanned the corpus instead of the checkpoint\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast\n$p")
+  }
+
+  test("g11 clips: no exchange carries payload or raw frame bytes") {
+    val p = plan("g11_shared_clips")
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted mode prints each operator's Input list: every Exchange
+    // must carry digests/positions only — payload and frame columns
+    // stay inside the row-local projections
+    val exBlocks = p.split("\\(\\d+\\) ").filter(_.startsWith("Exchange"))
+    assert(exBlocks.nonEmpty, s"expected shuffles on digest keys\n$p")
+    exBlocks.foreach { b =>
+      val in = b.linesIterator.find(_.trim.startsWith("Input")).getOrElse("")
+      assert(!in.contains("payload") && !in.contains("frame#"),
+        s"an exchange carries payload/frame bytes: $in")
+    }
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString

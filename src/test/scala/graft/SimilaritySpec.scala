@@ -201,6 +201,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("E16 persisted IVF-PQ: probe matches the in-memory composition and prunes cell partitions") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val dir = tmpDir("graft_ivfpq_idx")
+    Similarity.buildIvfPqIndex(e, dir)
+    val qVec = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probed = Similarity.probeIvfPqIndex(spark, dir, qVec, 20,
+      excludeVecId = Some(0L))
+    val inline = Similarity.ivfPqTopK(e, 0L, 20)
+    val pr = probed.collect().map(r =>
+      (r.getLong(0), r.getAs[Int]("cell"), r.getAs[Double]("score")))
+    val im = inline.collect().map(r =>
+      (r.getLong(0), r.getAs[Int]("cell"), r.getAs[Double]("score")))
+    assert(pr.map(_._1).toSeq === im.map(_._1).toSeq)
+    assert(pr.map(_._2).toSeq === im.map(_._2).toSeq,
+      "probe and inline must route every result to the same cell")
+    pr.zip(im).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // pruning: the probe scan filters on the cell partition directories
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // the stored form really is 4-bit codes, never a float mirror
+    val stored = spark.read.parquet(s"$dir/codes")
+    assert(!stored.columns.contains("embedding"))
+    assert(stored.schema("codes").dataType.simpleString === "array<int>")
+  }
+
   test("E7 persisted SQ8 index search matches the inline quantize-and-search") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
