@@ -86,7 +86,10 @@ object Bench {
     "e15_ann_ivfpq", "c30_collusion_pagerank", "i23_shard_manifest",
     // temporal clip detection: one shingle-digest shuffle + capped
     // in-cell expansion + islands on the output-sized match table
-    "g11_shared_clips")
+    "g11_shared_clips",
+    // manifest diff: two corpus passes into 32-row manifests + a
+    // 32-row full-outer close
+    "i24_manifest_diff")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

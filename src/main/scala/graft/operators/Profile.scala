@@ -166,6 +166,38 @@ object Profile {
           .as("token_share"))
   }
 
+  /** I24: shard-manifest diff — the incremental-rebuild trigger I23's
+    * checksum exists for: given the CURRENT and PREVIOUS manifests
+    * (persisted |shards|-row tables in production — the diff never
+    * touches the corpus), classify each shard `added` / `removed` /
+    * `changed` / `unchanged` and report the doc/token deltas. A
+    * rebuild pipeline re-packs ONLY the changed shards; on a 100 TB
+    * store where a daily load touches a few shards, that is the
+    * difference between re-processing terabytes and re-processing the
+    * delta. `unchanged` requires the checksum AND both counts to
+    * agree — the counts are free to compare and shrink the (already
+    * hash-collision-sized) false-unchanged surface. Full-outer on the
+    * shard key; all outputs exact longs plus one string status.
+    */
+  def manifestDiff(current: DataFrame, previous: DataFrame): DataFrame = {
+    val c = current.select(col("shard"), col("n_docs").as("docs_new"),
+      col("shard_tokens").as("tokens_new"), col("checksum").as("ck_new"))
+    val p = previous.select(col("shard"), col("n_docs").as("docs_old"),
+      col("shard_tokens").as("tokens_old"), col("checksum").as("ck_old"))
+    c.join(p, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("docs_old").isNull, lit("added"))
+          .when(col("docs_new").isNull, lit("removed"))
+          .when(col("ck_new") === col("ck_old") &&
+            col("docs_new") === col("docs_old") &&
+            col("tokens_new") === col("tokens_old"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("docs_new"), lit(0L)) - coalesce(col("docs_old"), lit(0L)))
+          .as("docs_delta"),
+        (coalesce(col("tokens_new"), lit(0L)) - coalesce(col("tokens_old"), lit(0L)))
+          .as("tokens_delta"))
+  }
+
   /** I10: deterministic global shuffle — the randomize-before-training
     * pass. Each row's position is a pure function of its id (salted
     * md5): hash → shard, rank within shard by (hash, id). Replayable on
@@ -510,6 +542,17 @@ object Profile {
     "i23_shard_manifest" -> ((s, d) =>
       shardManifest(Tables.table(s, d, "documents"))),
 
+    // I24: manifest diff — the previous load drops every 5th doc from
+    // shards 0–2 only, so the diff must flag exactly those three shards
+    // changed and the other 29 unchanged (both branches exercised).
+    "i24_manifest_diff" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      manifestDiff(shardManifest(docs),
+        shardManifest(docs.filter(
+          !(pmod(col("doc_id"), lit(32L)) < 3L &&
+            pmod(col("doc_id"), lit(5L)) === 0L))))
+    }),
+
     // I5: expectation-style data-quality audit over the load tables.
     "i5_quality_audit" -> ((s, d) =>
       qualityAudit(Tables.table(s, d, "orders"), Tables.table(s, d, "lineitem"))),
@@ -791,6 +834,37 @@ object Profile {
         |       min_doc, max_doc, checksum,
         |       CAST(shard_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share
         |FROM per, tot""".stripMargin,
+
+    // I24: both manifests from the SHARED d projection (one filtered),
+    // the same full-outer shard join and the same status CASE; deltas
+    // are exact BIGINT differences.
+    "i24_manifest_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(('0x' || substr(md5('man:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |cur AS (
+        |  SELECT shard, count(*) AS docs_new,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tokens_new,
+        |         bit_xor(hv) AS ck_new
+        |  FROM d GROUP BY shard),
+        |prev AS (
+        |  SELECT shard, count(*) AS docs_old,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tokens_old,
+        |         bit_xor(hv) AS ck_old
+        |  FROM d
+        |  WHERE NOT (doc_id % 32 < 3 AND doc_id % 5 = 0)
+        |  GROUP BY shard)
+        |SELECT coalesce(c.shard, p.shard) AS shard,
+        |       CASE WHEN p.shard IS NULL THEN 'added'
+        |            WHEN c.shard IS NULL THEN 'removed'
+        |            WHEN c.ck_new = p.ck_old AND c.docs_new = p.docs_old
+        |                 AND c.tokens_new = p.tokens_old THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       CAST(coalesce(c.docs_new, 0) - coalesce(p.docs_old, 0) AS BIGINT) AS docs_delta,
+        |       CAST(coalesce(c.tokens_new, 0) - coalesce(p.tokens_old, 0) AS BIGINT) AS tokens_delta
+        |FROM cur c FULL OUTER JOIN prev p ON c.shard = p.shard""".stripMargin,
 
     "i9_pack_sequences" ->
       """WITH d AS (

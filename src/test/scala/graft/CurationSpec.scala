@@ -236,6 +236,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(dropped(0L) === fwd(0L), "untouched shard's checksum must not move")
   }
 
+  test("I24 manifest diff: all four statuses classified; only touched shards flag on the corpus") {
+    import spark.implicits._
+    def m(rows: (Long, Long, Long, Long)*) =
+      rows.toDF("shard", "n_docs", "shard_tokens", "checksum")
+    val prev = m((0L, 2L, 100L, 7L), (1L, 3L, 200L, 9L), (3L, 1L, 50L, 4L))
+    val cur = m((0L, 2L, 100L, 7L), (1L, 3L, 200L, 11L), (2L, 4L, 80L, 5L))
+    val d = graft.operators.Profile.manifestDiff(cur, prev).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("docs_delta"),
+          r.getAs[Long]("tokens_delta")))).toMap
+    assert(d(0L) === (("unchanged", 0L, 0L)))
+    assert(d(1L) === (("changed", 0L, 0L)),
+      "a checksum move with equal counts is still a change")
+    assert(d(2L) === (("added", 4L, 80L)))
+    assert(d(3L) === (("removed", -1L, -50L)))
+    // the corpus query: docs removed from shards 0–2 only ⇒ exactly
+    // those three changed, every other shard byte-identical
+    val q = graft.operators.Profile.queries("i24_manifest_diff")(spark, SF)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[String]("status")).toMap
+    assert(q.filter(_._2 == "changed").keySet === Set(0L, 1L, 2L), q.toString)
+    assert(q.count(_._2 == "unchanged") === 29)
+  }
+
   test("I17 weighted sample: exact k, top-k plan, deterministic, length-biased vs uniform") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.table(spark, SF, "documents")
