@@ -89,7 +89,10 @@ object Bench {
     "g11_shared_clips",
     // manifest diff: two corpus passes into 32-row manifests + a
     // 32-row full-outer close
-    "i24_manifest_diff")
+    "i24_manifest_diff",
+    // batch routed ANN join: one coded corpus pass, explode to the
+    // probing queries, per-query WindowGroupLimit
+    "e17_ann_ivfpq_join")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

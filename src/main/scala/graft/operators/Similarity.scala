@@ -973,6 +973,93 @@ object Similarity {
       dotTab, nsqTab, qNrm, k, Seq("cell"))
   }
 
+  /** E17: batch IVF-PQ kNN JOIN — [[knnJoin]]'s many-query shape on
+    * [[ivfPqTopK]]'s serve path: the offline "kNN for every probe
+    * vector" job (embedding-dedup across corpora, eval-set neighbor
+    * mining) where the exact crossJoin's |corpus|×|queries| scoring is
+    * the scale killer. One corpus pass routes + encodes every vector
+    * (the shared staging), then each row EXPLODES to only the queries
+    * probing its cell via a literal cell→queries routing table — a
+    * corpus row is copied at most |queries| times, carries a ~10-byte
+    * code tuple (never the embedding), and a cell no query probes
+    * drops at the explode. ADC tables for all queries ride one literal
+    * 3-D array indexed by the exploded query ordinal; the final
+    * per-query top-k is e5's `row_number <= k` WindowGroupLimit shape,
+    * so the exchange carries O(k × queries × partitions). Expected
+    * candidate volume: |queries| × nProbes/nCentroids × corpus —
+    * the IVF routing's pruning applied to the join, not just the
+    * point lookup.
+    */
+  def ivfPqKnnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                   nCentroids: Int = 16, nProbes: Int = 2,
+                   dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val cents = seedCentroids(e, nCentroids)
+    val book = pqCentroidTable(e, dim)
+    val sub = book(0)(0).length
+    val nsqTab = pqNsqTable(book)
+    val qRows = e.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    if (qRows.isEmpty) {
+      return e.select(col("vec_id").as("q_id"), col("vec_id"),
+        lit(0).as("cell"), lit(0.0).as("score"), lit(0).as("rnk")).limit(0)
+    }
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qNrms = qRows.map(_.getDouble(2))
+    // per-query ADC dot tables — the same driver-side fold as pqTopKWith
+    val dotTabs = qVecs.map { qv =>
+      val q = qv.map(_.toDouble)
+      Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+        var acc = 0.0
+        var d = 0
+        while (d < sub) { acc += q(s * sub + d) * book(s)(c)(d); d += 1 }
+        acc
+      }
+    }
+    val probes = qIds.indices.map(i =>
+      probeCellsFor(cents, qVecs(i), qNrms(i), nProbes))
+    // cell → probing-query ordinals: the routing table, shipped as a
+    // literal (nCentroids × ≤|queries| ints)
+    val cellQ = (0 until nCentroids).map(c =>
+      probes.zipWithIndex.collect { case (cs, qi) if cs.contains(c) => qi }.toSeq)
+    val qlist = typedLit(cellQ.toSeq)
+    val qidLit = typedLit(qIds.toSeq)
+    val qnrmLit = typedLit(qNrms.toSeq)
+    val dotLit3 = typedLit(dotTabs.map(_.map(_.toSeq).toSeq).toSeq)
+    val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
+    val coded = pqEncodeCarrying(assignCells(e, cents), book, Seq("cell"))
+    val cand = coded
+      .select(col("vec_id"), col("cell"), col("codes"),
+        explode(element_at(qlist, col("cell") + 1)).as("qi"))
+      .filter(element_at(qidLit, col("qi") + 1) =!= col("vec_id"))
+    // both ADC folds in ONE projection (the §6b CollapseProject rule);
+    // the dot table is additionally indexed by the query ordinal
+    val adc = cand.select(col("vec_id"), col("cell"), col("qi"),
+      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(element_at(dotLit3, col("qi") + 1),
+          (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+        .as("adc_dot"),
+      aggregate(sequence(lit(0), lit(pqSubspaces - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(nsqLit, (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+        .as("adc_nsq"))
+    val guarded =
+      if (nsqTab.exists(_.exists(_ <= 0))) adc.filter(col("adc_nsq") > 0)
+      else adc
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    guarded
+      .select(element_at(qidLit, col("qi") + 1).as("q_id"), col("vec_id"),
+        col("cell"),
+        (col("adc_dot") / (sqrt(col("adc_nsq")) * element_at(qnrmLit, col("qi") + 1)))
+          .as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** E10: MMR-diversified top-k — re-rank the exact top-`nCand` pool so
     * results trade pure relevance for coverage: greedy argmax of
     *   λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
@@ -1137,6 +1224,11 @@ object Similarity {
     // composition, oracle hash-matched (both halves are deterministic).
     "e15_ann_ivfpq" -> ((s, d) => ivfPqTopK(t(s, d, "embeddings"), 0L, 20)),
 
+    // E17: batch IVF-PQ kNN join — e5's query batch (0..7, k=10)
+    // through the routed/coded serve path.
+    "e17_ann_ivfpq_join" -> ((s, d) =>
+      ivfPqKnnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
+
     // E4: IVF with k-means-learned centroids (rows-only).
     "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20))
   )
@@ -1264,6 +1356,124 @@ object Similarity {
         |WHERE a.adc_nsq > 0
         |ORDER BY score DESC, a.vec_id
         |LIMIT 20""".stripMargin,
+
+    // E17: e15's CTE chain generalized over the 8-query batch — qs is
+    // multi-row, probes/dot tables group per qid (nsq stays shared),
+    // codes compute once per corpus vector, candidates are
+    // cellof ⋈ probes with per-pair self-exclusion, and the close is
+    // e5's per-query QUALIFY row_number.
+    "e17_ann_ivfpq_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |qs AS (
+        |  SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
+        |  FROM e WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+        |cscore AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
+        |  FROM e, cents c),
+        |cellof AS (
+        |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cent_id FROM (
+        |    SELECT q.qid, c.cent_id,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, len(c.embedding) + 1),
+        |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |               (x, y) -> x + y) / (c.nrm * q.q_nrm) DESC, c.cent_id) AS rn
+        |    FROM cents c, qs q) WHERE rn <= 2),
+        |cl AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cent_id) AS sc FROM (
+        |      SELECT sp.s AS s, c.cent_id AS cent_id,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
+        |    GROUP BY s)),
+        |ntab AS (
+        |  SELECT list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(nsqv ORDER BY cent_id) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cent_id AS cent_id,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
+        |    GROUP BY s)),
+        |tabs AS (
+        |  SELECT qid, list(dots ORDER BY s) AS dot_tab FROM (
+        |    SELECT qid, s, list(dotv ORDER BY cent_id) AS dots FROM (
+        |      SELECT q.qid AS qid, sp.s AS s, c.cent_id AS cent_id,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS dotv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c, qs q)
+        |    GROUP BY qid, s)
+        |  GROUP BY qid),
+        |codes AS (
+        |  SELECT e2.vec_id,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(e2.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(e2.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM e e2, cl, ntab t),
+        |cand AS (
+        |  SELECT p.qid, co.vec_id, co.cell
+        |  FROM cellof co JOIN probes p ON co.cell = p.cent_id
+        |  WHERE co.vec_id <> p.qid),
+        |adc AS (
+        |  SELECT c.qid, c.vec_id, c.cell,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.dot_tab[s + 1][k.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_dot,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             n.nsq_tab[s + 1][k.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_nsq
+        |  FROM cand c
+        |  JOIN codes k ON c.vec_id = k.vec_id
+        |  JOIN tabs t ON t.qid = c.qid, ntab n),
+        |scored AS (
+        |  SELECT a.qid AS q_id, a.vec_id, a.cell,
+        |         a.adc_dot / (sqrt(a.adc_nsq) * q.q_nrm) AS score
+        |  FROM adc a JOIN qs q ON q.qid = a.qid
+        |  WHERE a.adc_nsq > 0)
+        |SELECT q_id, vec_id, cell, score,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY score DESC, vec_id) AS INT) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 10""".stripMargin,
 
     // E8: centroid seeding, argmin encode, and ADC table lookups are all
     // deterministic double arithmetic; the 2-D tables are rebuilt in SQL

@@ -455,6 +455,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("e17 batch IVF-PQ join: one corpus scan, routed explode, per-query group limit") {
+    val p = plan("e17_ann_ivfpq_join")
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected ONE embeddings scan (x2 in formatted), got $scans\n$p")
+    // the per-query top-k must prune per partition before the q_id
+    // exchange (e5's WindowGroupLimit shape)
+    assert(p.contains("WindowGroupLimit"), s"missing per-partition top-k pruning\n$p")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString

@@ -201,6 +201,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("E17 batch IVF-PQ join equals the per-query IVF-PQ searches bit-for-bit") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val joined = Similarity.ivfPqKnnJoin(e, 0L until 8L, 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(joined.keySet === (0L until 8L).toSet,
+      s"every query must get results (got ${joined.keySet})")
+    Seq(0L, 3L, 7L).foreach { q =>
+      val single = Similarity.ivfPqTopK(e, q, 10).collect()
+        .map(r => (r.getLong(0), r.getAs[Int]("cell"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("score")))).toSeq
+      val batch = joined(q).sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("score")))).toSeq
+      assert(batch === single, s"query $q: the batch path diverged from ivfPqTopK")
+    }
+  }
+
   test("E16 persisted IVF-PQ: probe matches the in-memory composition and prunes cell partitions") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
