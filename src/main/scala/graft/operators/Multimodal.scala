@@ -207,14 +207,22 @@ object Multimodal {
       .withColumn("grp", col("pos_a") - row_number().over(wDiag))
       .groupBy(col("doc_a"), col("doc_b"), col("off"), col("grp"))
       .agg(count(lit(1)).as("run_shingles"), min(col("pos_a")).as("start_a"))
-    val nm = matches.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_matches"))
-    val wBest = W.partitionBy(col("doc_a"), col("doc_b"))
+    // n_matches: every match row lands in exactly ONE (pair, off, grp)
+    // island, so the per-pair match count is sum(run_shingles) over the
+    // runs already computed — a window sum over the SAME partition keys
+    // the best-run ranking uses (one exchange+sort, a second Window op,
+    // no ordering ⇒ whole-partition frame), not a second pass through
+    // the match-expansion branch joined back (which would consume
+    // `matches` twice and, column-pruned differently per branch, risk
+    // the §6b AQE reuse trap). Integer sum ⇒ oracle-neutral vs the
+    // count(*) the SQL twin computes.
+    val wPair = W.partitionBy(col("doc_a"), col("doc_b"))
+    val wBest = wPair
       .orderBy(col("run_shingles").desc, col("off"), col("start_a"))
     runs
       .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_matches", sum(col("run_shingles")).over(wPair))
       .filter(col("rn") === 1 && col("run_shingles") >= minRun)
-      .join(nm, Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_matches"),
         col("off").as("best_offset"), col("run_shingles"),
         (col("run_shingles") + lit(shingle - 1)).cast("long").as("clip_frames"))

@@ -636,6 +636,23 @@ object Similarity {
       acc
     }
 
+  /** Per-subspace query→codebook dot tables — dotTab(s)(c) =
+    * dot(q_s, cent_s_c), the driver-side LEFT-TO-RIGHT fold every ADC
+    * consumer shares. The fold order is an oracle-parity contract (it
+    * mirrors the oracle's list_reduce), so the loop exists exactly once
+    * (like [[pqEncodeCarrying]]/[[adcScored]] for the row-side math).
+    */
+  private def adcDotTable(q: Array[Double],
+                          book: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val sub = book(0)(0).length
+    Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+      var acc = 0.0
+      var d = 0
+      while (d < sub) { acc += q(s * sub + d) * book(s)(c)(d); d += 1 }
+      acc
+    }
+  }
+
   /** The seeded codebook as a public value (for composing with
     * [[quantizePqWith]]/[[pqTopKWith]] and for the error-comparison
     * spec).
@@ -772,7 +789,6 @@ object Similarity {
   def pqTopKWith(embeddings: DataFrame, cents: Array[Array[Array[Double]]],
                  queryVecId: Long, k: Int): DataFrame = {
     val e = withNorm(embeddings)
-    val sub = cents(0)(0).length
     val qRows = e.filter(col("vec_id") === queryVecId)
       .select(col("embedding"), col("nrm")).take(1)
     if (qRows.isEmpty) {
@@ -780,14 +796,7 @@ object Similarity {
     }
     val qVec = qRows(0).getSeq[Float](0).map(_.toDouble).toArray
     val qNrm = qRows(0).getDouble(1)
-    // per-subspace query tables, driver-computed with the same
-    // left-to-right fold as the SQL oracle
-    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
-      var acc = 0.0
-      var d = 0
-      while (d < sub) { acc += qVec(s * sub + d) * cents(s)(c)(d); d += 1 }
-      acc
-    }
+    val dotTab = adcDotTable(qVec, cents)
     val nsqTab = pqNsqTable(cents)
     // BOTH ADC folds live in ONE projection (inside adcScored): each
     // references `codes` once, and two references together keep
@@ -838,11 +847,7 @@ object Similarity {
     require(q.length == pqSubspaces * sub, s"query dim ${q.length} != index dim")
     val qNrm = math.sqrt(q.map(x => x * x).sum)
     require(qNrm > 0, "query vector has zero norm")
-    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
-      var acc = 0.0; var d = 0
-      while (d < sub) { acc += q(s * sub + d) * cents(s)(c)(d); d += 1 }
-      acc
-    }
+    val dotTab = adcDotTable(q, cents)
     val nsqTab = pqNsqTable(cents)
     val codes = spark.read.parquet(s"$dir/codes")
     val filtered = excludeVecId
@@ -902,12 +907,7 @@ object Similarity {
     val qNrm = math.sqrt(q.map(x => x * x).sum)
     require(qNrm > 0, "query vector has zero norm")
     val probeCells = probeCellsFor(cents, qVec, qNrm, nProbes)
-    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
-      var acc = 0.0
-      var d = 0
-      while (d < sub) { acc += q(s * sub + d) * book(s)(c)(d); d += 1 }
-      acc
-    }
+    val dotTab = adcDotTable(q, book)
     val nsqTab = pqNsqTable(book)
     val codes = spark.read.parquet(s"$dir/codes")
       .filter(col("cell").isin(probeCells: _*))
@@ -952,19 +952,17 @@ object Similarity {
     val qNrm = qRows(0).getDouble(1)
     val probeCells = probeCellsFor(cents, qVecF, qNrm, nProbes)
     val book = pqCentroidTable(e, dim)
-    val sub = book(0)(0).length
     val nsqTab = pqNsqTable(book)
-    // per-subspace query tables — the same driver-side left-to-right
-    // fold as pqTopKWith (and the oracle's list_reduce)
-    val dotTab = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
-      var acc = 0.0
-      var d = 0
-      while (d < sub) { acc += qVec(s * sub + d) * book(s)(c)(d); d += 1 }
-      acc
-    }
+    val dotTab = adcDotTable(qVec, book)
     // stage 1: route — per-row argmax cell against literal centroids,
-    // pruned to the query's probe cells (a row filter on a scan
-    // attribute; in the persisted form this is partition pruning)
+    // pruned to the query's probe cells. NOTE: `cell` is a DERIVED
+    // argmax, not a scan attribute — predicate pushdown inlines the
+    // 16-cosine routing expression into a Filter below assignCells'
+    // projection and the projection recomputes it for survivors, so the
+    // routing runs ~2× per row here. That is the right trade: it prunes
+    // the far-more-expensive encode (16×16 dots + argmins) to the probe
+    // cells. Only the persisted form ([[probeIvfPqIndex]]) gets true
+    // partition pruning.
     val routed = assignCells(e, cents)
       .filter(col("vec_id") =!= queryVecId)
       .filter(col("cell").isin(probeCells: _*))
@@ -997,7 +995,6 @@ object Similarity {
     val e = withNorm(embeddings)
     val cents = seedCentroids(e, nCentroids)
     val book = pqCentroidTable(e, dim)
-    val sub = book(0)(0).length
     val nsqTab = pqNsqTable(book)
     val qRows = e.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -1009,16 +1006,8 @@ object Similarity {
     val qIds = qRows.map(_.getLong(0))
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
     val qNrms = qRows.map(_.getDouble(2))
-    // per-query ADC dot tables — the same driver-side fold as pqTopKWith
-    val dotTabs = qVecs.map { qv =>
-      val q = qv.map(_.toDouble)
-      Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
-        var acc = 0.0
-        var d = 0
-        while (d < sub) { acc += q(s * sub + d) * book(s)(c)(d); d += 1 }
-        acc
-      }
-    }
+    // per-query ADC dot tables through the one shared fold
+    val dotTabs = qVecs.map(qv => adcDotTable(qv.map(_.toDouble), book))
     val probes = qIds.indices.map(i =>
       probeCellsFor(cents, qVecs(i), qNrms(i), nProbes))
     // cell → probing-query ordinals: the routing table, shipped as a
@@ -1030,7 +1019,21 @@ object Similarity {
     val qnrmLit = typedLit(qNrms.toSeq)
     val dotLit3 = typedLit(dotTabs.map(_.map(_.toSeq).toSeq).toSeq)
     val nsqLit = typedLit(nsqTab.map(_.toSeq).toSeq)
-    val coded = pqEncodeCarrying(assignCells(e, cents), book, Seq("cell"))
+    // rows in cells NO query probes would pay the full encode only to
+    // explode to zero rows — the probed-cell union is driver-known, so
+    // prune BEFORE the encode stage (and omit the filter entirely when
+    // the union covers every cell: the plan-build tautology rule). The
+    // re-evaluated routing the pushed filter costs (see [[ivfPqTopK]])
+    // is 16 dots vs the 256 the encode would spend on a dropped row.
+    val probedCells = cellQ.zipWithIndex.collect {
+      case (qs, c) if qs.nonEmpty => c
+    }
+    val routedAll = assignCells(e, cents)
+    val routed =
+      if (probedCells.size < nCentroids)
+        routedAll.filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+      else routedAll
+    val coded = pqEncodeCarrying(routed, book, Seq("cell"))
     val cand = coded
       .select(col("vec_id"), col("cell"), col("codes"),
         explode(element_at(qlist, col("cell") + 1)).as("qi"))

@@ -453,6 +453,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       assert(!in.contains("payload") && !in.contains("frame#"),
         s"an exchange carries payload/frame bytes: $in")
     }
+    // n_matches is a window sum over the SAME (doc_a, doc_b) partition
+    // the best-run ranking uses — the plan is one LINEAR chain: exactly
+    // one corpus scan in the finalized plan and no join anywhere. A
+    // second scan or a join means the match-expansion branch got
+    // re-derived for the count (the CLAUDE.md finalized-scan-count rule)
+    val df = SparkEntry.queries("g11_shared_clips")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), "g11 did not finalize adaptively")
+    val finalSection = fin.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans <= 1,
+      s"g11 must scan documents once in the final plan, got $scans\n$fin")
+    assert(!finalSection.contains("Join"),
+      s"g11 must be join-free (n_matches rides the pair window)\n$fin")
   }
 
   test("e17 batch IVF-PQ join: one corpus scan, routed explode, per-query group limit") {
