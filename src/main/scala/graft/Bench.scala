@@ -92,7 +92,8 @@ object Bench {
     "i24_manifest_diff",
     // batch routed ANN join: one coded corpus pass, explode to the
     // probing queries, per-query WindowGroupLimit
-    "e17_ann_ivfpq_join")
+    "e17_ann_ivfpq_join",
+    "e18_hybrid_rrf", "e19_embedding_drift", "f22_boilerplate_strip")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

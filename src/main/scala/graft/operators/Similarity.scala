@@ -1160,10 +1160,95 @@ object Similarity {
       }.reduce(_.unionByName(_))
   }
 
+  /** E18: hybrid retrieval by reciprocal-rank fusion — the production
+    * RAG serving shape: a dense list (E1 cosine over the embedding) and
+    * a sparse list (F12 BM25 over the text) fuse by
+    * Σ 1/(kRrf + rank) with absent-from-a-list contributing 0 — RRF
+    * (Cormack/Clarke/Buettcher, SIGIR'09) needs no score calibration
+    * between the two systems because only RANKS enter the fusion.
+    *
+    * The corpus cost is the two retrievals (each already its own
+    * bounded-plan operator); the fusion itself runs on nDense+nSparse
+    * rows — the two rank windows and the full-outer join are over
+    * post-limit lists (e10's bounded-pool class; the unpartitioned
+    * window is ≤20 rows by construction). Portability: ranks are exact
+    * integers from (score desc, id) orderings both engines resolve
+    * identically (the e1/f12 scores are hash-matched), and each fused
+    * score is two IEEE divisions added in a spelled order.
+    */
+  def hybridRrf(embeddings: DataFrame, docs: DataFrame, queryVecId: Long,
+                queryTerms: Seq[String], nDense: Int = 20, nSparse: Int = 10,
+                kRrf: Int = 60, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = cosineTopK(embeddings, queryVecId, nDense)
+      .select(col("vec_id").as("doc_id"), col("score").as("cos_score"))
+    val dRank = dense
+      .withColumn("cos_rank", row_number()
+        .over(Window.orderBy(col("cos_score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("cos_rank"))
+    val sparse = TextAnalysis.bm25(docs, queryTerms, nSparse)
+      .select(col("doc_id"), col("score").as("bm_score"))
+    val sRank = sparse
+      .withColumn("bm25_rank", row_number()
+        .over(Window.orderBy(col("bm_score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    sRank.join(dRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("cos_rank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** E19: embedding-space drift — the vector-corpus twin of the c23/f21
+    * drift monitors: per DIMENSION, the centroid (mean component) of a
+    * reference slice vs an incoming slice and the absolute shift. A
+    * retrained or re-normalized encoder moves centroids dimension-wise
+    * long before nearest-neighbor quality visibly degrades — this is
+    * the cheap early-warning pass over an embedding pipeline.
+    *
+    * Portability is the §6b fixed-point recipe extended to floats:
+    * each component quantizes row-locally as floor(x · 2^20) (the 2^20
+    * scale is a power of two, so the double multiply is EXACT and the
+    * floor engine-identical), the per-(dim, slice) sums are then
+    * order-independent INTEGER sums — safe through any shuffle — and
+    * the mean divides back out in double once at the close. One corpus
+    * pass, one |dims|-key aggregate (64 cells); at 100 TB the explode
+    * carries (dim, long) pairs and the aggregate is map-side combined.
+    */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .select((col("vec_id") % 2 === 0).as("is_ref"),
+        posexplode(col("embedding")).as(Seq("d0", "x")))
+      .select(col("is_ref"), (col("d0") + 1).as("dim"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("qx"))
+    q.groupBy(col("dim"))
+      .agg(sum(when(col("is_ref"), col("qx"))).as("sref"),
+        count(when(col("is_ref"), lit(1))).as("nref"),
+        sum(when(!col("is_ref"), col("qx"))).as("sinc"),
+        count(when(!col("is_ref"), lit(1))).as("ninc"))
+      .select(col("dim").cast("long").as("dim"),
+        (col("sref").cast("double") / col("nref") / lit(1048576.0)).as("mean_ref"),
+        (col("sinc").cast("double") / col("ninc") / lit(1048576.0)).as("mean_inc"),
+        abs(col("sref").cast("double") / col("nref") / lit(1048576.0) -
+          col("sinc").cast("double") / col("ninc") / lit(1048576.0)).as("drift"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // E14: recall@20 of the LSH and IVF indexes vs the exact truth set.
     "e14_ann_recall" -> ((s, d) => annRecall(t(s, d, "embeddings"))),
+
+    // E18: RRF fusion of the e1 dense list (query vec 0) and the f12
+    // sparse list (the shared bm25QueryTerms) — doc_id and vec_id are
+    // the same id space (e9's join convention).
+    "e18_hybrid_rrf" -> ((s, d) => hybridRrf(t(s, d, "embeddings"),
+      t(s, d, "documents"), 0L, TextAnalysis.bm25QueryTerms)),
+
+    // E19: per-dimension centroid drift, even vec_ids as the reference
+    // slice vs odd as incoming (f21's parity-split convention).
+    "e19_embedding_drift" -> ((s, d) => embeddingDrift(t(s, d, "embeddings"))),
 
     // E10: MMR diversified re-rank of the e1 pool (driver greedy over a
     // BOUNDED candidate list; oracle is a recursive CTE replaying the
@@ -1238,10 +1323,26 @@ object Similarity {
 
   def oracles: Map[String, String] = {
     val base = baseOracles
-    // E14 composes the three retrieval oracles verbatim (each keeps its
-    // own WITH scope inside a derived table), so the recall oracle can
-    // never drift from the lists it grades.
-    base + ("e14_ann_recall" ->
+    // E14/E18 compose the retrieval oracles verbatim (each keeps its
+    // own WITH scope inside a derived table), so the fusion/recall
+    // oracles can never drift from the lists they grade.
+    base + ("e18_hybrid_rrf" ->
+      s"""WITH d AS (
+         |  SELECT vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY score DESC, vec_id) AS cos_rank
+         |  FROM (${base("e1_cosine_topk")})),
+         |s AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+         |  FROM (${TextAnalysis.oracles("f12_bm25_search")}))
+         |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.bm25_rank, d.cos_rank,
+         |       coalesce(CAST(1.0 AS DOUBLE) / (60 + s.bm25_rank), CAST(0.0 AS DOUBLE))
+         |     + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.cos_rank), CAST(0.0 AS DOUBLE))
+         |         AS rrf_score
+         |FROM s FULL OUTER JOIN d ON s.doc_id = d.doc_id
+         |ORDER BY rrf_score DESC, doc_id
+         |LIMIT 10""".stripMargin) +
+      ("e14_ann_recall" ->
       s"""WITH exact AS (SELECT vec_id FROM (${base("e1_cosine_topk")})),
          |lsh AS (SELECT vec_id FROM (${base("e2_ann_lsh")})),
          |ivf AS (SELECT vec_id FROM (${base("e3_ann_ivf")})),
@@ -1257,6 +1358,34 @@ object Similarity {
   }
 
   private def baseOracles: Map[String, String] = Map(
+    // E19: the fixed-point recipe — floor(x·2^20) is exact (power-of-two
+    // double multiply), the per-cell sums are integer (DuckDB HUGEINT
+    // cast back to BIGINT, §6b), and the closing divisions are spelled
+    // in the same left-to-right order as the Spark select.
+    "e19_embedding_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id % 2 = 0 AS is_ref,
+        |         unnest(range(1, len(embedding) + 1)) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT is_ref, dim,
+        |         CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS qx
+        |  FROM q),
+        |a AS (
+        |  SELECT dim,
+        |         CAST(sum(CASE WHEN is_ref THEN qx END) AS BIGINT) AS sref,
+        |         count(CASE WHEN is_ref THEN 1 END) AS nref,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN qx END) AS BIGINT) AS sinc,
+        |         count(CASE WHEN NOT is_ref THEN 1 END) AS ninc
+        |  FROM qq GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       CAST(sref AS DOUBLE) / nref / CAST(1048576 AS DOUBLE) AS mean_ref,
+        |       CAST(sinc AS DOUBLE) / ninc / CAST(1048576 AS DOUBLE) AS mean_inc,
+        |       abs(CAST(sref AS DOUBLE) / nref / CAST(1048576 AS DOUBLE)
+        |         - CAST(sinc AS DOUBLE) / ninc / CAST(1048576 AS DOUBLE)) AS drift
+        |FROM a""".stripMargin,
+
     // E15: e3's routing CTEs (cells from the same 16 seeds, probe set =
     // query's top-2 cells) feeding e8's codebook/encode/ADC CTEs, with
     // the codes CTE restricted to the routed slice. One `cents` CTE

@@ -524,6 +524,69 @@ object TextAnalysis {
         (col("df").cast("double") / col("n_docs")).as("boilerplate_frac"))
   }
 
+  /** F22: corpus-frequent span STRIPPING — the rewrite half of the
+    * boilerplate story (F16 detects; this removes): C4/RefinedWeb-style
+    * cleaning drops the recurring template spans (headers, license
+    * blurbs, lifted near-dup passages) from each document and keeps the
+    * rest, in order. Semantics are COVERAGE-based, not greedy-match:
+    * a token survives iff NO occurrence of any corpus-frequent word
+    * `n`-gram (appearing in ≥ `minDf` distinct docs) covers its
+    * position — deterministic under overlap (greedy left-to-right would
+    * need a tie rule; coverage needs none), so the rebuilt text is
+    * engine-portable verbatim.
+    *
+    * Plan: two row-local explodes of the same scan (positioned grams;
+    * positioned tokens), one gram-keyed aggregate for the frequent set
+    * (AQE broadcasts it back while it fits — it is the template list,
+    * orders of magnitude smaller than the corpus), covered positions
+    * via a semi join + bounded explode (×n), and the reconstruction is
+    * one (doc_id, pos) anti join + per-doc ordered fold. At 100 TB the
+    * anti join and the rebuild both key on doc_id — a doc_id-bucketed
+    * layout (A12) makes them co-located; the wire carries counted grams
+    * and (doc, pos) ints, never text twice. Output: per doc, the token
+    * budget before/after and the cleaned text (exact strings/longs —
+    * full oracle).
+    */
+  def boilerplateStrip(docs: DataFrame, n: Int = 4, minDf: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    val pg = toks.select(col("doc_id"), explode(
+      when(size(col("tok")) >= n,
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => struct(i.as("pos"),
+            array_join(slice(col("tok"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val freq = pg.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    val covered = pg.join(freq, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("tok")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
+    val kept = tokPos.join(
+      covered.select(col("doc_id"), col("cpos").as("pos")),
+      Seq("doc_id", "pos"), "left_anti")
+    // per-doc ordered rebuild: array_sort on (pos, tk) structs orders by
+    // the unique int pos — shuffle-order-independent, matching the
+    // oracle's string_agg(... ORDER BY pos)
+    val clean = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+          x => x.getField("tk")), " ").as("clean_text"))
+    val removed = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    toks.select(col("doc_id"), size(col("tok")).cast("long").as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** F18: n-gram novelty scoring — the marginal-contribution signal
     * data-pruning pipelines rank by ("how much of this document has
     * the corpus already seen?"): per doc, the fraction of its DISTINCT
@@ -704,6 +767,10 @@ object TextAnalysis {
     }),
     "f20_zipf_slope" -> ((s, d) => zipfSlope(t(s, d, "documents"))),
     "f16_boilerplate" -> ((s, d) => boilerplate(t(s, d, "documents"))),
+    // n=4/minDf=3 sized against the generated corpus (31-word vocab,
+    // near-dup clusters): strips ~2-3% of tokens across ~10% of docs at
+    // both verify SFs — non-degenerate in each direction
+    "f22_boilerplate_strip" -> ((s, d) => boilerplateStrip(t(s, d, "documents"))),
     "f18_novelty" -> ((s, d) => novelty(t(s, d, "documents"))),
     "f15_gopher_rules" -> ((s, d) => gopherRules(t(s, d, "documents"))),
     "f17_bigram_logprob" -> ((s, d) => bigramLogprob(t(s, d, "documents"))),
@@ -737,6 +804,38 @@ object TextAnalysis {
       |FROM tf JOIN df ON tf.term = df.term, n""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // F22: pure string/integer op — the only portability points are the
+    // guarded index ranges (DuckDB end-exclusive range() pairs with the
+    // Spark when-guarded sequence: both empty below n tokens) and the
+    // ordered rebuild (string_agg ORDER BY pos ↔ array_sort on the
+    // unique int pos). Coverage semantics make overlap handling
+    // tie-rule-free on both engines.
+    "f22_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+        |pg AS (SELECT doc_id, unnest(range(1, len(tok) - 2)) AS pos, tok FROM toks),
+        |pg2 AS (SELECT doc_id, pos,
+        |          array_to_string(list_slice(tok, pos, pos + 3), ' ') AS gram
+        |        FROM pg),
+        |freq AS (SELECT gram FROM (
+        |           SELECT gram, count(DISTINCT doc_id) AS df FROM pg2 GROUP BY 1)
+        |         WHERE df >= 3),
+        |covered AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 4)) AS cpos
+        |            FROM pg2 WHERE gram IN (SELECT gram FROM freq)),
+        |tokpos AS (SELECT doc_id, unnest(tok) AS tk,
+        |             unnest(range(1, len(tok) + 1)) AS pos
+        |           FROM toks),
+        |kept AS (SELECT t.doc_id, t.pos, t.tk FROM tokpos t
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)),
+        |clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text
+        |          FROM kept GROUP BY 1),
+        |rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |        FROM covered GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM toks)
+        |SELECT d.doc_id, d.n_tokens,
+        |       coalesce(r.n_removed, 0) AS n_removed,
+        |       coalesce(c.clean_text, '') AS clean_text
+        |FROM dl d LEFT JOIN rem r USING (doc_id) LEFT JOIN clean c USING (doc_id)""".stripMargin,
     // F15: exact integer counts + single double divisions — the only
     // cross-engine care points are replace-not-regexp for word_chars
     // (f2's recipe) and two separate symbol counts (leftmost-first vs

@@ -389,4 +389,56 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(n >= 0L && n <= 20L && r >= 0.0 && r <= 1.0)
     }
   }
+
+  test("E18 RRF equals the driver-recomputed fusion of the two ranked lists") {
+    import graft.operators.TextAnalysis
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    // independent recompute: rank each list by (score desc, id), fuse
+    val dense = Similarity.cosineTopK(e, 0L, 20).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val sparse = TextAnalysis.bm25(docs, TextAnalysis.bm25QueryTerms, 10).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (dense.keySet ++ sparse.keySet).toSeq.map { id =>
+      val s = sparse.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val d = dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      id -> (s + d)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val out = Similarity.hybridRrf(e, docs, 0L, TextAnalysis.bm25QueryTerms)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf_score")))
+    assert(out.toSeq === expected,
+      "fused order/scores must match the driver recompute bit-for-bit")
+    // a doc on BOTH lists carries both contributions
+    val both = dense.keySet intersect sparse.keySet
+    if (both.nonEmpty) {
+      val id = both.head
+      val want = 1.0 / (60 + sparse(id)) + 1.0 / (60 + dense(id))
+      assert(out.toMap.get(id).forall(_ == want))
+    }
+    // ranks surface for diagnosis: present iff the doc made that list
+    val rows = Similarity.hybridRrf(e, docs, 0L, TextAnalysis.bm25QueryTerms)
+      .collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Any]("bm25_rank") == null) === !sparse.contains(id))
+      assert((r.getAs[Any]("cos_rank") == null) === !dense.contains(id))
+    }
+  }
+
+  test("E19 drift: fixed-point means are exact on representable components") {
+    // every component is exactly representable and an exact multiple of
+    // 2^-20, so floor(x·2^20) loses nothing: the means are EXACT
+    val e = vecs(
+      0L -> Seq(1.0f, 2.0f),   // ref slice (even ids)
+      2L -> Seq(3.0f, 4.0f),   // ref
+      1L -> Seq(0.5f, -0.5f),  // incoming (odd ids)
+      3L -> Seq(1.5f, 0.5f))   // incoming
+    val out = Similarity.embeddingDrift(e).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("mean_ref"), r.getAs[Double]("mean_inc"),
+          r.getAs[Double]("drift")))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2.0, 1.0, 1.0)))
+    assert(out(2L) === ((3.0, 0.0, 3.0)))
+  }
 }

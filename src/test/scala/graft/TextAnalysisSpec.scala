@@ -299,4 +299,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // corpus's own model — the perplexity-filter ordering
     assert(out(1L)._2 > out(3L)._2)
   }
+
+  test("F22 strip: coverage removes every frequent-gram occurrence, order survives, short/clean docs untouched") {
+    // "a b c d" appears in docs 1, 2, 3, 6 (df=4 ≥ minDf=3); every
+    // other 4-gram is unique (df=1)
+    val corpus = docs(
+      1L -> "a b c d x y z w",    // prefix occurrence
+      2L -> "p q a b c d r s",    // interior occurrence
+      3L -> "a b c d",            // the whole doc IS the template
+      4L -> "a b c x y z w q",    // shares a 3-gram prefix only — clean
+      5L -> "m n",                // below gram length — clean
+      6L -> "a b c d a b c d")    // two occurrences; pos2-4 grams unique
+    val out = TextAnalysis.boilerplateStrip(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "every input doc must appear in the report, stripped or not")
+    assert(out(1L) === ((8L, 4L, "x y z w")))
+    assert(out(2L) === ((8L, 4L, "p q r s")), "interior strip keeps both flanks in order")
+    assert(out(3L) === ((4L, 4L, "")), "a doc that IS the template empties, not disappears")
+    assert(out(4L) === ((8L, 0L, "a b c x y z w q")), "a sub-threshold gram never strips")
+    assert(out(5L) === ((2L, 0L, "m n")), "docs below the gram length pass through")
+    assert(out(6L) === ((8L, 8L, "")),
+      "both occurrences' coverages union — repeat templates empty the doc")
+  }
 }
