@@ -93,7 +93,8 @@ object Bench {
     // batch routed ANN join: one coded corpus pass, explode to the
     // probing queries, per-query WindowGroupLimit
     "e17_ann_ivfpq_join",
-    "e18_hybrid_rrf", "e19_embedding_drift", "f22_boilerplate_strip")
+    "e18_hybrid_rrf", "e19_embedding_drift", "f22_boilerplate_strip",
+    "g12_flat_frames", "d21_lsh_scurve")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -811,7 +811,48 @@ object Dedup {
         sum(col("n_pairs")).over(Window.orderBy(col("bin").desc)).as("n_at_or_above"))
   }
 
+  /** D21: LSH band-plan S-curves — the ANALYTIC complement of D19's
+    * empirical calibration: for each (bands, rows-per-band) split of
+    * the hash budget, the probability an s-similar pair becomes a
+    * candidate, P = 1 − (1 − s^r)^b, tabulated over a similarity grid.
+    * The team reads D19 for where the corpus's pairs actually sit and
+    * D21 for which split puts the S-curve's knee at the chosen
+    * threshold (datasketch-style b/r optimization as a table, not a
+    * buried constant). The default grid enumerates every split of the
+    * engine's own 16-hash budget — (16,1) recall-heavy through (2,8)
+    * precision-heavy, with D2's deployed (4,4) in the middle.
+    *
+    * The enumeration is model-space (|configs|×|grid| rows — no
+    * corpus), and the powers are INTEGER-exponent left-fold repeated
+    * multiplications, never pow(): §6b rules ln/exp/pow
+    * engine-dependent, but a fixed-count chain of IEEE multiplies is
+    * bit-portable, so even this analytic table carries a full oracle.
+    * The inner fold's alias is referenced once per outer-fold step —
+    * CollapseProject inlines and re-evaluates it (§6b), which is
+    * accepted HERE ONLY because the plan runs on ≤ a hundred literal
+    * rows, never corpus data.
+    */
+  def lshSCurve(spark: SparkSession,
+                configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8)),
+                sSteps: Int = 19): DataFrame = {
+    import spark.implicits._
+    val grid = for { (b, r) <- configs; i <- 1 to sSteps }
+      yield (b.toLong, r.toLong, i)
+    grid.toDF("bands", "rows_per_band", "i")
+      .select(col("bands"), col("rows_per_band"),
+        (col("i") / lit(20.0)).as("s"))
+      .select(col("bands"), col("rows_per_band"), col("s"),
+        aggregate(sequence(lit(1), col("rows_per_band").cast("int")), lit(1.0),
+          (acc, _) => acc * col("s")).as("p_band"))
+      .select(col("bands"), col("rows_per_band"), col("s"), col("p_band"),
+        (lit(1.0) - aggregate(sequence(lit(1), col("bands").cast("int")), lit(1.0),
+          (acc, _) => acc * (lit(1.0) - col("p_band")))).as("p_candidate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D21: analytic S-curve table for the 16-hash budget's band splits.
+    "d21_lsh_scurve" -> ((s, _) => lshSCurve(s)),
 
     // D19: candidate-pair cosine histogram + descending cumulative.
     "d19_threshold_calibration" -> ((s, d) =>
@@ -1096,6 +1137,33 @@ object Dedup {
         |  FROM bands a JOIN bands b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
     Map(
+      // D21: integer-exponent powers as fixed-count multiply chains
+      // (left fold from a prepended 1.0 ↔ Spark aggregate's init) —
+      // never pow(); the config VALUES mirror the Scala default grid.
+      "d21_lsh_scurve" ->
+        """WITH cfg AS (
+          |  SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8))
+          |    t(bands, rows_per_band)),
+          |sg AS (SELECT unnest(range(1, 20)) AS i),
+          |g AS (
+          |  SELECT bands, rows_per_band,
+          |         i / CAST(20 AS DOUBLE) AS s
+          |  FROM cfg, sg),
+          |p1 AS (
+          |  SELECT bands, rows_per_band, s,
+          |         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          |           list_transform(range(1, rows_per_band + 1), x -> s)),
+          |           (a, b) -> a * b) AS p_band
+          |  FROM g)
+          |SELECT CAST(bands AS BIGINT) AS bands,
+          |       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+          |       s, p_band,
+          |       CAST(1.0 AS DOUBLE) - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          |         list_transform(range(1, bands + 1),
+          |           x -> CAST(1.0 AS DOUBLE) - p_band)),
+          |         (a, b) -> a * b) AS p_candidate
+          |FROM p1""".stripMargin,
+
       "d11_decontaminate" ->
         """WITH toks AS (
           |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),

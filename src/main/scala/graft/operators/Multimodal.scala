@@ -228,6 +228,56 @@ object Multimodal {
         (col("run_shingles") + lit(shingle - 1)).cast("long").as("clip_frames"))
   }
 
+  /** G12: low-diversity ("dead air") frame detection — the curation
+    * screen for black frames, silence, test cards, and padding: a FULL
+    * frame whose payload uses ≤ `maxDistinct` distinct byte values is
+    * flagged flat, and per media item the op reports how much of it is
+    * flat and the LONGEST consecutive flat run (a 30-frame black run is
+    * dead air; 30 scattered dark frames are content). Tail fragments
+    * are excluded from both numerator and denominator — a 3-byte tail
+    * is trivially low-diversity and would pollute the signal.
+    *
+    * Plan: frames never shuffle — diversity computes row-locally over
+    * the frame's hex pairs (byte-exact for ANY payload, not just
+    * decodable text), and only (doc_id, frame_idx, 2 booleans) reach
+    * the per-doc aggregate; the run length is b44's gaps-and-islands
+    * on the FLAT slice only (windows partition per doc over flagged
+    * frames). Portability: counts are exact longs; the one division is
+    * guarded at n_frames = 0. The 15-byte default is sized against the
+    * generated corpus (frame diversity p10 ≈ 15, so ~10% of frames
+    * flag — non-degenerate both directions); real black/silent frames
+    * sit at 1–2 distinct bytes, far under any sane threshold.
+    */
+  def flatFrames(media: DataFrame, frameBytes: Int = 64,
+                 maxDistinct: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val div = frameSample(media, frameBytes, every = 1)
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+        hex(col("frame")).as("hx"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+        size(array_distinct(transform(
+          sequence(lit(1), col("frame_bytes").cast("int")),
+          i => col("hx").substr(i * 2 - 1, lit(2))))).as("nd"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_bytes") === frameBytes).as("is_full"),
+        (col("frame_bytes") === frameBytes && col("nd") <= maxDistinct)
+          .as("is_flat"))
+    val counts = div.groupBy(col("doc_id"))
+      .agg(count(when(col("is_full"), lit(1))).as("n_frames"),
+        count(when(col("is_flat"), lit(1))).as("n_flat"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val runs = div.filter(col("is_flat"))
+      .withColumn("grp", col("frame_idx") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_flat_run"))
+    counts.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_flat"),
+        when(col("n_frames") === 0, lit(0.0))
+          .otherwise(col("n_flat").cast("double") / col("n_frames"))
+          .as("flat_frac"),
+        coalesce(col("max_flat_run"), lit(0L)).as("max_flat_run"))
+  }
+
   /** Output row of the batched encoder: the vector plus the size of the
     * batch it was computed in (observable batching contract).
     */
@@ -512,6 +562,10 @@ object Multimodal {
     "g11_shared_clips" -> ((s, d) =>
       sharedClips(withPayload(Tables.table(s, d, "documents")))),
 
+    // G12: low-diversity (dead-air) frame screen + longest flat run.
+    "g12_flat_frames" -> ((s, d) =>
+      flatFrames(withPayload(Tables.table(s, d, "documents")))),
+
     // G4: batched inference plumbing (rows-only: stub encoder).
     "g4_embed_batched" -> ((s, d) =>
       embedBatched(withPayload(Tables.table(s, d, "documents"))).toDF()
@@ -713,6 +767,47 @@ object Multimodal {
     // frame strings where the engine groups their md5 digests —
     // identical partitions barring an md5 collision; the hub cap and
     // the ≥2 shared threshold are part of the checked semantics.
+    // G12: the oracle counts distinct CHARS of the aligned 64-byte text
+    // frame where the engine counts distinct BYTES via hex pairs —
+    // byte ≡ char on the single-byte corpus (g10/g11's equivalence).
+    // Counts are longs; the flat-run islands mirror b44; the division
+    // is guarded at zero full frames on both sides.
+    "g12_flat_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(CEIL(strlen(text) / 64.0) AS INT))) AS frame_idx,
+        |         text
+        |  FROM documents WHERE strlen(text) > 0),
+        |f2 AS (
+        |  SELECT doc_id, frame_idx, substr(text, frame_idx*64 + 1, 64) AS frame
+        |  FROM fr),
+        |div AS (
+        |  SELECT doc_id, frame_idx,
+        |         strlen(frame) = 64 AS is_full,
+        |         strlen(frame) = 64
+        |           AND len(list_distinct(str_split(frame, ''))) <= 15 AS is_flat
+        |  FROM f2),
+        |counts AS (
+        |  SELECT doc_id,
+        |         count(CASE WHEN is_full THEN 1 END) AS n_frames,
+        |         count(CASE WHEN is_flat THEN 1 END) AS n_flat
+        |  FROM div GROUP BY 1),
+        |fl AS (
+        |  SELECT doc_id, frame_idx,
+        |         frame_idx - row_number() OVER (PARTITION BY doc_id
+        |                                        ORDER BY frame_idx) AS grp
+        |  FROM div WHERE is_flat),
+        |runs AS (
+        |  SELECT doc_id, max(cnt) AS max_flat_run FROM (
+        |    SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM fl GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT c.doc_id, c.n_frames, c.n_flat,
+        |       CASE WHEN c.n_frames = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(c.n_flat AS DOUBLE) / c.n_frames END AS flat_frac,
+        |       coalesce(r.max_flat_run, 0) AS max_flat_run
+        |FROM counts c LEFT JOIN runs r USING (doc_id)""".stripMargin,
+
     "g10_shared_frames" ->
       """WITH fr AS (
         |  SELECT DISTINCT doc_id, substr(text, frame_idx*64 + 1, 64) AS f

@@ -587,6 +587,67 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** The corpus-frequent gram set as a bounded driver value — the
+    * template MODEL the serving/streaming strip consumes (C17's
+    * rules-as-data discipline: the template list is orders of magnitude
+    * smaller than the corpus — it is the recurring chrome, not the
+    * text). Sorted for a deterministic literal; the size guard keeps a
+    * mis-tuned minDf from collecting a corpus-sized set to the driver.
+    */
+  def frequentGrams(docs: DataFrame, n: Int = 4, minDf: Int = 3,
+                    maxTemplates: Int = 100000): Seq[String] = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    val grams = toks.select(col("doc_id"), explode(
+      when(size(col("tok")) >= n,
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => array_join(slice(col("tok"), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram")).collect().map(_.getString(0)).sorted.toSeq
+    require(grams.size <= maxTemplates,
+      s"template set ${grams.size} exceeds $maxTemplates — raise minDf")
+    grams
+  }
+
+  /** [[boilerplateStrip]]'s ROW-LOCAL form against an explicit template
+    * list: identical coverage semantics, but the frequent-gram set
+    * arrives as a bounded literal instead of being derived in-plan — so
+    * the whole strip is a pure per-row projection chain (no join, no
+    * shuffle, no state), which is what a streaming admission gate
+    * (H24) or a serve-time cleaner needs. With
+    * `templates = frequentGrams(corpus, n, minDf)` the output is
+    * bit-identical to `boilerplateStrip(corpus, n, minDf)` — pinned in
+    * the streaming parity spec, not assumed. One HOF stage per
+    * projection (§6b); per-row cost is O(tokens × log |templates|)
+    * via the sorted-array membership scan.
+    */
+  def stripWithTemplates(docs: DataFrame, templates: Seq[String],
+                         n: Int = 4): DataFrame = {
+    val tmpl = typedLit(templates)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("tok"),
+        filter(
+          when(size(col("tok")) >= n,
+            sequence(lit(1), size(col("tok")) - (n - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => array_contains(tmpl, array_join(slice(col("tok"), i, lit(n)), " ")))
+          .as("starts"))
+      .select(col("doc_id"), col("tok"),
+        array_distinct(flatten(transform(col("starts"),
+          i => sequence(i, i + (n - 1))))).as("covered"))
+      .select(col("doc_id"), col("tok"), col("covered"),
+        filter(sequence(lit(1), size(col("tok"))),
+          p => !array_contains(col("covered"), p)).as("kept"))
+      .select(col("doc_id"),
+        size(col("tok")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        array_join(transform(col("kept"),
+          p => element_at(col("tok"), p)), " ").as("clean_text"))
+  }
+
   /** F18: n-gram novelty scoring — the marginal-contribution signal
     * data-pruning pipelines rank by ("how much of this document has
     * the corpus already seen?"): per doc, the fraction of its DISTINCT

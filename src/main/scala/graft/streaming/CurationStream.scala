@@ -106,6 +106,22 @@ object CurationStream {
   def gopherGate(docs: DataFrame): DataFrame =
     TextAnalysis.gopherRules(docs)
 
+  /** H24: streaming boilerplate-span strip — F22's rewrite applied at
+    * ingest: every arriving document is cleaned against the
+    * corpus-derived template list BEFORE admission, so downstream
+    * training shards never see the recurring chrome. The template set
+    * is a bounded MODEL (C17's rules-as-data; H10's benchmark-sketch
+    * discipline) collected once at plan-build time and shipped as a
+    * literal — the gate itself is [[TextAnalysis.stripWithTemplates]]'s
+    * pure row-local projection chain: stateless, no watermark, no
+    * shuffle, sustains any stream volume at scan speed. Batch parity
+    * is bit-exact BY CONSTRUCTION (identical code path) and asserted
+    * against `boilerplateStrip` in the parity spec — the H18 pattern.
+    */
+  def spanStripGate(docs: DataFrame, templates: Seq[String],
+                    n: Int = 4): DataFrame =
+    TextAnalysis.stripWithTemplates(docs, templates, n)
+
   /** The gate: admitted documents only, with the token count attached.
     * `docs` must carry (doc_id, ts, text); duplicates share identical
     * text. Stage layout follows the one-HOF-stage-per-projection rule.

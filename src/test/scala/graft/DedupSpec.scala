@@ -409,4 +409,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val j = Dedup.ngramJaccard(docs, cand).collect().head.getAs[Double]("jaccard")
     assert(j === 4.0 / 24.0 && j < 0.2)
   }
+
+  test("D21 S-curve: exact at the binary-representable point; knees order by band split") {
+    val out = Dedup.lshSCurve(spark).collect()
+      .map(r => ((r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Double]("s")), (r.getAs[Double]("p_band"), r.getAs[Double]("p_candidate"))))
+      .toMap
+    assert(out.size === 4 * 19)
+    // s = 0.5 is binary-exact, so the folds are exact rationals:
+    // (4,4): p_band = 2^-4; p_cand = 1 - (15/16)^4 = 14911/65536
+    assert(out((4L, 4L, 0.5)) === ((0.0625, 14911.0 / 65536.0)))
+    // (16,1): p_band = s; p_cand = 1 - 2^-16
+    assert(out((16L, 1L, 0.5)) === ((0.5, 1.0 - 1.0 / 65536.0)))
+    // monotone in s per config
+    for (cfg <- Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)); i <- 2 to 19) {
+      val lo = out((cfg._1, cfg._2, (i - 1) / 20.0))._2
+      val hi = out((cfg._1, cfg._2, i / 20.0))._2
+      assert(hi >= lo, s"p_candidate must be nondecreasing in s for $cfg")
+    }
+    // at fixed s, more bands (same 16-hash budget) = higher recall
+    val at = Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)).map(c => out((c._1, c._2, 0.5))._2)
+    assert(at === at.sorted.reverse, "recall must order (16,1) > (8,2) > (4,4) > (2,8) at s=0.5")
+  }
 }

@@ -268,4 +268,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.length.toLong === rows.head.getAs[Long]("cluster_size"))
     }
   }
+
+  test("G12 flat frames: diversity flags full frames only; runs count consecutive flats") {
+    import spark.implicits._
+    val flat = "a" * 64                              // 1 distinct byte  → flat
+    val busy = ("abcdefghijklmnopqrstuvwxyz" * 3).take(64) // 26 distinct → not flat
+    val docs = Seq(
+      1L -> (flat + flat + busy + flat),  // flats at 0,1,3 → run 2, frac 3/4
+      2L -> (busy + busy),                // no flat frames
+      3L -> (flat + "bb"),                // 1 flat + a 2-byte tail (excluded)
+      4L -> "cc")                         // tail only → 0 full frames
+      .toDF("doc_id", "text")
+    val out = Multimodal.flatFrames(Multimodal.withPayload(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_flat"),
+          r.getAs[Double]("flat_frac"), r.getAs[Long]("max_flat_run")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((4L, 3L, 0.75, 2L)),
+      "scattered flat at idx 3 must not extend the 0-1 run")
+    assert(out(2L) === ((2L, 0L, 0.0, 0L)))
+    assert(out(3L) === ((1L, 1L, 1.0, 1L)), "the tail fragment is excluded both ways")
+    assert(out(4L) === ((0L, 0L, 0.0, 0L)), "tail-only docs report zeros, not NaN")
+  }
+
+  test("G12 threshold boundary: exactly maxDistinct distinct bytes still flags") {
+    import spark.implicits._
+    // 15 distinct chars (= default maxDistinct) then 16 distinct
+    val d15 = ("abcdefghijklmno" * 5).take(64)
+    val d16 = ("abcdefghijklmnop" * 4).take(64)
+    val docs = Seq(1L -> d15, 2L -> d16).toDF("doc_id", "text")
+    val out = Multimodal.flatFrames(Multimodal.withPayload(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flat")).toMap
+    assert(out(1L) === 1L, "<= is inclusive at the threshold")
+    assert(out(2L) === 0L)
+  }
 }

@@ -1116,6 +1116,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(admitted === Set(100000L), "exactly the crafted doc passes the full battery")
   }
 
+  test("H24 streaming span-strip gate equals the batch F22 rewrite bit-exactly") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.operators.TextAnalysis
+    val in = tmpDir("graft_strip_in")
+    val ckpt = tmpDir("graft_strip_ckpt")
+    val docs = Tables.table(spark, SF, "documents").select(col("doc_id"), col("text"))
+    // the template MODEL: collected once from the corpus at plan-build
+    // time (bounded — the frequent-gram list, not the corpus)
+    val templates = TextAnalysis.frequentGrams(docs)
+    assert(templates.nonEmpty, "the generated corpus must yield templates (near-dup clusters)")
+    docs.repartition(3).write.mode("overwrite").json(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.streaming.CurationStream.spanStripGate(stream, templates)
+      .writeStream.format("memory").queryName("span_strip")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+    }.toMap
+    val streamed = keyed(spark.table("span_strip"))
+    // parity target 1: the row-local twin on the same templates
+    val rowLocal = keyed(TextAnalysis.stripWithTemplates(docs, templates))
+    // parity target 2: the DISTRIBUTED batch operator deriving the
+    // frequent set in-plan — the corpus-derived model closes the loop
+    val batch = keyed(TextAnalysis.boilerplateStrip(docs))
+    assert(streamed.size === 500)
+    assert(streamed === rowLocal, "stream and row-local strip must be identical")
+    assert(streamed === batch,
+      "gate(templates = frequentGrams(corpus)) must equal the batch F22 verbatim")
+    assert(streamed.values.exists(_._2 > 0), "the gate must actually strip something")
+  }
+
   test("H20 streaming index maintenance: maintained probe equals a full rebuild bit-exactly") {
     import graft.operators.Similarity
     import graft.streaming.IndexStream
