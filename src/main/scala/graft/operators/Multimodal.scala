@@ -237,45 +237,67 @@ object Multimodal {
     * are excluded from both numerator and denominator — a 3-byte tail
     * is trivially low-diversity and would pollute the signal.
     *
-    * Plan: frames never shuffle — diversity computes row-locally over
-    * the frame's hex pairs (byte-exact for ANY payload, not just
-    * decodable text), and only (doc_id, frame_idx, 2 booleans) reach
-    * the per-doc aggregate; the run length is b44's gaps-and-islands
-    * on the FLAT slice only (windows partition per doc over flagged
-    * frames). Portability: counts are exact longs; the one division is
-    * guarded at n_frames = 0. The 15-byte default is sized against the
-    * generated corpus (frame diversity p10 ≈ 15, so ~10% of frames
-    * flag — non-degenerate both directions); real black/silent frames
-    * sit at 1–2 distinct bytes, far under any sane threshold.
+    * Plan: the whole op is ROW-LOCAL — every frame of a media item
+    * lives in its one payload row, so the per-frame flags AND the
+    * longest-run recurrence both compute inside the row: frames slice
+    * from the hexed payload (byte-exact for ANY payload, not just
+    * decodable text), diversity is distinct hex pairs, and the longest
+    * consecutive flat run is a single left fold carrying
+    * (current_run, best_run) — b44's gaps-and-islands collapsed to a
+    * recurrence because the sequence is already in order in the array.
+    * ZERO exchanges: where the first cut exploded frames into a
+    * doc-keyed aggregate plus a rank window (two shuffles of flag
+    * rows), this plan is a projection chain ending at the sink —
+    * PlanSpec pins Exchange-freedom, and the rewrite doubles as a
+    * stateless streaming admission gate (H25). Portability: counts are
+    * exact longs; the one division is guarded at n_frames = 0. The
+    * 15-byte default is sized against the generated corpus (frame
+    * diversity p10 ≈ 15, so ~10% of frames flag — non-degenerate both
+    * directions); real black/silent frames sit at 1–2 distinct bytes,
+    * far under any sane threshold.
     */
   def flatFrames(media: DataFrame, frameBytes: Int = 64,
                  maxDistinct: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val div = frameSample(media, frameBytes, every = 1)
-      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
-        hex(col("frame")).as("hx"))
-      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
-        size(array_distinct(transform(
-          sequence(lit(1), col("frame_bytes").cast("int")),
-          i => col("hx").substr(i * 2 - 1, lit(2))))).as("nd"))
-      .select(col("doc_id"), col("frame_idx"),
-        (col("frame_bytes") === frameBytes).as("is_full"),
-        (col("frame_bytes") === frameBytes && col("nd") <= maxDistinct)
-          .as("is_flat"))
-    val counts = div.groupBy(col("doc_id"))
-      .agg(count(when(col("is_full"), lit(1))).as("n_frames"),
-        count(when(col("is_flat"), lit(1))).as("n_flat"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val runs = div.filter(col("is_flat"))
-      .withColumn("grp", col("frame_idx") - row_number().over(wDoc))
-      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
-      .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_flat_run"))
-    counts.join(runs, Seq("doc_id"), "left")
+    val hb = 2 * frameBytes // hex chars per frame
+    media
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+      // stage 1: per-frame hex slices (the tail slice comes out short)
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0),
+            ceil(length(col("hx")) / lit(hb.toDouble)).cast("int") - 1),
+          i => col("hx").substr(i * hb + 1, lit(hb))).as("fhx"))
+      // stage 2: per-frame (full, flat) flags — diversity over hex pairs
+      .select(col("doc_id"),
+        transform(col("fhx"), fh => struct(
+          (length(fh) === hb).as("full"),
+          (length(fh) === hb &&
+            size(array_distinct(transform(
+              sequence(lit(1), (length(fh) / 2).cast("int")),
+              j => fh.substr(j * 2 - 1, lit(2))))) <= maxDistinct)
+            .as("flat"))).as("flags"))
+      // stage 3: counts + the run recurrence (flags referenced 3× —
+      // multiple refs keep CollapseProject from inlining stage 2)
+      .select(col("doc_id"),
+        size(filter(col("flags"), f => f.getField("full"))).cast("long")
+          .as("n_frames"),
+        size(filter(col("flags"), f => f.getField("flat"))).cast("long")
+          .as("n_flat"),
+        aggregate(col("flags"),
+          struct(lit(0L).as("cur"), lit(0L).as("best")),
+          (acc, f) => struct(
+            when(f.getField("flat"), acc.getField("cur") + 1L).otherwise(lit(0L))
+              .as("cur"),
+            greatest(acc.getField("best"),
+              when(f.getField("flat"), acc.getField("cur") + 1L).otherwise(lit(0L)))
+              .as("best")),
+          acc => acc.getField("best")).as("max_flat_run"))
       .select(col("doc_id"), col("n_frames"), col("n_flat"),
         when(col("n_frames") === 0, lit(0.0))
           .otherwise(col("n_flat").cast("double") / col("n_frames"))
           .as("flat_frac"),
-        coalesce(col("max_flat_run"), lit(0L)).as("max_flat_run"))
+        col("max_flat_run"))
   }
 
   /** Output row of the batched encoder: the vector plus the size of the

@@ -122,6 +122,21 @@ object CurationStream {
                     n: Int = 4): DataFrame =
     TextAnalysis.stripWithTemplates(docs, templates, n)
 
+  /** H25: streaming dead-air screen — G12 applied at media ingest:
+    * each arriving item is scored (flat-frame count/fraction, longest
+    * flat run) the moment it lands, so the curation sink can quarantine
+    * dead-air uploads before they reach a training shard. G12's
+    * row-local rewrite is what makes this free: every frame of an item
+    * lives in its one payload row and the longest-run recurrence is an
+    * in-row fold, so the IDENTICAL batch code plans as a stateless
+    * streaming projection (H18's class — no watermark, no state, no
+    * shuffle, scan speed at any volume). Batch parity is bit-exact by
+    * construction and asserted in the parity spec.
+    */
+  def flatFrameGate(media: DataFrame, frameBytes: Int = 64,
+                    maxDistinct: Int = 15): DataFrame =
+    graft.operators.Multimodal.flatFrames(media, frameBytes, maxDistinct)
+
   /** The gate: admitted documents only, with the token count attached.
     * `docs` must carry (doc_id, ts, text); duplicates share identical
     * text. Stage layout follows the one-HOF-stage-per-projection rule.

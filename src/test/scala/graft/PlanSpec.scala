@@ -470,6 +470,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"g11 must be join-free (n_matches rides the pair window)\n$fin")
   }
 
+  test("g12 flat frames: fully row-local — zero exchanges, one scan") {
+    // every frame of a media item lives in its one payload row, so the
+    // flags AND the longest-run recurrence fold inside the row: any
+    // Exchange means the explode/aggregate/window shape crept back
+    val p = SparkEntry.queries("g12_flat_frames")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"g12 must be shuffle-free\n$p")
+    assert(!p.contains("Window"), s"the run length must be an in-row fold\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+  }
+
   test("e17 batch IVF-PQ join: one corpus scan, routed explode, per-query group limit") {
     val p = plan("e17_ann_ivfpq_join")
     assert(!p.contains("CartesianProduct"), p)

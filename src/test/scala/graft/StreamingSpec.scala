@@ -1152,6 +1152,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.values.exists(_._2 > 0), "the gate must actually strip something")
   }
 
+  test("H25 streaming flat-frame gate equals the batch G12 screen bit-exactly") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.operators.Multimodal
+    val in = tmpDir("graft_flat_in")
+    val ckpt = tmpDir("graft_flat_ckpt")
+    import spark.implicits._
+    // real corpus + crafted dead-air items so both branches of the
+    // screen are exercised in-stream
+    val docs = Tables.table(spark, SF, "documents").select($"doc_id", $"text")
+      .unionByName(Seq(
+        100000L -> ("x" * 192),                     // 3-frame flat run
+        100001L -> ("ab" * 32 + ("abcdefghijklmnopqrstuvwxyz" * 3).take(64)))
+        .toDF("doc_id", "text"))
+    docs.repartition(3).write.mode("overwrite").json(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.streaming.CurationStream
+      .flatFrameGate(Multimodal.withPayload(stream))
+      .writeStream.format("memory").queryName("flat_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_flat"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("flat_frac")),
+        r.getAs[Long]("max_flat_run")))
+    }.toMap
+    val streamed = keyed(spark.table("flat_gate"))
+    val batch = keyed(Multimodal.flatFrames(Multimodal.withPayload(docs)))
+    assert(streamed.size === 502)
+    assert(streamed === batch, "stream and batch G12 must be bit-identical")
+    assert(streamed(100000L) === ((3L, 3L,
+      java.lang.Double.doubleToLongBits(1.0), 3L)), "pure dead air flags wholly")
+    assert(streamed(100001L)._2 === 1L, "the mixed item flags only its flat frame")
+  }
+
   test("H20 streaming index maintenance: maintained probe equals a full rebuild bit-exactly") {
     import graft.operators.Similarity
     import graft.streaming.IndexStream
