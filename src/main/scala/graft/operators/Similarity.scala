@@ -1201,6 +1201,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** E20: source-capped exact top-k — the "site collapse" serving
+    * feature: at most `perSource` results from any one source, so a
+    * near-dup-heavy domain can't monopolize the results page (the
+    * constraint-based diversity dual of E10's score-based MMR: a hard
+    * per-group cap instead of a similarity penalty). Results are the
+    * true global top-k of the per-source-capped pool.
+    *
+    * Plan: one scored corpus pass (e1's broadcast-query scan), the
+    * metadata join on the shared id space, then `row_number ≤ cap`
+    * compiles to WindowGroupLimit — each partition prunes to its local
+    * per-source head BEFORE the |sources|-keyed exchange (e13's class;
+    * the wire carries ≤ cap × |sources| × partitions rows) — and the
+    * close is TakeOrderedAndProject. At 100 TB the metadata join is
+    * the co-location question: vector stores keep source beside the
+    * vector (same table or an A12 bucketed layout on the id), making
+    * the join a zipped read, never a second shuffle of the corpus.
+    * Portability: ranks are integers over (score desc, vec_id) — both
+    * engines resolve ties identically on the hash-matched e1 scores.
+    */
+  def cappedTopK(embeddings: DataFrame, meta: DataFrame, queryVecId: Long,
+                 k: Int = 10, perSource: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .as("score"))
+    val src = meta.select(col("doc_id").as("vec_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.join(src, Seq("vec_id"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= perSource)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** E19: embedding-space drift — the vector-corpus twin of the c23/f21
     * drift monitors: per DIMENSION, the centroid (mean component) of a
     * reference slice vs an incoming slice and the absolute shift. A
@@ -1217,23 +1257,42 @@ object Similarity {
     * pass, one |dims|-key aggregate (64 cells); at 100 TB the explode
     * carries (dim, long) pairs and the aggregate is map-side combined.
     */
-  def embeddingDrift(embeddings: DataFrame): DataFrame = {
-    val q = embeddings
+  def embeddingDrift(embeddings: DataFrame): DataFrame =
+    driftClose(quantizedComponents(embeddings)
+      .groupBy(col("dim")).agg(driftSumExprs.head, driftSumExprs.tail: _*))
+
+  /** E19's quantize stage as a shared projection (the H13
+    * shared-arithmetic rule): the batch drift and the H26 streaming
+    * monitor both consume exactly this — one definition, zero parity
+    * surface. Every output is integral, so everything downstream is
+    * commutative integer adds.
+    */
+  private[graft] def quantizedComponents(embeddings: DataFrame): DataFrame =
+    embeddings
       .select((col("vec_id") % 2 === 0).as("is_ref"),
         posexplode(col("embedding")).as(Seq("d0", "x")))
       .select(col("is_ref"), (col("d0") + 1).as("dim"),
         floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("qx"))
-    q.groupBy(col("dim"))
-      .agg(sum(when(col("is_ref"), col("qx"))).as("sref"),
-        count(when(col("is_ref"), lit(1))).as("nref"),
-        sum(when(!col("is_ref"), col("qx"))).as("sinc"),
-        count(when(!col("is_ref"), lit(1))).as("ninc"))
-      .select(col("dim").cast("long").as("dim"),
-        (col("sref").cast("double") / col("nref") / lit(1048576.0)).as("mean_ref"),
-        (col("sinc").cast("double") / col("ninc") / lit(1048576.0)).as("mean_inc"),
-        abs(col("sref").cast("double") / col("nref") / lit(1048576.0) -
-          col("sinc").cast("double") / col("ninc") / lit(1048576.0)).as("drift"))
-  }
+
+  /** The four per-dim sums — shared by the batch groupBy and the H26
+    * streaming aggregation (where the state store carries exactly
+    * these four longs + the count pair per dim).
+    */
+  private[graft] def driftSumExprs: Seq[Column] = Seq(
+    sum(when(col("is_ref"), col("qx"))).as("sref"),
+    count(when(col("is_ref"), lit(1))).as("nref"),
+    sum(when(!col("is_ref"), col("qx"))).as("sinc"),
+    count(when(!col("is_ref"), lit(1))).as("ninc"))
+
+  /** The close: sums → means → drift, in the one spelled double-op
+    * order the oracle mirrors.
+    */
+  private[graft] def driftClose(sums: DataFrame): DataFrame =
+    sums.select(col("dim").cast("long").as("dim"),
+      (col("sref").cast("double") / col("nref") / lit(1048576.0)).as("mean_ref"),
+      (col("sinc").cast("double") / col("ninc") / lit(1048576.0)).as("mean_inc"),
+      abs(col("sref").cast("double") / col("nref") / lit(1048576.0) -
+        col("sinc").cast("double") / col("ninc") / lit(1048576.0)).as("drift"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1249,6 +1308,11 @@ object Similarity {
     // E19: per-dimension centroid drift, even vec_ids as the reference
     // slice vs odd as incoming (f21's parity-split convention).
     "e19_embedding_drift" -> ((s, d) => embeddingDrift(t(s, d, "embeddings"))),
+
+    // E20: exact top-10 with at most 2 results per source (the site-
+    // collapse cap; constraint dual of e10's MMR).
+    "e20_capped_topk" -> ((s, d) => cappedTopK(t(s, d, "embeddings"),
+      t(s, d, "documents"), 0L)),
 
     // E10: MMR diversified re-rank of the e1 pool (driver greedy over a
     // BOUNDED candidate list; oracle is a recursive CTE replaying the
@@ -1358,6 +1422,36 @@ object Similarity {
   }
 
   private def baseOracles: Map[String, String] = Map(
+    // E20: e1's scoring CTE unlimited, the metadata join, a per-source
+    // QUALIFY cap, and the global top-k — ranks are integers over the
+    // hash-matched scores, so tie resolution is engine-identical.
+    "e20_capped_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+        |  FROM e, q WHERE e.vec_id <> 0),
+        |r AS (
+        |  SELECT s.vec_id, s.score, d.source,
+        |         row_number() OVER (PARTITION BY d.source
+        |                            ORDER BY s.score DESC, s.vec_id) AS src_rank
+        |  FROM sc s JOIN documents d ON s.vec_id = d.doc_id)
+        |SELECT vec_id, score, source, src_rank
+        |FROM r WHERE src_rank <= 2
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
     // E19: the fixed-point recipe — floor(x·2^20) is exact (power-of-two
     // double multiply), the per-cell sums are integer (DuckDB HUGEINT
     // cast back to BIGINT, §6b), and the closing divisions are spelled

@@ -111,6 +111,22 @@ object Tables {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** A16: ORC sink — the columnar alternative when the lake standard is
+    * ORC rather than parquet (both are Spark-native; the engine's
+    * operators are format-agnostic above the scan). Identical
+    * pushdown/pruning behavior is part of the contract and asserted in
+    * the spec, not assumed.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** A16: schema'd ORC batch read — never infer on a 100 TB path (the
+    * readCsv rule; ORC carries its schema but pinning it catches
+    * producer drift at plan time instead of mid-job).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Schema'd streaming file read. `maxFilesPerTrigger` bounds micro-batch
     * size the way the reference consumer bounds its buffer (reference:
     * src/kafka/consumer/consumer.py BATCH_SIZE/FLUSH_INTERVAL).

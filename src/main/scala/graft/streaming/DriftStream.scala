@@ -152,4 +152,28 @@ object DriftStream {
           coalesce(col("c0"), lit(0L)).as("c0"),
           coalesce(col("c1"), lit(0L)).as("c1")))
   }
+
+  /** H26: streaming embedding-drift monitor — E19 kept live: as
+    * embeddings arrive, the per-dimension centroid comparison (ref
+    * slice vs incoming slice) stays current without rescanning vector
+    * history. E19's fixed-point design is what makes this a NATIVE
+    * streaming aggregation with UNCONDITIONAL batch parity (H23's
+    * order-free class): the shared quantize projection emits integral
+    * (dim, slice, qx) rows, the four per-dim accumulators are
+    * commutative-associative integer adds the state store merges in
+    * any arrival order/batching, and the shared close divides out the
+    * means per emission. Complete-mode output is the full 64-row drift
+    * table each batch; the final emission over the corpus is
+    * BIT-IDENTICAL to batch E19 (asserted in StreamingSpec H26 — no
+    * watermark reorder stage needed, the algebra does the work).
+    * State: 64 dims × (2 longs + 2 counts) — nothing grows with
+    * volume.
+    */
+  def embeddingDriftMonitor(stream: DataFrame): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.driftClose(
+      Similarity.quantizedComponents(stream)
+        .groupBy(col("dim"))
+        .agg(Similarity.driftSumExprs.head, Similarity.driftSumExprs.tail: _*))
+  }
 }

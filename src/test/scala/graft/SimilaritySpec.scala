@@ -425,6 +425,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("E20 capped top-k: the cap binds per source and the list equals the hand-capped recompute") {
+    import graft.sources.Tables
+    val e = Tables.table(spark, SF, "embeddings")
+    val docs = Tables.table(spark, SF, "documents")
+    val out = Similarity.cappedTopK(e, docs, 0L).collect()
+    assert(out.length === 10)
+    assert(out.groupBy(_.getAs[String]("source")).values.forall(_.length <= 2),
+      "no source may hold more than the cap")
+    assert(out.forall(_.getAs[Long]("src_rank") <= 2L))
+    // driver recompute: order ALL scored rows, admit while the source
+    // has quota, take 10 — ids and scores must match bit-for-bit
+    val n = e.count().toInt
+    val all = Similarity.cosineTopK(e, 0L, n).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quota = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val expected = all.sortBy { case (id, sc) => (-sc, id) }.flatMap { case (id, sc) =>
+      val s = srcOf(id)
+      if (quota(s) < 2) { quota(s) += 1; Some((id, sc)) } else None
+    }.take(10)
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSeq
+      === expected.toSeq)
+  }
+
   test("E19 drift: fixed-point means are exact on representable components") {
     // every component is exactly representable and an exact multiple of
     // 2^-20, so floor(x·2^20) loses nothing: the means are EXACT

@@ -131,6 +131,27 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(back.select("transaction_id").distinct().count() === 2)
   }
 
+  test("A16 ORC round-trip: schema'd read-back is exact; filters push to the ORC scan") {
+    val dir = tmpDir("graft_orc")
+    val docs = Tables.table(spark, SF, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    Tables.writeOrc(docs, dir)
+    val back = Tables.readOrc(spark, dir, docs.schema)
+    assert(back.schema === docs.schema)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[String]("source")))).toMap
+    assert(keyed(back) === keyed(docs), "ORC round-trip must be lossless")
+    // the operators are format-agnostic above the scan ONLY if the scan
+    // behaves: predicate pushdown must reach the ORC reader like parquet
+    val p = back.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") &&
+      !p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
+      && p.contains("LessThan(doc_id,10)"),
+      s"doc_id predicate did not push to the ORC scan\n$p")
+  }
+
   test("A8 merged-schema read unions evolving load slices") {
     import spark.implicits._
     val dir = tmpDir("graft_evolve")

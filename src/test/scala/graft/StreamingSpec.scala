@@ -1152,6 +1152,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.values.exists(_._2 > 0), "the gate must actually strip something")
   }
 
+  test("H26 streaming embedding drift equals batch E19 — order-free algebra, no reorder stage") {
+    import graft.operators.Similarity
+    import graft.streaming.DriftStream
+    val emb = Tables.table(spark, SF, "embeddings")
+    val in = tmpDir("graft_edrift_in")
+    val ckpt = tmpDir("graft_edrift_ckpt")
+    // multiple files, arbitrary arrival order — parity is UNCONDITIONAL
+    // (commutative integer adds), so unlike H22 no mtime pinning and no
+    // watermark reorder stage is needed
+    emb.select(col("vec_id"), col("embedding"))
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val schema = emb.select(col("vec_id"), col("embedding")).schema
+    DriftStream.embeddingDriftMonitor(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream.format("memory").queryName("emb_drift")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("dim") -> ((
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("mean_ref")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("mean_inc")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("drift"))))
+    }.toMap
+    val streamed = keyed(spark.table("emb_drift"))
+    val batch = keyed(Similarity.embeddingDrift(emb))
+    assert(streamed.size === 64)
+    assert(streamed === batch,
+      "the complete-mode final emission must equal batch E19 bit-for-bit")
+  }
+
   test("H25 streaming flat-frame gate equals the batch G12 screen bit-exactly") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.operators.Multimodal
