@@ -94,7 +94,8 @@ object Bench {
     // probing queries, per-query WindowGroupLimit
     "e17_ann_ivfpq_join",
     "e18_hybrid_rrf", "e19_embedding_drift", "f22_boilerplate_strip",
-    "g12_flat_frames", "d21_lsh_scurve", "e20_capped_topk")
+    "g12_flat_frames", "d21_lsh_scurve", "e20_capped_topk",
+    "c31_peer_anomaly")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -485,6 +485,31 @@ object Fraud {
       (col("fp").cast("double") / lit(scale).cast("double")).as("pagerank"))
   }
 
+  /** C31's logic (see the queries-map comment for the full design
+    * note): leave-one-out peer z against same-event_type moments,
+    * c11's decimal-sum recipe, |event_type| stats rows.
+    */
+  def peerAnomaly(ev: DataFrame, minZ: Double = 3.0): DataFrame = {
+    val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"),
+        sum((col("value") * col("value")).cast("decimal(28,10)"))
+          .cast("double").as("sv2"))
+      .filter(col("n") >= 3)
+    val nl = col("n") - 1
+    val meanLoo = (col("sv") - col("value")) / nl
+    val varLoo = ((col("sv2") - col("value") * col("value")) -
+      (col("sv") - col("value")) * (col("sv") - col("value")) / nl) /
+      (col("n") - 2)
+    val z = round((col("value") - meanLoo) / sqrt(varLoo), 8)
+    ev.join(stats, Seq("event_type"))
+      .filter(varLoo > 0)
+      .withColumn("z_peer", z)
+      .filter(abs(col("z_peer")) > minZ)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"), col("z_peer"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C30: fixed-point PageRank on the strong-edge collusion graph.
@@ -587,6 +612,23 @@ object Fraud {
                 fmtTs(col("window.end")).as("window_end"),
                 col("user_id"), col("n_events"),
                 (col("n_events") >= 4).as("is_burst"))),
+
+    // C31: PEER-group anomaly — c11's dual: c11 asks "is this unusual
+    // for THIS USER", c31 asks "is this unusual among its PEERS" (all
+    // events of the same type), which is the screen that catches a
+    // user whose every transaction is abnormal — their own history is
+    // consistently wrong, so the self-referential z never fires. The
+    // comparison is LEAVE-ONE-OUT: each event scores against the peer
+    // moments with ITSELF removed (at small n an outlier drags the
+    // group mean toward itself and masks its own deviation; the LOO
+    // algebra derives the peer-only mean/variance from the group sums
+    // in O(1) per row — no second pass). Moments are c11's exact
+    // decimal sums (order-independent), the LOO algebra then runs on
+    // exactly-reproducible doubles in a SPELLED order the oracle
+    // mirrors op-for-op, and z pins to 8dp so row membership is
+    // engine-identical. |event_type| stats rows — the join-back is a
+    // broadcast at any corpus size.
+    "c31_peer_anomaly" -> ((s, d) => peerAnomaly(t(s, d, "events"))),
 
     // C11: per-user amount z-score anomaly flag. Moments are computed with
     // exact decimal sums (order-independent ⇒ cluster-size-independent);
@@ -1056,6 +1098,31 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C31: c11's decimal-moment recipe with the leave-one-out
+      // algebra spelled in the identical double-op order as the Scala
+      // columns — (sv−v), the squared-sum subtraction, the two
+      // divisions, sqrt, round-8. The Spark filter evaluates varLoo
+      // pre-round (a row filter on the unrounded double), so the WHERE
+      // here mirrors the unrounded expression too.
+      "c31_peer_anomaly" ->
+        """WITH stats AS (
+          |  SELECT event_type, count(*) AS n,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+          |         CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sv2
+          |  FROM events GROUP BY event_type HAVING count(*) >= 3)
+          |SELECT event_id, e.event_type, user_id, value,
+          |       round((value - (sv - value) / (n - 1)) /
+          |             sqrt(((sv2 - value * value)
+          |                   - (sv - value) * (sv - value) / (n - 1)) / (n - 2)), 8)
+          |         AS z_peer
+          |FROM events e JOIN stats ON e.event_type = stats.event_type
+          |WHERE ((sv2 - value * value)
+          |       - (sv - value) * (sv - value) / (n - 1)) / (n - 2) > 0
+          |  AND abs(round((value - (sv - value) / (n - 1)) /
+          |          sqrt(((sv2 - value * value)
+          |                - (sv - value) * (sv - value) / (n - 1)) / (n - 2)), 8))
+          |      > CAST(3.0 AS DOUBLE)""".stripMargin,
 
       "c11_zscore" ->
         """WITH stats AS (

@@ -522,6 +522,39 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C31 peer anomaly: leave-one-out unmasks what the self-inclusive z dilutes") {
+    import spark.implicits._
+    // peers of 100 are {10, 11, 9, 10}: LOO mean 10, LOO var 2/3 →
+    // z ≈ 110. Self-INCLUSIVE z on the same group is (100−28)/σ₅ ≈ 1.8
+    // — the outlier drags the group mean toward itself and hides. The
+    // default gate (|z| > 3) must flag it via LOO and nothing else.
+    val ev = Seq(
+      (1L, "t", 1L, 10.0), (2L, "t", 2L, 11.0), (3L, "t", 3L, 9.0),
+      (4L, "t", 4L, 10.0), (5L, "t", 5L, 100.0),
+      (6L, "u", 1L, 5.0), (7L, "u", 2L, 5.0))      // n < 3 → no stats row
+      .toDF("event_id", "event_type", "user_id", "value")
+    val out = Fraud.peerAnomaly(ev).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z_peer")).toMap
+    assert(out.keySet === Set(5L), "only the LOO outlier fires; small groups drop")
+    // driver recompute with the identical spelled op order
+    val sv = 10.0 + 11.0 + 9.0 + 10.0 + 100.0
+    val sv2 = 100.0 + 121.0 + 81.0 + 100.0 + 10000.0
+    val v = 100.0; val n = 5.0
+    val meanLoo = (sv - v) / (n - 1)
+    val varLoo = ((sv2 - v * v) - (sv - v) * (sv - v) / (n - 1)) / (n - 2)
+    val want = BigDecimal((v - meanLoo) / math.sqrt(varLoo))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(5L) === want)
+    // the masking claim itself: the self-inclusive z stays under the gate
+    val mean5 = sv / n
+    val var5 = (sv2 - sv * sv / n) / (n - 1)
+    assert(math.abs((v - mean5) / math.sqrt(var5)) < 2.0)
+    // an exact-uniform group (LOO variance 0 for every row) emits nothing
+    val flat = Seq((1L, "t", 1L, 5.0), (2L, "t", 2L, 5.0), (3L, "t", 3L, 5.0))
+      .toDF("event_id", "event_type", "user_id", "value")
+    assert(Fraud.peerAnomaly(flat).collect().isEmpty)
+  }
+
   test("C25b approx Gini tracks exact within one cell's dispersion on the real corpus") {
     def keyed(name: String) = Fraud.queries(name)(spark, SF).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("gini")).toMap
