@@ -510,7 +510,66 @@ object Fraud {
         col("value"), col("z_peer"))
   }
 
+  /** C32's logic (see the queries-map comment for the design note):
+    * trigram motif lift against the first-order transition model.
+    */
+  def sequenceMotifs(ev: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagged = ev
+      .select(col("user_id"), col("event_type").as("t3"), col("ts"), col("event_id"))
+      .withColumn("t2", lag(col("t3"), 1).over(w))
+      .withColumn("t1", lag(col("t3"), 2).over(w))
+    // ONE fact aggregate for BOTH gram orders: each event row emits its
+    // trigram and bigram cells together (nulls filtered in-row), so the
+    // fact is scanned and user-shuffled exactly once — two separate
+    // window branches would column-prune into two canonically different
+    // plans and re-scan (the §6b round-8 pruning/reuse trap). The cell
+    // table is ≤ |types|³ + |types|² rows; checkpointing it (i23's
+    // idiom) pins every downstream join to the tiny table.
+    val cells = lagged
+      .select(explode(filter(array(
+        struct(lit("tri").as("kind"), col("t1"), col("t2"), col("t3")),
+        struct(lit("bi").as("kind"), lit(null).cast("string").as("t1"),
+          col("t2"), col("t3"))),
+        c => when(c.getField("kind") === "tri", col("t1").isNotNull)
+          .otherwise(col("t2").isNotNull))).as("g"))
+      .select(col("g.kind").as("kind"), col("g.t1").as("t1"),
+        col("g.t2").as("t2"), col("g.t3").as("t3"))
+      .groupBy(col("kind"), col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tri = cells.filter(col("kind") === "tri")
+      .select(col("t1"), col("t2"), col("t3"), col("c").as("c3"))
+    val bi = cells.filter(col("kind") === "bi")
+      .select(col("t2").as("a"), col("t3").as("b"), col("c").as("c2"))
+    val mid = bi.groupBy(col("a")).agg(sum(col("c2")).as("cb"))
+    tri.filter(col("c3") >= minCount)
+      .join(bi.select(col("a").as("t1"), col("b").as("t2"), col("c2").as("cab")),
+        Seq("t1", "t2"))
+      .join(bi.select(col("a").as("t2"), col("b").as("t3"), col("c2").as("cbc")),
+        Seq("t2", "t3"))
+      .join(mid.select(col("a").as("t2"), col("cb")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("c3"),
+        (col("c3").cast("double") * col("cb") /
+          (col("cab").cast("double") * col("cbc"))).as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C32: event-sequence motif mining — which 3-step flows happen
+    // MORE than the user base's step-to-step habits predict: lift =
+    // c(abc)·c(b·) / (c(ab)·c(bc)), the observed trigram count over
+    // its expectation under c20's first-order transition model (a
+    // card-testing or account-takeover flow shows up as a high-lift
+    // motif long before any single event looks odd). All counts are
+    // exact integers from one fact pass; the lift ratio is the
+    // identical double op sequence on identical inputs on both
+    // engines (no rounding needed, §6b); minCount fences the
+    // divergent low-count tail; TakeOrderedAndProject close.
+    "c32_sequence_motifs" -> ((s, d) => sequenceMotifs(t(s, d, "events"))),
 
     // C30: fixed-point PageRank on the strong-edge collusion graph.
     "c30_collusion_pagerank" -> ((s, d) =>
@@ -1098,6 +1157,35 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C32: the lag pass mirrors the Spark window (PARTITION BY user,
+      // ORDER BY ts, event_id); both gram orders count from the same
+      // lagged relation; the lift ratio is spelled in the Spark
+      // column's op order — CAST(c3) DOUBLE · cb, the cab·cbc product,
+      // one division — exact-integer inputs so no rounding is needed.
+      "c32_sequence_motifs" ->
+        """WITH lagged AS (
+          |  SELECT user_id, event_type AS t3,
+          |         lag(event_type, 1) OVER w AS t2,
+          |         lag(event_type, 2) OVER w AS t1
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |tri AS (
+          |  SELECT t1, t2, t3, count(*) AS c3 FROM lagged
+          |  WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+          |bi AS (
+          |  SELECT t2 AS a, t3 AS b, count(*) AS c2 FROM lagged
+          |  WHERE t2 IS NOT NULL GROUP BY 1, 2),
+          |mid AS (SELECT a, CAST(sum(c2) AS BIGINT) AS cb FROM bi GROUP BY 1)
+          |SELECT t1, t2, t3, c3,
+          |       CAST(c3 AS DOUBLE) * cb / (CAST(ab.c2 AS DOUBLE) * bc.c2) AS lift
+          |FROM tri
+          |JOIN bi ab ON t1 = ab.a AND t2 = ab.b
+          |JOIN bi bc ON t2 = bc.a AND t3 = bc.b
+          |JOIN mid m ON t2 = m.a
+          |WHERE c3 >= 5
+          |ORDER BY lift DESC, t1, t2, t3
+          |LIMIT 20""".stripMargin,
 
       // C31: c11's decimal-moment recipe with the leave-one-out
       // algebra spelled in the identical double-op order as the Scala

@@ -816,6 +816,42 @@ object Similarity {
       dotTab, nsqTab, qNrm, k, Nil)
   }
 
+  /** E21: PQ shortlist + exact refine — the FAISS `IndexRefineFlat`
+    * serve shape, and the PQ sibling of [[sq8Rerank]]: ADC ranks the
+    * corpus from 4-bit codes (never touching a float vector), the top
+    * `kShort` survivors are re-scored EXACTLY from their stored
+    * embeddings, and the final top-`k` orders by the exact cosine.
+    * This repairs ADC's quantization misranking near the decision
+    * boundary for the price of `kShort` exact dot products — the
+    * standard accuracy/latency knob between pure PQ (e8) and exact
+    * (e1), and the spec pins the semantic contract: every refined
+    * score is bit-identical to [[cosineTopK]]'s exact score for that
+    * id, and the result ordering is the exact ordering restricted to
+    * the shortlist.
+    *
+    * Plan: the kShort-row shortlist BROADCASTS into a hash join
+    * against the corpus scan, so the rescore "gather" costs one
+    * columnar pass that keeps kShort rows — at 100 TB the persisted
+    * composition reads codes for the ranking pass and an id-pruned
+    * slice of the float table for the gather; the float corpus never
+    * fully materializes on the serve path of either pass.
+    */
+  def pqRefineTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                   kShort: Int = 20, dim: Int = 64): DataFrame = {
+    val shortlist = pqTopK(embeddings, queryVecId, kShort, dim)
+      .select(col("vec_id"))
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** E8 persisted form: encode ONCE, store (vec_id, codes) — 1/16th the
     * float corpus — plus the centroid table; ADC-search many. The
     * centroids persist alongside so a search needs no corpus access at
@@ -1328,6 +1364,9 @@ object Similarity {
     // the seeded one on quantization error).
     "e8_ann_pq_kmeans" -> ((s, d) => pqTopKLearned(t(s, d, "embeddings"), 0L, 20)),
 
+    // E21: ADC shortlist (e8's top-20) → exact rescore → exact top-10.
+    "e21_pq_refine" -> ((s, d) => pqRefineTopK(t(s, d, "embeddings"), 0L, 10)),
+
     // E7: SQ8-compressed-corpus ANN top-20 (rows-only; reconstruction
     // bound + recall vs E1 in the spec).
     "e7_ann_sq8" -> ((s, d) => sq8TopK(t(s, d, "embeddings"), 0L, 20)),
@@ -1405,6 +1444,29 @@ object Similarity {
          |         AS rrf_score
          |FROM s FULL OUTER JOIN d ON s.doc_id = d.doc_id
          |ORDER BY rrf_score DESC, doc_id
+         |LIMIT 10""".stripMargin) +
+      // E21 composes the FULL e8 chain verbatim as its shortlist CTE —
+      // the refine oracle can never drift from the ADC ranking it
+      // refines — then rescoring is e1's exact-cosine arithmetic on
+      // the 20 shortlisted ids.
+      ("e21_pq_refine" ->
+      s"""WITH short AS (SELECT vec_id FROM (${base("e8_ann_pq")})),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, len(embedding) + 1),
+         |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+         |           (x, y) -> x + y)) AS nrm
+         |  FROM embeddings
+         |  WHERE nrm > 0),
+         |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list_transform(range(1, len(e.embedding) + 1),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+         |         (x, y) -> x + y) / (e.nrm * q.q_nrm) AS score
+         |FROM e JOIN short USING (vec_id), q
+         |ORDER BY score DESC, e.vec_id
          |LIMIT 10""".stripMargin) +
       ("e14_ann_recall" ->
       s"""WITH exact AS (SELECT vec_id FROM (${base("e1_cosine_topk")})),

@@ -488,6 +488,53 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** F23: PMI collocation lexicon — the corpus-level association
+    * ranking of adjacent word pairs (pointwise mutual information over
+    * bigram events): pmi(w1,w2) = ln(c12·B / (cpre(w1)·csuf(w2))),
+    * where c12 counts the bigram, cpre/csuf count the left/right word
+    * as a bigram member, and B totals all bigram events. High-PMI
+    * pairs co-occur far above chance — the lexicon a tokenizer's merge
+    * list or a phrase-mining pass starts from (F17 scores documents
+    * against the bigram model; this op ranks the pairs themselves).
+    *
+    * Plan: F17's row-local gram build feeds ONE gram-keyed count —
+    * after that every relation is vocab- or vocab²-bounded, never
+    * corpus-bounded: cpre/csuf are word-keyed aggregates OF the count
+    * table, B is a 1-row scalar broadcast (the psiFromCells idiom —
+    * no single-partition window), and the close is a
+    * TakeOrderedAndProject top-k, so the corpus is scanned exactly
+    * once at any scale. Portability: all counts are exact longs (the
+    * oracle casts DuckDB's HUGEINT sums back), the PMI ratio is
+    * spelled as the identical numerator·total / (left·right) double
+    * sequence on both engines, and ln pins to 8 dp (§6b). `minCount`
+    * fences the unstable low-count tail (PMI diverges as counts → 1);
+    * 5 keeps 900 of the corpus's 961 possible pairs at both verify
+    * SFs — non-degenerate in each direction.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    val grams = docs
+      .select(split(col("text"), " ").as("tok"))
+      .select(explode(
+        when(size(col("tok")) >= 2,
+          transform(sequence(lit(1), size(col("tok")) - 1), i =>
+            concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1))))
+          .otherwise(array())).as("gram"))
+    val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val cpre = c2.groupBy(col("w1")).agg(sum(col("c12")).as("cpre"))
+    val csuf = c2.groupBy(col("w2")).agg(sum(col("c12")).as("csuf"))
+    val tot = c2.agg(sum(col("c12")).as("btot"))
+    c2.filter(col("c12") >= minCount)
+      .join(cpre, Seq("w1")).join(csuf, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("gram"), col("c12"),
+        round(log(col("c12").cast("double") * col("btot") /
+          (col("cpre").cast("double") * col("csuf"))), 8).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(k)
+  }
+
   /** F16: per-source boilerplate detection — the recurring-template
     * finder (site headers, license blurbs, navigation chrome repeat
     * VERBATIM across a source's documents; RefinedWeb/C4 both strip
@@ -835,6 +882,9 @@ object TextAnalysis {
     "f18_novelty" -> ((s, d) => novelty(t(s, d, "documents"))),
     "f15_gopher_rules" -> ((s, d) => gopherRules(t(s, d, "documents"))),
     "f17_bigram_logprob" -> ((s, d) => bigramLogprob(t(s, d, "documents"))),
+    // minCount=5 / k=20 sized against the corpus: 900 of 961 possible
+    // pairs clear the count floor, PMI spread ~[-0.73, 0.46]
+    "f23_pmi_collocations" -> ((s, d) => pmiCollocations(t(s, d, "documents"))),
     "f12_bm25_search" -> ((s, d) => bm25(t(s, d, "documents"), bm25QueryTerms)),
     "f11_chunk_split" -> ((s, d) => chunkSplit(t(s, d, "documents"))),
     "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
@@ -1105,6 +1155,33 @@ object TextAnalysis {
     // decimal-folded per-doc sum; range(1, len) is empty for len < 2 in
     // DuckDB just as the guarded sequence is in Spark, so sub-2-token
     // docs drop out identically on both sides.
+    // F23: f17's gram CTE, integer counts throughout (HUGEINT sums cast
+    // back to BIGINT), the PMI ratio spelled in the Spark column's op
+    // order — CAST(c12) DOUBLE · btot first, the left·right product,
+    // one division — and ln pinned 8 dp.
+    "f23_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)),
+        |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+        |  FROM toks),
+        |c2 AS (
+        |  SELECT gram, count(*) AS c12,
+        |         split_part(gram, ' ', 1) AS w1,
+        |         split_part(gram, ' ', 2) AS w2
+        |  FROM grams GROUP BY 1),
+        |cpre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cpre FROM c2 GROUP BY 1),
+        |csuf AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS csuf FROM c2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS btot FROM c2)
+        |SELECT gram, c12,
+        |       round(ln(CAST(c12 AS DOUBLE) * btot
+        |                / (CAST(cpre AS DOUBLE) * csuf)), 8) AS pmi
+        |FROM c2 JOIN cpre USING (w1) JOIN csuf USING (w2), tot
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, gram
+        |LIMIT 20""".stripMargin,
+
     "f17_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),

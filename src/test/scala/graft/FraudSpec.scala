@@ -522,6 +522,39 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C32 motifs: composed flow outlifts the first-order chain; low-count tail fenced") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // 5 users each run the x→y→z flow once; 10 users run y→w, which
+    // dilutes p(z|y) to 5/15 without adding any trigram. The chain
+    // model therefore expects c(xy)·p(z|y) = 5/3 occurrences of x y z;
+    // observed is 5 → lift exactly 3.0. Every other trigram count is
+    // zero, so minCount=5 leaves exactly one motif.
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u * 10L + 1, u.toLong, f"2024-01-01 09:$u%02d:01", "x"),
+        (u * 10L + 2, u.toLong, f"2024-01-01 09:$u%02d:02", "y"),
+        (u * 10L + 3, u.toLong, f"2024-01-01 09:$u%02d:03", "z"))
+    } ++ (6 to 15).flatMap { u =>
+      Seq((u * 10L + 1, u.toLong, f"2024-01-01 10:$u%02d:01", "y"),
+        (u * 10L + 2, u.toLong, f"2024-01-01 10:$u%02d:02", "w"))
+    }
+    import spark.implicits._
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("event_type"))
+    val out = Fraud.sequenceMotifs(ev).collect()
+    assert(out.length === 1, "only the engineered motif clears the count floor")
+    val r = out.head
+    assert((r.getAs[String]("t1"), r.getAs[String]("t2"), r.getAs[String]("t3"))
+      === (("x", "y", "z")))
+    assert(r.getAs[Long]("c3") === 5L)
+    assert(r.getAs[Double]("lift") === 3.0)
+    // real corpus: non-empty, ranked by lift desc
+    val corpus = Fraud.queries("c32_sequence_motifs")(spark, SF).collect()
+      .map(_.getAs[Double]("lift"))
+    assert(corpus.nonEmpty)
+    assert(corpus.sliding(2).forall(p => p.head >= p.last), "lift ranking broken")
+  }
+
   test("C31 peer anomaly: leave-one-out unmasks what the self-inclusive z dilutes") {
     import spark.implicits._
     // peers of 100 are {10, 11, 9, 10}: LOO mean 10, LOO var 2/3 →

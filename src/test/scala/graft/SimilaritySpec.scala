@@ -158,6 +158,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"two-stage recall vs exact dropped to $recall")
   }
 
+  test("E21 PQ refine: ids from the ADC shortlist, exact scores, exact-restricted order") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val short = Similarity.pqTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
+    val refined = Similarity.pqRefineTopK(e, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(refined.length === 10)
+    assert(refined.map(_._1).toSet.subsetOf(short),
+      "refine returned an id outside the ADC shortlist")
+    // exact-score contract: each refined score is bit-identical to the
+    // exact cosine for that id (shared dot/norm arithmetic with e1)
+    val exactAll = Similarity.cosineTopK(e, 0L, Int.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    refined.foreach { case (id, s) =>
+      assert(exactAll(id) === s, s"vec $id refined score drifted from exact")
+    }
+    // order contract: the refined list IS the exact ranking restricted
+    // to the shortlist — ADC's ordering has no residual influence
+    val want = short.toSeq.map(id => id -> exactAll(id))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(refined === want)
+  }
+
   test("E2 ANN recall vs E1 on real embeddings is measurable and bounded") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet

@@ -300,6 +300,50 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._2 > out(3L)._2)
   }
 
+  test("F23 PMI: enriched pairs rank above chance-level ones, the count floor fences the tail") {
+    // "a b" is a strong collocation (a is always followed by b);
+    // c/d/e mix freely, so their pairs sit near chance; "q r" appears
+    // once — under the minCount floor and must not surface
+    val corpus = docs(
+      1L -> "a b a b a b",
+      2L -> "c d e c d e",
+      3L -> "d c e d c e",
+      4L -> "e d c e d c",
+      5L -> "q r")
+    val out = TextAnalysis.pmiCollocations(corpus, minCount = 2, k = 50)
+      .collect()
+      .map(r => (r.getAs[String]("gram"),
+        r.getAs[Long]("c12"), r.getAs[Double]("pmi")))
+    assert(!out.exists(_._1 == "q r"), "a below-floor pair surfaced")
+    // driver recompute with the identical spelled op order
+    val grams = corpus.collect().flatMap { r =>
+      val tok = r.getString(1).split(" ", -1)
+      tok.dropRight(1).zip(tok.drop(1)).map { case (x, y) => s"$x $y" }
+    }
+    val c12 = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cpre = grams.map(_.split(" ", -1)(0)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val csuf = grams.map(_.split(" ", -1)(1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val btot = grams.length.toLong
+    def pmi8(g: String): Double = {
+      val Array(w1, w2) = g.split(" ", -1)
+      BigDecimal(math.log(c12(g).toDouble * btot / (cpre(w1).toDouble * csuf(w2))))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = c12.keys.filter(c12(_) >= 2).toSeq
+      .map(g => (g, c12(g), pmi8(g)))
+      .sortBy { case (g, _, p) => (-p, g) }
+    assert(out.toSeq === want)
+    // the engineered collocation dominates the free-mixing pairs: a and
+    // b only ever co-occur with each other, so BOTH orientations must
+    // outscore every c/d/e pair (and chance level, PMI 0)
+    val ab = out.filter(o => o._1 == "a b" || o._1 == "b a").map(_._3)
+    val rest = out.filterNot(o => o._1 == "a b" || o._1 == "b a").map(_._3)
+    assert(ab.size === 2 && rest.nonEmpty)
+    assert(ab.min > 0.0 && ab.min > rest.max)
+  }
+
   test("F22 strip: coverage removes every frequent-gram occurrence, order survives, short/clean docs untouched") {
     // "a b c d" appears in docs 1, 2, 3, 6 (df=4 ≥ minDf=3); every
     // other 4-gram is unique (df=1)
