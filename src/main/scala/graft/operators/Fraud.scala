@@ -544,12 +544,15 @@ object Fraud {
     val bi = cells.filter(col("kind") === "bi")
       .select(col("t2").as("a"), col("t3").as("b"), col("c").as("c2"))
     val mid = bi.groupBy(col("a")).agg(sum(col("c2")).as("cb"))
+    // the checkpointed LogicalRDD carries default (huge) stats, so AQE
+    // won't pick broadcast on its own — hint all three |types|²-bounded
+    // sides: the close is three BroadcastHashJoins with no exchange
     tri.filter(col("c3") >= minCount)
-      .join(bi.select(col("a").as("t1"), col("b").as("t2"), col("c2").as("cab")),
-        Seq("t1", "t2"))
-      .join(bi.select(col("a").as("t2"), col("b").as("t3"), col("c2").as("cbc")),
-        Seq("t2", "t3"))
-      .join(mid.select(col("a").as("t2"), col("cb")), Seq("t2"))
+      .join(broadcast(bi.select(col("a").as("t1"), col("b").as("t2"),
+        col("c2").as("cab"))), Seq("t1", "t2"))
+      .join(broadcast(bi.select(col("a").as("t2"), col("b").as("t3"),
+        col("c2").as("cbc"))), Seq("t2", "t3"))
+      .join(broadcast(mid.select(col("a").as("t2"), col("cb"))), Seq("t2"))
       .select(col("t1"), col("t2"), col("t3"), col("c3"),
         (col("c3").cast("double") * col("cb") /
           (col("cab").cast("double") * col("cbc"))).as("lift"))

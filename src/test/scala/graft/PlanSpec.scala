@@ -492,6 +492,54 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"missing per-partition top-k pruning\n$p")
   }
 
+  test("f23 PMI: one corpus scan — the gram-count exchange serves all four consumers") {
+    // c2 fans out to the pair filter, cpre, csuf, and the scalar total;
+    // every consumer keeps (gram, c12) so the partial-aggregate
+    // exchange canonicalizes identically — >1 finalized scan means a
+    // pruning change broke the reuse (the f21b regression class)
+    val df = SparkEntry.queries("f23_pmi_collocations")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), "f23 did not finalize adaptively")
+    val finalSection = fin.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans <= 1, s"f23 must scan documents once, got $scans\n$fin")
+    assert(finalSection.contains("ReusedExchange"),
+      s"the cpre/csuf/total branches must reuse the gram-count exchange\n$fin")
+  }
+
+  test("c32 motifs: the close reads the checkpointed cell table — no fact scan, broadcast joins only") {
+    // building the query already ran the one fact pass (the eager
+    // localCheckpoint); the lift plan must join the <=|types|^3 cell
+    // table to itself via the explicit broadcast hints — a parquet scan
+    // or sort-merge join here means the fact leaked past the checkpoint
+    val df = SparkEntry.queries("c32_sequence_motifs")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val finalSection = fin.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Scan parquet"),
+      s"c32's closing plan re-scanned the fact\n$fin")
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"cell-table joins must broadcast\n$fin")
+    val bhj = "BroadcastHashJoin".r.findAllIn(finalSection).size
+    assert(bhj == 3, s"expected the three hinted count joins, got $bhj\n$fin")
+  }
+
+  test("e21 refine: shortlist broadcasts into the rescore pass — bounded scans, top-k close") {
+    val df = SparkEntry.queries("e21_pq_refine")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val finalSection = fin.split("== Initial Plan ==").head
+    // encode pass (shortlist), rescore pass, and the 1-row query side:
+    // three embeddings scans max — more means a subplan stopped sharing
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans <= 3, s"expected <=3 embeddings scans, got $scans\n$fin")
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"the kShort-id shortlist must broadcast into the corpus scan\n$fin")
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      s"the exact top-k must close as TakeOrderedAndProject\n$fin")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString
