@@ -560,7 +560,41 @@ object Fraud {
       .limit(k)
   }
 
+  /** C33's logic: the DEPLOYMENT half of the motif story — flag every
+    * event that COMPLETES one of the given high-lift motifs (the list
+    * is [[sequenceMotifs]]'s output, a bounded driver model like C17's
+    * rule table). One lag pass on the user shuffle, then a literal
+    * three-way predicate per motif — join-free, so the screen runs at
+    * fact-scan cost with the mined model folded into the plan.
+    */
+  def motifOccurrences(ev: DataFrame,
+                       motifs: Seq[(String, String, String)]): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("event_type").as("t3"),
+        col("ts"))
+      .withColumn("t2", lag(col("t3"), 1).over(w))
+      .withColumn("t1", lag(col("t3"), 2).over(w))
+      .filter(motifs.map { case (a, b, c) =>
+        col("t1") === a && col("t2") === b && col("t3") === c
+      }.reduceOption(_ || _).getOrElse(lit(false)))
+      .select(col("event_id"), col("user_id"), col("t1"), col("t2"), col("t3"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C33: motif screen — mining → deployment, both halves checked:
+    // c32 mines the top-3 lift motifs (a 3-row driver model, C17's
+    // rules-as-data class), and the screen flags every event completing
+    // one. The oracle recomputes the SAME top-3 from c32's composed SQL
+    // and joins, so the mined model and the deployed predicate can
+    // never drift. The streaming twin (H27) serves the identical
+    // screen from 2-types-per-user state.
+    "c33_motif_screen" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val motifs = sequenceMotifs(ev, k = 3).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      motifOccurrences(ev, motifs)
+    }),
 
     // C32: event-sequence motif mining — which 3-step flows happen
     // MORE than the user base's step-to-step habits predict: lift =
@@ -1105,6 +1139,29 @@ object Fraud {
       |  WHERE c.n <= 64)""".stripMargin
 
   def oracles: Map[String, String] = {
+    val c32Sql =
+      """WITH lagged AS (
+        |  SELECT user_id, event_type AS t3,
+        |         lag(event_type, 1) OVER w AS t2,
+        |         lag(event_type, 2) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (
+        |  SELECT t1, t2, t3, count(*) AS c3 FROM lagged
+        |  WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+        |bi AS (
+        |  SELECT t2 AS a, t3 AS b, count(*) AS c2 FROM lagged
+        |  WHERE t2 IS NOT NULL GROUP BY 1, 2),
+        |mid AS (SELECT a, CAST(sum(c2) AS BIGINT) AS cb FROM bi GROUP BY 1)
+        |SELECT t1, t2, t3, c3,
+        |       CAST(c3 AS DOUBLE) * cb / (CAST(ab.c2 AS DOUBLE) * bc.c2) AS lift
+        |FROM tri
+        |JOIN bi ab ON t1 = ab.a AND t2 = ab.b
+        |JOIN bi bc ON t2 = bc.a AND t3 = bc.b
+        |JOIN mid m ON t2 = m.a
+        |WHERE c3 >= 5
+        |ORDER BY lift DESC, t1, t2, t3
+        |LIMIT 20""".stripMargin
     val scoredSql =
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS transaction_id,
         |       o_custkey AS user_id, l_partkey AS product_id, l_extendedprice AS amount,
@@ -1166,29 +1223,25 @@ object Fraud {
       // lagged relation; the lift ratio is spelled in the Spark
       // column's op order — CAST(c3) DOUBLE · cb, the cab·cbc product,
       // one division — exact-integer inputs so no rounding is needed.
-      "c32_sequence_motifs" ->
-        """WITH lagged AS (
-          |  SELECT user_id, event_type AS t3,
-          |         lag(event_type, 1) OVER w AS t2,
-          |         lag(event_type, 2) OVER w AS t1
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          |tri AS (
-          |  SELECT t1, t2, t3, count(*) AS c3 FROM lagged
-          |  WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
-          |bi AS (
-          |  SELECT t2 AS a, t3 AS b, count(*) AS c2 FROM lagged
-          |  WHERE t2 IS NOT NULL GROUP BY 1, 2),
-          |mid AS (SELECT a, CAST(sum(c2) AS BIGINT) AS cb FROM bi GROUP BY 1)
-          |SELECT t1, t2, t3, c3,
-          |       CAST(c3 AS DOUBLE) * cb / (CAST(ab.c2 AS DOUBLE) * bc.c2) AS lift
-          |FROM tri
-          |JOIN bi ab ON t1 = ab.a AND t2 = ab.b
-          |JOIN bi bc ON t2 = bc.a AND t3 = bc.b
-          |JOIN mid m ON t2 = m.a
-          |WHERE c3 >= 5
-          |ORDER BY lift DESC, t1, t2, t3
-          |LIMIT 20""".stripMargin,
+      "c32_sequence_motifs" -> c32Sql,
+
+      // C33: the mined model and the deployed screen composed in ONE
+      // query — the motif list is c32's SQL verbatim cut to its top-3,
+      // joined back to the lagged fact (the Spark side folds the same
+      // 3 rows in as a literal predicate).
+      "c33_motif_screen" ->
+        s"""WITH motifs AS (
+           |  SELECT t1, t2, t3 FROM ($c32Sql)
+           |  ORDER BY lift DESC, t1, t2, t3 LIMIT 3),
+           |lagged AS (
+           |  SELECT user_id, event_id, event_type AS t3,
+           |         lag(event_type, 1) OVER w AS t2,
+           |         lag(event_type, 2) OVER w AS t1
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |SELECT l.event_id, l.user_id, l.t1, l.t2, l.t3
+           |FROM lagged l
+           |JOIN motifs m ON l.t1 = m.t1 AND l.t2 = m.t2 AND l.t3 = m.t3""".stripMargin,
 
       // C31: c11's decimal-moment recipe with the leave-one-out
       // algebra spelled in the identical double-op order as the Scala

@@ -105,7 +105,7 @@ object Stateful {
   /** Reorder-stage state: the per-user buffer of not-yet-final events
     * plus the wrapped operator's own state.
     */
-  case class Reorder[S](buf: Seq[Ev], inner: S)
+  case class Reorder[E, S](buf: Seq[E], inner: S)
 
   /** Watermark-based per-user reorder-and-fold (the r7 verdict's item
     * 4): the H13/H16/H22 cross-batch parity contracts required per-user
@@ -143,26 +143,29 @@ object Stateful {
     * arrival-order operator folds (ewmaStep/cusumStep/reactStep), so
     * ordered-arrival parity cannot drift between the two variants.
     */
-  private def reorderedByWatermark[S, O](
-      ds: Dataset[Ev], delay: String, zero: S,
-      step: (S, Ev) => (S, Option[O]))(
-      implicit stEnc: org.apache.spark.sql.Encoder[Reorder[S]],
+  private def reorderedByWatermark[E, S, O](
+      ds: Dataset[E], delay: String, zero: S,
+      keyOf: E => Long, tsOf: E => java.sql.Timestamp, tieOf: E => Long,
+      step: (S, E) => (S, Option[O]))(
+      implicit stEnc: org.apache.spark.sql.Encoder[Reorder[E, S]],
       outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
     implicit val keyEnc = Encoders.scalaLong
     ds.withWatermark("ts", delay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Reorder[S], O](
+      .groupByKey(keyOf)
+      .flatMapGroupsWithState[Reorder[E, S], O](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, evs: Iterator[Ev], state: GroupState[Reorder[S]]) =>
-          val st = state.getOption.getOrElse(Reorder(Vector.empty[Ev], zero))
+        (uid: Long, evs: Iterator[E], state: GroupState[Reorder[E, S]]) =>
+          val st = state.getOption.getOrElse(Reorder(Vector.empty[E], zero))
           val buf = st.buf ++ evs
           val wm = state.getCurrentWatermarkMs()
-          def micros(e: Ev): Long =
-            e.ts.toInstant.getEpochSecond * 1000000L + e.ts.toInstant.getNano / 1000L
+          def micros(e: E): Long =
+            tsOf(e).toInstant.getEpochSecond * 1000000L +
+              tsOf(e).toInstant.getNano / 1000L
           val (ripe, hold) = buf.partition(micros(_) <= wm * 1000L)
           var inner = st.inner
           val out = ripe.sortBy(e =>
-              (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+              (tsOf(e).toInstant.getEpochSecond, tsOf(e).toInstant.getNano,
+                tieOf(e)))
             .flatMap { e =>
               val (s2, o) = step(inner, e)
               inner = s2
@@ -174,10 +177,19 @@ object Stateful {
           // (held by its sub-ms component), hence the max with wm + 1
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(
-              math.max(hold.map(_.ts.getTime).min, wm + 1L))
+              math.max(hold.map(tsOf(_).getTime).min, wm + 1L))
           out.iterator
       }
   }
+
+  /** The [[Ev]]-keyed shape every numeric reordered variant shares. */
+  private def reorderedByWatermarkEv[S, O](
+      ds: Dataset[Ev], delay: String, zero: S,
+      step: (S, Ev) => (S, Option[O]))(
+      implicit stEnc: org.apache.spark.sql.Encoder[Reorder[Ev, S]],
+      outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] =
+    reorderedByWatermark[Ev, S, O](ds, delay, zero,
+      _.user_id, _.ts, _.event_id, step)
 
   /** The per-event H13 arithmetic, shared verbatim between the
     * arrival-order operator and its watermark-reordered variant (the
@@ -244,8 +256,8 @@ object Stateful {
   def ewmaFeaturesReordered(ds: Dataset[Ev],
                             delay: String = "10 minutes"): Dataset[EwmaFeature] = {
     implicit val outEnc = Encoders.product[EwmaFeature]
-    implicit val stEnc = Encoders.product[Reorder[EwmaState]]
-    reorderedByWatermark[EwmaState, EwmaFeature](ds, delay, EwmaState(Nil),
+    implicit val stEnc = Encoders.product[Reorder[Ev, EwmaState]]
+    reorderedByWatermarkEv[EwmaState, EwmaFeature](ds, delay, EwmaState(Nil),
       (st, e) => {
         val (t2, f) = ewmaStep(st.trail, e)
         (EwmaState(t2), Some(f))
@@ -433,9 +445,9 @@ object Stateful {
       h: java.math.BigDecimal = new java.math.BigDecimal("200.0"),
       delay: String = "10 minutes"): Dataset[CusumScore] = {
     implicit val outEnc = Encoders.product[CusumScore]
-    implicit val stEnc = Encoders.product[Reorder[CusumState]]
+    implicit val stEnc = Encoders.product[Reorder[Ev, CusumState]]
     val k6 = k.setScale(6)
-    reorderedByWatermark[CusumState, CusumScore](ds, delay, CusumState(0L),
+    reorderedByWatermarkEv[CusumState, CusumScore](ds, delay, CusumState(0L),
       (st, e) => {
         val (s2, score) = cusumStep(k6, h, st.s_unscaled, e)
         (CusumState(s2), Some(score))
@@ -531,10 +543,77 @@ object Stateful {
       burstFactor: Double = 1.5,
       delay: String = "10 minutes"): Dataset[ReactivationAlert] = {
     implicit val outEnc = Encoders.product[ReactivationAlert]
-    implicit val stEnc = Encoders.product[Reorder[ReactState]]
-    reorderedByWatermark[ReactState, ReactivationAlert](ds, delay,
+    implicit val stEnc = Encoders.product[Reorder[Ev, ReactState]]
+    reorderedByWatermarkEv[ReactState, ReactivationAlert](ds, delay,
       null.asInstanceOf[ReactState],
       (st, e) => reactStep(dormantDays, burstFactor, st, e))
+  }
+
+  case class TypedEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                     event_type: String)
+  case class MotifState(t1: String, t2: String)
+  case class MotifHit(user_id: Long, event_id: Long, t1: String, t2: String,
+                      t3: String)
+
+  /** The per-event C33 arithmetic, shared by both H27 variants: slide
+    * the user's 2-type memory and emit a hit when the completed trigram
+    * is in the mined motif set ("" = no prior event yet).
+    */
+  private def motifStep(motifs: Set[(String, String, String)])(
+      st: MotifState, e: TypedEv): (MotifState, Option[MotifHit]) = {
+    val hit =
+      if (st.t1.nonEmpty && motifs((st.t1, st.t2, e.event_type)))
+        Some(MotifHit(e.user_id, e.event_id, st.t1, st.t2, e.event_type))
+      else None
+    (MotifState(st.t2, e.event_type), hit)
+  }
+
+  /** H27: streaming motif screen — the serve path of the C32→C33
+    * mining→deployment story: the batch job mines the high-lift motif
+    * list (a bounded driver model, H24's hinge), the stream flags every
+    * event that completes one in real time from TWO event-type strings
+    * of per-user state. Same contract family as H13/H22: rows fold in
+    * full-precision (ts, event_id) order within a micro-batch, ordered
+    * per-user arrival across batches; [[motifAlertsReordered]] turns
+    * that into a guarantee. Output values are exact strings/longs, so
+    * batch parity (vs [[graft.operators.Fraud.motifOccurrences]]) is
+    * exact equality, no FP recipe needed.
+    */
+  def motifAlerts(ds: Dataset[TypedEv],
+                  motifs: Seq[(String, String, String)]): Dataset[MotifHit] = {
+    implicit val outEnc = Encoders.product[MotifHit]
+    implicit val stateEnc = Encoders.product[MotifState]
+    implicit val keyEnc = Encoders.scalaLong
+    val ms = motifs.toSet
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MotifState, MotifHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TypedEv], state: GroupState[MotifState]) =>
+          var st = state.getOption.getOrElse(MotifState("", ""))
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.flatMap { e =>
+            val (s2, hit) = motifStep(ms)(st, e)
+            st = s2
+            hit
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** H27 under OUT-OF-ORDER arrival: the same [[motifStep]] behind the
+    * (now event-type-generic) watermark reorder stage — a disordered
+    * pair of events would otherwise form phantom trigrams and miss real
+    * ones; within `delay` the hit set is the batch screen's exactly.
+    */
+  def motifAlertsReordered(ds: Dataset[TypedEv],
+      motifs: Seq[(String, String, String)],
+      delay: String = "10 minutes"): Dataset[MotifHit] = {
+    implicit val outEnc = Encoders.product[MotifHit]
+    implicit val stEnc = Encoders.product[Reorder[TypedEv, MotifState]]
+    reorderedByWatermark[TypedEv, MotifState, MotifHit](ds, delay,
+      MotifState("", ""), _.user_id, _.ts, _.event_id, motifStep(motifs.toSet))
   }
 
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {

@@ -486,6 +486,105 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "the reordered alert must equal the batch report bit-exactly")
   }
 
+  // H27 fixture driver: typed-event sibling of runOoo (event_type
+  // instead of value), same mtime pinning and sentinel-flush mechanics.
+  private def typedJson(e: Long, u: Long, t: String, ty: String): String =
+    s"""{"event_id":$e,"user_id":$u,"ts":"${t.replace(' ', 'T')}.000Z","event_type":"$ty"}"""
+
+  private def runMotifStream(name: String, batches: Seq[Seq[String]],
+      sentinelTs: Seq[String])(
+      op: org.apache.spark.sql.Dataset[Stateful.TypedEv] =>
+        org.apache.spark.sql.Dataset[Stateful.MotifHit])
+      : Map[Long, (String, String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val in = tmpDir(s"graft_motif_${name}_in")
+    val ckpt = tmpDir(s"graft_motif_${name}_ckpt")
+    val t0 = System.currentTimeMillis()
+    def writeAt(path: java.nio.file.Path, body: String, slot: Int): Unit = {
+      Files.writeString(path, body)
+      Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(t0 - 60000L + slot * 1000L))
+    }
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeAt(Paths.get(in, f"b$i%02d.json"), rows.mkString("\n"), i)
+    }
+    sentinelTs.zipWithIndex.foreach { case (t, i) =>
+      writeAt(Paths.get(in, f"s$i%02d.json"),
+        typedJson(900L + i, 999L, t, "zz"), batches.length + i)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[Stateful.TypedEv]
+    op(stream).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    spark.sql(s"SELECT event_id, t1, t2, t3 FROM $name WHERE user_id <> 999")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+  }
+
+  private def motifBatchDf(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "ts", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("event_type"))
+  }
+
+  test("H27 streaming motif screen matches the batch c33 occurrences across a state-carrying batch cut") {
+    val motifs = Seq(("a", "b", "c"))
+    // user 1 completes a→b→c with the completing event in a LATER
+    // micro-batch than its two predecessors (state carry); user 2 runs
+    // the permuted a→c→b — no hit
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 09:00:00", "a"),
+      (2L, 1L, "2024-01-01 09:01:00", "b"),
+      (10L, 2L, "2024-01-01 09:00:00", "a"),
+      (11L, 2L, "2024-01-01 09:01:00", "c"),
+      (3L, 1L, "2024-01-01 09:02:00", "c"),
+      (12L, 2L, "2024-01-01 09:02:00", "b"))
+    val batches = Seq(
+      rows.take(4).map(r => typedJson(r._1, r._2, r._3, r._4)),
+      rows.drop(4).map(r => typedJson(r._1, r._2, r._3, r._4)))
+    val online = runMotifStream("motif_parity", batches, Nil)(
+      Stateful.motifAlerts(_, motifs))
+    val offline = graft.operators.Fraud.motifOccurrences(motifBatchDf(rows), motifs)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("t1"), r.getAs[String]("t2"), r.getAs[String]("t3")))).toMap
+    assert(offline === Map(3L -> (("a", "b", "c"))), "batch flags exactly the completion")
+    assert(online === offline, "streamed hits must equal the batch screen exactly")
+  }
+
+  test("H27 contract edge: disorder forms a phantom trigram and misses the real one; the reorder restores both") {
+    val motifs = Seq(("a", "b", "c"), ("b", "c", "a"))
+    // EVENT time: a(1) b(2) c(3) — the only true trigram is a,b,c
+    // (event 3). ARRIVAL delivers b,c first, then a: the plain fold
+    // sees the phantom b,c,a (flags event 1 — a false alert) and never
+    // sees a,b,c (the true hit silently lost)
+    val rows = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", "a"),
+      (2L, 7L, "2024-01-01 10:01:00", "b"),
+      (3L, 7L, "2024-01-01 10:02:00", "c"))
+    val batches = Seq(
+      Seq(typedJson(2L, 7L, rows(1)._3, "b"), typedJson(3L, 7L, rows(2)._3, "c")),
+      Seq(typedJson(1L, 7L, rows(0)._3, "a")))
+    val sentinels = Seq("2024-01-01 11:00:00", "2024-01-01 11:01:00")
+    val offline = graft.operators.Fraud.motifOccurrences(motifBatchDf(rows), motifs)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(offline === Set(3L))
+    val plain = runMotifStream("motif_ooo_plain", batches, sentinels)(
+      Stateful.motifAlerts(_, motifs))
+    assert(plain.keySet === Set(1L),
+      s"the arrival-order fold must flag the phantom and miss the real hit, got ${plain.keySet}")
+    val reordered = runMotifStream("motif_ooo_reorder", batches, sentinels)(
+      Stateful.motifAlertsReordered(_, motifs))
+    assert(reordered.keySet === offline, "the reorder must restore the batch hit set")
+    assert(reordered(3L) === (("a", "b", "c")))
+  }
+
   test("H21 streaming vocabulary monitor serves PSI bit-identical to the batch f21 statistic") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = Tables.table(spark, SF, "documents")
