@@ -321,6 +321,77 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** The shared alignment close of the shared-content detectors (g11
+    * media clips / d22 text passages): given positioned shingles
+    * (doc_id, pos, sh), expand same-shingle anchor pairs within capped
+    * buckets, chain them per (pair, diagonal) via gaps-and-islands into
+    * maximal aligned runs, and keep each pair's best run. n_matches is
+    * a window sum over the SAME (doc_a, doc_b) partition the best-run
+    * ranking uses — every match row lands in exactly ONE (pair, off,
+    * grp) island, so it equals the match count without a second pass
+    * through the expansion branch (which, column-pruned differently
+    * per branch, would risk the §6b AQE reuse trap). All sort keys are
+    * exact integers; the unit count reports as `lenCol` = run + the
+    * shingle overlap.
+    */
+  private[operators] def alignedRuns(sh: DataFrame, minRun: Int,
+      maxBucket: Int, shingle: Int, lenCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val matches = sh.groupBy(col("sh"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
+      .filter(size(col("occ")) > 1 && size(col("occ")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(occ) - 1),
+          |  i -> transform(sequence(i + 1, size(occ)),
+          |    j -> struct(element_at(occ, i) AS a, element_at(occ, j) AS b))))
+          |""".stripMargin)).as("p"))
+      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"),
+        (col("p.b.pos") - col("p.a.pos")).as("off"))
+    val wDiag = W.partitionBy(col("doc_a"), col("doc_b"), col("off"))
+      .orderBy(col("pos_a"))
+    val runs = matches
+      .withColumn("grp", col("pos_a") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("off"), col("grp"))
+      .agg(count(lit(1)).as("run_shingles"), min(col("pos_a")).as("start_a"))
+    val wPair = W.partitionBy(col("doc_a"), col("doc_b"))
+    val wBest = wPair
+      .orderBy(col("run_shingles").desc, col("off"), col("start_a"))
+    runs
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_matches", sum(col("run_shingles")).over(wPair))
+      .filter(col("rn") === 1 && col("run_shingles") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("n_matches"),
+        col("off").as("best_offset"), col("run_shingles"),
+        (col("run_shingles") + lit(shingle - 1)).cast("long").as(lenCol))
+  }
+
+  /** D22: shared-passage detection — the TEXT twin of g11's aligned
+    * clips, and the pairwise refinement of d12's corpus-level span
+    * scoring: for each doc pair sharing ≥`minRun` CONSECUTIVE word
+    * `k`-gram shingles at one alignment offset, report the longest
+    * aligned passage (plagiarism / wire-copy / lifted-quote detection,
+    * where d4's Jaccard says "similar" but not WHERE). Positioned
+    * k-grams build row-locally (one projection, guarded sequence); the
+    * shuffle carries 16-byte digests, never text; the close is the
+    * shared [[alignedRuns]]. maxBucket caps boilerplate-shingle
+    * blowup exactly like c27's co-presence cells.
+    */
+  def sharedPassages(docs: DataFrame, k: Int = 8, minRun: Int = 2,
+                     maxBucket: Int = 64): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("tok")) >= k,
+          transform(sequence(lit(1), size(col("tok")) - (k - 1)),
+            i => array_join(slice(col("tok"), i, lit(k)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("col")).as("sh"))
+    alignedRuns(sh, minRun, maxBucket, k, "passage_tokens")
+  }
+
   /** Materialize one loop round AND tally its label changes in the SAME
     * Spark job (the r7 verdict's item 3): the loop's wall time on small
     * pair graphs is FIXED per-round driver/job-scheduling latency, and
@@ -875,6 +946,11 @@ object Dedup {
 
     // D12: duplicated-span (boilerplate) scoring against the corpus
     // itself — fingerprint-level duplication, not whole-doc similarity.
+    // D22: longest shared aligned passage per doc pair (g11's close on
+    // word 8-gram shingles; the pairwise "WHERE is it shared" d4's
+    // Jaccard can't answer).
+    "d22_shared_passages" -> ((s, d) => sharedPassages(t(s, d, "documents"))),
+
     "d12_dup_span_score" -> ((s, d) => dupSpanScore(t(s, d, "documents"))),
 
     // D12b: the skew-safe aggregate+broadcast plan for the same result —
@@ -1186,6 +1262,51 @@ object Dedup {
       // D12: same md5Prefix60 gram fingerprints (identical in both
       // engines, so even a fingerprint collision agrees); counts are
       // integers, the ratio one double division.
+      // D22: g11's oracle shape on word 8-grams — the SQL shingles RAW
+      // gram strings where the engine shingles md5 digests (g10/g11's
+      // digest↔raw equivalence), the diagonal islands and the integer
+      // (run desc, off, start) argmax are identical, and DuckDB's
+      // end-exclusive range(1, len-6) pairs with the guarded
+      // sequence(1, size-7): both empty below 8 tokens.
+      "d22_shared_passages" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(range(1, len(tok) - 7 + 1)) AS pos, tok
+          |  FROM t WHERE len(tok) >= 8),
+          |s2 AS (
+          |  SELECT doc_id, pos, array_to_string(tok[pos:pos+7], ' ') AS s FROM sh),
+          |cell AS (SELECT s, count(*) AS n FROM s2 GROUP BY s),
+          |m AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS off
+          |  FROM s2 a
+          |  JOIN s2 b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  JOIN cell c ON a.s = c.s
+          |  WHERE c.n <= 64),
+          |runs AS (
+          |  SELECT doc_a, doc_b, off,
+          |         CAST(count(*) AS BIGINT) AS run_shingles,
+          |         min(pos_a) AS start_a
+          |  FROM (SELECT m.*,
+          |               pos_a - row_number() OVER (
+          |                 PARTITION BY doc_a, doc_b, off ORDER BY pos_a) AS grp
+          |        FROM m)
+          |  GROUP BY doc_a, doc_b, off, grp),
+          |nm AS (
+          |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matches
+          |  FROM m GROUP BY 1, 2),
+          |best AS (
+          |  SELECT doc_a, doc_b, off, run_shingles, start_a,
+          |         row_number() OVER (PARTITION BY doc_a, doc_b
+          |                            ORDER BY run_shingles DESC, off, start_a) AS rn
+          |  FROM runs)
+          |SELECT b.doc_a, b.doc_b, n.n_matches,
+          |       CAST(b.off AS BIGINT) AS best_offset, b.run_shingles,
+          |       b.run_shingles + 7 AS passage_tokens
+          |FROM best b JOIN nm n USING (doc_a, doc_b)
+          |WHERE b.rn = 1 AND b.run_shingles >= 2""".stripMargin,
+
       "d12_dup_span_score" ->
         """WITH toks AS (
           |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),

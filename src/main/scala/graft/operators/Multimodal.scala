@@ -189,43 +189,10 @@ object Multimodal {
       .select(col("doc_id"), col("pos"),
         md5(concat_ws("|",
           col("fh") +: (1 until shingle).map(i => col(s"fh$i")): _*)).as("sh"))
-    val matches = sh.groupBy(col("sh"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
-      .filter(size(col("occ")) > 1 && size(col("occ")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(occ) - 1),
-          |  i -> transform(sequence(i + 1, size(occ)),
-          |    j -> struct(element_at(occ, i) AS a, element_at(occ, j) AS b))))
-          |""".stripMargin)).as("p"))
-      .filter(col("p.a.doc_id") < col("p.b.doc_id"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"),
-        (col("p.b.pos") - col("p.a.pos")).as("off"))
-    val wDiag = W.partitionBy(col("doc_a"), col("doc_b"), col("off"))
-      .orderBy(col("pos_a"))
-    val runs = matches
-      .withColumn("grp", col("pos_a") - row_number().over(wDiag))
-      .groupBy(col("doc_a"), col("doc_b"), col("off"), col("grp"))
-      .agg(count(lit(1)).as("run_shingles"), min(col("pos_a")).as("start_a"))
-    // n_matches: every match row lands in exactly ONE (pair, off, grp)
-    // island, so the per-pair match count is sum(run_shingles) over the
-    // runs already computed — a window sum over the SAME partition keys
-    // the best-run ranking uses (one exchange+sort, a second Window op,
-    // no ordering ⇒ whole-partition frame), not a second pass through
-    // the match-expansion branch joined back (which would consume
-    // `matches` twice and, column-pruned differently per branch, risk
-    // the §6b AQE reuse trap). Integer sum ⇒ oracle-neutral vs the
-    // count(*) the SQL twin computes.
-    val wPair = W.partitionBy(col("doc_a"), col("doc_b"))
-    val wBest = wPair
-      .orderBy(col("run_shingles").desc, col("off"), col("start_a"))
-    runs
-      .withColumn("rn", row_number().over(wBest))
-      .withColumn("n_matches", sum(col("run_shingles")).over(wPair))
-      .filter(col("rn") === 1 && col("run_shingles") >= minRun)
-      .select(col("doc_a"), col("doc_b"), col("n_matches"),
-        col("off").as("best_offset"), col("run_shingles"),
-        (col("run_shingles") + lit(shingle - 1)).cast("long").as("clip_frames"))
+    // the alignment close (anchor pairs → diagonal islands → per-pair
+    // argmax) is unit-agnostic — shared with the text twin
+    // (Dedup.sharedPassages) so the arithmetic exists exactly once
+    Dedup.alignedRuns(sh, minRun, maxBucket, shingle, "clip_frames")
   }
 
   /** G12: low-diversity ("dead air") frame detection — the curation

@@ -17,6 +17,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   private val nearDup = "key agg row scan slow fast table value part hash merge batch spark query"
   private val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
 
+  test("D22 shared passages: the aligned run is found at its offset; permuted or single-shingle overlap drops") {
+    val s = (1 to 12).map(i => s"s$i").mkString(" ") // the lifted passage
+    val corpus = docs(
+      1L -> s"a1 a2 a3 a4 $s a5 a6 a7 a8",          // s1 at pos 5
+      2L -> s"b1 b2 $s b3",                          // s1 at pos 3
+      3L -> "c1 s3 s1 s2 s5 s4 s7 s6 s9 s8 s11 s10 s12 c2", // same words, permuted
+      4L -> "d1 s1 s2 s3 s4 s5 s6 s7 s8 d2 d3")      // exactly ONE shared shingle
+    val out = Dedup.sharedPassages(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("best_offset"),
+          r.getAs[Long]("run_shingles"), r.getAs[Long]("passage_tokens")))).toMap
+    // the 12-token lift: 5 consecutive shared 8-gram shingles on the
+    // single diagonal off = 3 - 5 = -2, passage = 5 + 7 = 12 tokens
+    assert(out.keySet === Set((1L, 2L)),
+      s"only the aligned pair survives (permutation and 1-shingle overlap drop): ${out.keySet}")
+    assert(out((1L, 2L)) === ((5L, -2L, 5L, 12L)))
+  }
+
   test("D2 MinHash+LSH surfaces the near-duplicate pair, not the unrelated one") {
     val cand = Dedup.minhashCandidates(docs(1L -> base, 2L -> nearDup, 3L -> other))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

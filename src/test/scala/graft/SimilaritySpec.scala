@@ -180,6 +180,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(refined === want)
   }
 
+  test("E21 property: kShort covering the corpus degenerates refine to the exact top-k") {
+    // the accuracy knob's limit, sealed at the doubleToLongBits level:
+    // a corpus-wide shortlist makes the ADC stage pure routing noise
+    // and the result IS e1 (the kShort→∞ end of the PQ↔exact dial)
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count().toInt
+    val exact = Similarity.cosineTopK(e, 0L, 10).collect()
+      .map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toSeq
+    val refined = Similarity.pqRefineTopK(e, 0L, 10, kShort = n).collect()
+      .map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toSeq
+    assert(refined === exact)
+  }
+
   test("E2 ANN recall vs E1 on real embeddings is measurable and bounded") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
