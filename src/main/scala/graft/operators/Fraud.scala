@@ -580,7 +580,40 @@ object Fraud {
       .select(col("event_id"), col("user_id"), col("t1"), col("t2"), col("t3"))
   }
 
+  /** C34's logic: recency-weighted (half-life-decayed) spend with
+    * EXACT dyadic arithmetic — see the queries-map comment.
+    */
+  def decayedSpend(ev: DataFrame, maxAge: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val scale = math.pow(2.0, maxAge) // exact: power-of-two double
+    ev.select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .withColumn("last_d", max(col("d")).over(w))
+      .withColumn("age", datediff(col("last_d"), col("d")))
+      .filter(col("age") <= maxAge)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recent"),
+        max(col("d")).as("as_of_day"),
+        (sum(col("value").cast("decimal(18,6)") *
+          expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxAge - age) AS DECIMAL(7,0))"))
+          .cast("double") / lit(scale)).as("decayed_spend"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C34: recency-weighted spend — the feature-store staple "how much
+    // does this user spend NOW": each event's value decays by a 1-day
+    // half-life relative to the user's last active day, and events
+    // older than `maxAge` days drop (their weight is sub-measurable
+    // anyway). The WHOLE computation is exact: the weight is an
+    // integer 2^(maxAge−age) via a shift (never pow() — §6b), the
+    // per-event term is DECIMAL(18,6)×DECIMAL(7,0) = (26,6) ≤ 38, the
+    // per-user sum is an order-independent decimal, and the single
+    // closing division by 2^maxAge is an exact power-of-two double
+    // scaling — so the "approximate-looking" decay feature carries a
+    // full bit-exact oracle. maxAge=20 against the 30-day corpus
+    // exercises BOTH branches (median age 14, max 29 → real drops).
+    // One user-keyed exchange serves the window and the aggregate.
+    "c34_decayed_spend" -> ((s, d) => decayedSpend(t(s, d, "events"))),
 
     // C33: motif screen — mining → deployment, both halves checked:
     // c32 mines the top-3 lift motifs (a 3-row driver model, C17's
@@ -1217,6 +1250,24 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C34: the dyadic-decay recipe — integer shift weights, exact
+      // decimal products/sums, one closing power-of-two division; the
+      // date algebra is the established to_date ↔ CAST(AS DATE) pair.
+      "c34_decayed_spend" ->
+        """WITH aged AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d, value,
+          |         max(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS last_d
+          |  FROM events),
+          |kept AS (
+          |  SELECT user_id, d, value,
+          |         CAST(last_d - d AS BIGINT) AS age
+          |  FROM aged WHERE CAST(last_d - d AS BIGINT) <= 20)
+          |SELECT user_id, count(*) AS n_recent, max(d) AS as_of_day,
+          |       CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+          |                 CAST((CAST(1 AS BIGINT) << CAST(20 - age AS INT)) AS DECIMAL(7,0)))
+          |            AS DOUBLE) / CAST(1048576 AS DOUBLE) AS decayed_spend
+          |FROM kept GROUP BY user_id""".stripMargin,
 
       // C32: the lag pass mirrors the Spark window (PARTITION BY user,
       // ORDER BY ts, event_id); both gram orders count from the same

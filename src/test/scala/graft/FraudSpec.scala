@@ -522,6 +522,27 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C34 decayed spend: dyadic half-life weights are exact; beyond-horizon events drop") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-03-10 09:00:00", 10.0), // age 0 → ×1
+      (2L, 1L, "2024-03-09 09:00:00", 20.0), // age 1 → ×1/2
+      (3L, 1L, "2024-03-08 09:00:00", 40.0), // age 2 → ×1/4
+      (10L, 2L, "2024-03-10 09:00:00", 7.25), // age 0 (dyadic value)
+      (11L, 2L, "2024-02-10 09:00:00", 999.0)) // age 29 > 20 → dropped
+      .toDF("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("value"))
+    val out = Fraud.decayedSpend(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_recent"), r.getAs[Double]("decayed_spend")))).toMap
+    // every weight is a power of two and every product exact, so the
+    // decayed totals are EXACT doubles, not approximations
+    assert(out(1L) === ((3L, 30.0)), "10 + 20/2 + 40/4 must be exactly 30")
+    assert(out(2L) === ((1L, 7.25)), "the beyond-horizon event must buy nothing")
+  }
+
   test("C32 motifs: composed flow outlifts the first-order chain; low-count tail fenced") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     // 5 users each run the x→y→z flow once; 10 users run y→w, which
