@@ -549,6 +549,79 @@ object Stateful {
       (st, e) => reactStep(dormantDays, burstFactor, st, e))
   }
 
+  case class DecayBuf(days: Seq[Long], v6s: Seq[Long])
+  case class DecayedFeature(user_id: Long, event_id: Long, n_recent: Long,
+                            decayed_spend: Double)
+
+  /** The per-event C34 arithmetic (shared by both H28 variants): keep
+    * the user's (day, value-micros) pairs within `maxAge` days of the
+    * running last day — pruning against an intermediate day is safe
+    * because day−d only grows — and serve Σ v·2^(maxAge−age) as an
+    * exact integer-scaled BigDecimal closed by one power-of-two double
+    * division: the batch aggregate's arithmetic verbatim, so the value
+    * served at a user's last event is bit-identical to the c34 row.
+    * State is the ≤maxAge-day activity slice (16 B/event), not history.
+    */
+  private def decayStep(maxAge: Long)(st: DecayBuf, e: Ev)
+      : (DecayBuf, Option[DecayedFeature]) = {
+    val day = e.ts.toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+    val v6 = java.math.BigDecimal.valueOf(e.value)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+    val kept = (st.days.zip(st.v6s) :+ (day, v6))
+      .filter { case (d, _) => day - d <= maxAge }
+    var acc = java.math.BigDecimal.ZERO
+    kept.foreach { case (d, v) =>
+      acc = acc.add(java.math.BigDecimal.valueOf(v, 6)
+        .multiply(java.math.BigDecimal.valueOf(1L << (maxAge - (day - d)))))
+    }
+    val f = DecayedFeature(e.user_id, e.event_id, kept.size.toLong,
+      acc.doubleValue / math.pow(2.0, maxAge.toDouble))
+    (DecayBuf(kept.map(_._1), kept.map(_._2)), Some(f))
+  }
+
+  /** H28: online recency-weighted spend — the streaming serve path of
+    * the batch C34 feature (H13's training-serving-parity class): each
+    * event is answered with the user's half-life-decayed spend as of
+    * that event, and at the user's last event the value equals the
+    * batch c34 row bit-for-bit. Ordering contract as H13; use
+    * [[decayedFeaturesReordered]] for out-of-order sources.
+    */
+  def decayedFeatures(ds: Dataset[Ev], maxAge: Long = 20L): Dataset[DecayedFeature] = {
+    implicit val outEnc = Encoders.product[DecayedFeature]
+    implicit val stateEnc = Encoders.product[DecayBuf]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayBuf, DecayedFeature](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[DecayBuf]) =>
+          var st = state.getOption.getOrElse(DecayBuf(Nil, Nil))
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.flatMap { e =>
+            val (s2, f) = decayStep(maxAge)(st, e)
+            st = s2
+            f
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** H28 under OUT-OF-ORDER arrival: [[decayStep]] behind the watermark
+    * reorder stage (the step prunes against a running max day, so the
+    * fold order is semantic — disorder would both mis-prune and serve
+    * stale mixes).
+    */
+  def decayedFeaturesReordered(ds: Dataset[Ev], maxAge: Long = 20L,
+      delay: String = "10 minutes"): Dataset[DecayedFeature] = {
+    implicit val outEnc = Encoders.product[DecayedFeature]
+    implicit val stEnc = Encoders.product[Reorder[Ev, DecayBuf]]
+    reorderedByWatermarkEv[DecayBuf, DecayedFeature](ds, delay,
+      DecayBuf(Nil, Nil), decayStep(maxAge))
+  }
+
   case class TypedEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                      event_type: String)
   case class MotifState(t1: String, t2: String)

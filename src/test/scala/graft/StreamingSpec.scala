@@ -486,6 +486,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "the reordered alert must equal the batch report bit-exactly")
   }
 
+  test("H28 streaming decayed spend: batch c34 parity at the last event, ordered AND under disorder") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "2024-03-08 09:00:00", 40.0),
+      (2L, 1L, "2024-03-09 09:00:00", 20.0),
+      (3L, 1L, "2024-03-10 09:00:00", 10.0),
+      (10L, 2L, "2024-01-05 09:00:00", 999.0), // 46 days stale → drops
+      (11L, 2L, "2024-02-20 09:00:00", 7.25))
+    val evDf = rows.toDF("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("value"))
+    val offline = graft.operators.Fraud.decayedSpend(evDf).collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_recent"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("decayed_spend"))))).toMap
+    assert(offline(1L)._1 === 3L && offline(2L)._1 === 1L)
+    def lastServed(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Long, Long)] =
+      rows.collect {
+        case r if r.getLong(1) == 3L || r.getLong(1) == 11L =>
+          r.getLong(0) -> ((r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      }.toMap
+    // ordered replay through the plain operator
+    val orderedBatches = Seq(
+      rows.take(3).map(r => oooJson(r._1, r._2, r._3, r._4)),
+      rows.drop(3).map(r => oooJson(r._1, r._2, r._3, r._4)))
+    val plain = lastServed(runOoo("decay_plain", orderedBatches, Nil,
+      "user_id, event_id, n_recent, decayed_spend")(Stateful.decayedFeatures(_)))
+    assert(plain === offline,
+      "ordered online serve must equal the batch c34 feature bit-exactly")
+    // DISORDERED replay (each user's last event arrives first) through
+    // the reordered variant
+    val oooBatches = Seq(
+      Seq(oooJson(3L, 1L, rows(2)._3, 10.0), oooJson(11L, 2L, rows(4)._3, 7.25)),
+      rows.take(2).map(r => oooJson(r._1, r._2, r._3, r._4)) :+
+        oooJson(10L, 2L, rows(3)._3, 999.0))
+    val sentinels = Seq("2024-03-25 09:00:00", "2024-03-25 10:00:00")
+    val reordered = lastServed(runOoo("decay_reorder", oooBatches, sentinels,
+      "user_id, event_id, n_recent, decayed_spend")(
+      Stateful.decayedFeaturesReordered(_)))
+    assert(reordered === offline,
+      "the reordered serve must restore batch parity under disorder")
+  }
+
   // H27 fixture driver: typed-event sibling of runOoo (event_type
   // instead of value), same mtime pinning and sentinel-flush mechanics.
   private def typedJson(e: Long, u: Long, t: String, ty: String): String =
