@@ -511,15 +511,41 @@ object TextAnalysis {
     * 5 keeps 900 of the corpus's 961 possible pairs at both verify
     * SFs — non-degenerate in each direction.
     */
-  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
-    val grams = docs
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame =
+    pmiFromCounts(gramCounts(docs), minCount, k)
+
+  /** F23b: the INCREMENTAL form — bigram counts are mergeable by plain
+    * addition (the sketch-merge property for free, since the model IS
+    * a count table), so a daily lexicon refresh aggregates only the
+    * new slice and merges: here two corpus slices' count tables union
+    * + re-sum into the SAME downstream PMI algebra, hash-matching the
+    * one-shot oracle exactly (b35's merge-equivalence pattern).
+    */
+  def pmiCollocationsMerged(docs: DataFrame, minCount: Long = 5,
+                            k: Int = 20): DataFrame =
+    pmiFromCounts(
+      gramCounts(docs.filter(col("doc_id") % 2 === 0))
+        .union(gramCounts(docs.filter(col("doc_id") % 2 === 1)))
+        .groupBy(col("gram")).agg(sum(col("c12")).as("c12")),
+      minCount, k)
+
+  /** The corpus pass of F23: one gram-keyed count table. */
+  private def gramCounts(docs: DataFrame): DataFrame =
+    docs
       .select(split(col("text"), " ").as("tok"))
       .select(explode(
         when(size(col("tok")) >= 2,
           transform(sequence(lit(1), size(col("tok")) - 1), i =>
             concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1))))
           .otherwise(array())).as("gram"))
-    val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+
+  /** The vocab²-bounded close of F23, shared by the one-shot and
+    * merged forms so the lexicon algebra exists exactly once.
+    */
+  private def pmiFromCounts(counts: DataFrame, minCount: Long,
+                            k: Int): DataFrame = {
+    val c2 = counts
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
     val cpre = c2.groupBy(col("w1")).agg(sum(col("c12")).as("cpre"))
@@ -885,6 +911,9 @@ object TextAnalysis {
     // minCount=5 / k=20 sized against the corpus: 900 of 961 possible
     // pairs clear the count floor, PMI spread ~[-0.73, 0.46]
     "f23_pmi_collocations" -> ((s, d) => pmiCollocations(t(s, d, "documents"))),
+    // f23's merge twin: slice counts merged by addition, same close,
+    // same oracle (merge-equivalence, the b35/b37 pattern)
+    "f23b_pmi_merge" -> ((s, d) => pmiCollocationsMerged(t(s, d, "documents"))),
     "f12_bm25_search" -> ((s, d) => bm25(t(s, d, "documents"), bm25QueryTerms)),
     "f11_chunk_split" -> ((s, d) => chunkSplit(t(s, d, "documents"))),
     "f9_unigram_logprob" -> ((s, d) => unigramLogprob(t(s, d, "documents"))),
@@ -900,6 +929,29 @@ object TextAnalysis {
     "f3_token_count" -> ((s, d) => tokenCounts(t(s, d, "documents"))),
     "f4_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")))
   )
+
+  private val pmiSql =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+      |grams AS (
+      |  SELECT unnest(list_transform(range(1, len(tok)),
+      |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+      |  FROM toks),
+      |c2 AS (
+      |  SELECT gram, count(*) AS c12,
+      |         split_part(gram, ' ', 1) AS w1,
+      |         split_part(gram, ' ', 2) AS w2
+      |  FROM grams GROUP BY 1),
+      |cpre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cpre FROM c2 GROUP BY 1),
+      |csuf AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS csuf FROM c2 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS btot FROM c2)
+      |SELECT gram, c12,
+      |       round(ln(CAST(c12 AS DOUBLE) * btot
+      |                / (CAST(cpre AS DOUBLE) * csuf)), 8) AS pmi
+      |FROM c2 JOIN cpre USING (w1) JOIN csuf USING (w2), tot
+      |WHERE c12 >= 5
+      |ORDER BY pmi DESC, gram
+      |LIMIT 20""".stripMargin
 
   private val tfidfSql =
     """WITH terms AS (
@@ -1159,28 +1211,11 @@ object TextAnalysis {
     // back to BIGINT), the PMI ratio spelled in the Spark column's op
     // order — CAST(c12) DOUBLE · btot first, the left·right product,
     // one division — and ln pinned 8 dp.
-    "f23_pmi_collocations" ->
-      """WITH toks AS (
-        |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
-        |grams AS (
-        |  SELECT unnest(list_transform(range(1, len(tok)),
-        |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
-        |  FROM toks),
-        |c2 AS (
-        |  SELECT gram, count(*) AS c12,
-        |         split_part(gram, ' ', 1) AS w1,
-        |         split_part(gram, ' ', 2) AS w2
-        |  FROM grams GROUP BY 1),
-        |cpre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cpre FROM c2 GROUP BY 1),
-        |csuf AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS csuf FROM c2 GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS btot FROM c2)
-        |SELECT gram, c12,
-        |       round(ln(CAST(c12 AS DOUBLE) * btot
-        |                / (CAST(cpre AS DOUBLE) * csuf)), 8) AS pmi
-        |FROM c2 JOIN cpre USING (w1) JOIN csuf USING (w2), tot
-        |WHERE c12 >= 5
-        |ORDER BY pmi DESC, gram
-        |LIMIT 20""".stripMargin,
+    "f23_pmi_collocations" -> pmiSql,
+    // f23b merges slice counts by addition into the identical close —
+    // exact-count merge-equivalence, so the one-shot oracle is the
+    // merged form's oracle too (the b35/b37 pattern).
+    "f23b_pmi_merge" -> pmiSql,
 
     "f17_bigram_logprob" ->
       """WITH toks AS (

@@ -311,4 +311,44 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(degen.getAs[Long]("n_cells_used") === exact.getAs[Long]("n_cells_used"))
     }
   }
+
+  test("C34 decay invariants on random event sets: time-translation and dyadic value scaling are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, to_timestamp}
+    val gen = org.scalacheck.Gen.listOfN(120, for {
+      u <- org.scalacheck.Gen.chooseNum(1L, 12L)
+      d <- org.scalacheck.Gen.chooseNum(0, 29)
+      hh <- org.scalacheck.Gen.chooseNum(0, 23)
+      cents <- org.scalacheck.Gen.chooseNum(1L, 999999L)
+    } yield (u, d, hh, cents / 100.0))
+    for (seed <- Seq(11L, 42L)) {
+      val rows = gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed)).get.zipWithIndex.map {
+        case ((u, d, hh, v), i) =>
+          (i.toLong, u, f"2024-01-${d + 1}%02d $hh%02d:00:00", v)
+      }
+      val ev = rows.toDF("event_id", "user_id", "ts", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      def keyed(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+        graft.operators.Fraud.decayedSpend(df).collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            ((r.getAs[Long]("n_recent"), r.getAs[Double]("decayed_spend")))).toMap
+      val base = keyed(ev)
+      // decay depends only on RELATIVE age: shifting every event by a
+      // week changes nothing, bit for bit
+      val shifted = keyed(ev.withColumn("ts", expr("ts + INTERVAL 7 DAYS")))
+      assert(shifted.view.mapValues(x => (x._1,
+        java.lang.Double.doubleToLongBits(x._2))).toMap ===
+        base.view.mapValues(x => (x._1,
+          java.lang.Double.doubleToLongBits(x._2))).toMap, s"seed $seed translation")
+      // doubling every value doubles the feature EXACTLY (all weights
+      // are powers of two and the decimal algebra is exact)
+      val doubled = keyed(ev.withColumn("value", col("value") * 2))
+      base.foreach { case (u, (n, v)) =>
+        assert(doubled(u)._1 === n)
+        assert(doubled(u)._2 === v * 2, s"seed $seed user $u dyadic scaling")
+      }
+    }
+  }
 }
