@@ -868,6 +868,48 @@ object Similarity {
     quantizePq(embeddings, dim).write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** E22: persist the PQ index WITH a flat float sidecar — FAISS's
+    * IndexRefineFlat made durable. The ranking pass reads only the
+    * code rows; the rescore gather reads the sidecar id-pruned (see
+    * [[searchPqRefineIndex]]).
+    */
+  def buildPqRefineIndex(embeddings: DataFrame, dir: String,
+                         dim: Int = 64): Unit = {
+    buildPqIndex(embeddings, dir, dim)
+    embeddings.write.mode("overwrite").parquet(s"$dir/flat")
+  }
+
+  /** E22 serve path: ADC over the stored codes ranks (8 B/vector, no
+    * float access), the top-`kShort` ids come back to the driver (a
+    * bounded model, e10's class), and the exact rescore reads the flat
+    * sidecar through a PUSHED `In(vec_id, ...)` filter — the float
+    * corpus is never fully materialized on either pass, which is the
+    * claim [[pqRefineTopK]]'s scaladoc makes and the spec proves here
+    * (PushedFilters reaching the parquet reader + results bit-equal to
+    * the in-plan refine). At 100 TB the sidecar would additionally be
+    * bucketed by vec_id (A12) so the gather prunes files, not just row
+    * groups.
+    */
+  def searchPqRefineIndex(spark: SparkSession, dir: String,
+                          qVec: Array[Float], k: Int, kShort: Int = 20,
+                          excludeVecId: Option[Long] = None): DataFrame = {
+    val ids = searchPqIndex(spark, dir, qVec, kShort, excludeVecId)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val q = qVec.map(_.toDouble)
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) { acc += q(i) * q(i); i += 1 }
+    val qNrm = math.sqrt(acc)
+    val flat = withNorm(spark.read.parquet(s"$dir/flat")
+      .filter(col("vec_id").isin(ids.map(x => x: Any): _*)))
+    flat
+      .select(col("vec_id"),
+        (dot(col("embedding"), typedLit(qVec.toSeq)) /
+          (col("nrm") * lit(qNrm))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ADC search over a persisted PQ index with a full-precision query
     * vector: a codes-only scan (8 bytes of codes per vector) — the
     * float corpus is never read. Same scoring as [[pqTopK]].

@@ -193,6 +193,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(refined === exact)
   }
 
+  test("E22 persisted PQ refine: id-pruned sidecar gather, results equal the in-plan refine bit-exactly") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmpDir("graft_pqrefine_idx")
+    Similarity.buildPqRefineIndex(e, dir)
+    val qVec = e.filter(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val got = Similarity.searchPqRefineIndex(spark, dir, qVec, 10,
+      excludeVecId = Some(0L))
+    val gotRows = got.collect()
+      .map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toSeq
+    val want = Similarity.pqRefineTopK(e, 0L, 10).collect()
+      .map(r => r.getLong(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1))).toSeq
+    assert(gotRows === want, "persisted serve must equal the in-plan refine")
+    // the gather's id set must reach the parquet reader as a pushed
+    // filter — the "float corpus never fully materializes" proof
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("In(vec_id"),
+      s"the kShort-id In filter must push to the sidecar scan\n$p")
+  }
+
   test("E2 ANN recall vs E1 on real embeddings is measurable and bounded") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
