@@ -598,7 +598,61 @@ object Fraud {
           .cast("double") / lit(scale)).as("decayed_spend"))
   }
 
+  /** C35's logic: Holt's linear-trend state over each user's last
+    * ≤`frame` values — see the queries-map comment.
+    */
+  def holtForecast(ev: DataFrame, frame: Int = 40): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val recent = ev
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") <= frame)
+    val step = (acc: Column, x: Column) => {
+      val sPrev = acc.getField("s")
+      val bPrev = acc.getField("b")
+      val sNew = (x + (sPrev + bPrev)) / 2.0
+      when(acc.getField("n") === 0.0,
+        struct(x.as("s"), lit(0.0).as("b"), lit(1.0).as("n")))
+        .otherwise(struct(sNew.as("s"),
+          ((sNew - sPrev) + bPrev) / 2.0 as "b",
+          (acc.getField("n") + 1.0).as("n")))
+    }
+    recent
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("es"))
+      .select(col("user_id"), col("n_events"),
+        transform(col("es"), e => e.getField("value")).as("vs"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("vs"),
+          struct(lit(0.0).as("s"), lit(0.0).as("b"), lit(0.0).as("n")),
+          step).as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st.s").as("level"), col("st.b").as("trend"),
+        (col("st.s") + col("st.b")).as("forecast"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C35: Holt linear-trend forecast per user — c16's dyadic family
+    // extended to a SECOND-ORDER recurrence: level s' = (x+(s+b))/2,
+    // trend b' = ((s'−s)+b)/2 (α=β=1/2, so every step is a halving),
+    // folded over the user's last ≤40 values in exact (ts, event_id)
+    // order; forecast = s + b is the "what should the NEXT amount be"
+    // baseline whose residual screens trend-aware anomalies that the
+    // level-only EWMA misses (a steadily-ramping card test tracks the
+    // EWMA but runs ahead of zero-trend expectations). The frame is
+    // the feature's DEFINITION (c16's move), so state is bounded and
+    // the fold reproduces anywhere. Plan: one user exchange carries
+    // the ranking window, the total count, and the bounded collect;
+    // the fold runs in-row. The oracle folds the identical op order
+    // through list_reduce with a LIST-typed [s, b, n] accumulator —
+    // the struct-state fold technique, new to the oracle toolbox.
+    "c35_holt_forecast" -> ((s, d) => holtForecast(t(s, d, "events"))),
 
     // C34: recency-weighted spend — the feature-store staple "how much
     // does this user spend NOW": each event's value decays by a 1-day
@@ -1250,6 +1304,36 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C35: the fold's accumulator is a LIST [s, b, n] (list_reduce
+      // needs a uniform element type, so the init and each value ride
+      // as 3-lists); the CASE arms and the halving algebra are spelled
+      // in the identical op order as the Spark struct fold, and the
+      // rank/collect mirrors the window exactly (DESC rank ≤ 40, fold
+      // ascending).
+      "c35_holt_forecast" ->
+        """WITH ranked AS (
+          |  SELECT user_id, ts, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn,
+          |         count(*) OVER (PARTITION BY user_id) AS n_events
+          |  FROM events WHERE value IS NOT NULL),
+          |recent AS (SELECT * FROM ranked WHERE rn <= 40),
+          |folded AS (
+          |  SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+          |         list_reduce(
+          |           list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+          |             list_transform(list(value ORDER BY ts, event_id),
+          |               v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          |           (a, x) -> CASE WHEN a[3] = 0
+          |             THEN [x[1], CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)]
+          |             ELSE [(x[1] + (a[1] + a[2])) / 2.0,
+          |                   (((x[1] + (a[1] + a[2])) / 2.0 - a[1]) + a[2]) / 2.0,
+          |                   a[3] + 1] END) AS st
+          |  FROM recent GROUP BY user_id)
+          |SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+          |       st[1] + st[2] AS forecast
+          |FROM folded""".stripMargin,
 
       // C34: the dyadic-decay recipe — integer shift weights, exact
       // decimal products/sums, one closing power-of-two division; the

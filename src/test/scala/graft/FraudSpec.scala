@@ -522,6 +522,31 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C35 Holt forecast: the dyadic recurrence matches by hand; the 40-frame truncates history") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    // user 1: 4, 8, 12 → init (4, 0); then s=(8+4)/2=6, b=((6−4)+0)/2=1;
+    // then s=(12+7)/2=9.5, b=((9.5−6)+1)/2=2.25 → forecast 11.75 — a
+    // ramp produces a POSITIVE trend (the signal EWMA's level misses).
+    // user 2: two huge values then forty 2.0s — the frame drops the
+    // history, the fold sees only 2.0s → level 2, trend 0.
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 09:00:00", 4.0),
+      (2L, 1L, "2024-01-01 09:01:00", 8.0),
+      (3L, 1L, "2024-01-01 09:02:00", 12.0)) ++
+      (1 to 42).map(i => (100L + i, 2L, f"2024-01-01 10:$i%02d:00",
+        if (i <= 2) 1000.0 else 2.0))
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("value"))
+    val out = Fraud.holtForecast(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("level"),
+          r.getAs[Double]("trend"), r.getAs[Double]("forecast")))).toMap
+    assert(out(1L) === ((3L, 9.5, 2.25, 11.75)))
+    assert(out(2L) === ((42L, 2.0, 0.0, 2.0)))
+  }
+
   test("C34 decayed spend: dyadic half-life weights are exact; beyond-horizon events drop") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import spark.implicits._
