@@ -97,7 +97,8 @@ object Bench {
     "g12_flat_frames", "d21_lsh_scurve", "e20_capped_topk",
     "c31_peer_anomaly", "e21_pq_refine", "f23_pmi_collocations",
     "c32_sequence_motifs", "c33_motif_screen", "d22_shared_passages",
-    "c34_decayed_spend", "f23b_pmi_merge", "c35_holt_forecast")
+    "c34_decayed_spend", "f23b_pmi_merge", "c35_holt_forecast",
+    "d23_setsim_join")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

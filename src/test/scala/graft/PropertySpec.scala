@@ -351,4 +351,37 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("D23 prefix filtering is LOSSLESS: equals brute-force all-pairs Jaccard on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 17L)) {
+      // random base docs + engineered near-dup copies (one word edited)
+      // so the >= 0.7 band is populated, not vacuously empty
+      val base = genDocs(30, seed)
+      val docsSeq = base ++ base.take(6).map { case (id, t) =>
+        val tok = t.split(" ", -1)
+        (id + 100L, (tok.dropRight(1) :+ "edited").mkString(" "))
+      }
+      val out = Dedup.setSimJoin(docsSeq.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("inter"), r.getAs[Long]("un")))).toMap
+      def shingles(t: String): Set[String] = {
+        val tok = t.split(" ", -1)
+        if (tok.length < 3) Set.empty
+        else (0 to tok.length - 3).map(i => tok.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = docsSeq.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets
+        (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        un = sa.size + sb.size - inter
+        if 10 * inter >= 7 * un
+      } yield (a, b) -> ((inter.toLong, un.toLong))).toMap
+      assert(want.nonEmpty, s"seed $seed produced no true pairs - fixture broken")
+      assert(out === want,
+        s"seed $seed: prefix filtering must be exact - no misses, no extras")
+    }
+  }
 }
