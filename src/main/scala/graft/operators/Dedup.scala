@@ -410,14 +410,19 @@ object Dedup {
     */
   def setSimJoin(docs: DataFrame, tNum: Int = 7, tDen: Int = 10): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val sh = docs
+    // the distinct shingle table feeds FIVE consumers (sizes, df, the
+    // prefix join, both verify sides); un-staged, the plan audit showed
+    // the corpus scanned and re-shingled three times — stage it once
+    // (at 100 TB this is a bucketed staging write; locally an eager
+    // checkpoint), so the closing plan touches the corpus zero times
+    val sh = checkpointFresh(docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), explode(
         when(size(col("tok")) >= 3,
           transform(sequence(lit(1), size(col("tok")) - 2),
             i => array_join(slice(col("tok"), i, lit(3)), " ")))
           .otherwise(array().cast("array<string>"))).as("s"))
-      .distinct()
+      .distinct())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))

@@ -540,6 +540,39 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the exact top-k must close as TakeOrderedAndProject\n$fin")
   }
 
+  test("c34/c35 per-user features: ONE user exchange serves window and aggregate, one scan") {
+    // the c22/c26 discipline applied to the decay and Holt features: a
+    // second exchange means the window and the aggregate stopped
+    // sharing the user partitioning; a second scan means a join-back
+    for (q <- Seq("c34_decayed_spend", "c35_holt_forecast")) {
+      val df = SparkEntry.queries(q)(spark, SF)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val scans = "Scan parquet".r.findAllIn(fin).size
+      val ex = "Exchange hash".r.findAllIn(fin).size
+      assert(scans == 1, s"$q expected one events scan, got $scans\n$fin")
+      assert(ex == 1, s"$q expected the single user exchange, got $ex\n$fin")
+    }
+  }
+
+  test("d22/d23 pair detectors: digests-only shuffles, no cartesian; d23's close never re-scans the corpus") {
+    val d22 = SparkEntry.queries("d22_shared_passages")(spark, SF)
+    d22.collect()
+    val f22 = d22.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!f22.contains("CartesianProduct"), f22)
+    assert("Scan parquet".r.findAllIn(f22).size == 1,
+      s"d22 must scan documents once\n$f22")
+    // d23 stages the distinct shingle table (five consumers; un-staged
+    // the audit measured THREE corpus re-shingles) — the closing plan
+    // reads only the checkpointed table
+    val d23 = SparkEntry.queries("d23_setsim_join")(spark, SF)
+    d23.collect()
+    val f23 = d23.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!f23.contains("CartesianProduct"), f23)
+    assert(!f23.contains("Scan parquet"),
+      s"d23's close must read the staged shingle table, not the corpus\n$f23")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString
