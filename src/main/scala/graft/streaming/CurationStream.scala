@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.BloomFunctions
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Streaming corpus-curation gate — the admission filter a training-data
   * ingest runs on every arriving document micro-batch:
@@ -74,6 +74,54 @@ object CurationStream {
             (col("nrm") * col("c_nrm")) > threshold,
         "left_anti")
       .drop("nrm", "bucket")
+  }
+
+  /** H29: streaming syntactic near-dup admission — the text-sketch
+    * member of the gate family (H19 exact digest, H11 embedding
+    * cosine, this: MinHash/LSH): each arriving doc computes its
+    * 16-hash signature ROW-LOCALLY (the batch d2 sketch path via the
+    * native expression), then FOUR stream-static EQUI anti joins —
+    * one per band, each against that band's slice of the static
+    * corpus band table — drop the doc when a band collision ALSO
+    * passes the exact 3-shingle Jaccard verify (d4's statistic,
+    * spelled as the integer cross-size test inside the join condition
+    * so no aggregation state is ever needed; an OR-of-bands single
+    * join would plan as a nested loop — the per-band chain keeps
+    * every probe hash-joinable). Stateless: anti joins hold nothing
+    * across batches, the static side plans once and in production is
+    * the PERSISTED d18 band table (A12-bucketed on the band key)
+    * joined to the corpus shingle store. Recall is the LSH band
+    * recall exactly as in the batch candidate path — a pair at
+    * Jaccard ≥ t that no band catches is missed here too (d21's
+    * S-curves price that trade); sub-3-token docs carry no syntactic
+    * evidence and are admitted.
+    */
+  def syntacticNearDupGate(stream: DataFrame, corpus: DataFrame,
+                           tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    val corpusBands = Dedup.lshBands(corpus)
+      .join(corpus.select(col("doc_id"),
+        array_distinct(Dedup.shingles(Dedup.tokens(col("text")))).as("c_sh")),
+        Seq("doc_id"))
+    val withSig = stream
+      .withColumn("tok", Dedup.tokens(col("text")))
+      .withColumn("sh_pos", when(size(col("tok")) >= 3,
+        Dedup.shingles(col("tok"))).otherwise(array().cast("array<string>")))
+      .withColumn("sh", array_distinct(col("sh_pos")))
+      .withColumn("mh", when(size(col("sh_pos")) > 0,
+        graft.functions.MinHashFunctions.minhashSig(col("sh_pos")))
+        .otherwise(lit(null).cast("array<bigint>")))
+    (0 until 4).foldLeft(withSig) { (acc, j) =>
+      val cb = corpusBands.filter(col("band_id") === j)
+        .select(col("band_key").as(s"c_bk$j"), col("c_sh"))
+      val myKey = concat_ws("-",
+        element_at(col("mh"), j * 4 + 1), element_at(col("mh"), j * 4 + 2),
+        element_at(col("mh"), j * 4 + 3), element_at(col("mh"), j * 4 + 4))
+      val inter = size(array_intersect(col("sh"), col("c_sh")))
+      acc.join(cb,
+        col("mh").isNotNull && myKey === col(s"c_bk$j") &&
+          inter * tDen >= (size(col("sh")) + size(col("c_sh")) - inter) * tNum,
+        "left_anti")
+    }.drop("tok", "sh_pos", "sh", "mh")
   }
 
   /** H19: stream-vs-corpus exact-dup admission — the incremental D1:

@@ -1457,6 +1457,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(resAfter.take(2).toSeq === Seq(5L, 7L))
   }
 
+  test("H29 syntactic gate: corpus near-dups blocked via band+verify, fresh/short docs admitted") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    val in = tmpDir("graft_syn_in")
+    val ckpt = tmpDir("graft_syn_ckpt")
+    // the SAME strings whose band collision the D2 spec pins — the
+    // md5-derived hashes are fixed, so the collision is deterministic
+    val base = "key agg row scan slow fast table value part hash merge batch spark window"
+    val nearDup = "key agg row scan slow fast table value part hash merge batch spark query"
+    val corpus = Seq(10L -> base,
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("doc_id", "text")
+    Files.writeString(Paths.get(in, "a.json"),
+      s"""{"doc_id":1,"text":"$nearDup"}""" + "\n" +
+      """{"doc_id":2,"text":"completely fresh words about nothing shared anywhere at all today"}""" + "\n")
+    Files.writeString(Paths.get(in, "b.json"),
+      s"""{"doc_id":3,"text":"$base"}""" + "\n" +
+      """{"doc_id":4,"text":"tiny"}""" + "\n")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.streaming.CurationStream.syntacticNearDupGate(stream, corpus)
+      .writeStream.format("memory").queryName("syn_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val admitted = spark.table("syn_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+    // 1: 11/13-Jaccard near-dup of corpus doc 10 → banded AND verified →
+    // blocked; 3: exact copy → blocked; 2: unrelated → admitted; 4: a
+    // 1-token doc has no shingles — no syntactic evidence → admitted
+    assert(admitted === Set(2L, 4L),
+      s"expected the near-dup and the copy blocked, got $admitted")
+  }
+
   test("H19 corpus-digest gate: known corpus text blocked, fresh text admitted, stateless") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import spark.implicits._
