@@ -819,7 +819,15 @@ object Bench {
     // attributable to the corpus, not re-litigated (the d2/c27 lesson
     // institutionalized)
     "c28_collusion_rings" -> "events",
-    "g8_phash_clusters" -> "documents")
+    "g8_phash_clusters" -> "documents",
+    // round-8 continuation: the two new pair detectors whose candidate
+    // volume rides corpus self-similarity (shared-passage anchors /
+    // prefix-bucket collisions — g5's class, measured per
+    // regeneration), and the one-exchange motif miner whose cell table
+    // is |types|-bounded (exp should track the events scan)
+    "d22_shared_passages" -> "documents",
+    "d23_setsim_join" -> "documents",
+    "c32_sequence_motifs" -> "events")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time
