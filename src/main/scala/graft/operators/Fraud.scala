@@ -636,7 +636,44 @@ object Fraud {
         (col("st.s") + col("st.b")).as("forecast"))
   }
 
+  /** C36's logic: linear multi-touch attribution — see the queries-map
+    * comment.
+    */
+  def touchAttribution(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter((col("t_ts") < col("p_ts") ||
+        (col("t_ts") === col("p_ts") && col("touch_id") < col("purchase_id"))) &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $windowDays DAYS"))
+    val w = Window.partitionBy(col("purchase_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("n_touches"))
+      .withColumn("is_last_touch", row_number().over(
+        w.orderBy(col("t_ts").desc, col("touch_id").desc)) === 1)
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        col("n_touches"), col("weight"), col("is_last_touch"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C36: linear multi-touch attribution — which views/clicks get
+    // credit for a purchase: every touch by the same user in the 7
+    // days before the conversion splits the credit equally (1/n), with
+    // the last-touch flag carried so last-click attribution reads from
+    // the same table. Determinism: the "before" relation totals on
+    // (ts, event_id) so a same-microsecond touch/purchase pair cannot
+    // flap; the weight is an identical-input 1/n division; interval
+    // arithmetic is exact at microsecond precision on both engines.
+    // Plan: a user-keyed equi join bounds candidates to per-user
+    // activity (b23's range-join class — never a global time join);
+    // the two attribution windows share one purchase_id exchange.
+    "c36_touch_attribution" -> ((s, d) => touchAttribution(t(s, d, "events"))),
 
     // C35: Holt linear-trend forecast per user — c16's dyadic family
     // extended to a SECOND-ORDER recurrence: level s' = (x+(s+b))/2,
@@ -1304,6 +1341,32 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C36: the before-relation and the 7-day boundary spelled
+      // identically; weight = CAST(1.0 AS DOUBLE)/n (a bare 1.0/n
+      // would divide as DECIMAL in DuckDB — the §6b literal rule).
+      "c36_touch_attribution" ->
+        """WITH conv AS (
+          |  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          |  FROM events WHERE event_type = 'purchase'),
+          |touch AS (
+          |  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+          |         ts AS t_ts
+          |  FROM events WHERE event_type IN ('view', 'click')),
+          |pairs AS (
+          |  SELECT c.purchase_id, t.touch_id, t.touch_type, c.p_ts, t.t_ts
+          |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+          |  WHERE (t.t_ts < c.p_ts
+          |         OR (t.t_ts = c.p_ts AND t.touch_id < c.purchase_id))
+          |    AND t.t_ts >= c.p_ts - INTERVAL 7 DAY)
+          |SELECT purchase_id, touch_id, touch_type,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_touches,
+          |       CAST(1.0 AS DOUBLE) / count(*) OVER w AS weight,
+          |       row_number() OVER (PARTITION BY purchase_id
+          |                          ORDER BY t_ts DESC, touch_id DESC) = 1
+          |         AS is_last_touch
+          |FROM pairs
+          |WINDOW w AS (PARTITION BY purchase_id)""".stripMargin,
 
       // C35: the fold's accumulator is a LIST [s, b, n] (list_reduce
       // needs a uniform element type, so the init and each value ride

@@ -522,6 +522,32 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C36 attribution: the 7-day window, the before-relation tie, and the equal split all bind") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    val ev = Seq(
+      (30L, 1L, "2024-01-10 12:00:00", "purchase"),
+      (1L, 1L, "2024-01-09 10:00:00", "view"),   // in window
+      (2L, 1L, "2024-01-10 11:00:00", "click"),  // in window
+      (3L, 1L, "2024-01-03 12:00:00", "view"),   // EXACTLY 7 days → in
+      (4L, 1L, "2024-01-01 00:00:00", "view"),   // too old → out
+      (5L, 1L, "2024-01-10 12:00:00", "click"),  // same ts, id 5 < 30 → in (and latest)
+      (99L, 1L, "2024-01-10 12:00:00", "view"),  // same ts, id 99 > 30 → out
+      (50L, 1L, "2024-01-11 09:00:00", "view"),  // after → out
+      (60L, 2L, "2024-01-09 10:00:00", "view"))  // other user → out
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("event_type"))
+    val out = Fraud.touchAttribution(ev).collect()
+      .map(r => r.getAs[Long]("touch_id") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Double]("weight"),
+          r.getAs[Boolean]("is_last_touch")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L))
+    out.values.foreach { case (n, w, _) => assert(n === 4L && w === 0.25) }
+    assert(out.filter(_._2._3).keySet === Set(5L),
+      "the same-timestamp earlier-id touch is the last touch")
+  }
+
   test("C35 Holt forecast: the dyadic recurrence matches by hand; the 40-frame truncates history") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import spark.implicits._
