@@ -398,11 +398,16 @@ object Dedup {
     * prefix filtering is LOSSLESS — two docs with Jaccard ≥ t MUST
     * share a token in their (1−t)-fraction prefixes when every doc's
     * tokens are ordered by GLOBAL rarity, so the candidate set
-    * provably contains every true pair. Shingle sets (word 3-grams)
-    * keep the element space large enough that prefixes are dominated
-    * by df≈1 shingles — candidate buckets stay tiny by construction
-    * (28 candidates / 25 true pairs on the sf0.01 corpus vs 125k
-    * possible). All threshold math is INTEGER: prefix length
+    * provably contains every true pair. Shingle LENGTH is the scale
+    * lever: the element space must stay sparse enough that prefixes
+    * are df≈1-dominated. Word 3-grams looked tight at the verify SFs
+    * (28 candidates) but the 31-word vocabulary saturates the 3-gram
+    * space as the corpus grows — the cross-sf scaling run caught a
+    * 1.57 exponent and 202k candidates at sf0.1. Word 5-grams keep
+    * the filter exact-tight at EVERY measured sf (256 candidates =
+    * 256 true pairs at sf0.1; 25/25 at sf0.01): when sizing against
+    * a corpus, size against the LARGEST one. All threshold math is
+    * INTEGER: prefix length
     * n − ⌈t·n⌉ + 1 via `div`, and the verify is 10·|∩| ≥ 7·|∪| — no
     * FP anywhere until the reported jaccard ratio (identical-input
     * division, bit-portable). Verification joins shingles only for
@@ -418,9 +423,9 @@ object Dedup {
     val sh = checkpointFresh(docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), explode(
-        when(size(col("tok")) >= 3,
-          transform(sequence(lit(1), size(col("tok")) - 2),
-            i => array_join(slice(col("tok"), i, lit(3)), " ")))
+        when(size(col("tok")) >= 5,
+          transform(sequence(lit(1), size(col("tok")) - 4),
+            i => array_join(slice(col("tok"), i, lit(5)), " ")))
           .otherwise(array().cast("array<string>"))).as("s"))
       .distinct())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1329,9 +1334,9 @@ object Dedup {
         """WITH t AS (
           |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
           |sh AS (
-          |  SELECT DISTINCT doc_id, array_to_string(tok[i:i+2], ' ') AS s
-          |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i
-          |        FROM t WHERE len(tok) >= 3)),
+          |  SELECT DISTINCT doc_id, array_to_string(tok[i:i+4], ' ') AS s
+          |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 3)) AS i
+          |        FROM t WHERE len(tok) >= 5)),
           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
           |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
           |ranked AS (

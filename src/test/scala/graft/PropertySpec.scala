@@ -355,20 +355,19 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
   test("D23 prefix filtering is LOSSLESS: equals brute-force all-pairs Jaccard on random corpora") {
     import spark.implicits._
     for (seed <- Seq(3L, 17L)) {
-      // random base docs + engineered near-dup copies (one word edited)
-      // so the >= 0.7 band is populated, not vacuously empty
+      // random base docs + engineered near-dup copies (one word
+      // APPENDED: Jaccard (n−4)/(n−3) ≥ 0.7 for n ≥ 7 tokens) so the
+      // >= 0.7 band is populated, not vacuously empty
       val base = genDocs(30, seed)
-      val docsSeq = base ++ base.take(6).map { case (id, t) =>
-        val tok = t.split(" ", -1)
-        (id + 100L, (tok.dropRight(1) :+ "edited").mkString(" "))
-      }
+      val docsSeq = base ++ base.filter(_._2.split(" ", -1).length >= 10)
+        .take(6).map { case (id, t) => (id + 100L, t + " appended") }
       val out = Dedup.setSimJoin(docsSeq.toDF("doc_id", "text")).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
           ((r.getAs[Long]("inter"), r.getAs[Long]("un")))).toMap
       def shingles(t: String): Set[String] = {
         val tok = t.split(" ", -1)
-        if (tok.length < 3) Set.empty
-        else (0 to tok.length - 3).map(i => tok.slice(i, i + 3).mkString(" ")).toSet
+        if (tok.length < 5) Set.empty
+        else (0 to tok.length - 5).map(i => tok.slice(i, i + 5).mkString(" ")).toSet
       }
       val sets = docsSeq.map { case (id, t) => id -> shingles(t) }
         .filter(_._2.nonEmpty)
