@@ -148,6 +148,20 @@ object Stateful {
       keyOf: E => Long, tsOf: E => java.sql.Timestamp, tieOf: E => Long,
       step: (S, E) => (S, Option[O]))(
       implicit stEnc: org.apache.spark.sql.Encoder[Reorder[E, S]],
+      outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] =
+    reorderedByWatermarkMulti[E, S, O](ds, delay, zero, keyOf, tsOf, tieOf,
+      (s: S, e: E) => { val (s2, o) = step(s, e); (s2, o.toSeq) })
+
+  /** The multi-output core the Option-shaped combinator delegates to:
+    * one event may emit MANY rows (H30's attribution credits — a
+    * purchase fans out one credit per buffered touch). Same buffering,
+    * ripeness, and timer mechanics.
+    */
+  private def reorderedByWatermarkMulti[E, S, O](
+      ds: Dataset[E], delay: String, zero: S,
+      keyOf: E => Long, tsOf: E => java.sql.Timestamp, tieOf: E => Long,
+      step: (S, E) => (S, Seq[O]))(
+      implicit stEnc: org.apache.spark.sql.Encoder[Reorder[E, S]],
       outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
     implicit val keyEnc = Encoders.scalaLong
     ds.withWatermark("ts", delay)
@@ -687,6 +701,96 @@ object Stateful {
     implicit val stEnc = Encoders.product[Reorder[TypedEv, MotifState]]
     reorderedByWatermark[TypedEv, MotifState, MotifHit](ds, delay,
       MotifState("", ""), _.user_id, _.ts, _.event_id, motifStep(motifs.toSet))
+  }
+
+  case class TouchBuf(touches: Seq[(Long, String, Long)])
+  case class TouchCredit(user_id: Long, purchase_id: Long, touch_id: Long,
+                         touch_type: String, n_touches: Long, weight: Double,
+                         is_last_touch: Boolean)
+
+  private def evMicros(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** The per-event C36 arithmetic, shared by both H30 variants: keep
+    * the user's (touch_id, touch_type, ts-micros) triples within
+    * `windowDays` of the running clock; a purchase fans out one credit
+    * per live touch. Pruning against ANY event's timestamp is safe
+    * because the fold is event-time-ordered, so no later purchase's
+    * window can reach below this event's. The before-relation needs no
+    * explicit check: a touch is in the buffer iff its (ts, event_id)
+    * totals BELOW the purchase's — exactly the batch join's tie-broken
+    * `t_ts < p_ts OR (t_ts = p_ts AND touch_id < purchase_id)`. The
+    * weight is the identical 1.0/n double division the batch computes;
+    * last-touch is the max (ts, touch_id) — the batch's row_number
+    * DESC window. State: the ≤window activity slice, not history.
+    */
+  private def touchStep(windowDays: Long)(st: TouchBuf, e: TypedEv)
+      : (TouchBuf, Seq[TouchCredit]) = {
+    val em = evMicros(e.ts)
+    val kept = st.touches.filter(_._3 >= em - windowDays * 86400000000L)
+    e.event_type match {
+      case "purchase" =>
+        val n = kept.size
+        val credits =
+          if (n == 0) Nil
+          else {
+            val lastKey = kept.map(t => (t._3, t._1)).max
+            kept.map { case (id, ty, tm) =>
+              TouchCredit(e.user_id, e.event_id, id, ty, n.toLong, 1.0 / n,
+                (tm, id) == lastKey)
+            }
+          }
+        (TouchBuf(kept), credits)
+      case "view" | "click" =>
+        (TouchBuf(kept :+ ((e.event_id, e.event_type, em))), Nil)
+      case _ => (TouchBuf(kept), Nil)
+    }
+  }
+
+  /** H30: streaming multi-touch attribution — the online serve path of
+    * the batch C36 report (the mining→deployment class): each purchase
+    * is answered IN the stream with its equal-split credit rows (plus
+    * the last-touch flag), identical to the batch attribution table
+    * row-for-row and bit-for-bit on the 1/n weights. Touches are NOT
+    * consumed by a purchase — a later purchase inside the window
+    * re-credits them, matching the batch join's semantics. Same
+    * ordering contract as H13/H27; [[touchCreditsReordered]] turns it
+    * into a guarantee (a purchase arriving before its touches would
+    * otherwise under-count n and mis-split every weight).
+    */
+  def touchCredits(ds: Dataset[TypedEv],
+                   windowDays: Long = 7L): Dataset[TouchCredit] = {
+    implicit val outEnc = Encoders.product[TouchCredit]
+    implicit val stateEnc = Encoders.product[TouchBuf]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchBuf, TouchCredit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TypedEv], state: GroupState[TouchBuf]) =>
+          var st = state.getOption.getOrElse(TouchBuf(Nil))
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.flatMap { e =>
+            val (s2, credits) = touchStep(windowDays)(st, e)
+            st = s2
+            credits
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** H30 under OUT-OF-ORDER arrival: [[touchStep]] behind the
+    * watermark reorder stage (the multi-output combinator's first
+    * client) — within `delay` the credit table is the batch c36
+    * report's exactly.
+    */
+  def touchCreditsReordered(ds: Dataset[TypedEv], windowDays: Long = 7L,
+      delay: String = "10 minutes"): Dataset[TouchCredit] = {
+    implicit val outEnc = Encoders.product[TouchCredit]
+    implicit val stEnc = Encoders.product[Reorder[TypedEv, TouchBuf]]
+    reorderedByWatermarkMulti[TypedEv, TouchBuf, TouchCredit](ds, delay,
+      TouchBuf(Nil), _.user_id, _.ts, _.event_id, touchStep(windowDays))
   }
 
   def velocityAlerts(ds: Dataset[Tx], threshold: Long): Dataset[VelocityAlert] = {

@@ -627,6 +627,111 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(reordered(3L) === (("a", "b", "c")))
   }
 
+  // H30 fixture driver: runMotifStream's shape with the attribution
+  // output columns (same mtime pinning and sentinel-flush mechanics).
+  private def runTouchStream(name: String, batches: Seq[Seq[String]],
+      sentinelTs: Seq[String])(
+      op: org.apache.spark.sql.Dataset[Stateful.TypedEv] =>
+        org.apache.spark.sql.Dataset[Stateful.TouchCredit])
+      : Map[(Long, Long), (String, Long, Long, Boolean)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val in = tmpDir(s"graft_touch_${name}_in")
+    val ckpt = tmpDir(s"graft_touch_${name}_ckpt")
+    val t0 = System.currentTimeMillis()
+    def writeAt(path: java.nio.file.Path, body: String, slot: Int): Unit = {
+      Files.writeString(path, body)
+      Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(t0 - 60000L + slot * 1000L))
+    }
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeAt(Paths.get(in, f"b$i%02d.json"), rows.mkString("\n"), i)
+    }
+    sentinelTs.zipWithIndex.foreach { case (t, i) =>
+      writeAt(Paths.get(in, f"s$i%02d.json"),
+        typedJson(900L + i, 999L, t, "zz"), batches.length + i)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in).as[Stateful.TypedEv]
+    op(stream).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    spark.sql(s"""SELECT purchase_id, touch_id, touch_type, n_touches,
+                         weight, is_last_touch
+                  FROM $name WHERE user_id <> 999""")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3),
+          java.lang.Double.doubleToLongBits(r.getDouble(4)), r.getBoolean(5))))
+      .toMap
+  }
+
+  private def touchBatchMap(rows: Seq[(Long, Long, String, String)])
+      : Map[(Long, Long), (String, Long, Long, Boolean)] =
+    graft.operators.Fraud.touchAttribution(motifBatchDf(rows))
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("touch_id")) ->
+        ((r.getAs[String]("touch_type"), r.getAs[Long]("n_touches"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("weight")),
+          r.getAs[Boolean]("is_last_touch")))).toMap
+
+  test("H30 streaming attribution matches the batch c36 report across a state-carrying batch cut") {
+    // user 1: two touches then a purchase (the purchase lands in a
+    // LATER micro-batch — state carry), then a fourth-touch + second
+    // purchase whose window evicts touch 1 but RE-credits touch 2 (a
+    // purchase must not consume touches); user 2's lone touch is 8
+    // days stale — her purchase earns no rows, exactly like the batch
+    // inner join
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-03 10:00:00", "click"),
+      (10L, 2L, "2024-01-01 10:00:00", "view"),
+      (3L, 1L, "2024-01-05 10:00:00", "purchase"),
+      (4L, 1L, "2024-01-06 10:00:00", "view"),
+      (5L, 1L, "2024-01-10 09:00:00", "purchase"),
+      (11L, 2L, "2024-01-09 10:00:00", "purchase"))
+    val offline = touchBatchMap(rows)
+    assert(offline.keySet === Set((3L, 1L), (3L, 2L), (5L, 2L), (5L, 4L)),
+      "batch: purchase 3 credits touches 1+2; purchase 5 evicts 1, re-credits 2, adds 4")
+    assert(offline((5L, 2L))._2 === 2L && offline((5L, 4L))._4 === true)
+    val batches = Seq(
+      rows.take(3).map(r => typedJson(r._1, r._2, r._3, r._4)),
+      rows.drop(3).map(r => typedJson(r._1, r._2, r._3, r._4)))
+    val online = runTouchStream("touch_parity", batches, Nil)(
+      Stateful.touchCredits(_))
+    assert(online === offline,
+      "streamed credits must equal the batch attribution table bit-exactly")
+  }
+
+  test("H30 contract edge: a purchase arriving before its touch mis-splits every weight; the reorder restores the report") {
+    // EVENT time: view(1) click(2) purchase(3); ARRIVAL delivers the
+    // view one micro-batch after the purchase — the plain fold serves
+    // n=1/weight=1.0 to the click alone (a WRONG report, not a missing
+    // one)
+    val rows = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", "view"),
+      (2L, 7L, "2024-01-01 10:01:00", "click"),
+      (3L, 7L, "2024-01-01 10:02:00", "purchase"))
+    val offline = touchBatchMap(rows)
+    assert(offline.keySet === Set((3L, 1L), (3L, 2L)))
+    assert(offline((3L, 1L))._2 === 2L)
+    val batches = Seq(
+      Seq(typedJson(2L, 7L, rows(1)._3, "click"), typedJson(3L, 7L, rows(2)._3, "purchase")),
+      Seq(typedJson(1L, 7L, rows(0)._3, "view")))
+    val sentinels = Seq("2024-01-01 11:00:00", "2024-01-01 11:01:00")
+    val plain = runTouchStream("touch_ooo_plain", batches, sentinels)(
+      Stateful.touchCredits(_))
+    assert(plain.keySet === Set((3L, 2L)) && plain((3L, 2L))._2 === 1L,
+      s"the arrival-order fold must credit the click alone at n=1, got $plain")
+    val reordered = runTouchStream("touch_ooo_reorder", batches, sentinels)(
+      Stateful.touchCreditsReordered(_))
+    assert(reordered === offline,
+      "the reordered credits must equal the batch report bit-exactly")
+  }
+
   test("H21 streaming vocabulary monitor serves PSI bit-identical to the batch f21 statistic") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = Tables.table(spark, SF, "documents")
