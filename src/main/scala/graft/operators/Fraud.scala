@@ -660,7 +660,57 @@ object Fraud {
         col("n_touches"), col("weight"), col("is_last_touch"))
   }
 
+  /** The nine Benford expectations, spelled identically in every
+    * oracle (§6b: never derive constants) — b39's literals.
+    */
+  private val benfordP = Seq(0.30103, 0.17609, 0.12494, 0.09691,
+    0.07918, 0.06695, 0.05799, 0.05115, 0.04576)
+
+  /** C37's logic: per-event-type Benford chi-square screen — see the
+    * queries-map comment.
+    */
+  def benfordScreen(ev: DataFrame, critical: Double = 15.507): DataFrame = {
+    val counts = ev.filter(col("value") >= 1)
+      .select(col("event_type"),
+        substring(floor(col("value")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("cnt"))
+    val obsCols = (1 to 9).map(i =>
+      sum(when(col("digit") === i, col("cnt")).otherwise(0L))
+        .cast("double").as(s"o$i"))
+    val wide = counts.groupBy(col("event_type"))
+      .agg(obsCols.head, (obsCols.tail :+ sum(col("cnt")).as("n_amounts")): _*)
+    def term(i: Int): Column = {
+      val e = col("n_amounts").cast("double") * lit(benfordP(i - 1))
+      (col(s"o$i") - e) * (col(s"o$i") - e) / e
+    }
+    val chi2 = (1 to 9).map(term).reduceLeft(_ + _)
+    wide.select(col("event_type"), col("n_amounts"),
+      chi2.as("chi2"), (chi2 > lit(critical)).as("benford_flag"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C37: grouped Benford chi-square screen — b39's forensic
+    // first-digit test taken from "one global distribution" to the
+    // per-segment question auditors actually ask: WHICH event type's
+    // amounts look fabricated. Per type, the nine observed digit
+    // counts test against n·p_d via the classic chi-square
+    // Σ (obs−exp)²/exp, flagged at the df=8 α=0.05 critical value
+    // 15.507 — on the generated corpus the statistic STRADDLES the
+    // threshold (8.9…26.5, two types pass, three flag), so both
+    // branches are corpus-exercised (sized in DuckDB before building,
+    // the round-8 rule). Sub-1 amounts are excluded: they carry no
+    // leading digit at integer precision (178 rows at sf0.01).
+    // Portability: digit via bigint-to-string (b39 — no log10);
+    // expectations as the nine shared literals; exp/term/chi2 are
+    // single IEEE ops on identical inputs folded in explicit
+    // left-to-right order; n through an exact long sum (oracle casts
+    // DuckDB's HUGEINT back). Plan: one scan → map-side-combined
+    // ≤45-cell (type, digit) aggregate → 5-row conditional pivot; no
+    // window, no join — scan-bound at any scale.
+    "c37_benford_screen" -> ((s, d) => benfordScreen(t(s, d, "events"))),
 
     // C36: linear multi-touch attribution — which views/clicks get
     // credit for a purchase: every touch by the same user in the 7
@@ -1341,6 +1391,35 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C37: digit via the b39 bigint-to-string spelling; the nine
+      // expectations as the same literals CAST AS DOUBLE (a bare
+      // n*0.30103 with double n promotes anyway, but the cast pins
+      // the §6b rule visibly); chi2 as the identical left-to-right
+      // + chain of single IEEE terms; SUM(cnt) cast back to BIGINT
+      // (DuckDB sums BIGINT into HUGEINT).
+      "c37_benford_screen" -> {
+        val ps = Seq(0.30103, 0.17609, 0.12494, 0.09691,
+          0.07918, 0.06695, 0.05799, 0.05115, 0.04576)
+        val terms = (1 to 9).map { i =>
+          val e = s"(CAST(n_amounts AS DOUBLE) * CAST(${ps(i - 1)} AS DOUBLE))"
+          s"((o$i - $e) * (o$i - $e) / $e)"
+        }.mkString(" + ")
+        val obs = (1 to 9).map(i =>
+          s"CAST(SUM(CASE WHEN digit = $i THEN cnt ELSE 0 END) AS DOUBLE) AS o$i")
+          .mkString(", ")
+        s"""WITH dg AS (
+           |  SELECT event_type,
+           |         CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM events WHERE value >= 1),
+           |c AS (SELECT event_type, digit, COUNT(*) AS cnt FROM dg GROUP BY 1, 2),
+           |w AS (SELECT event_type, $obs,
+           |             CAST(SUM(cnt) AS BIGINT) AS n_amounts
+           |      FROM c GROUP BY event_type)
+           |SELECT event_type, n_amounts, $terms AS chi2,
+           |       ($terms) > CAST(15.507 AS DOUBLE) AS benford_flag
+           |FROM w""".stripMargin
+      },
 
       // C36: the before-relation and the 7-day boundary spelled
       // identically; weight = CAST(1.0 AS DOUBLE)/n (a bare 1.0/n

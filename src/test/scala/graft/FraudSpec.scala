@@ -232,6 +232,41 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C37 Benford screen: uniform digits flag, a Benford-shaped segment passes, sub-1 amounts carry no digit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "uniform": 10 amounts per leading digit (n=90) — chi2 ≈ 36, the
+    // classic fabricated-amounts signature; "benford": the rounded
+    // Benford counts [30,18,12,10,8,7,6,5,4] (n=100) — chi2 < 2; one
+    // 0.5 amount rides along and must not enter either count
+    val uniform = for (d <- 1 to 9; k <- 1 to 10)
+      yield ("uniform", d * 10.0 + k * 0.25)
+    val benford = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4).zipWithIndex.flatMap {
+      case (cnt, i) => Seq.fill(cnt)(("benford", (i + 1) * 10.0 + 3.0))
+    }
+    val ev = (uniform ++ benford :+ (("benford", 0.5)))
+      .toDF("event_type", "value")
+    val out = Fraud.benfordScreen(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_amounts"), r.getAs[Double]("chi2"),
+          r.getAs[Boolean]("benford_flag")))).toMap
+    assert(out("uniform")._1 === 90L && out("benford")._1 === 100L,
+      "the 0.5 amount must be excluded from the counts")
+    assert(out("uniform")._3, s"uniform digits must flag (chi2 ${out("uniform")._2})")
+    assert(out("uniform")._2 > 30.0 && out("uniform")._2 < 45.0)
+    assert(!out("benford")._3,
+      s"the Benford-shaped segment must pass (chi2 ${out("benford")._2})")
+    assert(out("benford")._2 >= 0.0 && out("benford")._2 < 2.0)
+    // real corpus: every segment scores a finite non-negative chi2
+    val corpus = Fraud.queries("c37_benford_screen")(spark, SF).collect()
+    assert(corpus.length === 5)
+    corpus.foreach { x =>
+      assert(x.getAs[Long]("n_amounts") > 0L)
+      assert(x.getAs[Double]("chi2") >= 0.0 &&
+        !x.getAs[Double]("chi2").isNaN)
+    }
+  }
+
   test("C21 burstiness: metronome scores near -1, burst-silence scores positive, all in (-1,1)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
