@@ -670,17 +670,18 @@ object Fraud {
     * queries-map comment.
     */
   def benfordScreen(ev: DataFrame, critical: Double = 15.507): DataFrame = {
-    val counts = ev.filter(col("value") >= 1)
+    val digits = ev.filter(col("value") >= 1)
       .select(col("event_type"),
         substring(floor(col("value")).cast("string"), 1, 1)
           .cast("long").as("digit"))
-      .groupBy(col("event_type"), col("digit"))
-      .agg(count(lit(1)).as("cnt"))
+    // conditional aggregation straight to the 9-column pivot: the
+    // map-side partial is 10 longs per type per partition, ONE
+    // exchange total (a (type, digit) intermediate would add a second)
     val obsCols = (1 to 9).map(i =>
-      sum(when(col("digit") === i, col("cnt")).otherwise(0L))
+      sum(when(col("digit") === i, 1L).otherwise(0L))
         .cast("double").as(s"o$i"))
-    val wide = counts.groupBy(col("event_type"))
-      .agg(obsCols.head, (obsCols.tail :+ sum(col("cnt")).as("n_amounts")): _*)
+    val wide = digits.groupBy(col("event_type"))
+      .agg(obsCols.head, (obsCols.tail :+ count(lit(1)).as("n_amounts")): _*)
     def term(i: Int): Column = {
       val e = col("n_amounts").cast("double") * lit(benfordP(i - 1))
       (col(s"o$i") - e) * (col(s"o$i") - e) / e
@@ -707,9 +708,9 @@ object Fraud {
     // expectations as the nine shared literals; exp/term/chi2 are
     // single IEEE ops on identical inputs folded in explicit
     // left-to-right order; n through an exact long sum (oracle casts
-    // DuckDB's HUGEINT back). Plan: one scan → map-side-combined
-    // ≤45-cell (type, digit) aggregate → 5-row conditional pivot; no
-    // window, no join — scan-bound at any scale.
+    // DuckDB's HUGEINT back). Plan: one scan → ONE conditional-pivot
+    // aggregate (map-side partial = 10 longs per type per partition);
+    // no window, no join — scan-bound at any scale.
     "c37_benford_screen" -> ((s, d) => benfordScreen(t(s, d, "events"))),
 
     // C36: linear multi-touch attribution — which views/clicks get

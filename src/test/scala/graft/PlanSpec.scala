@@ -573,6 +573,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"d23's close must read the staged shingle table, not the corpus\n$f23")
   }
 
+  test("c36/c37: attribution windows share one purchase exchange; the Benford pivot is one exchange, no window") {
+    // c36: the n_touches count window and the last-touch rank window
+    // must ride the SAME purchase_id exchange (a second one means the
+    // two window specs stopped sharing the partitioning); the
+    // candidate join is user-keyed equi — never a cartesian
+    val c36 = SparkEntry.queries("c36_touch_attribution")(spark, SF)
+    c36.collect()
+    val f36 = c36.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!f36.contains("CartesianProduct"), f36)
+    assert("Scan parquet".r.findAllIn(f36).size == 2,
+      s"c36 scans events twice (conv + touch sides), no more\n$f36")
+    assert("hashpartitioning\\(purchase_id".r.findAllIn(f36).size == 1,
+      s"both attribution windows must share ONE purchase_id exchange\n$f36")
+    // c37: one scan into one conditional-pivot aggregate — a (type,
+    // digit) intermediate would add a second exchange; the chi-square
+    // close is row-local arithmetic, so any Window here is a regression
+    val c37 = SparkEntry.queries("c37_benford_screen")(spark, SF)
+    c37.collect()
+    val f37 = c37.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(f37).size == 1, s"c37 one scan\n$f37")
+    assert("Exchange hash".r.findAllIn(f37).size == 1,
+      s"c37 one exchange (the 5-group pivot)\n$f37")
+    assert(!f37.contains("Window"), s"c37 must not window\n$f37")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString
