@@ -245,10 +245,11 @@ object Bench {
     val compaction = compactionStudy(spark, sfDir).map(e => Metric(e._1, e._2))
     val codec = codecStudy(spark, sfDir)
     val layout = layoutStudy(spark, sfDir)
+    val prune = partitionPruneStudy(spark, sfDir)
     val maintenance = maintenanceStudy(spark, sfDir)
     val all: Seq[Metric] = results.map(e => Metric(e._1, e._2)) ++
       streaming ++ bucketed ++ curation ++ annIndex ++
-      compaction ++ codec ++ layout ++ maintenance
+      compaction ++ codec ++ layout ++ prune ++ maintenance
     val scaling = scalingStudy(spark, sfDir,
       all.map(m => m.name -> m.value).toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -389,6 +390,102 @@ object Bench {
         System.err.println(s"[bench] layout study setup failed: ${e.getMessage}")
         Seq(Metric("j4_scan_unsorted", -1.0), Metric("j4_sort_cost", -1.0),
           Metric("j4_scan_sorted", -1.0))
+    }
+  }
+
+  /** j5 layout study: HIVE-PARTITION pruning — the directory-level
+    * sibling of j4's row-group pruning, and the axis A6/A7 build on.
+    * The same events fact is written flat (16 hash files) and
+    * date-partitioned (one file per day via a repartition on the
+    * partition column — 30 directories at any SF, since the generated
+    * corpus spans 30 days); the same one-day scan+aggregate runs
+    * against both. Against the flat layout the day filter reads every
+    * file and drops rows post-decode; against the partitioned one the
+    * FILE LISTING excludes 29/30 directories before a byte moves —
+    * `PartitionFilters` in the plan, bytes ~1/30. At 100 TB this is
+    * the difference between a full-corpus object-store sweep and one
+    * prefix listing; partition pruning composes with j4's
+    * sort-clustering (prune directories, then row groups WITHIN the
+    * day). One-time layout cost as `j5_partition_write_cost`; bytes
+    * metrics carry the evidence locally where seconds are
+    * task-overhead-flat (the j4 lesson).
+    */
+  private def partitionPruneStudy(spark: SparkSession,
+                                  sfDir: String): Seq[Metric] = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_bench_prune")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flatDir = new org.apache.hadoop.fs.Path(base, "flat").toString
+    val partDir = new org.apache.hadoop.fs.Path(base, "bydate").toString
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    var day = ""
+    def scan(dir: String): Unit = spark.read.parquet(dir)
+      .filter(col("event_date") === day)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .write.format("noop").mode("overwrite").save()
+    def settle(): Unit = {
+      var prev = -1L
+      var spins = 0
+      while (bytesRead.get() != prev && spins < 40) {
+        prev = bytesRead.get(); spins += 1; Thread.sleep(50)
+      }
+    }
+    def measuredScan(label: String, dir: String): Seq[Metric] = {
+      val t = time(label)(scan(dir))
+      settle()
+      bytesRead.set(0)
+      scan(dir)
+      settle()
+      Seq(Metric(t._1, t._2),
+        Metric(s"${label}_mb", bytesRead.get() / 1e6, seconds = false))
+    }
+    try {
+      fs.delete(base, true)
+      spark.sparkContext.addSparkListener(listener)
+      val out =
+        try {
+          val ev = Tables.table(spark, sfDir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), to_date(col("ts")).cast("string").as("event_date"))
+          // the probe day: the corpus midpoint, computed once untimed
+          day = ev.selectExpr("min(event_date)").collect().head.getString(0)
+          ev.repartition(16, col("event_id")).write.mode("overwrite")
+            .parquet(flatDir)
+          val cost = time("j5_partition_write_cost")(
+            ev.repartition(col("event_date")).write.mode("overwrite")
+              .partitionBy("event_date").parquet(partDir))
+          time("warmup_flat")(scan(flatDir))
+          measuredScan("j5_scan_flat", flatDir) ++
+            Seq(Metric(cost._1, cost._2)) ++ (
+            if (cost._2 >= 0) {
+              time("warmup_pruned")(scan(partDir))
+              measuredScan("j5_scan_pruned", partDir)
+            } else Seq(Metric("j5_scan_pruned", -1.0)))
+        } finally spark.sparkContext.removeSparkListener(listener)
+      try fs.delete(base, true)
+      catch { case scala.util.control.NonFatal(_) => }
+      out
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] partition-prune study setup failed: ${e.getMessage}")
+        Seq(Metric("j5_scan_flat", -1.0), Metric("j5_partition_write_cost", -1.0),
+          Metric("j5_scan_pruned", -1.0))
     }
   }
 
