@@ -246,10 +246,11 @@ object Bench {
     val codec = codecStudy(spark, sfDir)
     val layout = layoutStudy(spark, sfDir)
     val prune = partitionPruneStudy(spark, sfDir)
+    val colPrune = columnPruneStudy(spark, sfDir)
     val maintenance = maintenanceStudy(spark, sfDir)
     val all: Seq[Metric] = results.map(e => Metric(e._1, e._2)) ++
       streaming ++ bucketed ++ curation ++ annIndex ++
-      compaction ++ codec ++ layout ++ prune ++ maintenance
+      compaction ++ codec ++ layout ++ prune ++ colPrune ++ maintenance
     val scaling = scalingStudy(spark, sfDir,
       all.map(m => m.name -> m.value).toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -293,19 +294,83 @@ object Bench {
     spark.stop()
   }
 
+  /** Bytes an object-store reader must FETCH for a parquet scan,
+    * computed from footer metadata: Σ compressed column-chunk sizes
+    * over the files passing `pathKeep` (partition pruning), the row
+    * groups passing `blockKeep` (min/max predicate pruning — the same
+    * statistics test parquet's own StatisticsFilter runs), and the
+    * columns in `cols` (projection pruning / ReadSchema).
+    *
+    * Why metadata-derived and not a task-metrics listener: on the
+    * local filesystem, parquet data pages are fetched with POSITIONAL
+    * reads that bypass Hadoop FileSystem statistics — measured this
+    * round: a scan decoding a 551 KB text column counts 3.4 KB
+    * (footer stream reads only), vectorized or not. The listener
+    * numbers therefore tracked files-OPENED, not bytes; this helper
+    * reports the quantity the studies actually claim — the bytes a
+    * range-request reader (S3 GET, cache fill, egress) must move.
+    */
+  private def parquetSelectedMb(
+      spark: SparkSession, dir: String, cols: Set[String],
+      blockKeep: org.apache.parquet.hadoop.metadata.BlockMetaData => Boolean = _ => true,
+      pathKeep: org.apache.hadoop.fs.Path => Boolean = _ => true): Double = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    var total = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          pathKeep(f.getPath)) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try rd.getFooter.getBlocks.asScala.foreach { b =>
+          if (blockKeep(b)) b.getColumns.asScala.foreach { c =>
+            if (cols.contains(c.getPath.toDotString)) total += c.getTotalSize
+          }
+        } finally rd.close()
+      }
+    }
+    total / 1e6
+  }
+
+  /** Row-group max of a double column from footer statistics; None when
+    * the stats are absent (callers treat that as "cannot prune" — the
+    * reader's own conservative behavior).
+    */
+  private def blockMax(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                       name: String): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    b.getColumns.asScala.find(_.getPath.toDotString == name).flatMap { c =>
+      val st = c.getStatistics
+      if (st == null || !st.hasNonNullValue) None
+      else st.genericGetMax match {
+        case d: java.lang.Double => Some(d.doubleValue)
+        case f: java.lang.Float  => Some(f.doubleValue)
+        case _                   => None
+      }
+    }
+  }
+
   /** j4 layout study: sort-clustering as a scan-pruning lever. The same
     * events fact is written twice — hash-shuffled (every file's value
     * min/max spans the full range) and range-partitioned +
     * sorted-within-partitions on `value` (each file covers a narrow
     * slice) — and the same ~1%-selectivity scan measured against both:
-    * wall time AND bytes read (`j4_scan_*_mb`, via a task-metrics
-    * listener). Parquet skips row groups whose min/max excludes the
-    * predicate, so the clustered layout reads ~1 file of 16 while the
-    * scattered one decompresses everything; locally the SECONDS are
-    * task-overhead-flat, but the BYTES collapse — and bytes are the
-    * axis that prices an object-store scan (plus cache footprint and
-    * egress) at 100 TB. One-time rewrite cost as `j4_sort_cost`; this
-    * is the single-column form of the Z-order/clustering trade.
+    * wall time AND bytes fetched (`j4_scan_*_mb`). Parquet skips row
+    * groups whose min/max excludes the predicate, so the clustered
+    * layout fetches ~1 narrow slice while the scattered one moves
+    * every value chunk; locally the SECONDS are task-overhead-flat,
+    * but the BYTES collapse — and bytes are the axis that prices an
+    * object-store scan (plus cache footprint and egress) at 100 TB.
+    * The byte metric is footer-metadata-derived ([[parquetSelectedMb]]
+    * with the same min/max test StatisticsFilter applies) because
+    * local positional reads bypass FS statistics — the listener this
+    * study used through round 8 measured files-opened, not bytes.
+    * One-time rewrite cost as `j4_sort_cost`; this is the
+    * single-column form of the Z-order/clustering trade.
     */
   private def layoutStudy(spark: SparkSession,
                           sfDir: String): Seq[Metric] = {
@@ -327,15 +392,6 @@ object Bench {
     val sortedDir = new org.apache.hadoop.fs.Path(base, "sorted").toString
     def writer(df: org.apache.spark.sql.DataFrame) =
       df.write.mode("overwrite")
-    // local seconds are task-overhead-dominated at bench SFs, so the
-    // pruning evidence is BYTES READ (the object-store cost axis):
-    // accumulate input bytes across the scan's tasks via a listener
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
-          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-    }
     // ~1% selectivity pinned to the DATA's own 99th percentile (the
     // value distribution is not unit-range), computed once untimed
     var threshold = 0.0
@@ -343,45 +399,34 @@ object Bench {
       .filter(col("value") >= threshold)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
       .write.format("noop").mode("overwrite").save()
-    // listener events post asynchronously (listenerBus.waitUntilEmpty is
-    // private[spark]); wait for the counter to stop moving
-    def settle(): Unit = {
-      var prev = -1L
-      var spins = 0
-      while (bytesRead.get() != prev && spins < 40) {
-        prev = bytesRead.get(); spins += 1; Thread.sleep(50)
-      }
-    }
+    // the scan decodes only `value` (filter + sum); a row group must be
+    // fetched iff its max(value) survives the predicate — missing stats
+    // fetch (the reader's own conservative rule)
     def measuredScan(label: String, dir: String): Seq[Metric] = {
-      val t = time(s"${label}")(scan(dir))
-      // drain the timed scan's (and warmup's) in-flight task-end events
-      // BEFORE zeroing, or their stragglers land in the measured total
-      settle()
-      bytesRead.set(0)
-      scan(dir)
-      settle()
+      val t = time(label)(scan(dir))
       Seq(Metric(t._1, t._2),
-        Metric(s"${label}_mb", bytesRead.get() / 1e6, seconds = false))
+        Metric(s"${label}_mb",
+          parquetSelectedMb(spark, dir, Set("value"),
+            blockKeep = b => blockMax(b, "value").forall(_ >= threshold)),
+          seconds = false))
     }
     try {
       fs.delete(base, true)
-      spark.sparkContext.addSparkListener(listener)
-      val out =
-        try {
-          val ev = Tables.table(spark, sfDir, "events")
-            .select("event_id", "user_id", "event_type", "ts", "value")
-          threshold = ev.stat.approxQuantile("value", Array(0.99), 0.001).head
-          writer(ev.repartition(16, col("event_id"))).parquet(unsortedDir)
-          val cost = time("j4_sort_cost")(
-            Tables.writeClustered(ev, sortedDir, "value"))
-          time("warmup_unsorted")(scan(unsortedDir))
-          measuredScan("j4_scan_unsorted", unsortedDir) ++
-            Seq(Metric(cost._1, cost._2)) ++ (
-            if (cost._2 >= 0) {
-              time("warmup_sorted")(scan(sortedDir))
-              measuredScan("j4_scan_sorted", sortedDir)
-            } else Seq(Metric("j4_scan_sorted", -1.0)))
-        } finally spark.sparkContext.removeSparkListener(listener)
+      val out = {
+        val ev = Tables.table(spark, sfDir, "events")
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        threshold = ev.stat.approxQuantile("value", Array(0.99), 0.001).head
+        writer(ev.repartition(16, col("event_id"))).parquet(unsortedDir)
+        val cost = time("j4_sort_cost")(
+          Tables.writeClustered(ev, sortedDir, "value"))
+        time("warmup_unsorted")(scan(unsortedDir))
+        measuredScan("j4_scan_unsorted", unsortedDir) ++
+          Seq(Metric(cost._1, cost._2)) ++ (
+          if (cost._2 >= 0) {
+            time("warmup_sorted")(scan(sortedDir))
+            measuredScan("j4_scan_sorted", sortedDir)
+          } else Seq(Metric("j4_scan_sorted", -1.0)))
+      }
       try fs.delete(base, true)
       catch { case scala.util.control.NonFatal(_) => }
       out
@@ -407,8 +452,12 @@ object Bench {
     * prefix listing; partition pruning composes with j4's
     * sort-clustering (prune directories, then row groups WITHIN the
     * day). One-time layout cost as `j5_partition_write_cost`; bytes
-    * metrics carry the evidence locally where seconds are
-    * task-overhead-flat (the j4 lesson).
+    * metrics ([[parquetSelectedMb]], footer-derived — see there for
+    * why not a listener) carry the evidence locally where seconds are
+    * task-overhead-flat (the j4 lesson). Two pruning wins compound in
+    * the metric: 29/30 directories never open, and the partition
+    * column itself rides the directory name — the flat layout decodes
+    * `event_date` chunks the partitioned one doesn't store.
     */
   private def partitionPruneStudy(spark: SparkSession,
                                   sfDir: String): Seq[Metric] = {
@@ -428,56 +477,42 @@ object Bench {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val flatDir = new org.apache.hadoop.fs.Path(base, "flat").toString
     val partDir = new org.apache.hadoop.fs.Path(base, "bydate").toString
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
-          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-    }
     var day = ""
     def scan(dir: String): Unit = spark.read.parquet(dir)
       .filter(col("event_date") === day)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
       .write.format("noop").mode("overwrite").save()
-    def settle(): Unit = {
-      var prev = -1L
-      var spins = 0
-      while (bytesRead.get() != prev && spins < 40) {
-        prev = bytesRead.get(); spins += 1; Thread.sleep(50)
-      }
-    }
-    def measuredScan(label: String, dir: String): Seq[Metric] = {
-      val t = time(label)(scan(dir))
-      settle()
-      bytesRead.set(0)
-      scan(dir)
-      settle()
-      Seq(Metric(t._1, t._2),
-        Metric(s"${label}_mb", bytesRead.get() / 1e6, seconds = false))
-    }
     try {
       fs.delete(base, true)
-      spark.sparkContext.addSparkListener(listener)
-      val out =
-        try {
-          val ev = Tables.table(spark, sfDir, "events")
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              col("value"), to_date(col("ts")).cast("string").as("event_date"))
-          // the probe day: the corpus midpoint, computed once untimed
-          day = ev.selectExpr("min(event_date)").collect().head.getString(0)
-          ev.repartition(16, col("event_id")).write.mode("overwrite")
-            .parquet(flatDir)
-          val cost = time("j5_partition_write_cost")(
-            ev.repartition(col("event_date")).write.mode("overwrite")
-              .partitionBy("event_date").parquet(partDir))
-          time("warmup_flat")(scan(flatDir))
-          measuredScan("j5_scan_flat", flatDir) ++
-            Seq(Metric(cost._1, cost._2)) ++ (
-            if (cost._2 >= 0) {
-              time("warmup_pruned")(scan(partDir))
-              measuredScan("j5_scan_pruned", partDir)
-            } else Seq(Metric("j5_scan_pruned", -1.0)))
-        } finally spark.sparkContext.removeSparkListener(listener)
+      val out = {
+        val ev = Tables.table(spark, sfDir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), to_date(col("ts")).cast("string").as("event_date"))
+        // the probe day: the corpus midpoint, computed once untimed
+        day = ev.selectExpr("min(event_date)").collect().head.getString(0)
+        ev.repartition(16, col("event_id")).write.mode("overwrite")
+          .parquet(flatDir)
+        val cost = time("j5_partition_write_cost")(
+          ev.repartition(col("event_date")).write.mode("overwrite")
+            .partitionBy("event_date").parquet(partDir))
+        time("warmup_flat")(scan(flatDir))
+        // flat: every file decodes the filter column AND the measure;
+        // partitioned: only the matching directory opens, and the
+        // partition column lives in the path (no chunk to fetch)
+        Seq(time("j5_scan_flat")(scan(flatDir))).map(t => Metric(t._1, t._2)) ++
+          Seq(Metric("j5_scan_flat_mb",
+            parquetSelectedMb(spark, flatDir, Set("event_date", "value")),
+            seconds = false)) ++
+          Seq(Metric(cost._1, cost._2)) ++ (
+          if (cost._2 >= 0) {
+            time("warmup_pruned")(scan(partDir))
+            Seq(time("j5_scan_pruned")(scan(partDir))).map(t => Metric(t._1, t._2)) ++
+              Seq(Metric("j5_scan_pruned_mb",
+                parquetSelectedMb(spark, partDir, Set("value"),
+                  pathKeep = _.toString.contains(s"event_date=$day")),
+                seconds = false))
+          } else Seq(Metric("j5_scan_pruned", -1.0)))
+      }
       try fs.delete(base, true)
       catch { case scala.util.control.NonFatal(_) => }
       out
@@ -486,6 +521,60 @@ object Bench {
         System.err.println(s"[bench] partition-prune study setup failed: ${e.getMessage}")
         Seq(Metric("j5_scan_flat", -1.0), Metric("j5_partition_write_cost", -1.0),
           Metric("j5_scan_pruned", -1.0))
+    }
+  }
+
+  /** j6 layout study: COLUMN pruning — the columnar-format win itself,
+    * closing the scan-cost family (j2 small files, j3 codec, j4
+    * row-group pruning, j5 partition pruning). The documents corpus is
+    * read twice with the same row count and grouping shape: once
+    * through `length(text)` (the payload column must decode) and once
+    * through the 8-byte `n_chars` metadata column that carries the
+    * SAME answer (asserted — a metadata column you don't verify is a
+    * metadata column you can't trust). No rewrite, no filter — the
+    * only difference is which columns reach `ReadSchema`, so the byte
+    * gap IS the text payload, the dominant column at any scale. At
+    * 100 TB the lesson is the schema-design one the G1 multimodal
+    * layout already applies: keep typed metadata beside the payload
+    * so statistics queries never touch it — this study prices that
+    * choice (footer-derived bytes per [[parquetSelectedMb]]; local
+    * seconds are task-overhead-flat, the j4 lesson).
+    */
+  private def columnPruneStudy(spark: SparkSession,
+                               sfDir: String): Seq[Metric] = {
+    import org.apache.spark.sql.functions._
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    val docs = s"$sfDir/documents.parquet"
+    def scan(sizeCol: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(docs)
+        .agg(sum(sizeCol).as("chars")).collect().head.getLong(0)
+    try {
+      scan(col("n_chars")) // warmup
+      var wide = 0L
+      var pruned = 0L
+      val tw = time("j6_scan_payload") { wide = scan(length(col("text"))) }
+      val tp = time("j6_scan_pruned") { pruned = scan(col("n_chars")) }
+      if (wide != pruned)
+        System.err.println(
+          s"[bench] j6 metadata-column mismatch: text $wide vs n_chars $pruned")
+      Seq(Metric(tw._1, tw._2),
+        Metric("j6_scan_payload_mb",
+          parquetSelectedMb(spark, docs, Set("text")), seconds = false),
+        Metric(tp._1, tp._2),
+        Metric("j6_scan_pruned_mb",
+          parquetSelectedMb(spark, docs, Set("n_chars")), seconds = false))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] column-prune study setup failed: ${e.getMessage}")
+        Seq(Metric("j6_scan_payload", -1.0), Metric("j6_scan_pruned", -1.0))
     }
   }
 
