@@ -661,9 +661,11 @@ object Fraud {
   }
 
   /** The nine Benford expectations, spelled identically in every
-    * oracle (§6b: never derive constants) — b39's literals.
+    * oracle (§6b: never derive constants) — b39's literals. Shared
+    * with the H31 streaming screen so the two serve paths cannot
+    * drift (the psiFromCells rule).
     */
-  private val benfordP = Seq(0.30103, 0.17609, 0.12494, 0.09691,
+  private[graft] val benfordP = Seq(0.30103, 0.17609, 0.12494, 0.09691,
     0.07918, 0.06695, 0.05799, 0.05115, 0.04576)
 
   /** C37's logic: per-event-type Benford chi-square screen — see the

@@ -379,6 +379,61 @@ object Stateful {
       }
   }
 
+  case class BenfordObs(event_type: String, value: Double)
+  case class BenfordCounts(o: Seq[Long], n: Long)
+  case class BenfordScreenRow(event_type: String, n_amounts: Long,
+                              chi2: Double, benford_flag: Boolean)
+
+  /** H31: streaming Benford screen — the online serve path of the
+    * batch c37 chi-square forensic (Fraud.benfordScreen). State per
+    * event type is the nine first-digit counts plus the qualifying-row
+    * count (80 bytes — type cardinality is single digits, nothing
+    * grows with volume); each micro-batch folds its slice into the
+    * counts and re-emits the type's CURRENT screen row, so the
+    * "which segment's amounts look fabricated" answer stays live as
+    * transactions land instead of waiting for the nightly batch.
+    *
+    * Batch parity is UNCONDITIONAL (the H23 end of the ordering
+    * spectrum): counts are commutative long adds, so any arrival
+    * order, batch split, or replay lands on exactly the batch counts —
+    * and the chi-square close replicates the batch plan's IEEE
+    * arithmetic op for op (obs−n·p_d squared over n·p_d, the nine
+    * shared [[graft.operators.Fraud.benfordP]] literals, explicit
+    * left-to-right term sum), so the served statistic and flag match
+    * c37 at the doubleToLongBits level (StreamingSpec pins it under
+    * reversed arrival). The digit gate is the batch's: value ≥ 1
+    * qualifies, first digit of the floored integer part. A type with
+    * no qualifying rows yet emits nothing (the batch has no group row
+    * either — and χ² over n=0 is undefined).
+    */
+  def benfordScreenStream(ds: Dataset[BenfordObs],
+                          critical: Double = 15.507): Dataset[BenfordScreenRow] = {
+    implicit val outEnc = Encoders.product[BenfordScreenRow]
+    implicit val stateEnc = Encoders.product[BenfordCounts]
+    implicit val keyEnc = Encoders.STRING
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[BenfordCounts, BenfordScreenRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, obs: Iterator[BenfordObs], state: GroupState[BenfordCounts]) =>
+          var st = state.getOption.getOrElse(BenfordCounts(Seq.fill(9)(0L), 0L))
+          obs.foreach { x =>
+            if (x.value >= 1) {
+              val d = math.floor(x.value).toLong.toString.charAt(0) - '0'
+              st = BenfordCounts(st.o.updated(d - 1, st.o(d - 1) + 1L), st.n + 1)
+            }
+          }
+          state.update(st)
+          if (st.n == 0) Iterator.empty
+          else {
+            val chi2 = (0 until 9).map { i =>
+              val e = st.n.toDouble * graft.operators.Fraud.benfordP(i)
+              (st.o(i).toDouble - e) * (st.o(i).toDouble - e) / e
+            }.reduceLeft(_ + _)
+            Iterator(BenfordScreenRow(tpe, st.n, chi2, chi2 > critical))
+          }
+      }
+  }
+
   case class CusumState(s_unscaled: Long)
   case class CusumScore(user_id: Long, event_id: Long, cusum: Double,
                         shift_flag: Boolean)

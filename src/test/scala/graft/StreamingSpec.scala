@@ -881,6 +881,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("H31 streaming Benford screen equals batch c37 exactly under REVERSED arrival") {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val in = tmpDir("graft_benford_in")
+    val ckpt = tmpDir("graft_benford_ckpt")
+    val events = Tables.table(spark, SF, "events")
+    // the real corpus in REVERSED event order across two micro-batches —
+    // the arrival shape that breaks order-dependent folds; commutative
+    // digit counts must not care (the H23 parity class)
+    val obs = events.select(col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+      .sortBy(-_._1)
+    def json(t: (Long, String, Double)) =
+      s"""{"event_type":"${t._2}","value":${t._3}}"""
+    val cut = obs.length / 2
+    Files.writeString(Paths.get(in, "a.json"), obs.take(cut).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), obs.drop(cut).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .as[Stateful.BenfordObs](org.apache.spark.sql.Encoders.product[Stateful.BenfordObs])
+    Stateful.benfordScreenStream(stream)
+      .writeStream.format("memory").queryName("benford_stream")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_amounts"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("chi2")),
+        r.getAs[Boolean]("benford_flag"))
+    // final state per type = the row with the largest n_amounts (monotone)
+    val online = spark.sql("SELECT * FROM benford_stream").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rows) => t -> key(rows.maxBy(_.getAs[Long]("n_amounts"))) }
+    val offline = graft.operators.Fraud.benfordScreen(events).collect()
+      .map(r => r.getAs[String]("event_type") -> key(r)).toMap
+    assert(online === offline,
+      "reversed-arrival streaming screen must equal batch c37 bit-for-bit")
+    // the screen is genuinely incremental: both batches carry every
+    // event type at this corpus size, so revisits must grow the count
+    val twice = spark.sql("SELECT * FROM benford_stream").collect()
+      .groupBy(_.getAs[String]("event_type")).filter(_._2.length >= 2)
+    assert(twice.nonEmpty, "two batches over 5 types must revisit at least one")
+    twice.foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Long]("n_amounts")).sorted
+      assert(ns.distinct.length === ns.length, "revisits must grow the count")
+    }
+  }
+
   test("H14 streaming token-budget gate admits exactly the batch I11 prefix") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
