@@ -98,7 +98,10 @@ object Bench {
     "c31_peer_anomaly", "e21_pq_refine", "f23_pmi_collocations",
     "c32_sequence_motifs", "c33_motif_screen", "d22_shared_passages",
     "c34_decayed_spend", "f23b_pmi_merge", "c35_holt_forecast",
-    "d23_setsim_join", "c36_touch_attribution", "c37_benford_screen")
+    "d23_setsim_join", "c36_touch_attribution", "c37_benford_screen",
+    // structuring screen: pushed band filter (~3% of the fact) + one
+    // user-keyed range window — no join
+    "c39_structuring")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -693,7 +693,53 @@ object Fraud {
       chi2.as("chi2"), (chi2 > lit(critical)).as("benford_flag"))
   }
 
+  /** C39: structuring ("smurfing") screen — users repeatedly placing
+    * amounts JUST UNDER a reporting threshold inside a short window:
+    * the classic layering pattern where one large transfer is split
+    * into several sub-threshold ones (the AML staple that Benford
+    * can't see — each amount alone is unremarkable; the signal is the
+    * repetition of the band). An event flags when its user has ≥
+    * `minCount` in-band amounts in the trailing `windowDays` ending
+    * at it.
+    *
+    * Knobs sized against the corpus (the round-8 rule, DuckDB first):
+    * band [90,100) is ~3% of the exponential-ish amounts, and with
+    * minCount=3 over 7 days the flag set straddles at every SF
+    * (2 of 32 in-band events at sf0.001, 25/295 at sf0.01, 210/2987
+    * at sf0.1) — both branches corpus-exercised, nothing degenerate.
+    *
+    * Determinism: the trailing count is a pure integer over a frame
+    * whose membership is decided in integer MICROSECONDS — the frame
+    * lower bound is `ts − 7d + 1 μs`, i.e. the half-open (ts−7d, ts],
+    * spelled as the same RANGE frame in both engines (epoch_us ↔
+    * unix_micros, the c21 pair); same-microsecond peers are in the
+    * frame on both (RANGE includes peers). Band literals compare
+    * exactly (90/100 are representable).
+    *
+    * Plan: the band filter pushes to the parquet scan (~3% of rows
+    * ever leave it), then ONE user-keyed exchange carries the range
+    * window — no join, no self-pairing; at 100 TB this is a pushed
+    * scan plus a window over a few percent of the fact.
+    */
+  def structuringScreen(ev: DataFrame, lo: Double = 90.0, hi: Double = 100.0,
+                        windowDays: Int = 7, minCount: Int = 3): DataFrame = {
+    val frameLo = -(windowDays * 86400000000L - 1)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(frameLo, 0)
+    ev.filter(col("value") >= lo && col("value") < hi)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .filter(col("n_band") >= minCount)
+      .select(col("user_id"), col("event_id"), col("value"), col("n_band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C39: structuring screen — see structuringScreen's doc: band
+    // filter pushed to the scan, one user exchange, integer range
+    // frame in microseconds; flag set straddles at every SF.
+    "c39_structuring" -> ((s, d) => structuringScreen(t(s, d, "events"))),
 
     // C37: grouped Benford chi-square screen — b39's forensic
     // first-digit test taken from "one global distribution" to the
@@ -1394,6 +1440,23 @@ object Fraud {
           |      FROM events e, (SELECT unnest([0, 1]) AS k) k) t
           |GROUP BY ws, user_id
           |HAVING count(*) >= 2""".stripMargin,
+
+      // C39: the same half-open trailing frame spelled as a RANGE
+      // window over integer microseconds on both engines (epoch_us ↔
+      // unix_micros, the c21 pair); band literals CAST AS DOUBLE per
+      // the §6b rule; the count is a pure integer.
+      "c39_structuring" ->
+        """WITH b AS (
+          |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+          |  FROM events
+          |  WHERE value >= CAST(90.0 AS DOUBLE) AND value < CAST(100.0 AS DOUBLE)),
+          |c AS (
+          |  SELECT user_id, event_id, value,
+          |         count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+          |                        RANGE BETWEEN 604799999999 PRECEDING
+          |                        AND CURRENT ROW) AS n_band
+          |  FROM b)
+          |SELECT user_id, event_id, value, n_band FROM c WHERE n_band >= 3""".stripMargin,
 
       // C37: digit via the b39 bigint-to-string spelling; the nine
       // expectations as the same literals CAST AS DOUBLE (a bare

@@ -267,6 +267,41 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("C39 structuring screen: the third in-band amount flags, band and window edges are exact") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: three in-band within 7 days — only the THIRD event flags
+      (1L, 1L, ts("2024-01-01 00:00:00"), 95.0),
+      (1L, 2L, ts("2024-01-03 00:00:00"), 92.0),
+      (1L, 3L, ts("2024-01-06 00:00:00"), 99.0),
+      // u2: the band is half-open [90, 100) — edges must be exact
+      (2L, 4L, ts("2024-01-01 00:00:00"), 100.0), // hi edge OUT
+      (2L, 5L, ts("2024-01-01 06:00:00"), 89.999), // below lo OUT
+      (2L, 6L, ts("2024-01-02 00:00:00"), 90.0), // lo edge IN
+      (2L, 7L, ts("2024-01-03 00:00:00"), 99.999), // just under hi IN — n=2, no flag
+      // u3: the trailing window is the half-open (ts−7d, ts] — an
+      // event EXACTLY 7 days earlier is outside the frame
+      (3L, 8L, ts("2024-01-01 00:00:00"), 95.0),
+      (3L, 9L, ts("2024-01-08 00:00:00"), 95.0), // frame excludes e8 — n=1
+      // u4: 1 μs inside the edge still counts
+      (4L, 10L, ts("2024-01-01 00:00:00"), 95.0),
+      (4L, 11L, ts("2024-01-07 23:59:59"), 95.0)) // n=2, no flag
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Fraud.structuringScreen(ev).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_band")).toMap
+    assert(out === Map(3L -> 3L),
+      s"only u1's third in-band event reaches minCount=3 (got $out)")
+    // real corpus: the flag set is non-empty and every row satisfies
+    // the rule it was sized to straddle
+    val corpus = Fraud.queries("c39_structuring")(spark, SF).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { x =>
+      assert(x.getAs[Long]("n_band") >= 3L)
+      assert(x.getAs[Double]("value") >= 90.0 && x.getAs[Double]("value") < 100.0)
+    }
+  }
+
   test("C21 burstiness: metronome scores near -1, burst-silence scores positive, all in (-1,1)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

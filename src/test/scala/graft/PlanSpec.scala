@@ -598,6 +598,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!f37.contains("Window"), s"c37 must not window\n$f37")
   }
 
+  test("c39 structuring: band filter pushes to the scan, one user exchange carries the range window") {
+    val df = SparkEntry.queries("c39_structuring")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin).size == 1, s"c39 one scan\n$fin")
+    assert("Exchange hash".r.findAllIn(fin).size == 1,
+      s"c39 one user exchange\n$fin")
+    // the ~3% band predicate must reach the parquet reader: at 100 TB
+    // this is the difference between a window over 3% and over 100%
+    assert(fin.contains("PushedFilters: [IsNotNull(value), GreaterThanOrEqual(value,90.0), LessThan(value,100.0)"),
+      s"c39 band filter must push to the scan\n$fin")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString
