@@ -523,6 +523,93 @@ object Stateful {
       })
   }
 
+  case class StructState(band_us: Seq[Long])
+  case class StructuringAlert(user_id: Long, event_id: Long, value: Double,
+                              n_band: Long)
+
+  /** The per-event H32 arithmetic, shared verbatim by the arrival-order
+    * operator and its reordered variant. Out-of-band events touch
+    * nothing; an in-band event prunes the buffer to the half-open
+    * (ts−window, ts] — safe under the event-time-ordered fold because
+    * later events' windows only move up — and counts itself plus the
+    * survivors, exactly the batch c39 RANGE frame (integer micros,
+    * integer count).
+    */
+  private def structuringStep(lo: Double, hi: Double, windowMicros: Long,
+                              minCount: Int)(st: StructState, e: Ev)
+      : (StructState, Option[StructuringAlert]) =
+    if (e.value < lo || e.value >= hi) (st, None)
+    else {
+      val us = e.ts.toInstant.getEpochSecond * 1000000L +
+        e.ts.toInstant.getNano / 1000L
+      val kept = st.band_us.filter(_ > us - windowMicros)
+      val n = kept.size + 1L
+      (StructState(kept :+ us),
+        if (n >= minCount) Some(StructuringAlert(e.user_id, e.event_id, e.value, n))
+        else None)
+    }
+
+  /** H32: streaming structuring screen — the online serve path of the
+    * batch c39 AML forensic (Fraud.structuringScreen): the alert that
+    * a user just placed their `minCount`-th just-under-threshold
+    * amount inside the trailing window fires ON that transaction, not
+    * in the nightly batch. State per user is the in-band event times
+    * still inside the window — at c39's sized knobs that is ≤5 longs
+    * (the corpus max), and in general bounded by the user's in-band
+    * rate × window, never by history.
+    *
+    * Ordering contract (the H13 rule): rows fold in (ts, event_id)
+    * order within each micro-batch; across batches parity with c39
+    * requires per-user ordered arrival (replay/backfill), and
+    * [[structuringAlertsReordered]] turns that into a guarantee for
+    * disorder within its delay. One stated tie edge: the batch RANGE
+    * frame counts same-MICROSECOND in-band peers into each other's
+    * totals, while a streamed fold can only count the (ts, event_id)-
+    * lex prefix — the served count on such a tie is the prefix count.
+    * No same-μs same-user in-band pair exists at any verify SF (the
+    * spec asserts it), and at microsecond precision the tie needs an
+    * engineered feed.
+    */
+  def structuringAlerts(ds: Dataset[Ev], lo: Double = 90.0, hi: Double = 100.0,
+                        windowDays: Int = 7, minCount: Int = 3)
+      : Dataset[StructuringAlert] = {
+    implicit val outEnc = Encoders.product[StructuringAlert]
+    implicit val stateEnc = Encoders.product[StructState]
+    implicit val keyEnc = Encoders.scalaLong
+    val step = structuringStep(lo, hi, windowDays * 86400000000L, minCount) _
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StructState, StructuringAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[StructState]) =>
+          var st = state.getOption.getOrElse(StructState(Nil))
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+          val out = ordered.flatMap { e =>
+            val (s2, o) = step(st, e)
+            st = s2
+            o
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** H32 under OUT-OF-ORDER arrival: [[structuringAlerts]]' exact step
+    * behind the watermark reorder stage — a late-arriving early event
+    * would otherwise claim the alert its successor earned (the spec's
+    * pinned edge: the flag lands on the wrong transaction, not merely
+    * late).
+    */
+  def structuringAlertsReordered(ds: Dataset[Ev], lo: Double = 90.0,
+      hi: Double = 100.0, windowDays: Int = 7, minCount: Int = 3,
+      delay: String = "10 minutes"): Dataset[StructuringAlert] = {
+    implicit val outEnc = Encoders.product[StructuringAlert]
+    implicit val stEnc = Encoders.product[Reorder[Ev, StructState]]
+    val step = structuringStep(lo, hi, windowDays * 86400000000L, minCount) _
+    reorderedByWatermarkEv[StructState, StructuringAlert](ds, delay,
+      StructState(Nil), (st, e) => step(st, e))
+  }
+
   case class ReactState(last_day: Long, prior_sum_unscaled: Long, prior_n: Long)
   case class ReactivationAlert(user_id: Long, event_id: Long, gap_days: Long,
                                prior_mean: Double, value: Double)

@@ -456,6 +456,76 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("H32 contract edge: a late early event claims its successor's alert; the reorder restores c39") {
+    // u101 in EVENT time: three in-band amounts a minute apart — the
+    // batch flags the THIRD (e3, n=3). Arrival delivers e1 a
+    // micro-batch late: the arrival-order fold counts e2,e3 (no
+    // alert), then e1 against the full buffer — the alert fires on
+    // the WRONG transaction (e1), not merely late
+    val rows = Seq((1L, 101L, "2024-01-01 10:00:00", 95.0),
+      (2L, 101L, "2024-01-01 10:01:00", 92.0),
+      (3L, 101L, "2024-01-01 10:02:00", 99.0))
+    val batches = Seq(
+      Seq(oooJson(2L, 101L, rows(1)._3, 92.0), oooJson(3L, 101L, rows(2)._3, 99.0)),
+      Seq(oooJson(1L, 101L, rows(0)._3, 95.0)))
+    val sentinels = Seq("2024-01-01 11:00:00", "2024-01-01 11:01:00")
+    val offline = graft.operators.Fraud.queries("c39_structuring")(spark, oooBatchDir(rows))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_band")).toMap
+    assert(offline === Map(3L -> 3L), s"batch flags the third event (got $offline)")
+    val plain = runOoo("struct_ooo_plain", batches, sentinels, "event_id, n_band")(
+      Stateful.structuringAlerts(_)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === Map(1L -> 3L),
+      s"the arrival-order fold must mis-attribute the alert (got $plain)")
+    val reordered = runOoo("struct_ooo_reorder", batches, sentinels, "event_id, n_band")(
+      Stateful.structuringAlertsReordered(_)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reordered === offline,
+      s"the watermark reorder must restore the batch flag set (got $reordered)")
+  }
+
+  test("H32 ordered replay serves exactly the batch c39 flag set on the real corpus") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val in = tmpDir("graft_struct_in")
+    val ckpt = tmpDir("graft_struct_ckpt")
+    val events = Tables.table(spark, SF, "events")
+    val obs = events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value")))
+      .sortBy(t => (t._3.toInstant.getEpochSecond, t._3.toInstant.getNano, t._1))
+    // the stated tie precondition: no same-μs same-user in-band pair
+    val ties = obs.filter(t => t._4 >= 90.0 && t._4 < 100.0)
+      .groupBy(t => (t._2, t._3)).values.filter(_.length > 1)
+    assert(ties.isEmpty, "corpus precondition violated: same-μs in-band pair")
+    // ts rides as integer MICROS (JSON timestamp parsing would risk
+    // ms truncation, and the frame edges are decided at μs precision)
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def json(t: (Long, Long, java.sql.Timestamp, Double)) =
+      s"""{"event_id":${t._1},"user_id":${t._2},"ts_us":${micros(t._3)},"value":${t._4}}"""
+    val cut = obs.length / 2
+    Files.writeString(Paths.get(in, "a.json"), obs.take(cut).map(json).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), obs.drop(cut).map(json).mkString("\n"))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .as[Stateful.Ev](org.apache.spark.sql.Encoders.product[Stateful.Ev])
+    Stateful.structuringAlerts(stream)
+      .writeStream.format("memory").queryName("struct_corpus")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val online = spark.sql("SELECT event_id, n_band FROM struct_corpus").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offline = graft.operators.Fraud.queries("c39_structuring")(spark, SF)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_band")).toMap
+    assert(offline.nonEmpty, "the sized corpus must flag")
+    assert(online === offline,
+      "ordered replay must serve exactly the batch flag set")
+  }
+
   test("H22 contract edge: the burst arriving before its history kills the alert; the reorder restores it") {
     // in EVENT time user 1 builds a two-day history then bursts after a
     // 3-day dormancy (the c26 alert); ARRIVAL delivers the burst FIRST,
