@@ -101,7 +101,10 @@ object Bench {
     "d23_setsim_join", "c36_touch_attribution", "c37_benford_screen",
     // structuring screen: pushed band filter (~3% of the fact) + one
     // user-keyed range window — no join
-    "c39_structuring")
+    "c39_structuring",
+    // mergeable sample: per-shard WindowGroupLimit bottom-k + a
+    // k·shards-row TakeOrdered close
+    "i25_sample_merge")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

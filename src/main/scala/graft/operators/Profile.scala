@@ -279,6 +279,39 @@ object Profile {
       .limit(k)
   }
 
+  /** I25: mergeable exact-k sample maintenance — [[uniformSampleK]]
+    * re-derived as BOTTOM-K SKETCH ALGEBRA: each shard keeps its own
+    * k smallest (hk, id) rows independently, the ≤ shards·k survivors
+    * union, and one re-cut of the union's bottom-k returns EXACTLY
+    * the one-shot corpus sample (the global k smallest are each
+    * smallest within their own shard — the law PropertySpec seals
+    * bit-exactly at several shard counts, the f23b merge-twin
+    * pattern). This is what makes the i12 sample maintainable at
+    * 100 TB: per-day/per-datacenter slices sample locally at ingest,
+    * a k·shards-row merge — never a corpus rescan — refreshes the
+    * global sample, and retiring a slice re-merges the survivors.
+    *
+    * Plan: one scan; the per-shard rank compiles to WindowGroupLimit
+    * (per-partition pruning to k before the shard exchange), and the
+    * close is a TakeOrderedAndProject over the ≤ shards·k union —
+    * O(k) on the wire regardless of corpus size.
+    */
+  def sampleMergeK(docs: DataFrame, k: Int = 100, shards: Int = 4,
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("samp:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col(idCol))
+    docs
+      .select(col(idCol), col("source"), h.as("hk"),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("source"), col("hk"))
+      .orderBy(col("hk"), col(idCol))
+      .limit(k)
+  }
+
   /** I17: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis 2006): each row draws u ∈ (0,1] from a salted
     * md5 hash and takes key = −ln(u)/w — order-equivalent to the
@@ -513,6 +546,11 @@ object Profile {
     "i12_uniform_sample_k" -> ((s, d) =>
       uniformSampleK(Tables.table(s, d, "documents"))),
 
+    // I25: the i12 sample via per-shard bottom-k + a k·shards-row
+    // merge — the maintainable-at-scale form; equals i12 exactly.
+    "i25_sample_merge" -> ((s, d) =>
+      sampleMergeK(Tables.table(s, d, "documents"))),
+
     // I17: deterministic weighted (length-proportional) sample.
     "i17_weighted_sample" -> ((s, d) =>
       weightedSampleK(Tables.table(s, d, "documents"))),
@@ -709,6 +747,24 @@ object Profile {
       """SELECT doc_id, source,
         |       CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
         |FROM documents
+        |ORDER BY hk, doc_id
+        |LIMIT 100""".stripMargin,
+
+    // I25: the merge form spelled as it runs — per-shard bottom-k,
+    // union, re-cut; the (hk, doc_id) total order makes every
+    // boundary deterministic. Equals i12's output by the bottom-k
+    // law (PropertySpec seals it in-engine too).
+    "i25_sample_merge" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk,
+        |         doc_id % 4 AS shard
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, hk,
+        |         row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, hk FROM r WHERE rk <= 100
         |ORDER BY hk, doc_id
         |LIMIT 100""".stripMargin,
 

@@ -611,6 +611,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"c39 band filter must push to the scan\n$fin")
   }
 
+  test("i25 sample merge: per-shard WindowGroupLimit prunes before the exchange, TakeOrdered closes") {
+    val df = SparkEntry.queries("i25_sample_merge")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin).size == 1, s"i25 one scan\n$fin")
+    // per-partition rank pruning to k BEFORE the shard exchange — the
+    // property that keeps the merge O(k·shards) on the wire at 100 TB
+    assert(fin.contains("WindowGroupLimit"),
+      s"the per-shard bottom-k must prune via WindowGroupLimit\n$fin")
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"the re-cut must close as TakeOrderedAndProject, not a global sort\n$fin")
+  }
+
   test("e14 recall: evaluation joins stay broadcast/small — never a cartesian") {
     val p = SparkEntry.queries("e14_ann_recall")(spark, SF)
       .queryExecution.executedPlan.toString

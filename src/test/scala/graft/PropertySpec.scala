@@ -383,4 +383,20 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"seed $seed: prefix filtering must be exact - no misses, no extras")
     }
   }
+
+  test("I25 bottom-k merge law: per-shard samples re-cut to EXACTLY the one-shot i12 sample at any shard count") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("hk"))).sortBy(_._1).toSeq
+    val oneShot = rows(graft.operators.Profile.uniformSampleK(docs, k = 37))
+    // the law, not one lucky partitioning: shards = 1 (degenerate),
+    // the operator default 4, and a coprime 7
+    for (shards <- Seq(1, 4, 7)) {
+      val merged = rows(graft.operators.Profile.sampleMergeK(docs, k = 37,
+        shards = shards))
+      assert(merged === oneShot,
+        s"shards=$shards: the merged bottom-k must equal the one-shot sample")
+    }
+  }
 }
