@@ -104,7 +104,10 @@ object Bench {
     "c39_structuring",
     // mergeable sample: per-shard WindowGroupLimit bottom-k + a
     // k·shards-row TakeOrdered close
-    "i25_sample_merge")
+    "i25_sample_merge",
+    // sliding-window HLL: one corpus pass into a checkpointed
+    // days×256 cell table; the trailing merge windows over that only
+    "b45_window_hll")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

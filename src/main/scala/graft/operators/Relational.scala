@@ -506,6 +506,50 @@ object Relational {
         Seq("l_returnflag"))
     }),
 
+    // B45: SLIDING-WINDOW distinct count from mergeable daily HLL
+    // cells — the at-scale form of b42's exact running
+    // COUNT(DISTINCT): "distinct orders shipped in the trailing 60
+    // days, per day". One corpus pass builds (day, bucket, max-rho)
+    // cells; EVERYTHING after operates on the fixed days×256 dense
+    // frame (registers are literals, days come from the data), so the
+    // trailing merge is a per-register RANGE window over day numbers
+    // — register-wise max over the window IS the union sketch, the
+    // b36_hll_merge law applied along the time axis. The close is the
+    // SHARED hllEstimate (grouped by day), so the estimator cannot
+    // drift from the b36 family. At 100 TB: b42's exact form carries
+    // every distinct key into every window; this carries 256
+    // integers per day, however many keys ship. Raw-range accuracy
+    // (NDV ≥ 2.5·m = 640) holds for steady-state windows at sf0.01+
+    // (sized: avg 1357 at sf0.01, 13574 at sf0.1); ramp-up edge days
+    // and sf0.001 sit below raw range — the estimate stays
+    // deterministic and oracle-checked there, the accuracy claim is
+    // what's scoped.
+    "b45_window_hll" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
+      // localCheckpoint (the i23 idiom): the days branch selects FEWER
+      // columns than the register frame, so without the cut the pruned
+      // distinct canonicalizes differently and RE-SCANS the corpus (the
+      // round-8 reuse trap — observed: 2 finalized scans). The cell
+      // table is bounded at days×256 rows regardless of corpus size.
+      val cells = hllObservations(li, "l_orderkey", Seq("ship_day"))
+        .groupBy(col("ship_day"), col("bucket")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      val days = cells.select(col("ship_day")).distinct()
+        .select(col("ship_day"),
+          datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
+      val registers = s.range(0, hllM).select(col("id").as("bucket"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("day_num"))
+        .rangeBetween(-59, 0)
+      val merged = days.crossJoin(registers)
+        .join(cells, Seq("ship_day", "bucket"), "left")
+        .select(col("ship_day"), col("day_num"), col("bucket"),
+          max(col("rho")).over(w).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("ship_day"), col("bucket"), col("r"))
+      hllEstimate(merged, Seq("ship_day"))
+    }),
+
     // B37: histogram quantile sketch — one stats pass (min/max/count:
     // parquet-footer-servable, like b23's calendar) + one histogram
     // pass collapsing map-side to ≤ 64 cells per partition. Compare
@@ -1535,6 +1579,46 @@ object Relational {
     // hash-matching the same SQL.
     "b36_distinct_hll" -> hllOracleSql,
     "b36_hll_merge" -> hllOracleSql,
+
+    // B45: the same cells, densified over days × the 256 register
+    // literals, the same RANGE trailing window, the same estimator
+    // spelling grouped per day. Window max ignores NULLs on both
+    // engines; day numbers are integer date diffs.
+    "b45_window_hll" ->
+      """WITH hk AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT ship_day, h & 255 AS bucket,
+        |         max(53 - length(ltrim(bin(h >> 8), '0'))) AS rho
+        |  FROM hk GROUP BY 1, 2),
+        |days AS (
+        |  SELECT DISTINCT ship_day,
+        |         date_diff('day', DATE '1970-01-01', ship_day) AS day_num
+        |  FROM cells),
+        |regs AS (SELECT range AS bucket FROM range(0, 256)),
+        |dense AS (
+        |  SELECT d.ship_day, d.day_num, r.bucket, c.rho
+        |  FROM days d CROSS JOIN regs r
+        |  LEFT JOIN cells c ON c.ship_day = d.ship_day AND c.bucket = r.bucket),
+        |w AS (
+        |  SELECT ship_day, bucket,
+        |         max(rho) OVER (PARTITION BY bucket ORDER BY day_num
+        |                        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS r
+        |  FROM dense),
+        |s AS (
+        |  SELECT ship_day,
+        |         sum(CAST(1 AS BIGINT) << (53 - r)) AS s_present,
+        |         count(*) AS registers_set
+        |  FROM w WHERE r IS NOT NULL GROUP BY 1)
+        |SELECT ship_day,
+        |       CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |       * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+        |       / CAST(s_present + (256 - registers_set) * CAST(9007199254740992 AS BIGINT) AS DOUBLE)
+        |         AS est_ndv,
+        |       registers_set
+        |FROM s""".stripMargin,
 
     // B36c: the same register/estimator arithmetic per group.
     "b36_hll_grouped" ->

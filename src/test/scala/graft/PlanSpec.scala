@@ -470,6 +470,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"g11 must be join-free (n_matches rides the pair window)\n$fin")
   }
 
+  test("b45 window HLL: the trailing merge never re-scans the corpus") {
+    // the one fact pass happens inside the eager cell checkpoint; the
+    // dense days x 256 frame, the RANGE window and the estimator all
+    // read the <= days x 256-row LogicalRDD. A parquet scan in the
+    // finalized plan means the days branch's pruned distinct broke the
+    // checkpoint cut (the round-8 reuse trap this op was built around)
+    val df = SparkEntry.queries("b45_window_hll")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val finalSection = fin.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 0, s"b45 must read only the checkpointed cells, got $scans\n$fin")
+    assert(finalSection.contains("Scan ExistingRDD"),
+      s"b45 must read the checkpointed cell table\n$fin")
+    val windows = "Window \\[".r.findAllIn(finalSection).size
+    assert(windows == 1, s"exactly one RANGE window (per-register trailing max), got $windows\n$fin")
+  }
+
   test("g12 flat frames: fully row-local — zero exchanges, one scan") {
     // every frame of a media item lives in its one payload row, so the
     // flags AND the longest-run recurrence fold inside the row: any
