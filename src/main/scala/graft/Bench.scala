@@ -105,9 +105,9 @@ object Bench {
     // mergeable sample: per-shard WindowGroupLimit bottom-k + a
     // k·shards-row TakeOrdered close
     "i25_sample_merge",
-    // sliding-window HLL: one corpus pass into a checkpointed
-    // days×256 cell table; the trailing merge windows over that only
-    "b45_window_hll")
+    // sliding-window sketches: one corpus pass into a checkpointed
+    // days×registers cell table; the trailing merge windows over that
+    "b45_window_hll", "b46_window_quantile")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

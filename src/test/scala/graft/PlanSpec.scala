@@ -488,6 +488,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(windows == 1, s"exactly one RANGE window (per-register trailing max), got $windows\n$fin")
   }
 
+  test("b46 window quantile: the trailing merge never re-scans the corpus") {
+    // same contract as b45: the one fact pass lives in the eager cell
+    // checkpoint; the dense frame, trailing sum, per-day totals and
+    // crossing all read the <= days x 64-row LogicalRDD
+    val df = SparkEntry.queries("b46_window_quantile")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val finalSection = fin.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 0, s"b46 must read only the checkpointed cells, got $scans\n$fin")
+    assert(finalSection.contains("Scan ExistingRDD"),
+      s"b46 must read the checkpointed cell table\n$fin")
+  }
+
   test("g12 flat frames: fully row-local — zero exchanges, one scan") {
     // every frame of a media item lives in its one payload row, so the
     // flags AND the longest-run recurrence fold inside the row: any
