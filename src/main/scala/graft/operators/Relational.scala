@@ -266,6 +266,46 @@ object Relational {
           .as("est_value"))
   }
 
+  /** B45/H33 shared: per-day HLL register cells over `keyed`
+    * (ship_day, keyCol). Register-wise max is associative, commutative
+    * AND idempotent, so daily cells merge across any slicing — loads,
+    * micro-batches, replays — into the same table; H33 leans on the
+    * idempotence specifically (a replayed batch double-landing its
+    * cells cannot change a max).
+    */
+  def dailyHllCells(keyed: DataFrame, keyCol: String): DataFrame =
+    hllObservations(keyed, keyCol, Seq("ship_day"))
+      .groupBy(col("ship_day"), col("bucket")).agg(max(col("rho")).as("rho"))
+
+  /** B45/H33 shared close: trailing-`windowDays` distinct-count
+    * estimates per day from daily register cells. The cell table is
+    * eagerly checkpointed FIRST (the i23 idiom): the days branch
+    * selects fewer columns than the register frame, so without the cut
+    * the pruned distinct canonicalizes differently and RE-SCANS the
+    * upstream (observed as 2 finalized corpus scans in the first b45
+    * build). Everything after operates on the ≤ days×256-row frame:
+    * the trailing union is a per-register RANGE-window max (the
+    * b36_hll_merge law along the time axis), closed by the shared
+    * [[hllEstimate]].
+    */
+  def windowHllFromCells(rawCells: DataFrame, windowDays: Int = 60): DataFrame = {
+    val s = rawCells.sparkSession
+    val cells = rawCells.localCheckpoint(true)
+    val days = cells.select(col("ship_day")).distinct()
+      .select(col("ship_day"),
+        datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
+    val registers = s.range(0, hllM).select(col("id").as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1), 0)
+    val merged = days.crossJoin(registers)
+      .join(cells, Seq("ship_day", "bucket"), "left")
+      .select(col("ship_day"), col("day_num"), col("bucket"),
+        max(col("rho")).over(w).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("ship_day"), col("bucket"), col("r"))
+    hllEstimate(merged, Seq("ship_day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: JSON field extraction from raw event payloads
@@ -527,27 +567,7 @@ object Relational {
     "b45_window_hll" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
-      // localCheckpoint (the i23 idiom): the days branch selects FEWER
-      // columns than the register frame, so without the cut the pruned
-      // distinct canonicalizes differently and RE-SCANS the corpus (the
-      // round-8 reuse trap — observed: 2 finalized scans). The cell
-      // table is bounded at days×256 rows regardless of corpus size.
-      val cells = hllObservations(li, "l_orderkey", Seq("ship_day"))
-        .groupBy(col("ship_day"), col("bucket")).agg(max(col("rho")).as("rho"))
-        .localCheckpoint(true)
-      val days = cells.select(col("ship_day")).distinct()
-        .select(col("ship_day"),
-          datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
-      val registers = s.range(0, hllM).select(col("id").as("bucket"))
-      val w = Window.partitionBy(col("bucket")).orderBy(col("day_num"))
-        .rangeBetween(-59, 0)
-      val merged = days.crossJoin(registers)
-        .join(cells, Seq("ship_day", "bucket"), "left")
-        .select(col("ship_day"), col("day_num"), col("bucket"),
-          max(col("rho")).over(w).as("r"))
-        .filter(col("r").isNotNull)
-        .select(col("ship_day"), col("bucket"), col("r"))
-      hllEstimate(merged, Seq("ship_day"))
+      windowHllFromCells(dailyHllCells(li, "l_orderkey"))
     }),
 
     // B46: SLIDING-WINDOW quantiles from mergeable daily histogram

@@ -78,6 +78,60 @@ object SketchStream {
     Relational.cmsThresholdEstimate(keyed, merged, keyCol, threshold)
   }
 
+  /** H33: streaming WINDOWED-distinct maintenance — B45's daily HLL
+    * register cells kept up to date by the stream, so trailing-window
+    * distinct counts are served from ≤ days×256 integer cells without
+    * re-scanning raw history.
+    *
+    * Same exactly-once-by-layout sink as [[maintainCms]], with one
+    * strictly stronger property: register max is IDEMPOTENT, not just
+    * associative+commutative, so even a batch that double-lands its
+    * cells (the failure dynamic overwrite exists to fence) could not
+    * change a served value — the layout discipline is kept for
+    * uniformity, but the algebra no longer depends on it. Serving
+    * merges cells across batch partitions by (day, bucket) max and
+    * runs the SHARED [[Relational.windowHllFromCells]] close, so the
+    * served report is BIT-IDENTICAL to the one-shot batch b45 over the
+    * same rows, whatever the batching (spec'd at doubleToLongBits).
+    *
+    * Scale: per batch the exchange carries ≤ touched-days×256 cells;
+    * retention is structural — cells are keyed by day, so aging out
+    * history older than the serve horizon is a partition drop, not a
+    * fold (contrast [[consolidateCells]]).
+    */
+  def maintainDailyHll(stream: DataFrame, keyCol: String, dayCol: String,
+                       cellsDir: String, checkpoint: String): StreamingQuery = {
+    graft.sources.Tables.recoverCrashedSwap(stream.sparkSession, cellsDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Relational.dailyHllCells(
+            batch.select(col(dayCol).as("ship_day"), col(keyCol)), keyCol)
+          .withColumn("batch_id", lit(id))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve per-day trailing-window distinct-count estimates from the
+    * maintained cell table: (day, bucket) max across batch partitions
+    * (idempotent — exact under any replay), then the shared B45 close.
+    */
+  def windowDistinctFromCells(spark: org.apache.spark.sql.SparkSession,
+                              cellsDir: String,
+                              windowDays: Int = 60): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    val merged = spark.read.parquet(cellsDir)
+      .groupBy(col("ship_day"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    Relational.windowHllFromCells(merged, windowDays)
+  }
+
   /** Retention for the cell table: under a long-lived stream the
     * `batch_id=` partitions grow without bound (one per micro-batch
     * forever), so listing cost — not data size — eventually dominates

@@ -145,6 +145,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "an absent key must estimate 0, not ride a colliding cell")
   }
 
+  test("H33 streaming windowed-HLL maintenance equals the one-shot batch b45 exactly") {
+    import org.apache.spark.sql.types.{DateType, LongType, StructField, StructType}
+    val in = tmpDir("graft_whll_in")
+    val ckpt = tmpDir("graft_whll_ckpt")
+    val cells = tmpDir("graft_whll_cells")
+    val li = Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
+    // random 4-way split: every file carries a slice of MANY days, so
+    // the serve path's cross-batch (day, bucket) max merge is real
+    li.repartition(4).write.mode("overwrite").json(in)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ship_day", DateType),
+        StructField("l_orderkey", LongType))))
+      .option("maxFilesPerTrigger", 1).json(in)
+    SketchStream.maintainDailyHll(stream, "l_orderkey", "ship_day", cells, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(cells).select("batch_id").distinct().count() > 1,
+      "stream must have run as multiple micro-batches")
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2))
+    val served = SketchStream.windowDistinctFromCells(spark, cells)
+      .collect().map(key).toSet
+    val batch = graft.operators.Relational.queries("b45_window_hll")(spark, SF)
+      .collect().map(key).toSet
+    assert(served === batch,
+      "the maintained windowed sketch must reproduce batch b45 bit-exactly")
+    assert(served.nonEmpty)
+  }
+
   test("H12 retention: consolidating aged cell batches leaves served estimates identical") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val in = tmpDir("graft_cmsret_in")
