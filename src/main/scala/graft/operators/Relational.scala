@@ -229,7 +229,7 @@ object Relational {
     * itself is parquet-footer-servable at 100 TB (min/max/count
     * statistics), which is why ONE evaluation is the right cost model.
     */
-  private def histStats(df: DataFrame, valueCol: String): DataFrame = {
+  private[graft] def histStats(df: DataFrame, valueCol: String): DataFrame = {
     val row = df.agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
       count(lit(1)).as("n")).head()
     if (row.isNullAt(0)) // empty input: trivial stats, no NaN/ANSI throw
@@ -263,6 +263,62 @@ object Relational {
           (col("bucket").cast("double") +
             (col("quantile") * col("n").cast("double")
               - (col("cum") - col("cnt")).cast("double")) / col("cnt").cast("double")))
+          .as("est_value"))
+  }
+
+  /** B46 shared: per-day histogram cells over `keyed` (ship_day,
+    * valueCol) against the GLOBAL [lo, hi] stats grid — grid sharing
+    * is what makes cells mergeable across days (b37_hist_merge's
+    * cell-wise integer addition along the time axis).
+    */
+  def dailyHistCells(keyed: DataFrame, valueCol: String,
+                     stats: DataFrame): DataFrame =
+    keyed.crossJoin(stats)
+      .select(col("ship_day"), histBucket(col(valueCol)).as("bucket"))
+      .groupBy(col("ship_day"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** B46 shared close: trailing-`windowDays` interpolated quantiles
+    * per day from daily histogram cells. Checkpoint-first for the same
+    * reason as [[windowHllFromCells]]; the trailing union is a
+    * per-bucket RANGE-window integer sum, the per-day total/crossing/
+    * interpolation are b37's close keyed by ship_day with n coming
+    * from the window total instead of a stats join.
+    */
+  def windowQuantileFromCells(rawCells: DataFrame, stats: DataFrame,
+                              windowDays: Int = 60,
+                              qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val s = rawCells.sparkSession
+    val cells = rawCells.localCheckpoint(true)
+    val days = cells.select(col("ship_day")).distinct()
+      .select(col("ship_day"),
+        datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
+    val buckets = s.range(0, histNb).select(col("id").as("bucket"))
+    val trail = Window.partitionBy(col("bucket")).orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1), 0)
+    val wcells = days.crossJoin(buckets)
+      .join(cells, Seq("ship_day", "bucket"), "left")
+      .select(col("ship_day"), col("day_num"), col("bucket"),
+        sum(col("cnt")).over(trail).as("wcnt"))
+      .filter(col("wcnt").isNotNull)
+    val quantiles = s.range(1).select(
+      explode(array(qs.map(lit(_)): _*)).as("quantile"))
+    wcells
+      .withColumn("n", sum(col("wcnt")).over(
+        Window.partitionBy(col("ship_day"))))
+      .withColumn("cum", sum(col("wcnt")).over(
+        Window.partitionBy(col("ship_day")).orderBy(col("bucket"))))
+      .crossJoin(broadcast(quantiles))
+      .filter(col("cum").cast("double") >= col("quantile") * col("n").cast("double"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ship_day"), col("quantile"))
+          .orderBy(col("bucket"))))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(stats.select(col("lo"), col("hi"))))
+      .select(col("ship_day"), col("quantile"),
+        (col("lo") + (col("hi") - col("lo")) / lit(64.0) *
+          (col("bucket").cast("double") +
+            (col("quantile") * col("n").cast("double")
+              - (col("cum") - col("wcnt")).cast("double")) / col("wcnt").cast("double")))
           .as("est_value"))
   }
 
@@ -588,41 +644,8 @@ object Relational {
       val li = t(s, d, "lineitem")
         .select(to_date(col("l_shipdate")).as("ship_day"), col("l_extendedprice"))
       val stats = histStats(li, "l_extendedprice")
-      val cells = li.crossJoin(stats)
-        .select(col("ship_day"), histBucket(col("l_extendedprice")).as("bucket"))
-        .groupBy(col("ship_day"), col("bucket")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
-      val days = cells.select(col("ship_day")).distinct()
-        .select(col("ship_day"),
-          datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
-      val buckets = s.range(0, histNb).select(col("id").as("bucket"))
-      val trail = Window.partitionBy(col("bucket")).orderBy(col("day_num"))
-        .rangeBetween(-59, 0)
-      val wcells = days.crossJoin(buckets)
-        .join(cells, Seq("ship_day", "bucket"), "left")
-        .select(col("ship_day"), col("day_num"), col("bucket"),
-          sum(col("cnt")).over(trail).as("wcnt"))
-        .filter(col("wcnt").isNotNull)
-      val quantiles = s.range(1).select(
-        explode(array(Seq(0.5, 0.95).map(lit(_)): _*)).as("quantile"))
-      wcells
-        .withColumn("n", sum(col("wcnt")).over(
-          Window.partitionBy(col("ship_day"))))
-        .withColumn("cum", sum(col("wcnt")).over(
-          Window.partitionBy(col("ship_day")).orderBy(col("bucket"))))
-        .crossJoin(broadcast(quantiles))
-        .filter(col("cum").cast("double") >= col("quantile") * col("n").cast("double"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("ship_day"), col("quantile"))
-            .orderBy(col("bucket"))))
-        .filter(col("rn") === 1)
-        .crossJoin(broadcast(stats.select(col("lo"), col("hi"))))
-        .select(col("ship_day"), col("quantile"),
-          (col("lo") + (col("hi") - col("lo")) / lit(64.0) *
-            (col("bucket").cast("double") +
-              (col("quantile") * col("n").cast("double")
-                - (col("cum") - col("wcnt")).cast("double")) / col("wcnt").cast("double")))
-            .as("est_value"))
+      windowQuantileFromCells(
+        dailyHistCells(li, "l_extendedprice", stats), stats)
     }),
 
     // B37: histogram quantile sketch — one stats pass (min/max/count:

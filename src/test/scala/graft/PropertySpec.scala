@@ -384,6 +384,43 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B45/B46 closure law: window >= span makes the last day the GLOBAL sketch exactly") {
+    // the windowed sketches are the global ones restricted to a
+    // trailing frame — at windowDays >= the corpus span the last day's
+    // frame covers everything, so its row must be bit-identical to the
+    // one-shot b36/b37 estimates (same registers, same estimator
+    // spelling). Seals that the window forms cannot drift from the
+    // family they extend.
+    import org.apache.spark.sql.functions.{max => fmax, to_date}
+    import java.lang.Double.doubleToLongBits
+    val R = graft.operators.Relational
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+    val wide = 1000000
+    val keyedH = li.select(to_date(col("l_shipdate")).as("ship_day"),
+      col("l_orderkey"))
+    val winH = R.windowHllFromCells(R.dailyHllCells(keyedH, "l_orderkey"), wide)
+    val lastDay = winH.agg(fmax(col("ship_day"))).head().getDate(0)
+    val lastH = winH.filter(col("ship_day") === lastDay).head()
+    val globalH = R.queries("b36_distinct_hll")(spark, SF).head()
+    assert(doubleToLongBits(lastH.getDouble(1)) ===
+      doubleToLongBits(globalH.getDouble(0)),
+      "all-span windowed HLL estimate must equal the global b36 estimate")
+    assert(lastH.getLong(2) === globalH.getLong(1))
+    val keyedQ = li.select(to_date(col("l_shipdate")).as("ship_day"),
+      col("l_extendedprice"))
+    val stats = R.histStats(keyedQ, "l_extendedprice")
+    val winQ = R.windowQuantileFromCells(
+      R.dailyHistCells(keyedQ, "l_extendedprice", stats), stats, wide)
+    val lastQ = winQ.filter(col("ship_day") === lastDay).collect()
+      .map(r => r.getDouble(1) -> doubleToLongBits(r.getDouble(2))).toMap
+    val globalQ = R.queries("b37_quantile_hist")(spark, SF).collect()
+      .map(r => r.getDouble(0) -> doubleToLongBits(r.getDouble(1))).toMap
+    Seq(0.5, 0.95).foreach { q =>
+      assert(lastQ(q) === globalQ(q),
+        s"all-span windowed q=$q must equal the global b37 estimate")
+    }
+  }
+
   test("I25 bottom-k merge law: per-shard samples re-cut to EXACTLY the one-shot i12 sample at any shard count") {
     val docs = graft.sources.Tables.table(spark, SF, "documents")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
