@@ -107,7 +107,9 @@ object Bench {
     "i25_sample_merge",
     // sliding-window sketches: one corpus pass into a checkpointed
     // days×registers cell table; the trailing merge windows over that
-    "b45_window_hll", "b46_window_quantile")
+    "b45_window_hll", "b46_window_quantile",
+    // seasonal forecast: one (type, day) aggregate + an in-row fold
+    "c40_holt_winters")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since
@@ -248,7 +250,7 @@ object Bench {
       }
     }
     val streaming = streamingThroughput(spark, sfDir)
-    val bucketed = bucketedJoinStudy(spark, sfDir).map(e => Metric(e._1, e._2))
+    val bucketed = bucketedJoinStudy(spark, sfDir)
     val curation = curationGateStudy(spark, sfDir).map(e => Metric(e._1, e._2))
     val annIndex = annIndexStudy(spark, sfDir).map(e => Metric(e._1, e._2))
     val compaction = compactionStudy(spark, sfDir).map(e => Metric(e._1, e._2))
@@ -1111,12 +1113,44 @@ object Bench {
     * with NO Exchange — the write-once-join-many deployment for 100 TB
     * facts. Bucket write time is setup, not measured: it amortizes over
     * every subsequent join. Reported as `j1_factjoin_shuffle` /
-    * `j1_factjoin_bucketed` over the same aggregation.
+    * `j1_factjoin_bucketed` over the same aggregation, plus `_mb`
+    * twins carrying the executed plan's own shuffle-WRITE SQLMetrics
+    * (the j4 lesson applied to the wire instead of the scan: local
+    * SECONDS are task-overhead-flat, but the bytes a fact-fact join
+    * moves across the cluster per run — vs ~0 bucketed — are the
+    * quantity the layout buys at 100 TB; the broadcast threshold is
+    * disabled during the byte pass so the plain side exercises the
+    * real both-sides exchange instead of a small-SF broadcast).
     */
   private def bucketedJoinStudy(spark: SparkSession,
-                                sfDir: String): Seq[(String, Double)] = {
+                                sfDir: String): Seq[Metric] = {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
+    // shuffle bytes WRITTEN by the finalized plan of df's own execution
+    // (never a .write's separate QueryExecution — the round-7 rule):
+    // walk adaptive stages, dedup shared stage objects, skip reused
+    // exchanges (their metrics alias the original's)
+    def shuffleWriteMb(df: org.apache.spark.sql.DataFrame): Double = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val seen = scala.collection.mutable.Set[Int]()
+      var bytes = 0L
+      def walk(p: SparkPlan): Unit = {
+        if (!seen.add(System.identityHashCode(p))) return
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _: ReusedExchangeExec => ()
+          case other =>
+            other.metrics.get("shuffleBytesWritten").foreach(m => bytes += m.value)
+            other.children.foreach(walk)
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+      bytes / 1e6
+    }
     def joined(li: org.apache.spark.sql.DataFrame,
                o: org.apache.spark.sql.DataFrame) =
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -1163,12 +1197,26 @@ object Bench {
               .write.format("noop").mode("overwrite").save()
           }
         }
+      // untimed byte pass: same joins, broadcast disabled so the plain
+      // variant pays the real two-sided key exchange it would at scale
+      val mbs =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          Seq(
+            Metric("j1_factjoin_shuffle_mb", shuffleWriteMb(
+              joined(Tables.table(spark, sfDir, "lineitem").select("l_orderkey", "l_extendedprice"),
+                     Tables.table(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus"))),
+              seconds = false),
+            Metric("j1_factjoin_bucketed_mb", shuffleWriteMb(
+              joined(spark.table("graft_bench_li_bkt"), spark.table("graft_bench_o_bkt"))),
+              seconds = false))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       try dropBucketTables() catch { case scala.util.control.NonFatal(_) => }
-      runs.filterNot(_._1.startsWith("warmup"))
+      runs.filterNot(_._1.startsWith("warmup")).map(e => Metric(e._1, e._2)) ++ mbs
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] bucketed study setup failed: ${e.getMessage}")
-        Seq("j1_factjoin_shuffle" -> -1.0, "j1_factjoin_bucketed" -> -1.0)
+        Seq(Metric("j1_factjoin_shuffle", -1.0), Metric("j1_factjoin_bucketed", -1.0))
     }
   }
 

@@ -636,6 +636,69 @@ object Fraud {
         (col("st.s") + col("st.b")).as("forecast"))
   }
 
+  /** C40's logic: Holt-Winters ADDITIVE SEASONAL smoothing over each
+    * event type's daily-total series — the seasonal member closing the
+    * smoothing family (C16 EWMA → C35 Holt → this). The §6b dyadic
+    * recipe extended to three-component state: α=β=γ=½ makes every
+    * update a subtract/add/halve chain (IEEE-exact given a pinned op
+    * order), the daily totals enter as order-independent DECIMAL sums
+    * cast to double once, and the season slot is the CALENDAR day
+    * number mod 7 (not sequence position — a missing day must not
+    * rotate the seasonality), so gaps in a sparse series leave the
+    * slot assignment intact. State: level s, trend b, seven additive
+    * season components c₀..c₆, count n. Update at value v in slot j:
+    *   s' = ((v − c_j) + (s + b)) / 2
+    *   b' = ((s' − s) + b) / 2
+    *   c_j' = ((v − s') + c_j) / 2
+    * first value: s = v, b = 0, c = 0⃗. Forecast one day ahead:
+    * s + b + c_{(last_day+1) mod 7}. The DuckDB twin folds the same
+    * recurrence with a 10-element LIST accumulator [s, b, c₁..c₇, n]
+    * (c35's list_reduce technique), s' spelled identically in every
+    * position it appears. Scale: the fold runs over ≤|types| groups of
+    * ≤|days| cells — the fact collapses in the one daily aggregate.
+    */
+  def holtWintersForecast(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("1970-01-01")).cast("long").as("day_num"),
+        col("v"))
+    val zeros = array((0 until 7).map(_ => lit(0.0)): _*)
+    val init = struct(lit(0.0).as("s"), lit(0.0).as("b"),
+      zeros.as("cs"), lit(0.0).as("n"))
+    val step = (acc: Column, x: Column) => {
+      val j = (x.getField("day_num") % 7).cast("int")
+      val v = x.getField("v")
+      val cj = element_at(acc.getField("cs"), j + 1)
+      val sPrev = acc.getField("s")
+      val bPrev = acc.getField("b")
+      val sNew = ((v - cj) + (sPrev + bPrev)) / 2.0
+      when(acc.getField("n") === 0.0,
+        struct(v.as("s"), lit(0.0).as("b"), acc.getField("cs").as("cs"),
+          lit(1.0).as("n")))
+        .otherwise(struct(
+          sNew.as("s"),
+          (((sNew - sPrev)) + bPrev) / 2.0 as "b",
+          transform(acc.getField("cs"),
+            (c, i) => when(i === j, ((v - sNew) + cj) / 2.0).otherwise(c))
+            .as("cs"),
+          (acc.getField("n") + 1.0).as("n")))
+    }
+    daily.groupBy(col("event_type"))
+      .agg(max(col("day_num")).as("last_day"),
+        array_sort(collect_list(struct(col("day_num"), col("v")))).as("es"))
+      .select(col("event_type"), col("last_day"),
+        aggregate(col("es"), init, step).as("st"))
+      .select(col("event_type"),
+        col("st.n").cast("long").as("n_days"),
+        col("st.s").as("level"), col("st.b").as("trend"),
+        (col("st.s") + col("st.b") +
+          element_at(col("st.cs"),
+            ((col("last_day") + 1) % 7).cast("int") + 1)).as("forecast"))
+  }
+
   /** C36's logic: linear multi-touch attribution — see the queries-map
     * comment.
     */
@@ -789,6 +852,14 @@ object Fraud {
     // through list_reduce with a LIST-typed [s, b, n] accumulator —
     // the struct-state fold technique, new to the oracle toolbox.
     "c35_holt_forecast" -> ((s, d) => holtForecast(t(s, d, "events"))),
+
+    // C40: Holt-Winters additive seasonal forecast per event type —
+    // the smoothing family's seasonal close (see holtWintersForecast:
+    // dyadic α=β=γ=1/2, calendar-mod-7 season slots, a 9-component
+    // struct state folded over ≤|days| daily decimal totals). The
+    // corpus is sized for it: every type has a dense 30-day series at
+    // both verify SFs, so all seven slots update 4+ times.
+    "c40_holt_winters" -> ((s, d) => holtWintersForecast(t(s, d, "events"))),
 
     // C34: recency-weighted spend — the feature-store staple "how much
     // does this user spend NOW": each event's value decays by a 1-day
@@ -1542,6 +1613,39 @@ object Fraud {
           |SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
           |       st[1] + st[2] AS forecast
           |FROM folded""".stripMargin,
+
+      // C40: the Holt-Winters fold — c35's list_reduce technique with
+      // a 10-element accumulator [s, b, c1..c7, n] and the calendar
+      // slot j = day_num % 7 indexing a[3+j]; s' is ONE interpolated
+      // string reused in the level, trend and every season arm, so the
+      // IEEE op order cannot drift between positions or engines.
+      "c40_holt_winters" -> {
+        val sNew = "((x[2] - a[3 + CAST(CAST(x[1] AS BIGINT) % 7 AS INT)]) + (a[1] + a[2])) / 2.0"
+        val seasonArms = (0 to 6).map(k =>
+          s"CASE WHEN CAST(x[1] AS BIGINT) % 7 = $k THEN ((x[2] - ($sNew)) + a[${3 + k}]) / 2.0 ELSE a[${3 + k}] END")
+          .mkString(",\n               ")
+        s"""WITH daily AS (
+           |  SELECT event_type,
+           |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |folded AS (
+           |  SELECT event_type, max(day_num) AS last_day,
+           |         list_reduce(
+           |           list_prepend([${Seq.fill(10)("CAST(0 AS DOUBLE)").mkString(", ")}],
+           |             list([CAST(day_num AS DOUBLE), v] ORDER BY day_num)),
+           |           (a, x) -> CASE WHEN a[10] = 0
+           |             THEN [x[2], ${Seq.fill(8)("CAST(0 AS DOUBLE)").mkString(", ")}, CAST(1 AS DOUBLE)]
+           |             ELSE [$sNew,
+           |               ((($sNew) - a[1]) + a[2]) / 2.0,
+           |               $seasonArms,
+           |               a[10] + 1] END) AS st
+           |  FROM daily GROUP BY event_type)
+           |SELECT event_type, CAST(st[10] AS BIGINT) AS n_days,
+           |       st[1] AS level, st[2] AS trend,
+           |       st[1] + st[2] + st[3 + CAST((last_day + 1) % 7 AS INT)] AS forecast
+           |FROM folded""".stripMargin
+      },
 
       // C34: the dyadic-decay recipe — integer shift weights, exact
       // decimal products/sums, one closing power-of-two division; the

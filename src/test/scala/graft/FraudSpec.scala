@@ -643,6 +643,53 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) === ((42L, 2.0, 0.0, 2.0)))
   }
 
+  test("C40 Holt-Winters: the seasonal recurrence matches a driver fold bit-exactly; the spike slot carries the forecast") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    // 22 consecutive days, one event per day: 8.0 baseline with a 64.0
+    // spike every 7th day (offsets 1, 8, 15). The NEXT day (offset 22)
+    // lands on the spike slot, so the one-step forecast must carry the
+    // learned positive season component — the signal Holt's
+    // level+trend structurally cannot see.
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 to 21).map { i =>
+      val v = if (i % 7 == 1) 64.0 else 8.0
+      (100L + i, 1L, start.plusDays(i).toString + " 09:00:00", v)
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("value"),
+        org.apache.spark.sql.functions.lit("purchase").as("event_type"))
+    // reference: the identical recurrence folded driver-side
+    var s = 0.0; var b = 0.0; val c = Array.fill(7)(0.0); var n = 0.0
+    rows.foreach { case (_, _, ts, v) =>
+      val dn = java.time.LocalDate.parse(ts.take(10)).toEpochDay
+      val j = (dn % 7).toInt
+      if (n == 0.0) { s = v; n = 1.0 }
+      else {
+        val sN = ((v - c(j)) + (s + b)) / 2.0
+        val bN = ((sN - s) + b) / 2.0
+        c(j) = ((v - sN) + c(j)) / 2.0
+        s = sN; b = bN; n += 1.0
+      }
+    }
+    val nextSlot = ((start.plusDays(22).toEpochDay) % 7).toInt
+    val want = s + b + c(nextSlot)
+    val out = Fraud.holtWintersForecast(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    assert(r.getAs[Long]("n_days") === 22L)
+    assert(bits(r.getAs[Double]("level")) === bits(s))
+    assert(bits(r.getAs[Double]("trend")) === bits(b))
+    assert(bits(r.getAs[Double]("forecast")) === bits(want))
+    // the seasonal component is doing real work: the spike-slot bump
+    // is large and positive, and the forecast sits far above level+trend
+    assert(c(nextSlot) > 10.0, s"spike slot learned ${c(nextSlot)}")
+    assert(r.getAs[Double]("forecast") - (r.getAs[Double]("level") +
+      r.getAs[Double]("trend")) > 10.0)
+  }
+
   test("C34 decayed spend: dyadic half-life weights are exact; beyond-horizon events drop") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import spark.implicits._
