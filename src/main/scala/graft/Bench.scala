@@ -108,8 +108,9 @@ object Bench {
     // sliding-window sketches: one corpus pass into a checkpointed
     // days×registers cell table; the trailing merge windows over that
     "b45_window_hll", "b46_window_quantile",
-    // seasonal forecast: one (type, day) aggregate + an in-row fold
-    "c40_holt_winters")
+    // seasonal forecast: one (type, day) aggregate + an in-row fold;
+    // its backtest reads the checkpointed daily cells twice
+    "c40_holt_winters", "c41_hw_backtest")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -658,13 +658,29 @@ object Fraud {
     * ≤|days| cells — the fact collapses in the one daily aggregate.
     */
   def holtWintersForecast(ev: DataFrame): DataFrame = {
-    val daily = ev.filter(col("value").isNotNull)
+    val st = hwState(hwDaily(ev))
+    st.select(col("event_type"),
+      col("st.n").cast("long").as("n_days"),
+      col("st.s").as("level"), col("st.b").as("trend"),
+      (col("st.s") + col("st.b") +
+        element_at(col("st.cs"),
+          ((col("last_day") + 1) % 7).cast("int") + 1)).as("forecast"))
+  }
+
+  /** C40/C41 shared: the per-type daily decimal-exact total series. */
+  private def hwDaily(ev: DataFrame): DataFrame =
+    ev.filter(col("value").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
       .groupBy(col("event_type"), col("d"))
       .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
       .select(col("event_type"),
         datediff(col("d"), lit("1970-01-01")).cast("long").as("day_num"),
         col("v"))
+
+  /** C40/C41 shared: the Holt-Winters fold over a daily series —
+    * (event_type, last_day, st{s, b, cs[7], n}).
+    */
+  private def hwState(daily: DataFrame): DataFrame = {
     val zeros = array((0 until 7).map(_ => lit(0.0)): _*)
     val init = struct(lit(0.0).as("s"), lit(0.0).as("b"),
       zeros.as("cs"), lit(0.0).as("n"))
@@ -691,12 +707,40 @@ object Fraud {
         array_sort(collect_list(struct(col("day_num"), col("v")))).as("es"))
       .select(col("event_type"), col("last_day"),
         aggregate(col("es"), init, step).as("st"))
-      .select(col("event_type"),
-        col("st.n").cast("long").as("n_days"),
-        col("st.s").as("level"), col("st.b").as("trend"),
-        (col("st.s") + col("st.b") +
-          element_at(col("st.cs"),
-            ((col("last_day") + 1) % 7).cast("int") + 1)).as("forecast"))
+  }
+
+  /** C41's logic: the Holt-Winters BACKTEST — the forecasting family's
+    * evaluation harness (what e14's recall@k is to the ANN family).
+    * The fold trains on every day up to max_day − holdout (the cutoff
+    * is a one-row scalar read back as a literal — the histStats
+    * bounded-model pattern; at 100 TB it's footer-servable); each
+    * holdout day is then forecast h = day − train_last_day steps ahead
+    * from the FROZEN state, f = (s + h·b) + c_{day mod 7}, and the
+    * report is the per-day actual/forecast/abs-error table — per-row
+    * arithmetic only, NO float error sum anywhere (a SUM over double
+    * errors would be fold-order-dependent; the per-day table is what a
+    * monitoring screen consumes anyway, and c18's CUSUM composes on
+    * top if a scalar drift statistic is wanted). The daily cell table
+    * localCheckpoints (two consumers with different column sets — the
+    * round-8 pruning/reuse trap); the state side is |types| rows and
+    * broadcast-joins to the 7·|types|-row holdout.
+    */
+  def hwBacktest(ev: DataFrame, holdout: Int = 7): DataFrame = {
+    val daily = hwDaily(ev).localCheckpoint(true)
+    val maxRow = daily.agg(max(col("day_num"))).head()
+    if (maxRow.isNullAt(0)) return daily.sparkSession.emptyDataFrame
+    val cutoff = maxRow.getLong(0) - holdout
+    val state = hwState(daily.filter(col("day_num") <= cutoff))
+      .select(col("event_type"), col("last_day"),
+        col("st.s").as("s"), col("st.b").as("b"), col("st.cs").as("cs"))
+    daily.filter(col("day_num") > cutoff)
+      .join(broadcast(state), Seq("event_type"))
+      .select(col("event_type"), col("day_num"),
+        (col("day_num") - col("last_day")).as("h"), col("v").as("actual"),
+        ((col("s") + (col("day_num") - col("last_day")).cast("double") * col("b"))
+          + element_at(col("cs"), (col("day_num") % 7).cast("int") + 1))
+          .as("forecast"))
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
   }
 
   /** C36's logic: linear multi-touch attribution — see the queries-map
@@ -721,6 +765,35 @@ object Fraud {
         w.orderBy(col("t_ts").desc, col("touch_id").desc)) === 1)
       .select(col("purchase_id"), col("touch_id"), col("touch_type"),
         col("n_touches"), col("weight"), col("is_last_touch"))
+  }
+
+  /** C40/C41 shared oracle core: the daily CTE + the Holt-Winters
+    * list_reduce fold; `trainWhere` filters the fold's input (c41's
+    * holdout cut). s' is generated ONCE and interpolated into every
+    * position so the IEEE op order cannot drift.
+    */
+  private def hwFoldSql(trainWhere: String): String = {
+    val sNew = "((x[2] - a[3 + CAST(CAST(x[1] AS BIGINT) % 7 AS INT)]) + (a[1] + a[2])) / 2.0"
+    val seasonArms = (0 to 6).map(k =>
+      s"CASE WHEN CAST(x[1] AS BIGINT) % 7 = $k THEN ((x[2] - ($sNew)) + a[${3 + k}]) / 2.0 ELSE a[${3 + k}] END")
+      .mkString(",\n               ")
+    s"""daily AS (
+       |  SELECT event_type,
+       |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |folded AS (
+       |  SELECT event_type, max(day_num) AS last_day,
+       |         list_reduce(
+       |           list_prepend([${Seq.fill(10)("CAST(0 AS DOUBLE)").mkString(", ")}],
+       |             list([CAST(day_num AS DOUBLE), v] ORDER BY day_num)),
+       |           (a, x) -> CASE WHEN a[10] = 0
+       |             THEN [x[2], ${Seq.fill(8)("CAST(0 AS DOUBLE)").mkString(", ")}, CAST(1 AS DOUBLE)]
+       |             ELSE [$sNew,
+       |               ((($sNew) - a[1]) + a[2]) / 2.0,
+       |               $seasonArms,
+       |               a[10] + 1] END) AS st
+       |  FROM daily $trainWhere GROUP BY event_type)""".stripMargin
   }
 
   /** The nine Benford expectations, spelled identically in every
@@ -860,6 +933,13 @@ object Fraud {
     // corpus is sized for it: every type has a dense 30-day series at
     // both verify SFs, so all seven slots update 4+ times.
     "c40_holt_winters" -> ((s, d) => holtWintersForecast(t(s, d, "events"))),
+
+    // C41: the Holt-Winters BACKTEST — train on all but the last 7
+    // days, forecast each holdout day h steps ahead from the frozen
+    // state, report per-day actual/forecast/abs-error (see hwBacktest:
+    // no float error sum anywhere — the per-day table is the
+    // monitoring surface, and c18 composes on top for drift).
+    "c41_hw_backtest" -> ((s, d) => hwBacktest(t(s, d, "events"))),
 
     // C34: recency-weighted spend — the feature-store staple "how much
     // does this user spend NOW": each event's value decays by a 1-day
@@ -1618,34 +1698,29 @@ object Fraud {
       // a 10-element accumulator [s, b, c1..c7, n] and the calendar
       // slot j = day_num % 7 indexing a[3+j]; s' is ONE interpolated
       // string reused in the level, trend and every season arm, so the
-      // IEEE op order cannot drift between positions or engines.
-      "c40_holt_winters" -> {
-        val sNew = "((x[2] - a[3 + CAST(CAST(x[1] AS BIGINT) % 7 AS INT)]) + (a[1] + a[2])) / 2.0"
-        val seasonArms = (0 to 6).map(k =>
-          s"CASE WHEN CAST(x[1] AS BIGINT) % 7 = $k THEN ((x[2] - ($sNew)) + a[${3 + k}]) / 2.0 ELSE a[${3 + k}] END")
-          .mkString(",\n               ")
-        s"""WITH daily AS (
-           |  SELECT event_type,
-           |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
-           |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-           |folded AS (
-           |  SELECT event_type, max(day_num) AS last_day,
-           |         list_reduce(
-           |           list_prepend([${Seq.fill(10)("CAST(0 AS DOUBLE)").mkString(", ")}],
-           |             list([CAST(day_num AS DOUBLE), v] ORDER BY day_num)),
-           |           (a, x) -> CASE WHEN a[10] = 0
-           |             THEN [x[2], ${Seq.fill(8)("CAST(0 AS DOUBLE)").mkString(", ")}, CAST(1 AS DOUBLE)]
-           |             ELSE [$sNew,
-           |               ((($sNew) - a[1]) + a[2]) / 2.0,
-           |               $seasonArms,
-           |               a[10] + 1] END) AS st
-           |  FROM daily GROUP BY event_type)
+      // IEEE op order cannot drift between positions or engines
+      // (hwFoldSql — shared verbatim with the c41 backtest).
+      "c40_holt_winters" ->
+        s"""WITH ${hwFoldSql("")}
            |SELECT event_type, CAST(st[10] AS BIGINT) AS n_days,
            |       st[1] AS level, st[2] AS trend,
            |       st[1] + st[2] + st[3 + CAST((last_day + 1) % 7 AS INT)] AS forecast
-           |FROM folded""".stripMargin
-      },
+           |FROM folded""".stripMargin,
+
+      // C41: the SAME fold CTE trained on day_num <= max-7 (the engine
+      // reads the cutoff as a driver literal; the scalar subquery has
+      // the same value), frozen-state projection (s + h·b) + c_slot in
+      // the Spark op order, abs_err in a wrapping SELECT mirroring the
+      // withColumn.
+      "c41_hw_backtest" ->
+        s"""WITH ${hwFoldSql("WHERE day_num <= (SELECT max(day_num) - 7 FROM daily)")}
+           |SELECT *, abs(actual - forecast) AS abs_err FROM (
+           |  SELECT d.event_type, d.day_num, d.day_num - f.last_day AS h,
+           |         d.v AS actual,
+           |         (f.st[1] + CAST(d.day_num - f.last_day AS DOUBLE) * f.st[2])
+           |           + f.st[3 + CAST(d.day_num % 7 AS INT)] AS forecast
+           |  FROM daily d JOIN folded f USING (event_type)
+           |  WHERE d.day_num > (SELECT max(day_num) - 7 FROM daily))""".stripMargin,
 
       // C34: the dyadic-decay recipe — integer shift weights, exact
       // decimal products/sums, one closing power-of-two division; the

@@ -690,6 +690,51 @@ class FraudSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[Double]("trend")) > 10.0)
   }
 
+  test("C41 backtest: holdout forecasts come from the FROZEN train state, bit-exact; the spike day tops the horizon") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    // 29 days of the C40 spiked series: the backtest trains on the
+    // first 22 and forecasts offsets 22..28; offset 22 is the spike
+    // slot, so its forecast must dominate the holdout horizon
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 to 28).map { i =>
+      val v = if (i % 7 == 1) 64.0 else 8.0
+      (100L + i, 1L, start.plusDays(i).toString + " 09:00:00", v)
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts")).as("ts"), col("value"),
+        lit("purchase").as("event_type"))
+    // driver fold over the 22 train days only
+    var s = 0.0; var b = 0.0; val c = Array.fill(7)(0.0); var n = 0.0
+    rows.take(22).foreach { case (_, _, ts, v) =>
+      val dn = java.time.LocalDate.parse(ts.take(10)).toEpochDay
+      val j = (dn % 7).toInt
+      if (n == 0.0) { s = v; n = 1.0 }
+      else {
+        val sN = ((v - c(j)) + (s + b)) / 2.0
+        val bN = ((sN - s) + b) / 2.0
+        c(j) = ((v - sN) + c(j)) / 2.0
+        s = sN; b = bN; n += 1.0
+      }
+    }
+    val lastTrain = start.plusDays(21).toEpochDay
+    val out = Fraud.hwBacktest(ev).collect()
+      .map(r => r.getAs[Long]("h") ->
+        ((r.getAs[Double]("actual"), r.getAs[Double]("forecast")))).toMap
+    assert(out.keySet === (1L to 7L).toSet)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    (1 to 7).foreach { h =>
+      val dn = lastTrain + h
+      val want = (s + h.toDouble * b) + c((dn % 7).toInt)
+      assert(bits(out(h.toLong)._2) === bits(want), s"h=$h forecast drifted")
+      assert(out(h.toLong)._1 === (if ((lastTrain + h - start.toEpochDay) % 7 == 1) 64.0 else 8.0))
+    }
+    val spikeH = (1 to 7).find(h => (lastTrain + h - start.toEpochDay) % 7 == 1).get
+    assert(out(spikeH.toLong)._2 === (1 to 7).map(h => out(h.toLong)._2).max,
+      "the spike-slot forecast must top the holdout horizon")
+  }
+
   test("C34 decayed spend: dyadic half-life weights are exact; beyond-horizon events drop") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import spark.implicits._
