@@ -110,7 +110,9 @@ object Bench {
     "b45_window_hll", "b46_window_quantile",
     // seasonal forecast: one (type, day) aggregate + an in-row fold;
     // its backtest reads the checkpointed daily cells twice
-    "c40_holt_winters", "c41_hw_backtest")
+    "c40_holt_winters", "c41_hw_backtest",
+    // IVF probe planner: five retrievals + the exact pass
+    "e23_ivf_probe_sweep")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -1238,6 +1238,34 @@ object Similarity {
       }.reduce(_.unionByName(_))
   }
 
+  /** E23: the IVF probe-count PLANNER sweep — e14's recall harness run
+    * across nprobe ∈ {1,2,4,8,16} so the operator answers the question
+    * every IVF deployment tunes by hand: how many cells buy the target
+    * recall (d21's S-curve table is the LSH analogue; this is its IVF
+    * sibling). Each sweep point is the EXACT e3 retrieval at that
+    * probe count graded against the e1 truth set; nprobe = nCentroids
+    * probes every cell, so that endpoint is provably recall 1.0 (the
+    * routing-prunes-never-rescores invariant, spec'd along with
+    * monotonicity in p).
+    *
+    * Cost honesty: run inline this is Σp/16 ≈ 2 corpus-equivalents of
+    * scoring plus the exact pass. The production shape is the
+    * PERSISTED index (e6): each sweep point scans only its p cell
+    * partitions, and the exact pass is the one full scan per
+    * evaluation batch (e14's amortization note).
+    */
+  def ivfProbeSweep(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 20,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val exact = cosineTopK(embeddings, queryVecId, k).select(col("vec_id"))
+    probes.map { p =>
+      ivfTopK(embeddings, queryVecId, k, nProbes = p).select(col("vec_id"))
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(p.toLong).as("n_probes"), lit(k.toLong).as("k"),
+          col("n_hit"), (col("n_hit").cast("double") / k).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** E18: hybrid retrieval by reciprocal-rank fusion — the production
     * RAG serving shape: a dense list (E1 cosine over the embedding) and
     * a sparse list (F12 BM25 over the text) fuse by
@@ -1463,7 +1491,10 @@ object Similarity {
       ivfPqKnnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
 
     // E4: IVF with k-means-learned centroids (rows-only).
-    "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20))
+    "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20)),
+
+    // E23: the IVF probe-count planner sweep (recall@20 vs nprobe).
+    "e23_ivf_probe_sweep" -> ((s, d) => ivfProbeSweep(t(s, d, "embeddings")))
   )
 
   def oracles: Map[String, String] = {
@@ -1522,8 +1553,72 @@ object Similarity {
          |    WHERE vec_id IN (SELECT vec_id FROM exact))
          |SELECT method, CAST(20 AS BIGINT) AS k, n_hit,
          |       CAST(n_hit AS DOUBLE) / 20 AS recall
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin) +
+      // E23 composes ivfOracleSql at each probe count — the sweep
+      // grades the exact retrievals e3 serves, never a re-derivation.
+      ("e23_ivf_probe_sweep" -> {
+        val ps = Seq(1, 2, 4, 8, 16)
+        s"""WITH exact AS (SELECT vec_id FROM (${base("e1_cosine_topk")})),
+           |${ps.map(p => s"p$p AS (SELECT vec_id FROM (${ivfOracleSql(p)}))").mkString(",\n")},
+           |m AS (
+           |${ps.map(p =>
+              s"  SELECT CAST($p AS BIGINT) AS n_probes, count(*) AS n_hit FROM p$p WHERE vec_id IN (SELECT vec_id FROM exact)")
+              .mkString("\n  UNION ALL\n")})
+           |SELECT n_probes, CAST(20 AS BIGINT) AS k, n_hit,
+           |       CAST(n_hit AS DOUBLE) / 20 AS recall
+           |FROM m""".stripMargin
+      })
   }
+
+  /** E3/E23 shared oracle generator: the IVF retrieval SQL with the
+    * probe count as the one parameter (`rn <= nProbes`) — the sweep
+    * grades exactly the retrieval e3 serves.
+    */
+  private def ivfOracleSql(nProbes: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |           (x, y) -> x + y)) AS nrm
+       |  FROM embeddings
+       |  WHERE nrm > 0),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |cscore AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, len(e.embedding) + 1),
+       |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+       |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
+       |  FROM e, cents c
+       |  WHERE e.vec_id <> 0),
+       |cellof AS (
+       |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+       |    FROM cscore) WHERE rn = 1),
+       |probes AS (
+       |  SELECT cent_id FROM (
+       |    SELECT c.cent_id,
+       |           row_number() OVER (ORDER BY
+       |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               list_transform(range(1, len(c.embedding) + 1),
+       |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+       |               (x, y) -> x + y) / (c.nrm * qv.q_nrm) DESC, c.cent_id) AS rn
+       |    FROM cents c, qv) WHERE rn <= $nProbes)
+       |SELECT e.vec_id, co.cell,
+       |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, len(e.embedding) + 1),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+       |         (x, y) -> x + y) / (e.nrm * qv.q_nrm) AS score
+       |FROM e, cellof co, qv
+       |WHERE e.vec_id = co.vec_id
+       |  AND co.cell IN (SELECT cent_id FROM probes)
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT 20""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
     // E20: e1's scoring CTE unlimited, the metadata join, a per-source
@@ -2035,52 +2130,10 @@ object Similarity {
     // E3: seeded centroids are the first 16 corpus vectors by id, cell
     // assignment is argmax with first-max tie (⇒ lowest cent_id), the
     // probe set is the query's top-2 cells by centroid cosine — all
-    // deterministic double arithmetic in the same fold order.
-    "e3_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(embedding) + 1),
-        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-        |           (x, y) -> x + y)) AS nrm
-        |  FROM embeddings
-        |  WHERE nrm > 0),
-        |cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
-        |  FROM e ORDER BY vec_id LIMIT 16),
-        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
-        |cscore AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(e.embedding) + 1),
-        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-        |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
-        |  FROM e, cents c
-        |  WHERE e.vec_id <> 0),
-        |cellof AS (
-        |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
-        |    SELECT vec_id, cent_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
-        |    FROM cscore) WHERE rn = 1),
-        |probes AS (
-        |  SELECT cent_id FROM (
-        |    SELECT c.cent_id,
-        |           row_number() OVER (ORDER BY
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, len(c.embedding) + 1),
-        |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
-        |               (x, y) -> x + y) / (c.nrm * qv.q_nrm) DESC, c.cent_id) AS rn
-        |    FROM cents c, qv) WHERE rn <= 2)
-        |SELECT e.vec_id, co.cell,
-        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |         list_transform(range(1, len(e.embedding) + 1),
-        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
-        |         (x, y) -> x + y) / (e.nrm * qv.q_nrm) AS score
-        |FROM e, cellof co, qv
-        |WHERE e.vec_id = co.vec_id
-        |  AND co.cell IN (SELECT cent_id FROM probes)
-        |ORDER BY score DESC, e.vec_id
-        |LIMIT 20""".stripMargin,
+    // deterministic double arithmetic in the same fold order. The SQL
+    // comes from ivfOracleSql(2): ONE generator parameterized on the
+    // probe count, shared verbatim with the e23 sweep.
+    "e3_ann_ivf" -> ivfOracleSql(2),
 
     // E2 is exactly reproducible now that the LSH planes are md5-derived:
     // the multi-probe set {q_bucket} ∪ {one flipped bit} is precisely

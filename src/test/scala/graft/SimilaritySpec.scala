@@ -447,6 +447,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("E23 probe sweep: recall is monotone in probes and all-cells probing is EXACT") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val out = Similarity.ivfProbeSweep(e).collect()
+      .map(r => r.getAs[Long]("n_probes") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    // probe sets are nested (top-p cells are prefixes of one centroid
+    // ranking), so candidates only grow with p — recall is monotone
+    out.map(_._2._2).toSeq.sliding(2).foreach { w =>
+      assert(w.head <= w.last,
+        s"recall must be monotone in probe count: ${out.toSeq}")
+    }
+    // nprobe = nCentroids probes every cell: routing prunes NOTHING,
+    // and since routing never rescores the result IS exact top-k
+    assert(out.last._2 === ((20L, 1.0)),
+      s"all-cells probing must be exact: ${out.last}")
+    // each point equals the hand-joined intersection at that p
+    val exact = Similarity.cosineTopK(e, 0L, 20).collect().map(_.getLong(0)).toSet
+    out.foreach { case (p, (nHit, _)) =>
+      val want = Similarity.ivfTopK(e, 0L, 20, nProbes = p.toInt)
+        .collect().map(_.getLong(0)).count(exact.contains)
+      assert(nHit === want.toLong, s"p=$p n_hit drifted from the hand join")
+    }
+  }
+
   test("E18 RRF equals the driver-recomputed fusion of the two ranked lists") {
     import graft.operators.TextAnalysis
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
