@@ -132,6 +132,62 @@ object SketchStream {
     Relational.windowHllFromCells(merged, windowDays)
   }
 
+  /** H34: streaming WINDOWED-quantile maintenance — B46's daily
+    * histogram cells kept up to date by the stream. The grid [lo, hi]
+    * is a FIXED MODEL PARAMETER here (in production: pinned from
+    * history before the stream starts — the LSH-planes pattern), not
+    * derived per batch: cells are mergeable across batches only
+    * because every batch buckets against the same grid.
+    *
+    * The algebra contrast with [[maintainDailyHll]] is the point:
+    * histogram counts merge by ADDITION, which is associative and
+    * commutative but NOT idempotent, so this sink — like
+    * [[maintainCms]], unlike the HLL one — genuinely depends on the
+    * exactly-once-by-layout discipline (a double-landed replay would
+    * double-count). Serving sums cells across batch partitions and
+    * runs the SHARED [[Relational.windowQuantileFromCells]] close, so
+    * the served trailing quantiles are BIT-IDENTICAL to the batch b46
+    * computed on the same grid over the same rows.
+    */
+  def maintainDailyHist(stream: DataFrame, valueCol: String, dayCol: String,
+                        lo: Double, hi: Double,
+                        cellsDir: String, checkpoint: String): StreamingQuery = {
+    graft.sources.Tables.recoverCrashedSwap(stream.sparkSession, cellsDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val stats = batch.sparkSession.range(1)
+          .select(lit(lo).as("lo"), lit(hi).as("hi"))
+        Relational.dailyHistCells(
+            batch.select(col(dayCol).as("ship_day"), col(valueCol)),
+            valueCol, stats)
+          .withColumn("batch_id", lit(id))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve per-day trailing-window quantiles from the maintained cell
+    * table: (day, bucket) SUM across batch partitions (exact integer
+    * addition — the b37_hist_merge law), then the shared B46 close on
+    * the same fixed grid.
+    */
+  def windowQuantilesFromCells(spark: org.apache.spark.sql.SparkSession,
+                               cellsDir: String, lo: Double, hi: Double,
+                               windowDays: Int = 60): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    val merged = spark.read.parquet(cellsDir)
+      .groupBy(col("ship_day"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val stats = spark.range(1).select(lit(lo).as("lo"), lit(hi).as("hi"))
+    Relational.windowQuantileFromCells(merged, stats, windowDays)
+  }
+
   /** Retention for the cell table: under a long-lived stream the
     * `batch_id=` partitions grow without bound (one per micro-batch
     * forever), so listing cost — not data size — eventually dominates

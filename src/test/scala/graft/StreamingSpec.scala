@@ -174,6 +174,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(served.nonEmpty)
   }
 
+  test("H34 streaming windowed-quantile maintenance equals the one-shot batch b46 exactly") {
+    import org.apache.spark.sql.types.{DateType, DoubleType, StructField, StructType}
+    val in = tmpDir("graft_whist_in")
+    val ckpt = tmpDir("graft_whist_ckpt")
+    val cells = tmpDir("graft_whist_cells")
+    val li = Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        col("l_extendedprice"))
+    // the grid is a FIXED model parameter; pin it to the corpus bounds
+    // so the batch b46 (which derives the same bounds) is the twin
+    val st = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    val (lo, hi) = (st.getDouble(0), st.getDouble(1))
+    li.repartition(4).write.mode("overwrite").json(in)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ship_day", DateType),
+        StructField("l_extendedprice", DoubleType))))
+      .option("maxFilesPerTrigger", 1).json(in)
+    SketchStream.maintainDailyHist(stream, "l_extendedprice", "ship_day",
+      lo, hi, cells, ckpt).awaitTermination()
+    assert(spark.read.parquet(cells).select("batch_id").distinct().count() > 1,
+      "stream must have run as multiple micro-batches")
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    val served = SketchStream.windowQuantilesFromCells(spark, cells, lo, hi)
+      .collect().map(key).toSet
+    val batch = graft.operators.Relational.queries("b46_window_quantile")(spark, SF)
+      .collect().map(key).toSet
+    assert(served === batch,
+      "the maintained windowed histogram must reproduce batch b46 bit-exactly")
+    assert(served.nonEmpty)
+  }
+
   test("H12 retention: consolidating aged cell batches leaves served estimates identical") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val in = tmpDir("graft_cmsret_in")
