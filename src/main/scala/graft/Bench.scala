@@ -112,7 +112,9 @@ object Bench {
     // its backtest reads the checkpointed daily cells twice
     "c40_holt_winters", "c41_hw_backtest",
     // IVF probe planner: five retrievals + the exact pass
-    "e23_ivf_probe_sweep")
+    "e23_ivf_probe_sweep",
+    // batch recall: two batch retrievals + a k-row semi-join grade
+    "e24_batch_recall")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

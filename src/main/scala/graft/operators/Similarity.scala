@@ -1266,6 +1266,32 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** E24: recall over a QUERY BATCH — e14's single-query harness in
+    * its production shape: the batch IVF-PQ join (E17) graded per
+    * query against the exact batch kNN (E5), giving the recall
+    * DISTRIBUTION across queries rather than one number (the tail
+    * query — a vector routed to a cell its neighbors aren't in — is
+    * what a single-probe harness can't see). The corpus cost is the
+    * two batch retrievals (each one corpus pass); the grading is a
+    * semi-join of two ≤|queries|·k-row lists. Queries with zero hits
+    * are kept by a left join against the query list — a dropped row
+    * would read as "no data" where the honest value is recall 0.
+    */
+  def batchRecall(embeddings: DataFrame, queryIds: Seq[Long] = 0L until 8L,
+                  k: Int = 10): DataFrame = {
+    val exact = knnJoin(embeddings, queryIds, k)
+      .select(col("q_id"), col("vec_id"))
+    val ann = ivfPqKnnJoin(embeddings, queryIds, k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = ann.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), lit(k.toLong).as("k"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** E18: hybrid retrieval by reciprocal-rank fusion — the production
     * RAG serving shape: a dense list (E1 cosine over the embedding) and
     * a sparse list (F12 BM25 over the text) fuse by
@@ -1494,7 +1520,10 @@ object Similarity {
     "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20)),
 
     // E23: the IVF probe-count planner sweep (recall@20 vs nprobe).
-    "e23_ivf_probe_sweep" -> ((s, d) => ivfProbeSweep(t(s, d, "embeddings")))
+    "e23_ivf_probe_sweep" -> ((s, d) => ivfProbeSweep(t(s, d, "embeddings"))),
+
+    // E24: per-query recall of the batch IVF-PQ join vs exact batch kNN.
+    "e24_batch_recall" -> ((s, d) => batchRecall(t(s, d, "embeddings")))
   )
 
   def oracles: Map[String, String] = {
@@ -1567,7 +1596,20 @@ object Similarity {
            |SELECT n_probes, CAST(20 AS BIGINT) AS k, n_hit,
            |       CAST(n_hit AS DOUBLE) / 20 AS recall
            |FROM m""".stripMargin
-      })
+      }) +
+      // E24 composes the e5 + e17 batch oracles verbatim; the LEFT
+      // join keeps zero-hit queries at recall 0 instead of dropping.
+      ("e24_batch_recall" ->
+      s"""WITH exact AS (SELECT q_id, vec_id FROM (${base("e5_knn_join")})),
+         |ann AS (SELECT q_id, vec_id FROM (${base("e17_ann_ivfpq_join")})),
+         |h AS (
+         |  SELECT a.q_id, count(*) AS h
+         |  FROM ann a JOIN exact e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |  GROUP BY 1)
+         |SELECT q.q_id, CAST(10 AS BIGINT) AS k,
+         |       CAST(coalesce(h.h, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(h.h, 0) AS DOUBLE) / 10 AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN h USING (q_id)""".stripMargin)
   }
 
   /** E3/E23 shared oracle generator: the IVF retrieval SQL with the

@@ -473,6 +473,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("E24 batch recall: one row per query, equal to the hand-joined per-query intersection") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val exact = Similarity.knnJoin(e, 0L until 8L, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.ivfPqKnnJoin(e, 0L until 8L, 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = Similarity.batchRecall(e).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    assert(out.keySet === (0L until 8L).toSet,
+      "every query must appear exactly once (zero-hit queries included)")
+    (0L until 8L).foreach { q =>
+      val want = ann.getOrElse(q, Set.empty).count(exact(q).contains)
+      assert(out(q) === ((want.toLong, want / 10.0)),
+        s"q=$q recall drifted from the hand intersection")
+    }
+  }
+
   test("E18 RRF equals the driver-recomputed fusion of the two ranked lists") {
     import graft.operators.TextAnalysis
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
