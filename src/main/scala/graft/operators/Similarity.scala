@@ -1275,7 +1275,11 @@ object Similarity {
     * two batch retrievals (each one corpus pass); the grading is a
     * semi-join of two ≤|queries|·k-row lists. Queries with zero hits
     * are kept by a left join against the query list — a dropped row
-    * would read as "no data" where the honest value is recall 0.
+    * would read as "no data" where the honest value is recall 0 — and
+    * that list is built from the DRIVER-KNOWN queryIds as a literal
+    * relation, never by re-deriving distinct q_ids from the exact
+    * result (a second consumer of the corpus-pass plan — the round-8
+    * recompute class).
     */
   def batchRecall(embeddings: DataFrame, queryIds: Seq[Long] = 0L until 8L,
                   k: Int = 10): DataFrame = {
@@ -1285,8 +1289,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     val hits = ann.join(exact, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
-    exact.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left")
+    val qs = embeddings.sparkSession.range(1)
+      .select(explode(array(queryIds.map(lit(_)): _*)).as("q_id"))
+    qs.join(hits, Seq("q_id"), "left")
       .select(col("q_id"), lit(k.toLong).as("k"),
         coalesce(col("h"), lit(0L)).as("n_hit"),
         (coalesce(col("h"), lit(0L)).cast("double") / k).as("recall"))
