@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Fraud}
 
 /** Property-style checks over generated corpora (fixed-seed scalacheck
   * generators, so runs are reproducible): the native sketch must agree
@@ -419,6 +419,43 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(lastQ(q) === globalQ(q),
         s"all-span windowed q=$q must equal the global b37 estimate")
     }
+  }
+
+  test("C40 Holt-Winters laws: +7-day translation is bit-neutral; value doubling doubles every output exactly") {
+    // the seasonal state is a linear map of the values with dyadic
+    // coefficients, and slots are calendar-mod-7: shifting all dates
+    // by exactly one period preserves every slot (so the whole state),
+    // and doubling values doubles s/b/c exactly (power-of-two FP).
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val start = java.time.LocalDate.parse("2024-02-01")
+    val rows = (0 to 24).filter(_ => rng.nextDouble() < 0.8).map { i =>
+      (200L + i, 1L, start.plusDays(i).toString + " 08:00:00",
+        (rng.nextInt(4000) + 1) / 4.0) // dyadic values
+    }
+    def run(shiftDays: Int, scale: Double) = {
+      val ev = rows.map { case (id, u, ts, v) =>
+        (id, u, java.time.LocalDate.parse(ts.take(10)).plusDays(shiftDays)
+          .toString + " 08:00:00", v * scale)
+      }.toDF("event_id", "user_id", "ts", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("ts")).as("ts"), col("value"),
+          lit("purchase").as("event_type"))
+      val r = Fraud.holtWintersForecast(ev).head()
+      (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+        r.getAs[Double]("forecast"))
+    }
+    def bits(t: (Double, Double, Double)) =
+      (java.lang.Double.doubleToLongBits(t._1),
+        java.lang.Double.doubleToLongBits(t._2),
+        java.lang.Double.doubleToLongBits(t._3))
+    val base = run(0, 1.0)
+    assert(bits(run(7, 1.0)) === bits(base),
+      "+7 days preserves every slot, so the state must be bit-identical")
+    val doubled = run(0, 2.0)
+    assert(bits(doubled) === bits((base._1 * 2, base._2 * 2, base._3 * 2)),
+      "doubling values must double level/trend/forecast exactly")
   }
 
   test("I25 bottom-k merge law: per-shard samples re-cut to EXACTLY the one-shot i12 sample at any shard count") {
