@@ -502,6 +502,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"b46 must read the checkpointed cell table\n$fin")
   }
 
+  test("c40/c41 Holt-Winters: the fact collapses in one scan; the backtest reads only checkpointed cells") {
+    // c40: one corpus scan into the (type, day) aggregate, then the
+    // per-type fold — two exchanges total, no join anywhere
+    val df40 = SparkEntry.queries("c40_holt_winters")(spark, SF)
+    df40.collect()
+    val fin40 = df40.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin40).size == 1,
+      s"c40 must scan events once\n$fin40")
+    assert("Exchange ".r.findAllIn(fin40).size <= 2,
+      s"c40 is two keyed aggregates, nothing more\n$fin40")
+    assert(!fin40.contains("Join"), s"c40 must be join-free\n$fin40")
+    // c41: the fact pass lives in the daily-cell checkpoint; train and
+    // holdout branches read the LogicalRDD, the |types|-row state
+    // broadcasts onto the holdout
+    val df41 = SparkEntry.queries("c41_hw_backtest")(spark, SF)
+    df41.collect()
+    val fin41 = df41.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(fin41).size == 0,
+      s"c41 must read only the checkpointed daily cells\n$fin41")
+    assert(fin41.contains("BroadcastHashJoin"),
+      s"the frozen state must broadcast onto the holdout\n$fin41")
+    assert(!fin41.contains("SortMergeJoin") && !fin41.contains("CartesianProduct"))
+  }
+
   test("g12 flat frames: fully row-local — zero exchanges, one scan") {
     // every frame of a media item lives in its one payload row, so the
     // flags AND the longest-run recurrence fold inside the row: any
