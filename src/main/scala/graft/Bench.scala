@@ -114,7 +114,10 @@ object Bench {
     // IVF probe planner: five retrievals + the exact pass
     "e23_ivf_probe_sweep",
     // batch recall: two batch retrievals + a k-row semi-join grade
-    "e24_batch_recall")
+    "e24_batch_recall",
+    // windowed-HLL accuracy harness: the exact side is the priced
+    // cost (|pairs|x60 expansion) the sketch exists to avoid
+    "b47_window_hll_error")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -322,6 +322,45 @@ object Relational {
           .as("est_value"))
   }
 
+  /** B45/B47 shared oracle: the windowed-HLL SQL (a def — composed
+    * verbatim by the b47 error harness).
+    */
+  private def windowHllOracleSql: String =
+    """WITH hk AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+      |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |cells AS (
+      |  SELECT ship_day, h & 255 AS bucket,
+      |         max(53 - length(ltrim(bin(h >> 8), '0'))) AS rho
+      |  FROM hk GROUP BY 1, 2),
+      |days AS (
+      |  SELECT DISTINCT ship_day,
+      |         date_diff('day', DATE '1970-01-01', ship_day) AS day_num
+      |  FROM cells),
+      |regs AS (SELECT range AS bucket FROM range(0, 256)),
+      |dense AS (
+      |  SELECT d.ship_day, d.day_num, r.bucket, c.rho
+      |  FROM days d CROSS JOIN regs r
+      |  LEFT JOIN cells c ON c.ship_day = d.ship_day AND c.bucket = r.bucket),
+      |w AS (
+      |  SELECT ship_day, bucket,
+      |         max(rho) OVER (PARTITION BY bucket ORDER BY day_num
+      |                        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS r
+      |  FROM dense),
+      |s AS (
+      |  SELECT ship_day,
+      |         sum(CAST(1 AS BIGINT) << (53 - r)) AS s_present,
+      |         count(*) AS registers_set
+      |  FROM w WHERE r IS NOT NULL GROUP BY 1)
+      |SELECT ship_day,
+      |       CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+      |       * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
+      |       / CAST(s_present + (256 - registers_set) * CAST(9007199254740992 AS BIGINT) AS DOUBLE)
+      |         AS est_ndv,
+      |       registers_set
+      |FROM s""".stripMargin
+
   /** B45/H33 shared: per-day HLL register cells over `keyed`
     * (ship_day, keyCol). Register-wise max is associative, commutative
     * AND idempotent, so daily cells merge across any slicing — loads,
@@ -624,6 +663,36 @@ object Relational {
       val li = t(s, d, "lineitem")
         .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
       windowHllFromCells(dailyHllCells(li, "l_orderkey"))
+    }),
+
+    // B47: the b45 estimator's ACCURACY HARNESS (d17's pattern for the
+    // windowed sketch): per day, the exact trailing-60-day distinct
+    // count beside the HLL estimate and their relative error. The
+    // exact side is the cost b45 exists to avoid — each distinct
+    // (day, key) pair EXPLODES into the 60 window days it serves
+    // (equi-shuffle on day; never a nested-loop BETWEEN join) and a
+    // countDistinct closes per day — so this runs at |pairs|×60 and
+    // at 100 TB belongs on an evaluation slice, amortized like e14's
+    // exact pass. The estimate side is the checkpointed b45 plan
+    // (bounded, localCheckpointed so its two consumers — the day list
+    // via the join and the values — cannot re-derive it); rel_err is
+    // one abs + one division over already-hash-matched inputs.
+    "b47_window_hll_error" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
+      val est = windowHllFromCells(dailyHllCells(li, "l_orderkey"))
+        .select(col("ship_day"), col("est_ndv"))
+        .localCheckpoint(true)
+      val pairs = li.select(col("ship_day").as("dd"), col("l_orderkey").as("k"))
+        .distinct()
+      val exact = pairs
+        .select(explode(sequence(lit(0), lit(59))).as("i"), col("dd"), col("k"))
+        .select(date_add(col("dd"), col("i")).as("ship_day"), col("k"))
+        .groupBy(col("ship_day")).agg(countDistinct(col("k")).as("exact_ndv"))
+      est.join(exact, Seq("ship_day"))
+        .select(col("ship_day"), col("exact_ndv"), col("est_ndv"),
+          (abs(col("est_ndv") - col("exact_ndv").cast("double"))
+            / col("exact_ndv").cast("double")).as("rel_err"))
     }),
 
     // B46: SLIDING-WINDOW quantiles from mergeable daily histogram
@@ -1681,42 +1750,30 @@ object Relational {
     // B45: the same cells, densified over days × the 256 register
     // literals, the same RANGE trailing window, the same estimator
     // spelling grouped per day. Window max ignores NULLs on both
-    // engines; day numbers are integer date diffs.
-    "b45_window_hll" ->
-      """WITH hk AS (
-        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
-        |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM lineitem),
-        |cells AS (
-        |  SELECT ship_day, h & 255 AS bucket,
-        |         max(53 - length(ltrim(bin(h >> 8), '0'))) AS rho
-        |  FROM hk GROUP BY 1, 2),
-        |days AS (
-        |  SELECT DISTINCT ship_day,
-        |         date_diff('day', DATE '1970-01-01', ship_day) AS day_num
-        |  FROM cells),
-        |regs AS (SELECT range AS bucket FROM range(0, 256)),
-        |dense AS (
-        |  SELECT d.ship_day, d.day_num, r.bucket, c.rho
-        |  FROM days d CROSS JOIN regs r
-        |  LEFT JOIN cells c ON c.ship_day = d.ship_day AND c.bucket = r.bucket),
-        |w AS (
-        |  SELECT ship_day, bucket,
-        |         max(rho) OVER (PARTITION BY bucket ORDER BY day_num
-        |                        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS r
-        |  FROM dense),
-        |s AS (
-        |  SELECT ship_day,
-        |         sum(CAST(1 AS BIGINT) << (53 - r)) AS s_present,
-        |         count(*) AS registers_set
-        |  FROM w WHERE r IS NOT NULL GROUP BY 1)
-        |SELECT ship_day,
-        |       CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
-        |       * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)
-        |       / CAST(s_present + (256 - registers_set) * CAST(9007199254740992 AS BIGINT) AS DOUBLE)
-        |         AS est_ndv,
-        |       registers_set
-        |FROM s""".stripMargin,
+    // engines; day numbers are integer date diffs. (A def so the B47
+    // error harness composes it verbatim.)
+    "b45_window_hll" -> windowHllOracleSql,
+
+    // B47: b45's SQL verbatim as the estimate CTE; the exact side
+    // expands each distinct (day, key) into the 60 window days it
+    // serves (equi-group, never a nested-loop BETWEEN join) and counts
+    // distinct keys per day; rel_err is one abs + one division over
+    // hash-matched inputs.
+    "b47_window_hll_error" ->
+      s"""WITH est AS (SELECT ship_day, est_ndv FROM ($windowHllOracleSql)),
+         |pairs AS (
+         |  SELECT DISTINCT CAST(l_shipdate AS DATE) AS d, l_orderkey AS k
+         |  FROM lineitem),
+         |expanded AS (
+         |  SELECT p.d + CAST(r.range AS INT) AS ship_day, p.k
+         |  FROM pairs p CROSS JOIN range(0, 60) r),
+         |exact AS (
+         |  SELECT ship_day, count(DISTINCT k) AS exact_ndv
+         |  FROM expanded GROUP BY 1)
+         |SELECT e.ship_day, x.exact_ndv, e.est_ndv,
+         |       abs(e.est_ndv - CAST(x.exact_ndv AS DOUBLE))
+         |         / CAST(x.exact_ndv AS DOUBLE) AS rel_err
+         |FROM est e JOIN exact x USING (ship_day)""".stripMargin,
 
     // B36c: the same register/estimator arithmetic per group.
     "b36_hll_grouped" ->
