@@ -117,7 +117,9 @@ object Bench {
     "e24_batch_recall",
     // windowed-HLL accuracy harness: the exact side is the priced
     // cost (|pairs|x60 expansion) the sketch exists to avoid
-    "b47_window_hll_error")
+    "b47_window_hll_error",
+    // per-stratum bottom-k merge: two WindowGroupLimit cuts
+    "i26_stratified_merge")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since
@@ -266,10 +268,12 @@ object Bench {
     val layout = layoutStudy(spark, sfDir)
     val prune = partitionPruneStudy(spark, sfDir)
     val colPrune = columnPruneStudy(spark, sfDir)
+    val zorder = zorderStudy(spark, sfDir)
     val maintenance = maintenanceStudy(spark, sfDir)
     val all: Seq[Metric] = results.map(e => Metric(e._1, e._2)) ++
       streaming ++ bucketed ++ curation ++ annIndex ++
-      compaction ++ codec ++ layout ++ prune ++ colPrune ++ maintenance
+      compaction ++ codec ++ layout ++ prune ++ colPrune ++ zorder ++
+      maintenance
     val scaling = scalingStudy(spark, sfDir,
       all.map(m => m.name -> m.value).toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -370,6 +374,122 @@ object Bench {
         case f: java.lang.Float  => Some(f.doubleValue)
         case _                   => None
       }
+    }
+  }
+
+  /** Row-group min OR max of a NUMERIC column (double/float/long/int)
+    * from footer statistics, widened to double; None when stats are
+    * absent (callers treat as "cannot prune").
+    */
+  private def blockNum(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                       name: String, wantMax: Boolean): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    b.getColumns.asScala.find(_.getPath.toDotString == name).flatMap { c =>
+      val st = c.getStatistics
+      if (st == null || !st.hasNonNullValue) None
+      else (if (wantMax) st.genericGetMax else st.genericGetMin) match {
+        case d: java.lang.Double  => Some(d.doubleValue)
+        case f: java.lang.Float   => Some(f.doubleValue)
+        case l: java.lang.Long    => Some(l.doubleValue)
+        case i: java.lang.Integer => Some(i.doubleValue)
+        case _                    => None
+      }
+    }
+  }
+
+  /** j8 layout study: Z-ORDER (Morton) clustering — the 2-D extension
+    * of j4. A sort on ONE column buys selective scans on that column
+    * only: its row groups still span the full range of every OTHER
+    * column, so a second predicate prunes nothing. Bit-interleaving
+    * two 16-bit column ranks into one sort key makes each row group a
+    * narrow CUBE in both dimensions — a conjunctive two-predicate scan
+    * prunes on both. The same events fact is written at the SAME file
+    * granularity (64 range files) twice: sorted by `value`, and sorted
+    * by morton(value₁₆, user₁₆); the probe is value ≥ p75 AND
+    * user_id ≤ p25 (~6% of rows), bytes are footer-derived with the
+    * same two-sided min/max row-group test parquet's StatisticsFilter
+    * runs, and both layouts' answers are asserted equal in-run (the j6
+    * rule). At 64 files the z-prefix is an 8×8 grid: expect the 1-D
+    * layout to fetch ~25% (only the value predicate prunes) and the
+    * Z layout ~6–12% — and the gap WIDENS with file count, which is
+    * the 100 TB story (thousands of row groups ⇒ the grid refines).
+    */
+  private def zorderStudy(spark: SparkSession, sfDir: String): Seq[Metric] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    def time(label: String)(f: => Unit): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); f
+        label -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}")
+          label -> -1.0
+      }
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_bench_zorder")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir1d = new org.apache.hadoop.fs.Path(base, "sorted1d").toString
+    val dirZ = new org.apache.hadoop.fs.Path(base, "zorder").toString
+    def rank16(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo)
+        least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
+          .cast("long"), lit(65535L))
+      else lit(0L)
+    def morton(x: Column, y: Column): Column =
+      (0 until 16).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+    try {
+      fs.delete(base, true)
+      val ev = Tables.table(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val st = ev.agg(min(col("value")), max(col("value")),
+        min(col("user_id")), max(col("user_id"))).head()
+      val (vLo, vHi) = (st.getDouble(0), st.getDouble(1))
+      val (uLo, uHi) = (st.getLong(2), st.getLong(3))
+      val vThr = vLo + (vHi - vLo) * 0.75
+      val uThr = uLo + ((uHi - uLo) * 0.25)
+      def answer(dir: String) = spark.read.parquet(dir)
+        .filter(col("value") >= vThr && col("user_id") <= uThr)
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
+        .head()
+      val c1 = time("j8_sort1d_cost")(Tables.writeClustered(ev, dir1d, "value", 64))
+      val cz = time("j8_zorder_cost")(
+        ev.withColumn("zval",
+            morton(rank16(col("value"), vLo, vHi),
+              rank16(col("user_id").cast("double"), uLo.toDouble, uHi.toDouble)))
+          .repartitionByRange(64, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .write.mode("overwrite").parquet(dirZ))
+      if (c1._2 < 0 || cz._2 < 0)
+        return Seq(Metric("j8_scan_sorted1d_mb", -1.0, seconds = false),
+          Metric("j8_scan_zorder_mb", -1.0, seconds = false))
+      val (a1, a2) = (answer(dir1d), answer(dirZ))
+      if (a1.getLong(0) != a2.getLong(0) ||
+          a1.getDecimal(1).compareTo(a2.getDecimal(1)) != 0)
+        System.err.println(s"[bench] j8 layouts DISAGREE: $a1 vs $a2")
+      val keep = (b: org.apache.parquet.hadoop.metadata.BlockMetaData) =>
+        blockNum(b, "value", wantMax = true).forall(_ >= vThr) &&
+          blockNum(b, "user_id", wantMax = false).forall(_ <= uThr)
+      Seq(Metric(c1._1, c1._2), Metric(cz._1, cz._2),
+        Metric("j8_scan_sorted1d_mb",
+          parquetSelectedMb(spark, dir1d, Set("value", "user_id"), keep),
+          seconds = false),
+        Metric("j8_scan_zorder_mb",
+          parquetSelectedMb(spark, dirZ, Set("value", "user_id"), keep),
+          seconds = false))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] zorder study setup failed: ${e.getMessage}")
+        Seq(Metric("j8_scan_sorted1d_mb", -1.0, seconds = false),
+          Metric("j8_scan_zorder_mb", -1.0, seconds = false))
+    } finally {
+      try fs.delete(base, true)
+      catch { case scala.util.control.NonFatal(_) => }
     }
   }
 

@@ -392,6 +392,48 @@ object Profile {
       .select(col("doc_id"), col(strataCol), col("rnk"))
   }
 
+  /** I16/I26 shared oracle (a def so both entries use one string). */
+  private def stratifiedKOracleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5('strk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |       row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
+      |FROM h
+      |QUALIFY rnk <= 20""".stripMargin
+
+  /** I26: mergeable exact-k-per-stratum sample — [[stratifiedK]]
+    * through [[sampleMergeK]]'s bottom-k algebra applied WITHIN each
+    * stratum: every shard keeps its own k smallest (hk, id) per
+    * stratum, the ≤ strata·shards·k survivors union, and the
+    * per-stratum re-cut equals the one-shot i16 sample exactly (the
+    * i25 law, per group — each stratum's global k smallest are each
+    * smallest within their own shard). Same salt as i16, so the two
+    * share ONE oracle verbatim (the b38 merge-twin pattern), and the
+    * maintenance story transfers: per-slice eval sets refresh the
+    * per-language sample from k·shards rows per stratum, never a
+    * corpus rescan. Both rank cuts compile to WindowGroupLimit; only
+    * the strata·shards·k survivors reach the stratum exchange.
+    */
+  def stratifiedMergeK(docs: DataFrame, strataCol: String = "lang",
+                       k: Int = 20, shards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("strk:"), col("doc_id").cast("string")))
+    val perShard = Window.partitionBy(col(strataCol), col("shard"))
+      .orderBy(col("hk"), col("doc_id"))
+    val merged = Window.partitionBy(col(strataCol))
+      .orderBy(col("hk"), col("doc_id"))
+    docs.select(col("doc_id"), col(strataCol), h.as("hk"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("rk", row_number().over(perShard))
+      .filter(col("rk") <= k)
+      .withColumn("rnk", row_number().over(merged).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col(strataCol), col("rnk"))
+  }
+
   /** I19: temperature-scaled source-mixture weights — the multilingual/
     * multi-domain sampling formula (mBERT/XLM-R exponent α = 0.5):
     * w_s = n_s^α / Σ_t n_t^α, flattening the source distribution so
@@ -541,6 +583,11 @@ object Profile {
     // I16: exact-k per stratum (WindowGroupLimit per-partition pruning).
     "i16_stratified_k" -> ((s, d) =>
       stratifiedK(Tables.table(s, d, "documents"))),
+
+    // I26: i16 via per-(stratum, shard) bottom-k + a per-stratum
+    // re-cut — the i25 merge law per group; equals i16 exactly.
+    "i26_stratified_merge" -> ((s, d) =>
+      stratifiedMergeK(Tables.table(s, d, "documents"))),
 
     // I12: exact-k deterministic uniform sample (global top-k by hash).
     "i12_uniform_sample_k" -> ((s, d) =>
@@ -807,15 +854,11 @@ object Profile {
         |ORDER BY wkey, doc_id
         |LIMIT 100""".stripMargin,
 
-    "i16_stratified_k" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang,
-        |         CAST(('0x' || substr(md5('strk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |       row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
-        |FROM h
-        |QUALIFY rnk <= 20""".stripMargin,
+    "i16_stratified_k" -> stratifiedKOracleSql,
+    // I26 shares i16's oracle VERBATIM: the per-stratum bottom-k merge
+    // must reproduce the one-shot stratified sample exactly (the
+    // b35/b36/b37/b38 merge-twin pattern, per group).
+    "i26_stratified_merge" -> stratifiedKOracleSql,
 
     // I11: integer token counts, same salted-hash admission order, the
     // cumulative sum windowed identically — the kept prefix is exact.

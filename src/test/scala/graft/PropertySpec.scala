@@ -473,4 +473,18 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         s"shards=$shards: the merged bottom-k must equal the one-shot sample")
     }
   }
+
+  test("I26 per-stratum merge law: sharded stratified samples re-cut to EXACTLY the one-shot i16 at any shard count") {
+    val docs = graft.sources.Tables.table(spark, SF, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("rnk"))).sortBy(x => (x._2, x._3)).toSeq
+    val oneShot = rows(graft.operators.Profile.stratifiedK(docs, k = 13))
+    for (shards <- Seq(1, 4, 7)) {
+      val merged = rows(graft.operators.Profile.stratifiedMergeK(docs,
+        k = 13, shards = shards))
+      assert(merged === oneShot,
+        s"shards=$shards: the per-stratum merge must equal the one-shot i16")
+    }
+  }
 }
