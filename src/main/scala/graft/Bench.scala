@@ -401,20 +401,21 @@ object Bench {
     * of j4. A sort on ONE column buys selective scans on that column
     * only: its row groups still span the full range of every OTHER
     * column, so a second predicate prunes nothing. Bit-interleaving
-    * two 16-bit column ranks into one sort key makes each row group a
-    * narrow CUBE in both dimensions — a conjunctive two-predicate scan
-    * prunes on both. The same events fact is written at the SAME file
-    * granularity (64 range files) twice: sorted by `value`, and sorted
-    * by morton(value₁₆, user₁₆); the probe is value ≥ p75 AND
-    * user_id ≤ p25 (~6% of rows), bytes are footer-derived with the
-    * same two-sided min/max row-group test parquet's StatisticsFilter
-    * runs, and both layouts' answers are asserted equal in-run (the j6
-    * rule). At 64 files the z-prefix is an 8×8 grid: expect the 1-D
-    * layout to fetch ~25% (only the value predicate prunes) and the
-    * Z layout ~6–12% — and the gap WIDENS with file count, which is
-    * the 100 TB story (thousands of row groups ⇒ the grid refines).
+    * two equi-depth 8-bit column ranks into one sort key makes each
+    * row group a narrow CUBE (in row mass) in both dimensions — a
+    * conjunctive two-predicate scan prunes on both. The same events
+    * fact is written at the SAME file granularity (64 range files)
+    * twice: sorted by `value`, and sorted by morton(value₈, user₈);
+    * the probe is value ≥ p75 AND user_id ≤ p25 (~6% of rows), bytes
+    * are footer-derived with the same two-sided min/max row-group test
+    * parquet's StatisticsFilter runs, and both layouts' answers are
+    * asserted equal in-run (the j6 rule). At 64 files the z-prefix is
+    * an 8×8 grid: expect the 1-D layout to fetch ~25% (only the value
+    * predicate prunes) and the Z layout ~6–12% — and the gap WIDENS
+    * with file count, which is the 100 TB story (thousands of row
+    * groups ⇒ the grid refines).
     */
-  private def zorderStudy(spark: SparkSession, sfDir: String): Seq[Metric] = {
+  private[graft] def zorderStudy(spark: SparkSession, sfDir: String): Seq[Metric] = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
@@ -432,13 +433,16 @@ object Bench {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir1d = new org.apache.hadoop.fs.Path(base, "sorted1d").toString
     val dirZ = new org.apache.hadoop.fs.Path(base, "zorder").toString
-    def rank16(c: Column, lo: Double, hi: Double): Column =
-      if (hi > lo)
-        least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
-          .cast("long"), lit(65535L))
-      else lit(0L)
+    // equi-DEPTH 8-bit ranks: 255 approx-quantile boundaries per
+    // dimension (value is SKEWED — a range-linear rank packed 75% of
+    // rows into the bottom bits and the first cut of this study
+    // pruned everything on both layouts; depth-balanced ranks make
+    // the Z-grid uniform in row mass whatever the distribution)
+    def rank8(c: Column, bounds: Array[Double]): Column =
+      aggregate(typedLit(bounds.toSeq), lit(0L),
+        (acc, b) => acc + when(c.cast("double") >= b, 1L).otherwise(0L))
     def morton(x: Column, y: Column): Column =
-      (0 until 16).map { i =>
+      (0 until 8).map { i =>
         shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
           .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
       }.reduce(_ bitwiseOR _)
@@ -447,12 +451,13 @@ object Bench {
       val ev = Tables.table(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .filter(col("value").isNotNull)
-      val st = ev.agg(min(col("value")), max(col("value")),
-        min(col("user_id")), max(col("user_id"))).head()
-      val (vLo, vHi) = (st.getDouble(0), st.getDouble(1))
-      val (uLo, uHi) = (st.getLong(2), st.getLong(3))
-      val vThr = vLo + (vHi - vLo) * 0.75
-      val uThr = uLo + ((uHi - uLo) * 0.25)
+      val probs = (1 until 256).map(_ / 256.0).toArray
+      val vBounds = ev.stat.approxQuantile("value", probs, 0.001)
+      val uBounds = ev.select(col("user_id").cast("double").as("u"))
+        .stat.approxQuantile("u", probs, 0.001)
+      // the probe: top-quartile value AND bottom-quartile user (~6%)
+      val vThr = vBounds(191) // p75
+      val uThr = uBounds(63)  // p25
       def answer(dir: String) = spark.read.parquet(dir)
         .filter(col("value") >= vThr && col("user_id") <= uThr)
         .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
@@ -460,8 +465,8 @@ object Bench {
       val c1 = time("j8_sort1d_cost")(Tables.writeClustered(ev, dir1d, "value", 64))
       val cz = time("j8_zorder_cost")(
         ev.withColumn("zval",
-            morton(rank16(col("value"), vLo, vHi),
-              rank16(col("user_id").cast("double"), uLo.toDouble, uHi.toDouble)))
+            morton(rank8(col("value"), vBounds),
+              rank8(col("user_id"), uBounds)))
           .repartitionByRange(64, col("zval"))
           .sortWithinPartitions(col("zval"))
           .write.mode("overwrite").parquet(dirZ))

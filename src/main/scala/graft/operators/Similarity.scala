@@ -1297,6 +1297,40 @@ object Similarity {
         (coalesce(col("h"), lit(0L)).cast("double") / k).as("recall"))
   }
 
+  /** E25: quantizer reconstruction-error report — the b47/d17
+    * estimate-vs-exact pattern for the vector codecs: per vector, the
+    * cosine between the original and its SQ8 / PQ reconstruction (the
+    * number that decides which codec a deployment can afford — SQ8 is
+    * 4× smaller and near-lossless; PQ is 16× smaller and coarse, the
+    * e24 recall distribution made visible at the vector level). Per-
+    * ITEM rows, no float mean anywhere (the c41 rule); each codec
+    * costs one encode pass plus the original-side join. PQ decode is
+    * code → centroid subvector lookups against the literal codebook,
+    * flattened in subspace order — exactly the inverse of
+    * [[pqEncodeCarrying]]'s argmin.
+    */
+  def quantErrorReport(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val o = withNorm(embeddings)
+      .select(col("vec_id"), col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
+    def cosOf(recon: DataFrame, codec: String) =
+      withNorm(recon)
+        .select(col("vec_id"), col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
+        .join(o, Seq("vec_id"))
+        .select(lit(codec).as("codec"), col("vec_id"),
+          (dot(col("o_emb"), col("r_emb")) / (col("o_nrm") * col("r_nrm")))
+            .as("recon_cos"))
+    val sq8 = cosOf(dequantizeSq8(quantizeSq8(embeddings)), "sq8")
+    val cents = pqCentroidTable(withNorm(embeddings), dim)
+    val centsLit = typedLit(cents.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+    val pqRecon = quantizePqWith(embeddings, cents)
+      .select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(pqSubspaces - 1)),
+          s => element_at(element_at(centsLit, (s + 1).cast("int")),
+            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int"))))
+          .as("embedding"))
+    sq8.unionByName(cosOf(pqRecon, "pq"))
+  }
+
   /** E18: hybrid retrieval by reciprocal-rank fusion — the production
     * RAG serving shape: a dense list (E1 cosine over the embedding) and
     * a sparse list (F12 BM25 over the text) fuse by
