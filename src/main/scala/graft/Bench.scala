@@ -119,7 +119,9 @@ object Bench {
     // cost (|pairs|x60 expansion) the sketch exists to avoid
     "b47_window_hll_error",
     // per-stratum bottom-k merge: two WindowGroupLimit cuts
-    "i26_stratified_merge")
+    "i26_stratified_merge",
+    // quantizer recon-error report: two encode passes + the orig join
+    "e25_quant_error")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

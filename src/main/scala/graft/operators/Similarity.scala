@@ -1562,7 +1562,10 @@ object Similarity {
     "e23_ivf_probe_sweep" -> ((s, d) => ivfProbeSweep(t(s, d, "embeddings"))),
 
     // E24: per-query recall of the batch IVF-PQ join vs exact batch kNN.
-    "e24_batch_recall" -> ((s, d) => batchRecall(t(s, d, "embeddings")))
+    "e24_batch_recall" -> ((s, d) => batchRecall(t(s, d, "embeddings"))),
+
+    // E25: per-vector SQ8/PQ reconstruction cosine — the codec decider.
+    "e25_quant_error" -> ((s, d) => quantErrorReport(t(s, d, "embeddings")))
   )
 
   def oracles: Map[String, String] = {
@@ -1985,6 +1988,108 @@ object Similarity {
     // deterministic double arithmetic; the 2-D tables are rebuilt in SQL
     // as ordered nested lists and every fold is an explicit left
     // list_reduce (an aggregate SUM would have engine-defined order).
+    // E25: the e7 dequantize CTE and the e8 cseed/cl/codes CTEs (the
+    // encode argmin needs only the centroid norms — the q-independent
+    // half of e8's tabs), recon = flatten of per-subspace centroid
+    // lookups, then one cosine fold per codec in the e1 spelling with
+    // the recon norm guarded > 0 exactly like withNorm.
+    "e25_quant_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |qs AS (
+        |  SELECT vec_id, qmin,
+        |         CASE WHEN qmax > qmin THEN (qmax - qmin) / 255.0 ELSE 1.0 END AS qstep
+        |  FROM (SELECT vec_id,
+        |               CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |               CAST(list_max(embedding) AS DOUBLE) AS qmax
+        |        FROM embeddings)),
+        |deq AS (
+        |  SELECT e.vec_id,
+        |         list_transform(e.embedding, x ->
+        |           CAST(s.qmin +
+        |             ((CAST(round((CAST(x AS DOUBLE) - s.qmin) / s.qstep) AS INTEGER) - 128)
+        |              + 128) * s.qstep AS REAL)) AS r_emb
+        |  FROM embeddings e JOIN qs s ON e.vec_id = s.vec_id),
+        |sq8n AS (
+        |  SELECT vec_id, r_emb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(r_emb) + 1),
+        |             i -> CAST(r_emb[i] AS DOUBLE) * CAST(r_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS r_nrm
+        |  FROM deq
+        |  WHERE r_nrm > 0),
+        |cseed AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |cl AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
+        |    GROUP BY s)),
+        |nsqt AS (
+        |  SELECT list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(nsqv ORDER BY cid) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
+        |    GROUP BY s)),
+        |codes AS (
+        |  SELECT emb.vec_id,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM embeddings emb, cl, nsqt t),
+        |pqr AS (
+        |  SELECT vec_id, r_emb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(r_emb) + 1),
+        |             i -> r_emb[i] * r_emb[i])),
+        |           (x, y) -> x + y)) AS r_nrm
+        |  FROM (
+        |    SELECT co.vec_id,
+        |           flatten(list_transform(range(0, 8),
+        |             s -> cl.cents[s + 1][co.codes[s + 1] + 1])) AS r_emb
+        |    FROM codes co, cl)
+        |  WHERE r_nrm > 0)
+        |SELECT 'sq8' AS codec, e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(r.r_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
+        |FROM e JOIN sq8n r ON e.vec_id = r.vec_id
+        |UNION ALL
+        |SELECT 'pq' AS codec, e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * r.r_emb[i])),
+        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
+        |FROM e JOIN pqr r ON e.vec_id = r.vec_id""".stripMargin,
+
     "e8_ann_pq" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -493,6 +493,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("E25 quant error: SQ8 is near-lossless, PQ is coarse, and the report covers every vector per codec") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val out = Similarity.quantErrorReport(e).collect()
+      .map(r => (r.getAs[String]("codec"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("recon_cos")))
+    val byCodec = out.groupBy(_._1)
+    assert(byCodec.keySet === Set("sq8", "pq"))
+    val total = e.count()
+    byCodec.foreach { case (c, rows) =>
+      assert(rows.length.toLong === total, s"$c must cover every vector")
+      rows.foreach { case (_, id, cos) =>
+        assert(cos <= 1.0 + 1e-9 && cos > 0.0, s"$c vec $id cos $cos out of range")
+      }
+    }
+    // the codec decision the report exists to make: SQ8's WORST vector
+    // reconstructs better than PQ's corpus MEAN (4x vs 16x compression)
+    val sq8Min = byCodec("sq8").map(_._3).min
+    val pqMean = byCodec("pq").map(_._3).sum / byCodec("pq").length
+    assert(sq8Min > 0.999, s"SQ8 must be near-lossless, worst $sq8Min")
+    assert(sq8Min > pqMean, s"SQ8 worst ($sq8Min) must beat PQ mean ($pqMean)")
+  }
+
   test("E18 RRF equals the driver-recomputed fusion of the two ranked lists") {
     import graft.operators.TextAnalysis
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
