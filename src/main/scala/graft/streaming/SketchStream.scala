@@ -188,6 +188,56 @@ object SketchStream {
     Relational.windowQuantileFromCells(merged, stats, windowDays)
   }
 
+  /** H35: streaming exact-k sample maintenance — I25's bottom-k
+    * algebra served online: each micro-batch keeps its own k smallest
+    * (hk, id) rows (a k-row "cell" per batch — [[graft.operators
+    * .Profile.uniformSampleK]] applied to the batch), lands them under
+    * `batch_id=` exactly-once by layout, and serving re-cuts the union
+    * to the global bottom-k — BIT-IDENTICAL to the one-shot i12 sample
+    * over every row ever seen, because each of the global k smallest
+    * is smallest within its own batch (the i25 law, with micro-batches
+    * as the shards). The eval sample stays fresh under continuous
+    * ingest at k rows per batch landed and ≤ batches·k read per serve,
+    * never a corpus rescan.
+    *
+    * Algebra note (the h33/h34 taxonomy): bottom-k union is idempotent
+    * UNDER DEDUP BY ID — serving dedups (id) defensively, so even a
+    * double-landed replay (which the dynamic overwrite already fences)
+    * could not push a legitimate row out of the cut with a duplicate.
+    */
+  def maintainSampleCells(stream: DataFrame, k: Int, cellsDir: String,
+                          checkpoint: String,
+                          idCol: String = "doc_id"): StreamingQuery = {
+    graft.sources.Tables.recoverCrashedSwap(stream.sparkSession, cellsDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Profile.uniformSampleK(batch, k, idCol)
+          .withColumn("batch_id", lit(id))
+          .repartition(col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serve the maintained sample: dedup by id across batch partitions,
+    * re-cut the bottom-k — equals the one-shot batch sample exactly.
+    */
+  def sampleFromCells(spark: org.apache.spark.sql.SparkSession,
+                      cellsDir: String, k: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    graft.sources.Tables.recoverCrashedSwap(spark, cellsDir)
+    spark.read.parquet(cellsDir)
+      .select(col(idCol), col("source"), col("hk"))
+      .distinct()
+      .orderBy(col("hk"), col(idCol))
+      .limit(k)
+  }
+
   /** Retention for the cell table: under a long-lived stream the
     * `batch_id=` partitions grow without bound (one per micro-batch
     * forever), so listing cost — not data size — eventually dominates

@@ -207,6 +207,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(served.nonEmpty)
   }
 
+  test("H35 streaming sample maintenance equals the one-shot batch i12 sample exactly") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("graft_samp_in")
+    val ckpt = tmpDir("graft_samp_ckpt")
+    val cells = tmpDir("graft_samp_cells")
+    val docs = Tables.table(spark, SF, "documents")
+      .select(col("doc_id"), col("source"))
+    // random 4-way split: the global bottom-k straddles batches, so
+    // the serve-side re-cut across batch cells is real
+    docs.repartition(4).write.mode("overwrite").json(in)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType))))
+      .option("maxFilesPerTrigger", 1).json(in)
+    SketchStream.maintainSampleCells(stream, k = 37, cells, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(cells).select("batch_id").distinct().count() > 1,
+      "stream must have run as multiple micro-batches")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("hk"))).sortBy(_._1).toSeq
+    val served = rows(SketchStream.sampleFromCells(spark, cells, k = 37))
+    val batch = rows(graft.operators.Profile.uniformSampleK(docs, k = 37))
+    assert(served === batch,
+      "the maintained sample must equal the one-shot batch sample exactly")
+    assert(served.size === 37)
+  }
+
   test("H12 retention: consolidating aged cell batches leaves served estimates identical") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val in = tmpDir("graft_cmsret_in")
