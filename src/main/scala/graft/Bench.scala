@@ -121,7 +121,9 @@ object Bench {
     // per-stratum bottom-k merge: two WindowGroupLimit cuts
     "i26_stratified_merge",
     // quantizer recon-error report: two encode passes + the orig join
-    "e25_quant_error")
+    "e25_quant_error",
+    // cluster diagnostics: one checkpointed candidate pass + the loop
+    "d24_cluster_report")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

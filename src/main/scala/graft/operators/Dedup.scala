@@ -321,6 +321,34 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** D24: per-cluster QUALITY DIAGNOSTICS — the report a curator reads
+    * before trusting a dedup threshold: for every multi-document
+    * near-dup cluster, its size, its verified-pair count, and the
+    * min/max intra-cluster Jaccard. A low min_jaccard is the smoking
+    * gun for an over-merged cluster (transitive chaining through a
+    * borderline pair); a cluster with n_pairs ≪ n_docs·(n_docs−1)/2
+    * merged through sparse evidence. All statistics are order-free
+    * (counts, min, max — never a float mean, the c41 rule), so the
+    * report carries a full oracle. ONE candidate sketch pass feeds the
+    * component loop, the membership table AND the Jaccard verify (the
+    * d7 lesson — the checkpoint is the share point); everything after
+    * is output-sized.
+    */
+  def clusterReport(docs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val cand = minhashCandidates(docs).localCheckpoint(true)
+    val memb = clustersFromPairsOnly(cand, maxIter)
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = ngramJaccard(docs, cand)
+    val docsPer = memb.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+    val pairStats = scored
+      .join(memb.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    docsPer.join(pairStats, Seq("cluster_id"))
+  }
+
   /** The shared alignment close of the shared-content detectors (g11
     * media clips / d22 text passages): given positioned shingles
     * (doc_id, pos, sh), expand same-shingle anchor pairs within capped
@@ -1097,6 +1125,10 @@ object Dedup {
       ngramJaccard(docs, minhashCandidates(docs))
     }),
 
+    // D24: per-cluster quality diagnostics (size, pair count, min/max
+    // intra-cluster Jaccard) — the over-merge / sparse-evidence report.
+    "d24_cluster_report" -> ((s, d) => clusterReport(t(s, d, "documents"))),
+
     // D20: asymmetric containment of the D2 candidates — the
     // sub-document-copying statistic Jaccard dilutes.
     "d20_containment" -> ((s, d) => {
@@ -1202,6 +1234,23 @@ object Dedup {
     * candidates), shared verbatim by d8 and — wrapped in the I2 split
     * CASE — by i13.
     */
+  /** D4/D24 shared oracle: candidate pairs verified by shingle-set
+    * Jaccard (a def so the cluster report composes it verbatim).
+    */
+  private def d4JaccardSql(bandsCte: String): String =
+    bandsCte +
+      """,
+        |sets AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT doc_a, doc_b,
+        |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        |FROM cand
+        |JOIN sets sa ON doc_a = sa.doc_id
+        |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin
+
   private def d8ClustersSql(bandsCte: String): String =
     bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
@@ -1622,18 +1671,23 @@ object Dedup {
           s"       ${splitCaseSql("cluster_id")} AS split\n" +
           s"FROM (${d8ClustersSql(bandsCte)}) clustered"),
 
-      "d4_ngram_jaccard" -> (bandsCte +
-        """,
-          |sets AS (
-          |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-          |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-          |  FROM toks WHERE len(t) >= 3)
-          |SELECT doc_a, doc_b,
-          |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-          |         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-          |FROM cand
-          |JOIN sets sa ON doc_a = sa.doc_id
-          |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
+      "d4_ngram_jaccard" -> d4JaccardSql(bandsCte),
+
+      // D24: the d8 cluster SQL (multi-doc clusters only — exactly the
+      // pair endpoints) and the d4 jaccard SQL composed VERBATIM, then
+      // order-free per-cluster aggregates.
+      "d24_cluster_report" ->
+        (s"""WITH memb AS (
+            |  SELECT doc_id, cluster_id FROM (${d8ClustersSql(bandsCte)})
+            |  WHERE cluster_size > 1),
+            |pairs AS (SELECT * FROM (${d4JaccardSql(bandsCte)})),
+            |pc AS (
+            |  SELECT m.cluster_id, count(*) AS n_pairs,
+            |         min(p.jaccard) AS min_jaccard, max(p.jaccard) AS max_jaccard
+            |  FROM pairs p JOIN memb m ON p.doc_a = m.doc_id GROUP BY 1),
+            |dc AS (SELECT cluster_id, count(*) AS n_docs FROM memb GROUP BY 1)
+            |SELECT dc.cluster_id, dc.n_docs, pc.n_pairs, pc.min_jaccard, pc.max_jaccard
+            |FROM dc JOIN pc USING (cluster_id)""".stripMargin),
 
       // D20: d4's sets CTE with the two directional divisions — int
       // sizes cast to DOUBLE, one IEEE division each, greatest() over

@@ -449,4 +449,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val at = Seq((16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L)).map(c => out((c._1, c._2, 0.5))._2)
     assert(at === at.sorted.reverse, "recall must order (16,1) > (8,2) > (4,4) > (2,8) at s=0.5")
   }
+
+  test("D24 cluster report: connectivity bounds on pair counts; sizes match d8 exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, SF, "documents")
+    val rep = Dedup.clusterReport(docs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs"),
+          r.getAs[Double]("min_jaccard"), r.getAs[Double]("max_jaccard")))).toMap
+    assert(rep.nonEmpty, "corpus must contain multi-doc near-dup clusters")
+    rep.foreach { case (cid, (nd, np, mn, mx)) =>
+      // a connected component of nd nodes needs >= nd-1 edges and has
+      // at most nd*(nd-1)/2; the jaccard extremes must be ordered
+      assert(nd >= 2L, s"cluster $cid not multi-doc")
+      assert(np >= nd - 1 && np <= nd * (nd - 1) / 2,
+        s"cluster $cid: $np pairs impossible for $nd docs")
+      assert(mn <= mx && mn > 0.0 && mx <= 1.0, s"cluster $cid jaccard bounds")
+    }
+    // the report's membership is exactly d8's multi-doc clusters
+    val d8 = Dedup.dedupClusters(docs).filter(col("cluster_size") > 1)
+      .groupBy(col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n")).toMap
+    assert(rep.view.mapValues(_._1).toMap === d8,
+      "report sizes must match d8's multi-doc clusters exactly")
+  }
 }
