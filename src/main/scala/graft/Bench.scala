@@ -303,11 +303,18 @@ object Bench {
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${qmap(all)},"non_seconds":$nonSecondsList,""" +
       s""""sf":"$sfDir"$scalingPart}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // the committed artifact of record is the sf0.1 capture (the
+    // driver's scale); local runs at OTHER scales write a side file so
+    // a small-SF iteration can never silently replace the record (it
+    // happened twice this round via blanket `git add -u`)
+    val artifact =
+      if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
+      else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+        System.err.println(s"[bench] $artifact write failed: ${e.getMessage}")
     }
     // 3. LAST line: compact headline, kept inside the driver's tail
     // window — precision drops until it fits (at headline.size ≈ 78
