@@ -235,6 +235,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(served.size === 37)
   }
 
+  test("H33/H34 sink algebra: a double-landed batch is invisible to the HLL max, corrupting to the histogram sum") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types.{DateType, DoubleType, LongType, StructField, StructType}
+    // simulate the failure the exactly-once layout fences — a batch's
+    // cells landing TWICE under different batch_ids — by copying one
+    // batch partition wholesale. The HLL serve (register MAX:
+    // idempotent) must not move a bit; the histogram serve (count SUM:
+    // not idempotent) must corrupt. This pins the taxonomy's claims as
+    // behavior, not prose.
+    def doubleLand(cells: String): Unit = {
+      val src = new java.io.File(cells).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).head
+      val dst = Paths.get(cells, "batch_id=999")
+      Files.createDirectories(dst)
+      src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        Files.copy(f.toPath, dst.resolve(f.getName), StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString,
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSet
+    // HLL side
+    val li = Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
+    val inH = tmpDir("graft_dl_hll_in"); val cellsH = tmpDir("graft_dl_hll_cells")
+    li.repartition(3).write.mode("overwrite").json(inH)
+    SketchStream.maintainDailyHll(
+      spark.readStream.schema(StructType(Seq(StructField("ship_day", DateType),
+        StructField("l_orderkey", LongType))))
+        .option("maxFilesPerTrigger", 1).json(inH),
+      "l_orderkey", "ship_day", cellsH, tmpDir("graft_dl_hll_ck")).awaitTermination()
+    val beforeH = rows(SketchStream.windowDistinctFromCells(spark, cellsH)
+      .select(col("ship_day"), col("est_ndv")))
+    doubleLand(cellsH)
+    val afterH = rows(SketchStream.windowDistinctFromCells(spark, cellsH)
+      .select(col("ship_day"), col("est_ndv")))
+    assert(afterH === beforeH,
+      "a double-landed batch must be invisible to the idempotent register max")
+    // histogram side
+    val lq = Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"), col("l_extendedprice"))
+    val st = lq.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    val inQ = tmpDir("graft_dl_hist_in"); val cellsQ = tmpDir("graft_dl_hist_cells")
+    lq.repartition(3).write.mode("overwrite").json(inQ)
+    SketchStream.maintainDailyHist(
+      spark.readStream.schema(StructType(Seq(StructField("ship_day", DateType),
+        StructField("l_extendedprice", DoubleType))))
+        .option("maxFilesPerTrigger", 1).json(inQ),
+      "l_extendedprice", "ship_day", st.getDouble(0), st.getDouble(1),
+      cellsQ, tmpDir("graft_dl_hist_ck")).awaitTermination()
+    val beforeQ = rows(SketchStream.windowQuantilesFromCells(
+      spark, cellsQ, st.getDouble(0), st.getDouble(1))
+      .filter(col("quantile") === 0.5).select(col("ship_day"), col("est_value")))
+    doubleLand(cellsQ)
+    val afterQ = rows(SketchStream.windowQuantilesFromCells(
+      spark, cellsQ, st.getDouble(0), st.getDouble(1))
+      .filter(col("quantile") === 0.5).select(col("ship_day"), col("est_value")))
+    assert(afterQ !== beforeQ,
+      "a double-landed batch MUST corrupt the additive histogram — if it " +
+        "doesn't, the exactly-once fence is dead weight and the taxonomy is wrong")
+  }
+
   test("H12 retention: consolidating aged cell batches leaves served estimates identical") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val in = tmpDir("graft_cmsret_in")
