@@ -1322,12 +1322,19 @@ object Similarity {
     val sq8 = cosOf(dequantizeSq8(quantizeSq8(embeddings)), "sq8")
     val cents = pqCentroidTable(withNorm(embeddings), dim)
     val centsLit = typedLit(cents.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+    // the 8 code lookups are TOP-LEVEL expressions in one projection,
+    // never a lambda over `codes`: a transform-lambda references the
+    // codes alias once, so CollapseProject inlines the ENTIRE encode
+    // argmin into the lambda body and re-evaluates it per subspace —
+    // measured 8× the whole-op cost (26 s vs 3 s at sf0.1) before this
+    // rewrite. The round-4 §6b rule, now with a lambda as the
+    // single-reference consumer.
     val pqRecon = quantizePqWith(embeddings, cents)
       .select(col("vec_id"),
-        flatten(transform(sequence(lit(0), lit(pqSubspaces - 1)),
-          s => element_at(element_at(centsLit, (s + 1).cast("int")),
-            (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int"))))
-          .as("embedding"))
+        concat((0 until pqSubspaces).map { s =>
+          element_at(element_at(centsLit, s + 1),
+            element_at(col("codes"), s + 1) + 1)
+        }: _*).as("embedding"))
     sq8.unionByName(cosOf(pqRecon, "pq"))
   }
 
