@@ -122,6 +122,12 @@ object Bench {
     "i26_stratified_merge",
     // quantizer recon-error report: two encode passes + the orig join
     "e25_quant_error",
+    // incremental set-sim join: delta-only shingle/rank passes + the
+    // prefix collision join against the (recomputed-here) base index
+    "d23b_setsim_incremental",
+    // tokenizer apply: the f23 lexicon collect + one row-local fold
+    // pass; its i9/i11 integrations add the packing/budget windows
+    "f24_bpe_segment", "i9b_pack_bpe", "i11b_budget_bpe",
     // cluster diagnostics: one checkpointed candidate pass + the loop
     "d24_cluster_report")
 
@@ -274,10 +280,11 @@ object Bench {
     val colPrune = columnPruneStudy(spark, sfDir)
     val zorder = zorderStudy(spark, sfDir)
     val maintenance = maintenanceStudy(spark, sfDir)
+    val wvol = windowedVolumeStudy(spark, sfDir)
     val all: Seq[Metric] = results.map(e => Metric(e._1, e._2)) ++
       streaming ++ bucketed ++ curation ++ annIndex ++
       compaction ++ codec ++ layout ++ prune ++ colPrune ++ zorder ++
-      maintenance
+      maintenance ++ wvol
     val scaling = scalingStudy(spark, sfDir,
       all.map(m => m.name -> m.value).toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -643,8 +650,14 @@ object Bench {
         val ev = Tables.table(spark, sfDir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), to_date(col("ts")).cast("string").as("event_date"))
-        // the probe day: the corpus midpoint, computed once untimed
-        day = ev.selectExpr("min(event_date)").collect().head.getString(0)
+        // the probe day: the MEDIAN calendar day, computed once
+        // untimed — the first day of a ramp-up corpus is its sparsest
+        // partition and would overstate the pruning ratio
+        day = {
+          val days = ev.select(col("event_date")).distinct()
+            .orderBy(col("event_date")).collect().map(_.getString(0))
+          days(days.length / 2)
+        }
         ev.repartition(16, col("event_id")).write.mode("overwrite")
           .parquet(flatDir)
         val cost = time("j5_partition_write_cost")(
@@ -920,7 +933,15 @@ object Bench {
       def probeLearned(): Unit =
         Similarity.ivfProbeLearned(emb, model, 0L, 20)
           .write.format("noop").mode("overwrite").save()
-      ivfProbe(); sq8Search(); pqSearch() // untimed warm-ups
+      // e17 at a PRODUCTION query batch: 256 queries is past the
+      // 32-query literal threshold, so this prices the broadcast-
+      // joined model path — 32× the headline e17's query count
+      // through a FIXED-size plan (the round-8 verdict's flagged
+      // scale killer, now measured at the scale that triggered it)
+      def joinBatch(): Unit =
+        Similarity.ivfPqKnnJoin(emb, 0L until 256L, 10)
+          .write.format("noop").mode("overwrite").save()
+      ivfProbe(); sq8Search(); pqSearch(); joinBatch() // untimed warm-ups
       val fit = time("e4_fit") { model = Similarity.fitIvfKmeans(emb) }
       probeLearned() // warm-up after the model exists
       val out = Seq(
@@ -928,7 +949,8 @@ object Bench {
         time("e7_sq8_persisted") { sq8Search() },
         time("e8_pq_persisted") { pqSearch() },
         fit,
-        time("e4_probe") { probeLearned() })
+        time("e4_probe") { probeLearned() },
+        time("e17_join_q256") { joinBatch() })
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       catch { case scala.util.control.NonFatal(_) => }
       out
@@ -936,7 +958,8 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] ann index study setup failed: ${e.getMessage}")
         Seq("e6_ivf_probe" -> -1.0, "e7_sq8_persisted" -> -1.0,
-          "e8_pq_persisted" -> -1.0, "e4_fit" -> -1.0, "e4_probe" -> -1.0)
+          "e8_pq_persisted" -> -1.0, "e4_fit" -> -1.0, "e4_probe" -> -1.0,
+          "e17_join_q256" -> -1.0)
     }
   }
 
@@ -1343,6 +1366,7 @@ object Bench {
         }
       // untimed byte pass: same joins, broadcast disabled so the plain
       // variant pays the real two-sided key exchange it would at scale
+      val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val mbs =
         try {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -1354,7 +1378,7 @@ object Bench {
             Metric("j1_factjoin_bucketed_mb", shuffleWriteMb(
               joined(spark.table("graft_bench_li_bkt"), spark.table("graft_bench_o_bkt"))),
               seconds = false))
-        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
       try dropBucketTables() catch { case scala.util.control.NonFatal(_) => }
       runs.filterNot(_._1.startsWith("warmup")).map(e => Metric(e._1, e._2)) ++ mbs
     } catch {
@@ -1453,6 +1477,96 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] maintenance study failed: ${e.getMessage}")
         names.map(Metric(_, -1.0, seconds = false))
+    }
+  }
+
+  /** Sustained-volume study for the round-8 windowed-sketch/sample
+    * sinks (h33/h34/h35), under the h1 x1/x4 protocol (x1: 16 files at
+    * 4/trigger; x4: 4× the rows in 64 files at 16/trigger — four
+    * micro-batches either way, so fixed stream-start cost amortizes
+    * identically and the axis is per-batch volume). The claim being
+    * priced: MAINTAINED STATE STAYS FLAT while input grows — the x4
+    * copies carry genuinely NEW keys (id offset per copy, so distinct
+    * cardinality really is 4×), yet the HLL cell table stays
+    * days×256, the histogram table days×64, and the landed sample
+    * batches×k. The `_cells_`/`_state_` twins must read EQUAL; the
+    * `_vol_` seconds price the 4× scan honestly.
+    */
+  private def windowedVolumeStudy(spark: SparkSession,
+                                  sfDir: String): Seq[Metric] = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    import graft.streaming.SketchStream
+    val names = Seq("h33_vol_x1", "h33_vol_x4", "h34_vol_x1", "h34_vol_x4",
+      "h35_vol_x1", "h35_vol_x4")
+    val cellNames = Seq("h33_cells_x1", "h33_cells_x4", "h34_cells_x1",
+      "h34_cells_x4", "h35_state_x1", "h35_state_x4")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_wvol").toString
+      val off = 1000000000000L // disjoint id spaces per copy
+      val li = Tables.table(spark, sfDir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_day"),
+          col("l_orderkey"), col("l_extendedprice"))
+      def liX(n: Int) = (0 until n).map(c =>
+        li.select(col("ship_day"),
+          (col("l_orderkey") + lit(c * off)).as("l_orderkey"),
+          col("l_extendedprice"))).reduce(_.unionByName(_))
+      liX(1).repartition(16).write.parquet(s"$tmp/li1")
+      liX(4).repartition(64).write.parquet(s"$tmp/li4")
+      val liSchema = spark.read.parquet(s"$tmp/li1").schema
+      val st = li.agg(min(col("l_extendedprice")),
+        max(col("l_extendedprice"))).head()
+      val (lo, hi) = (st.getDouble(0), st.getDouble(1))
+      val docs = Tables.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"))
+      def docsX(n: Int) = (0 until n).map(c =>
+        docs.select((col("doc_id") + lit(c * off)).as("doc_id"),
+          col("source"))).reduce(_.unionByName(_))
+      docsX(1).repartition(16).write.parquet(s"$tmp/d1")
+      docsX(4).repartition(64).write.parquet(s"$tmp/d4")
+      val dSchema = spark.read.parquet(s"$tmp/d1").schema
+      def in(dir: String, schema: org.apache.spark.sql.types.StructType,
+             mft: Int) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", mft).parquet(dir)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def mergedCells(dir: String): Double = spark.read.parquet(dir)
+        .select(col("ship_day"), col("bucket")).distinct().count().toDouble
+      val t33a = timed(SketchStream.maintainDailyHll(
+        in(s"$tmp/li1", liSchema, 4), "l_orderkey", "ship_day",
+        s"$tmp/c33a", s"$tmp/k33a").awaitTermination())
+      val t33b = timed(SketchStream.maintainDailyHll(
+        in(s"$tmp/li4", liSchema, 16), "l_orderkey", "ship_day",
+        s"$tmp/c33b", s"$tmp/k33b").awaitTermination())
+      val t34a = timed(SketchStream.maintainDailyHist(
+        in(s"$tmp/li1", liSchema, 4), "l_extendedprice", "ship_day", lo, hi,
+        s"$tmp/c34a", s"$tmp/k34a").awaitTermination())
+      val t34b = timed(SketchStream.maintainDailyHist(
+        in(s"$tmp/li4", liSchema, 16), "l_extendedprice", "ship_day", lo, hi,
+        s"$tmp/c34b", s"$tmp/k34b").awaitTermination())
+      val t35a = timed(SketchStream.maintainSampleCells(
+        in(s"$tmp/d1", dSchema, 4), 100, s"$tmp/c35a", s"$tmp/k35a")
+        .awaitTermination())
+      val t35b = timed(SketchStream.maintainSampleCells(
+        in(s"$tmp/d4", dSchema, 16), 100, s"$tmp/c35b", s"$tmp/k35b")
+        .awaitTermination())
+      Seq(Metric("h33_vol_x1", t33a), Metric("h33_vol_x4", t33b),
+        Metric("h34_vol_x1", t34a), Metric("h34_vol_x4", t34b),
+        Metric("h35_vol_x1", t35a), Metric("h35_vol_x4", t35b),
+        Metric("h33_cells_x1", mergedCells(s"$tmp/c33a"), seconds = false),
+        Metric("h33_cells_x4", mergedCells(s"$tmp/c33b"), seconds = false),
+        Metric("h34_cells_x1", mergedCells(s"$tmp/c34a"), seconds = false),
+        Metric("h34_cells_x4", mergedCells(s"$tmp/c34b"), seconds = false),
+        Metric("h35_state_x1",
+          spark.read.parquet(s"$tmp/c35a").count().toDouble, seconds = false),
+        Metric("h35_state_x4",
+          spark.read.parquet(s"$tmp/c35b").count().toDouble, seconds = false))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] windowed volume study failed: ${e.getMessage}")
+        names.map(Metric(_, -1.0)) ++
+          cellNames.map(Metric(_, -1.0, seconds = false))
     }
   }
 

@@ -448,14 +448,7 @@ object Dedup {
     // the corpus scanned and re-shingled three times — stage it once
     // (at 100 TB this is a bucketed staging write; locally an eager
     // checkpoint), so the closing plan touches the corpus zero times
-    val sh = checkpointFresh(docs
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(
-        when(size(col("tok")) >= 5,
-          transform(sequence(lit(1), size(col("tok")) - 4),
-            i => array_join(slice(col("tok"), i, lit(5)), " ")))
-          .otherwise(array().cast("array<string>"))).as("s"))
-      .distinct())
+    val sh = checkpointFresh(setSimShingles(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -468,6 +461,30 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    setSimVerify(cand, sh, sizes, tNum, tDen)
+  }
+
+  /** The distinct word-5-gram shingle table (doc_id, s) both setSim
+    * forms element-join on — extracted verbatim from [[setSimJoin]] so
+    * the shingle definition exists once.
+    */
+  private[graft] def setSimShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), explode(
+        when(size(col("tok")) >= 5,
+          transform(sequence(lit(1), size(col("tok")) - 4),
+            i => array_join(slice(col("tok"), i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .distinct()
+
+  /** The exact-Jaccard verification close shared by [[setSimJoin]] and
+    * [[setSimJoinIncremental]]: shingles join only for CANDIDATE pairs
+    * (never all-pairs), all threshold math integer until the reported
+    * ratio.
+    */
+  private def setSimVerify(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+                           tNum: Int, tDen: Int): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
@@ -478,6 +495,73 @@ object Dedup {
       .filter(col("inter") * tDen >= col("un") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
         (col("inter").cast("double") / col("un")).as("jaccard"))
+
+  /** Per-doc PREFIX rows (doc_id, s) under a FROZEN global rarity
+    * order: each doc's first n − ⌈t·n⌉ + 1 distinct shingles ranked by
+    * (df, s), where df comes from `dfTab` and a shingle absent from it
+    * ranks rarest (df 0). The prefix-filter guarantee — two docs with
+    * Jaccard ≥ t MUST share a prefix token — holds for ANY total order
+    * applied consistently to both sides (the proof only counts tokens
+    * outside the prefixes), which is exactly what makes the
+    * incremental form possible: the order is frozen at base-build
+    * time, and a delta shingle the base never saw slots in at df 0
+    * without re-ranking a single base prefix.
+    */
+  private[graft] def setSimPrefixes(sh: DataFrame, dfTab: DataFrame,
+                                    tNum: Int, tDen: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = W.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    sh.join(dfTab, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <=
+        expr(s"n - (n * $tNum + ${tDen - 1}) div $tDen + 1"))
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** D23b: INCREMENTAL set-similarity join — d23's lossless prefix
+    * filter in d18's production shape: a new load slice (delta) joins
+    * against the PERSISTED base index (shingle table + df order + the
+    * already-cut prefixes; recomputed lineage-fresh here for the
+    * harness, a bucketed A12 table in production — BucketingSpec pins
+    * the one-sided-exchange plan), and the base corpus is never
+    * re-shingled or re-ranked. The frozen (base-df, s) order keeps the
+    * filter LOSSLESS for base×delta and delta×delta pairs alike (see
+    * [[setSimPrefixes]]), so the result is SET-EQUAL to the full run's
+    * delta-touching pairs — which is the oracle (the d18 equivalence
+    * pattern): the SQL runs d23's full-corpus join and filters to
+    * pairs touching the delta. The candidate sets may differ (global
+    * df vs frozen df order different prefixes), but the exact-Jaccard
+    * verification makes the OUTPUT identical — candidates are a
+    * superset of truth under both orders.
+    *
+    * Precondition: base and delta doc_ids are disjoint (a re-ingested
+    * id goes through d1/d14 exact dedup first) — a doc on both sides
+    * would double its shingle rows in the union the verify reads.
+    */
+  def setSimJoinIncremental(base: DataFrame, delta: DataFrame,
+                            tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    // the "index": in production these three are one persisted load
+    val shBase = checkpointFresh(setSimShingles(base))
+    val dfBase = shBase.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefBase = setSimPrefixes(shBase, dfBase, tNum, tDen)
+    // the delta pass: shingle + rank ONLY the delta under the frozen order
+    val shDelta = checkpointFresh(setSimShingles(delta))
+    // two consumers (the cross join and the delta-internal self-join)
+    val prefDelta = checkpointFresh(setSimPrefixes(shDelta, dfBase, tNum, tDen))
+    val crossCand = prefBase.as("a").join(prefDelta.as("b"),
+        col("a.s") === col("b.s"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val deltaCand = prefDelta.as("a").join(prefDelta.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = crossCand.unionByName(deltaCand).distinct()
+    val sh = shBase.unionByName(shDelta)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    setSimVerify(cand, sh, sizes, tNum, tDen)
   }
 
   /** Materialize one loop round AND tally its label changes in the SAME
@@ -1038,6 +1122,15 @@ object Dedup {
     // 0.7 — the exact complement of d2's probabilistic LSH candidates.
     "d23_setsim_join" -> ((s, d) => setSimJoin(t(s, d, "documents"))),
 
+    // D23b: the incremental form — delta vs the frozen base index
+    // (delta stand-in: every 7th doc, d18's convention).
+    "d23b_setsim_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      setSimJoinIncremental(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
+
     // D22: longest shared aligned passage per doc pair (g11's close on
     // word 8-gram shingles; the pairwise "WHERE is it shared" d4's
     // Jaccard can't answer).
@@ -1251,6 +1344,46 @@ object Dedup {
         |JOIN sets sa ON doc_a = sa.doc_id
         |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin
 
+  /** D23/D23b shared oracle generator: the full-corpus prefix-filtered
+    * set-similarity join, with an optional trailing predicate
+    * (d23b filters to delta-touching pairs — the incremental
+    * equivalence the frozen-order composition must honor). One string
+    * for both so the join arithmetic cannot diverge between the pair.
+    */
+  private def d23SetSimSql(extraWhere: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tok[i:i+4], ' ') AS s
+       |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 3)) AS i
+       |        FROM t WHERE len(tok) >= 5)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT sh.doc_id, sh.s,
+       |         row_number() OVER (PARTITION BY sh.doc_id
+       |                            ORDER BY df.df, sh.s) AS r,
+       |         sizes.n
+       |  FROM sh JOIN df USING (s) JOIN sizes USING (doc_id)),
+       |pref AS (
+       |  SELECT doc_id, s FROM ranked
+       |  WHERE r <= n - (7 * n + 9) // 10 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter,
+       |         sa.n + sb.n - count(*) AS un
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n)
+       |SELECT doc_a, doc_b, inter, CAST(un AS BIGINT) AS un,
+       |       CAST(inter AS DOUBLE) / un AS jaccard
+       |FROM ver WHERE 10 * inter >= 7 * un$extraWhere""".stripMargin
+
   private def d8ClustersSql(bandsCte: String): String =
     bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
@@ -1379,39 +1512,13 @@ object Dedup {
       // `//` (== Spark div on positives), verify via 10·inter ≥ 7·un,
       // the ratio an identical-input division; rank ties impossible
       // ((df, s) is unique per doc).
-      "d23_setsim_join" ->
-        """WITH t AS (
-          |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
-          |sh AS (
-          |  SELECT DISTINCT doc_id, array_to_string(tok[i:i+4], ' ') AS s
-          |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 3)) AS i
-          |        FROM t WHERE len(tok) >= 5)),
-          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
-          |ranked AS (
-          |  SELECT sh.doc_id, sh.s,
-          |         row_number() OVER (PARTITION BY sh.doc_id
-          |                            ORDER BY df.df, sh.s) AS r,
-          |         sizes.n
-          |  FROM sh JOIN df USING (s) JOIN sizes USING (doc_id)),
-          |pref AS (
-          |  SELECT doc_id, s FROM ranked
-          |  WHERE r <= n - (7 * n + 9) // 10 + 1),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
-          |ver AS (
-          |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter,
-          |         sa.n + sb.n - count(*) AS un
-          |  FROM cand c
-          |  JOIN sh x ON x.doc_id = c.doc_a
-          |  JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
-          |  JOIN sizes sa ON sa.doc_id = c.doc_a
-          |  JOIN sizes sb ON sb.doc_id = c.doc_b
-          |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n)
-          |SELECT doc_a, doc_b, inter, CAST(un AS BIGINT) AS un,
-          |       CAST(inter AS DOUBLE) / un AS jaccard
-          |FROM ver WHERE 10 * inter >= 7 * un""".stripMargin,
+      "d23_setsim_join" -> d23SetSimSql(""),
+
+      // D23b: the SAME full-corpus join (shared generator — the frozen-
+      // order incremental composition must reproduce the full run's
+      // delta-touching pairs exactly; the d18 equivalence pattern).
+      "d23b_setsim_incremental" ->
+        d23SetSimSql(" AND (doc_a % 7 = 0 OR doc_b % 7 = 0)"),
 
       // D22: g11's oracle shape on word 8-grams — the SQL shingles RAW
       // gram strings where the engine shingles md5 digests (g10/g11's

@@ -728,8 +728,11 @@ object Fraud {
   def hwBacktest(ev: DataFrame, holdout: Int = 7): DataFrame = {
     val daily = hwDaily(ev).localCheckpoint(true)
     val maxRow = daily.agg(max(col("day_num"))).head()
-    if (maxRow.isNullAt(0)) return daily.sparkSession.emptyDataFrame
-    val cutoff = maxRow.getLong(0) - holdout
+    // Empty input still flows through the normal projection (every
+    // stage is empty-safe) so the caller sees the REAL 6-column
+    // schema, not a zero-column emptyDataFrame a downstream select
+    // would throw on.
+    val cutoff = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) - holdout
     val state = hwState(daily.filter(col("day_num") <= cutoff))
       .select(col("event_type"), col("last_day"),
         col("st.s").as("s"), col("st.b").as("b"), col("st.cs").as("cs"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Cols._
@@ -100,13 +100,25 @@ object Profile {
     * packing.
     */
   def packSequences(docs: DataFrame, budget: Int = 512,
-                    shards: Int = 32): DataFrame = {
+                    shards: Int = 32): DataFrame =
+    packSequencesFrom(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** [[packSequences]] over an EXPLICIT (doc_id, n_tokens) relation —
+    * the tokenizer seam: i9 feeds it whitespace counts, i9b feeds it
+    * F24's learned-vocab counts, and the packing algebra (sharding,
+    * running sum, boundary math) exists exactly once.
+    */
+  def packSequencesFrom(counts: DataFrame, budget: Int = 512,
+                        shards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    counts
       .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        col("n_tokens"))
       .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor(col("prior") / budget).cast("long").as("seq_id"),
@@ -240,21 +252,37 @@ object Profile {
     * (the training-serving-skew trap H13 closes for features, applied
     * to admission).
     */
+  /** The I11/H14 admission-order salt as one expression — every
+    * consumer (whitespace obs, i11b's learned-vocab obs, the H14
+    * stream gate) MUST hash through this or admission orders silently
+    * diverge.
+    */
+  private[graft] def tokenAdmissionHash: Column =
+    graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("tok:"), col("doc_id").cast("string")))
+
   def tokenObservations(docs: DataFrame): DataFrame = {
     // op-specific salt ("tok:"), like every sibling sampler ("mix:" I8,
     // "shuf:" I10, "samp:" I12): an unsalted doc_id hash would make this
     // op's admission order perfectly correlated with any other consumer
     // of the raw hash order
-    val h = graft.functions.HashFunctions
-      .md5Prefix60(concat(lit("tok:"), col("doc_id").cast("string")))
     docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("hk"))
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      tokenAdmissionHash.as("hk"))
   }
 
-  def tokenBudgetCap(docs: DataFrame, budget: Long = 800L): DataFrame = {
+  def tokenBudgetCap(docs: DataFrame, budget: Long = 800L): DataFrame =
+    tokenBudgetCapFrom(tokenObservations(docs), budget)
+
+  /** [[tokenBudgetCap]] over an EXPLICIT (doc_id, source, n_tokens,
+    * hk) relation — the same tokenizer seam as [[packSequencesFrom]]:
+    * the greedy hash-order prefix admission exists once, whatever
+    * counted the tokens.
+    */
+  def tokenBudgetCapFrom(obs: DataFrame, budget: Long = 800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
-    tokenObservations(docs)
+    obs
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
@@ -393,6 +421,36 @@ object Profile {
   }
 
   /** I16/I26 shared oracle (a def so both entries use one string). */
+  /** I9/I9b shared oracle generator: the sharded running-sum packing
+    * close over a caller-supplied `d(doc_id, shard, n_tokens)` CTE
+    * block — the SQL mirror of [[packSequencesFrom]]'s tokenizer seam.
+    */
+  private def i9PackSql(withBlock: String): String =
+    s"""WITH $withBlock,
+       |p AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (
+       |           PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens,
+       |       CAST(prior // 512 AS BIGINT) AS seq_id,
+       |       CAST(prior % 512 AS BIGINT) AS seq_offset
+       |FROM p""".stripMargin
+
+  /** I11/I11b shared oracle generator: the greedy hash-order budget
+    * admission over a caller-supplied `d(doc_id, source, n_tokens,
+    * hk)` CTE block — [[tokenBudgetCapFrom]]'s seam in SQL.
+    */
+  private def i11BudgetSql(withBlock: String): String =
+    s"""WITH $withBlock,
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin
+
   private def stratifiedKOracleSql: String =
     """WITH h AS (
       |  SELECT doc_id, lang,
@@ -622,6 +680,21 @@ object Profile {
     // I9: fixed-budget sequence packing (sharded running sum).
     "i9_pack_sequences" -> ((s, d) =>
       packSequences(Tables.table(s, d, "documents"))),
+
+    // I9b: i9's packing driven by F24's LEARNED-VOCAB counts — the
+    // unit a real training run budgets in, through the same seam.
+    "i9b_pack_bpe" -> ((s, d) => packSequencesFrom(
+      TextAnalysis.bpeSegment(Tables.table(s, d, "documents"))
+        .select(col("doc_id"), col("bpe_tokens").as("n_tokens")))),
+
+    // I11b: i11's greedy budget admission on learned-vocab counts
+    // (same salt, same order — only the token unit changes).
+    "i11b_budget_bpe" -> ((s, d) => tokenBudgetCapFrom(
+      TextAnalysis.bpeSegment(Tables.table(s, d, "documents"),
+        carry = Seq("source"))
+        .select(col("doc_id"), col("source"),
+          col("bpe_tokens").as("n_tokens"),
+          tokenAdmissionHash.as("hk")))),
 
     // I23: per-shard training manifest over the i9 shard layout.
     "i23_shard_manifest" -> ((s, d) =>
@@ -862,18 +935,22 @@ object Profile {
 
     // I11: integer token counts, same salted-hash admission order, the
     // cumulative sum windowed identically — the kept prefix is exact.
-    "i11_token_budget" ->
-      """WITH d AS (
+    "i11_token_budget" -> i11BudgetSql(
+      """d AS (
         |  SELECT doc_id, source,
         |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
         |         CAST(('0x' || substr(md5('tok:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, n_tokens,
-        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
-        |           AS cum_tokens
-        |  FROM d)
-        |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800""".stripMargin,
+        |  FROM documents)""".stripMargin),
+
+    // I11b: the SAME admission close (shared generator) over F24's
+    // segmentation CTE — only the token-count column differs.
+    "i11b_budget_bpe" -> i11BudgetSql(
+      TextAnalysis.bpeSegCte() +
+        """,
+          |d AS (
+          |  SELECT doc_id, source, bpe_tokens AS n_tokens,
+          |         CAST(('0x' || substr(md5('tok:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+          |  FROM bpe)""".stripMargin),
 
     "i10_global_shuffle" ->
       """WITH h AS (
@@ -965,21 +1042,19 @@ object Profile {
         |       CAST(coalesce(c.tokens_new, 0) - coalesce(p.tokens_old, 0) AS BIGINT) AS tokens_delta
         |FROM cur c FULL OUTER JOIN prev p ON c.shard = p.shard""".stripMargin,
 
-    "i9_pack_sequences" ->
-      """WITH d AS (
+    "i9_pack_sequences" -> i9PackSql(
+      """d AS (
         |  SELECT doc_id, doc_id % 32 AS shard,
         |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |         CAST(coalesce(sum(n_tokens) OVER (
-        |           PARTITION BY shard ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
-        |  FROM d)
-        |SELECT doc_id, shard, n_tokens,
-        |       CAST(prior // 512 AS BIGINT) AS seq_id,
-        |       CAST(prior % 512 AS BIGINT) AS seq_offset
-        |FROM p""".stripMargin,
+        |  FROM documents)""".stripMargin),
+
+    // I9b: the SAME packing close (shared generator) over F24's
+    // segmentation CTE — learned-vocab counts through the i9 seam.
+    "i9b_pack_bpe" -> i9PackSql(
+      TextAnalysis.bpeSegCte() +
+        """,
+          |d AS (SELECT doc_id, doc_id % 32 AS shard,
+          |             bpe_tokens AS n_tokens FROM bpe)""".stripMargin),
 
     "i5_quality_audit" ->
       """WITH s AS (

@@ -561,6 +561,61 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** F24: tokenizer APPLY — the missing half of F23's lexicon build:
+    * greedy leftmost segmentation of each document against a learned
+    * BOUNDED merge table (the top-PMI collocations, collected once as
+    * driver-known model state — the IVF-centroid / C17 rules-as-data
+    * class). A doc's learned-vocab token count is its whitespace count
+    * minus the merges the greedy scan commits: scan left to right, and
+    * when the (wᵢ, wᵢ₊₁) bigram is in the merge table, emit one merged
+    * token and consume both words (a consumed word cannot start
+    * another merge — the standard leftmost-greedy tokenizer contract).
+    * This upgrades f3/i9/i11's whitespace counts to the number a real
+    * training pipeline budgets in (i9b/i11b run on exactly this
+    * count).
+    *
+    * Portability: the scan is a single integer left fold — the state
+    * packs (emitted count, consumed flag) into one BIGINT as cnt·2 +
+    * skip, so the oracle folds the identical shift/mask arithmetic
+    * (no struct state, no floats anywhere). The fold consumes `tok`
+    * as a bound attribute from its own projection (never an inlined
+    * split — the §6b lambda rule), so the text splits once per row.
+    */
+  def bpeSegment(docs: DataFrame, k: Int = 16, minCount: Long = 5,
+                 carry: Seq[String] = Nil): DataFrame =
+    bpeSegmentWith(docs,
+      pmiCollocations(docs, minCount, k)
+        .select(col("gram")).collect().map(_.getString(0)).toIndexedSeq,
+      carry)
+
+  /** [[bpeSegment]] with an explicit merge table (for the spec's hand
+    * cases and any externally-learned lexicon). `carry` threads extra
+    * columns (i11b's source) through the fold projection.
+    */
+  def bpeSegmentWith(docs: DataFrame, merges: Seq[String],
+                     carry: Seq[String] = Nil): DataFrame = {
+    val mergeLit = typedLit(merges)
+    val c = carry.map(col)
+    docs
+      .select(c ++ Seq(col("doc_id"), split(col("text"), " ").as("tok")): _*)
+      .select(c ++ Seq(col("doc_id"),
+        size(col("tok")).cast("long").as("ws_tokens"),
+        aggregate(sequence(lit(1), size(col("tok"))), lit(0L), (acc, i) => {
+          val skip = acc.bitwiseAND(lit(1L))
+          val newCnt = shiftright(acc, 1) + (lit(1L) - skip)
+          // CaseWhen is lazy: element_at(tok, i+1) only evaluates when
+          // i < size(tok), so the ANSI out-of-bounds error cannot fire
+          val newSkip = when(skip === 1L || i === size(col("tok")), lit(0L))
+            .otherwise(when(array_contains(mergeLit,
+              concat_ws(" ", element_at(col("tok"), i),
+                element_at(col("tok"), i + 1))), lit(1L)).otherwise(lit(0L)))
+          shiftleft(newCnt, 1) + newSkip
+        }).as("st")): _*)
+      .select(c ++ Seq(col("doc_id"), col("ws_tokens"),
+        shiftright(col("st"), 1).as("bpe_tokens"),
+        (col("ws_tokens") - shiftright(col("st"), 1)).as("n_merges")): _*)
+  }
+
   /** F16: per-source boilerplate detection — the recurring-template
     * finder (site headers, license blurbs, navigation chrome repeat
     * VERBATIM across a source's documents; RefinedWeb/C4 both strip
@@ -911,6 +966,10 @@ object TextAnalysis {
     // minCount=5 / k=20 sized against the corpus: 900 of 961 possible
     // pairs clear the count floor, PMI spread ~[-0.73, 0.46]
     "f23_pmi_collocations" -> ((s, d) => pmiCollocations(t(s, d, "documents"))),
+
+    // F24: greedy tokenizer apply — per-doc learned-vocab token counts
+    // against the top-16 PMI merge table (driver-known model state).
+    "f24_bpe_segment" -> ((s, d) => bpeSegment(t(s, d, "documents"))),
     // f23's merge twin: slice counts merged by addition, same close,
     // same oracle (merge-equivalence, the b35/b37 pattern)
     "f23b_pmi_merge" -> ((s, d) => pmiCollocationsMerged(t(s, d, "documents"))),
@@ -930,28 +989,59 @@ object TextAnalysis {
     "f4_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")))
   )
 
-  private val pmiSql =
-    """WITH toks AS (
-      |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
-      |grams AS (
-      |  SELECT unnest(list_transform(range(1, len(tok)),
-      |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
-      |  FROM toks),
-      |c2 AS (
-      |  SELECT gram, count(*) AS c12,
-      |         split_part(gram, ' ', 1) AS w1,
-      |         split_part(gram, ' ', 2) AS w2
-      |  FROM grams GROUP BY 1),
-      |cpre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cpre FROM c2 GROUP BY 1),
-      |csuf AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS csuf FROM c2 GROUP BY 1),
-      |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS btot FROM c2)
-      |SELECT gram, c12,
-      |       round(ln(CAST(c12 AS DOUBLE) * btot
-      |                / (CAST(cpre AS DOUBLE) * csuf)), 8) AS pmi
-      |FROM c2 JOIN cpre USING (w1) JOIN csuf USING (w2), tot
-      |WHERE c12 >= 5
-      |ORDER BY pmi DESC, gram
-      |LIMIT 20""".stripMargin
+  /** F23/F24 shared oracle generator: the PMI lexicon with the top-k
+    * cut as the one parameter — f24's merge table is pmiSqlK(16)'s
+    * grams, so the lexicon arithmetic cannot diverge between the
+    * build and the apply.
+    */
+  private def pmiSqlK(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
+       |grams AS (
+       |  SELECT unnest(list_transform(range(1, len(tok)),
+       |    i -> tok[i] || ' ' || tok[i + 1])) AS gram
+       |  FROM toks),
+       |c2 AS (
+       |  SELECT gram, count(*) AS c12,
+       |         split_part(gram, ' ', 1) AS w1,
+       |         split_part(gram, ' ', 2) AS w2
+       |  FROM grams GROUP BY 1),
+       |cpre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cpre FROM c2 GROUP BY 1),
+       |csuf AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS csuf FROM c2 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS btot FROM c2)
+       |SELECT gram, c12,
+       |       round(ln(CAST(c12 AS DOUBLE) * btot
+       |                / (CAST(cpre AS DOUBLE) * csuf)), 8) AS pmi
+       |FROM c2 JOIN cpre USING (w1) JOIN csuf USING (w2), tot
+       |WHERE c12 >= 5
+       |ORDER BY pmi DESC, gram
+       |LIMIT $k""".stripMargin
+
+  private val pmiSql = pmiSqlK(20)
+
+  /** The F24 segmentation as a reusable CTE block (`bpe(doc_id,
+    * source, ws_tokens, bpe_tokens)`) — shared verbatim by the f24
+    * oracle and the i9b/i11b integration oracles, so the greedy fold
+    * exists in exactly one string. The fold mirrors the engine's
+    * packed-BIGINT state bit for bit: acc = cnt·2 + skip, all
+    * shift/mask integer ops; the CASE's first branch guards the
+    * tok[i+1] lookup exactly like the engine's lazy CaseWhen.
+    */
+  private[graft] def bpeSegCte(k: Int = 16): String =
+    s"""lexlist AS (SELECT list(gram) AS merges FROM (${pmiSqlK(k)}) lx),
+       |toks24 AS (SELECT doc_id, source, str_split(text, ' ') AS tok
+       |           FROM documents),
+       |bpe AS (
+       |  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS ws_tokens,
+       |         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(tok) + 1),
+       |              x -> CAST(x AS BIGINT))),
+       |            (acc, i) -> (((acc >> 1) + (1 - (acc & 1))) << 1) +
+       |              (CASE WHEN (acc & 1) = 1 OR i = len(tok) THEN 0
+       |                    ELSE CAST(list_contains(merges,
+       |                           tok[i] || ' ' || tok[i + 1]) AS BIGINT)
+       |               END)) >> 1) AS bpe_tokens
+       |  FROM toks24, lexlist)""".stripMargin
 
   private val tfidfSql =
     """WITH terms AS (
@@ -1212,6 +1302,15 @@ object TextAnalysis {
     // order — CAST(c12) DOUBLE · btot first, the left·right product,
     // one division — and ln pinned 8 dp.
     "f23_pmi_collocations" -> pmiSql,
+
+    // F24: the shared segmentation CTE (the merge table is pmiSqlK(16)
+    // verbatim — build and apply cannot diverge), closed by the
+    // per-doc count report.
+    "f24_bpe_segment" ->
+      (s"WITH ${bpeSegCte()}\n" +
+        """SELECT doc_id, ws_tokens, bpe_tokens,
+          |       ws_tokens - bpe_tokens AS n_merges
+          |FROM bpe""".stripMargin),
     // f23b merges slice counts by addition into the identical close —
     // exact-count merge-equivalence, so the one-shot oracle is the
     // merged form's oracle too (the b35/b37 pattern).

@@ -131,6 +131,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("f6 vocab join degrades to a shuffle join past the broadcast threshold, values unchanged") {
+    // the unhinted-join claim's OTHER half: "AQE decides" is only a
+    // guarantee if the non-broadcast fallback actually engages AND is
+    // value-identical. Force it by disabling the threshold (both the
+    // static and the AQE-stage one) and pin: the term-keyed df join
+    // runs as a shuffle join, the 1-row corpus-scalar crossJoin keeps
+    // its (bounded-by-construction) broadcast, and every output value
+    // matches the default-config run exactly.
+    val dfDefault = SparkEntry.queries("f6_tfidf")(spark, SF)
+    val baseline = dfDefault.collect().map(_.toSeq).toSet
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val forced = SparkEntry.queries("f6_tfidf")(spark, SF)
+      val rows = forced.collect()
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"keyed vocab join still broadcast with the threshold off:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffle join engaged for the df join:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"the 1-row corpus-scalar crossJoin must keep its broadcast:\n$plan")
+      assert(rows.map(_.toSeq).toSet === baseline,
+        "shuffle-join fallback changed the f6 values")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("d11 decontamination: benchmark grams broadcast, corpus never distinct-shuffled for grams") {
     val p = plan("d11_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

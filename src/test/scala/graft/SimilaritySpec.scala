@@ -275,6 +275,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("E17 broadcast path is bit-equal to the literal path and joins, not inlines, the model") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cell"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("score"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val literal = Similarity.ivfPqKnnJoin(e, 0L until 8L, 10)
+    val bcast = Similarity.ivfPqKnnJoin(e, 0L until 8L, 10,
+      literalBatchLimit = 0)
+    assert(key(bcast.collect()) === key(literal.collect()),
+      "broadcast-joined ADC tables diverged from the literal tables")
+    // the broadcast plan ships the model as joins (routing + query
+    // tables), never as |queries|-scaled literals...
+    val bp = bcast.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(bp).size >= 2, bp)
+    // ...and the literal plan has no join before the top-k at all
+    val lp = literal.queryExecution.executedPlan.toString
+    assert(!lp.contains("Join"), lp)
+  }
+
   test("E16 persisted IVF-PQ: probe matches the in-memory composition and prunes cell partitions") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.table(spark, SF, "embeddings")

@@ -368,4 +368,62 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(6L) === ((8L, 8L, "")),
       "both occurrences' coverages union — repeat templates empty the doc")
   }
+
+  test("F24 greedy segmentation: leftmost merge wins, consumed words can't re-merge") {
+    val merges = Seq("a b", "b c", "c d")
+    val corpus = docs(
+      1L -> "a b c d",       // greedy: [a b][c d] — "b c" never fires
+      2L -> "x a b y",       // interior merge: [x][a b][y]
+      3L -> "b c",           // whole doc one merge
+      4L -> "x y z",         // no merges
+      5L -> "a b a b a b",   // repeated merge, no overlap ambiguity
+      6L -> "a a b",         // leftmost "a a" not in table; "a b" fires at pos 2
+      7L -> "")              // empty text: split -> [""], one token
+    val out = TextAnalysis.bpeSegmentWith(corpus, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"),
+          r.getAs[Long]("n_merges")))).toMap
+    assert(out(1L) === ((4L, 2L, 2L)),
+      "greedy leftmost: a+b then c+d; the consumed b must not start b+c")
+    assert(out(2L) === ((4L, 3L, 1L)))
+    assert(out(3L) === ((2L, 1L, 1L)))
+    assert(out(4L) === ((3L, 3L, 0L)))
+    assert(out(5L) === ((6L, 3L, 3L)))
+    assert(out(6L) === ((3L, 2L, 1L)))
+    assert(out(7L) === ((1L, 1L, 0L)), "empty text is one whitespace token, no merges")
+  }
+
+  test("F24 -> I9/I11 integration: learned-vocab counts flow through the packing/budget seams") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Profile
+    val corpus = graft.sources.Tables.table(spark, SF, "documents")
+    val seg = TextAnalysis.bpeSegment(corpus, carry = Seq("source"))
+    val segRows = seg.collect()
+    // the learned lexicon genuinely fires on the real corpus
+    assert(segRows.map(_.getAs[Long]("n_merges")).sum > 0,
+      "top-PMI merge table produced zero merges — degenerate lexicon")
+    assert(segRows.forall(r =>
+      r.getAs[Long]("bpe_tokens") + r.getAs[Long]("n_merges") === r.getAs[Long]("ws_tokens")))
+    // seam law: packSequencesFrom(whitespace counts) IS packSequences
+    val viaSeam = Profile.packSequencesFrom(
+      corpus.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n_tokens")))
+      .collect().map(_.toSeq).toSet
+    assert(viaSeam === Profile.packSequences(corpus).collect().map(_.toSeq).toSet)
+    // i9b: packing consumes exactly f24's counts, boundaries re-derive
+    val bpeCounts = segRows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
+    val packed = Profile.packSequencesFrom(
+      seg.select(col("doc_id"), col("bpe_tokens").as("n_tokens"))).collect()
+    assert(packed.forall(r => r.getAs[Long]("n_tokens") === bpeCounts(r.getAs[Long]("doc_id"))))
+    // i11b: smaller counts under the same budget admit AT LEAST the
+    // whitespace prefix per source (the cum-sum can only shrink)
+    val wsAdmitted = Profile.tokenBudgetCap(corpus).count()
+    val bpeAdmitted = Profile.tokenBudgetCapFrom(
+      seg.select(col("doc_id"), col("source"),
+        col("bpe_tokens").as("n_tokens"),
+        Profile.tokenAdmissionHash.as("hk"))).count()
+    assert(bpeAdmitted >= wsAdmitted,
+      s"learned-vocab admission ($bpeAdmitted) lost docs vs whitespace ($wsAdmitted)")
+  }
 }
