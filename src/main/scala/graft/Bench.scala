@@ -129,7 +129,11 @@ object Bench {
     // pass; its i9/i11 integrations add the packing/budget windows
     "f24_bpe_segment", "i9b_pack_bpe", "i11b_budget_bpe",
     // cluster diagnostics: one checkpointed candidate pass + the loop
-    "d24_cluster_report")
+    "d24_cluster_report",
+    // windowed KMV set-ops: one corpus pass into the checkpointed
+    // days×256 conditional-minima cells; two RANGE mins + the b38c
+    // estimator algebra on the dense frame (round 10)
+    "b48_window_kmv")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since
@@ -209,6 +213,34 @@ object Bench {
     Set("c7_category_trend", "c7_category_trend_approx", "d2_minhash_lsh",
       "b5_agg_basic")
 
+  /** Prior committed readings ("queries" map of the artifact of
+    * record), for the generalized stall guard: round 9's working-tree
+    * capture carried f9 = 8.31 s / f8 = 5.94 s that re-measured at
+    * 0.78 / 0.37 s on a quiet host — host contention during the one
+    * bench pass, not code. The b5/c7/d2 "stall-sensitive set" policy
+    * (fixed min-of-4 membership) generalizes into a DYNAMIC rule: any
+    * query whose fresh min-of-reps exceeds 2× its prior committed
+    * reading re-runs three more times before the artifact is written,
+    * so a single co-timed stall can no longer poison the record. The
+    * parse is a regex over the harness's OWN output format (flat
+    * name:number pairs inside the "queries" object — values are never
+    * nested), so there is no JSON library dependency.
+    */
+  private def priorReadings(path: String = "BENCH_FULL.json"): Map[String, Double] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val start = text.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = text.substring(start + "\"queries\":{".length,
+          text.indexOf('}', start))
+        """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   /** One bench reading. `seconds=false` marks study metrics in OTHER
     * units (bytes-on-disk MB, rows/s, cells/batch, state rows): they
     * ride the studies map and BENCH_FULL.json like everything else but
@@ -248,6 +280,7 @@ object Bench {
       }
     }
 
+    val prior = priorReadings()
     val results = (headline ++ extended).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
@@ -266,7 +299,21 @@ object Bench {
         // attempts fail. The stall-sensitive c7 pair gets four reps.
         val reps = if (minOfFour(name)) 4 else 2
         val ts = Seq.fill(reps)(once()).filter(_ >= 0)
-        name -> (if (ts.isEmpty) -1.0 else ts.min)
+        val fresh = if (ts.isEmpty) -1.0 else ts.min
+        // the generalized >2×-mover rule (see priorReadings): a reading
+        // that doubled vs the committed record re-measures min-of-3
+        // more before it may enter the artifact; the 0.5 s floor keeps
+        // sub-second jitter from burning reps
+        val guarded = prior.get(name) match {
+          case Some(p) if p > 0 && fresh > 2 * p && fresh > 0.5 =>
+            val extra = Seq.fill(3)(once()).filter(_ >= 0)
+            val v = (fresh +: extra).min
+            System.err.println(f"[bench] $name moved >2x vs committed " +
+              f"($p%.3f -> $fresh%.3f); min-of-3 re-run -> $v%.3f")
+            v
+          case _ => fresh
+        }
+        name -> guarded
       }
     }
     val streaming = streamingThroughput(spark, sfDir)
@@ -281,10 +328,11 @@ object Bench {
     val zorder = zorderStudy(spark, sfDir)
     val maintenance = maintenanceStudy(spark, sfDir)
     val wvol = windowedVolumeStudy(spark, sfDir)
+    val ssidx = setSimIndexStudy(spark, sfDir)
     val all: Seq[Metric] = results.map(e => Metric(e._1, e._2)) ++
       streaming ++ bucketed ++ curation ++ annIndex ++
       compaction ++ codec ++ layout ++ prune ++ colPrune ++ zorder ++
-      maintenance ++ wvol
+      maintenance ++ wvol ++ ssidx
     val scaling = scalingStudy(spark, sfDir,
       all.map(m => m.name -> m.value).toMap)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -1191,7 +1239,17 @@ object Bench {
     // is |types|-bounded (exp should track the events scan)
     "d22_shared_passages" -> "documents",
     "d23_setsim_join" -> "documents",
-    "c32_sequence_motifs" -> "events")
+    "c32_sequence_motifs" -> "events",
+    // round-10 (the r9 verdict's item 8): the round-9 operators whose
+    // cost rides corpus shape — d23b's prefix-candidate volume is the
+    // exponent that matters (d23's 1.57 at 3-grams was caught HERE in
+    // round 8; the incremental form needs the same watch), f24/i11b
+    // ride the merge-scan fold, and e17_join_q256 pins the broadcast-
+    // model path's claimed fixed-size plan across corpus sizes
+    "d23b_setsim_incremental" -> "documents",
+    "f24_bpe_segment" -> "documents",
+    "i11b_budget_bpe" -> "documents",
+    "e17_join_q256" -> "embeddings")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time
@@ -1423,6 +1481,55 @@ object Bench {
     *    the drift grid ≤ 256 — both shrink RELATIVE to batch size as
     *    batches grow, which is the scale argument made measurable).
     */
+  /** D23b persisted-index pricing (the round-9 verdict's item 3): the
+    * headline `d23b_setsim_incremental` recomputes the base index
+    * lineage-fresh every run — the harness form. Production builds the
+    * index ONCE ([[graft.operators.Dedup.buildSetSimIndex]]) and pays
+    * only the delta pass per load. This study prices both sides of
+    * that amortization on the same split: `d23b_index_build` is the
+    * once-per-corpus cost, `d23b_delta_only` the recurring per-load
+    * cost against the on-disk bucketed prefix table (base never
+    * re-shingled — the BucketingSpec plan claim, priced).
+    */
+  private def setSimIndexStudy(spark: SparkSession,
+                               sfDir: String): Seq[Metric] = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val names = Seq("d23b_index_build", "d23b_delta_only")
+    def dropIndex(): Unit =
+      for (suffix <- Seq("_pref", "_sh", "_df")) {
+        spark.sql(s"DROP TABLE IF EXISTS graft_bench_ssidx$suffix")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), s"graft_bench_ssidx$suffix")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    try {
+      val docs = Tables.table(spark, sfDir, "documents")
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      def deltaRun(): Unit =
+        Dedup.setSimJoinIncrementalIndexed(spark, "graft_bench_ssidx", delta)
+          .write.format("noop").mode("overwrite").save()
+      // warm-up build absorbs codegen/JIT; the timed build replaces it
+      Dedup.buildSetSimIndex(base, "graft_bench_ssidx")
+      val t0 = System.nanoTime()
+      Dedup.buildSetSimIndex(base, "graft_bench_ssidx")
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      deltaRun() // warm-up
+      val t1 = System.nanoTime()
+      deltaRun()
+      val tDelta = (System.nanoTime() - t1) / 1e9
+      Seq(Metric("d23b_index_build", tBuild), Metric("d23b_delta_only", tDelta))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] setsim index study failed: ${e.getMessage}")
+        names.map(Metric(_, -1.0))
+    } finally {
+      try dropIndex() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   private def maintenanceStudy(spark: SparkSession,
                                sfDir: String): Seq[Metric] = {
     import org.apache.spark.sql.functions._
@@ -1485,12 +1592,22 @@ object Bench {
     * 4/trigger; x4: 4× the rows in 64 files at 16/trigger — four
     * micro-batches either way, so fixed stream-start cost amortizes
     * identically and the axis is per-batch volume). The claim being
-    * priced: MAINTAINED STATE STAYS FLAT while input grows — the x4
+    * priced: MAINTAINED STATE STAYS BOUNDED while input grows — the x4
     * copies carry genuinely NEW keys (id offset per copy, so distinct
-    * cardinality really is 4×), yet the HLL cell table stays
-    * days×256, the histogram table days×64, and the landed sample
-    * batches×k. The `_cells_`/`_state_` twins must read EQUAL; the
-    * `_vol_` seconds price the 4× scan honestly.
+    * cardinality really is 4×). The bounds are ASSERTED, not just
+    * recorded (round-9 verdict item 2 — a study that can't fail isn't
+    * a study): the HLL cell table must fit days×256 on BOTH volumes
+    * (equality across volumes was the round-9 claim, and it was the
+    * wrong predicate — the x1 run leaves the register space only ~61%
+    * occupied, so x4's genuinely-4× cardinality legitimately fills
+    * MORE cells while both stay under the same bound; the
+    * `h33_occupancy_*` metrics report the fill so the bound's
+    * tightness stays visible); the histogram table is value-RANGE
+    * state, days×64 regardless of cardinality, so h34 keeps the
+    * strict equality predicate; the landed sample is batches×k rows
+    * by construction, so h35 keeps equality too. A violated invariant
+    * throws → the whole study reads -1 in the artifact — loud.
+    * The `_vol_` seconds price the 4× scan honestly.
     */
   private def windowedVolumeStudy(spark: SparkSession,
                                   sfDir: String): Seq[Metric] = {
@@ -1500,9 +1617,11 @@ object Bench {
     val names = Seq("h33_vol_x1", "h33_vol_x4", "h34_vol_x1", "h34_vol_x4",
       "h35_vol_x1", "h35_vol_x4")
     val cellNames = Seq("h33_cells_x1", "h33_cells_x4", "h34_cells_x1",
-      "h34_cells_x4", "h35_state_x1", "h35_state_x4")
+      "h34_cells_x4", "h35_state_x1", "h35_state_x4",
+      "h33_occupancy_x1", "h33_occupancy_x4")
+    var tmp: String = null
     try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_wvol").toString
+      tmp = java.nio.file.Files.createTempDirectory("graft_bench_wvol").toString
       val off = 1000000000000L // disjoint id spaces per copy
       val li = Tables.table(spark, sfDir, "lineitem")
         .select(to_date(col("l_shipdate")).as("ship_day"),
@@ -1551,22 +1670,43 @@ object Bench {
       val t35b = timed(SketchStream.maintainSampleCells(
         in(s"$tmp/d4", dSchema, 16), 100, s"$tmp/c35b", s"$tmp/k35b")
         .awaitTermination())
+      val c33a = mergedCells(s"$tmp/c33a")
+      val c33b = mergedCells(s"$tmp/c33b")
+      val c34a = mergedCells(s"$tmp/c34a")
+      val c34b = mergedCells(s"$tmp/c34b")
+      val s35a = spark.read.parquet(s"$tmp/c35a").count().toDouble
+      val s35b = spark.read.parquet(s"$tmp/c35b").count().toDouble
+      // the asserted invariants (see Scaladoc): violated ⇒ throw ⇒ the
+      // study reads -1 in the artifact of record
+      val nDays = li.select(col("ship_day")).distinct().count().toDouble
+      val hllBound = nDays * 256
+      require(c33a <= hllBound && c33b <= hllBound,
+        s"h33 HLL cell state exceeded days*256=$hllBound: x1=$c33a x4=$c33b")
+      require(c34a == c34b && c34b <= nDays * 64,
+        s"h34 histogram state must be volume-invariant and <= days*64: " +
+          s"x1=$c34a x4=$c34b bound=${nDays * 64}")
+      require(s35a == s35b,
+        s"h35 sample state must be batches*k on both volumes: x1=$s35a x4=$s35b")
       Seq(Metric("h33_vol_x1", t33a), Metric("h33_vol_x4", t33b),
         Metric("h34_vol_x1", t34a), Metric("h34_vol_x4", t34b),
         Metric("h35_vol_x1", t35a), Metric("h35_vol_x4", t35b),
-        Metric("h33_cells_x1", mergedCells(s"$tmp/c33a"), seconds = false),
-        Metric("h33_cells_x4", mergedCells(s"$tmp/c33b"), seconds = false),
-        Metric("h34_cells_x1", mergedCells(s"$tmp/c34a"), seconds = false),
-        Metric("h34_cells_x4", mergedCells(s"$tmp/c34b"), seconds = false),
-        Metric("h35_state_x1",
-          spark.read.parquet(s"$tmp/c35a").count().toDouble, seconds = false),
-        Metric("h35_state_x4",
-          spark.read.parquet(s"$tmp/c35b").count().toDouble, seconds = false))
+        Metric("h33_cells_x1", c33a, seconds = false),
+        Metric("h33_cells_x4", c33b, seconds = false),
+        Metric("h33_occupancy_x1", c33a / hllBound, seconds = false),
+        Metric("h33_occupancy_x4", c33b / hllBound, seconds = false),
+        Metric("h34_cells_x1", c34a, seconds = false),
+        Metric("h34_cells_x4", c34b, seconds = false),
+        Metric("h35_state_x1", s35a, seconds = false),
+        Metric("h35_state_x4", s35b, seconds = false))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] windowed volume study failed: ${e.getMessage}")
         names.map(Metric(_, -1.0)) ++
           cellNames.map(Metric(_, -1.0, seconds = false))
+    } finally {
+      if (tmp != null)
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

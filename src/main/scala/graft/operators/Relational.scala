@@ -401,6 +401,74 @@ object Relational {
     hllEstimate(merged, Seq("ship_day"))
   }
 
+  /** B48 cells: per-day CONDITIONAL KMV minima for two tagged slices —
+    * b38c's (va, vb) conditional-minima table grouped by ship_day.
+    * Absent slice-in-bucket-on-day is NULL here (not b38c's −1
+    * sentinel): the trailing RANGE-window MIN must IGNORE absent days,
+    * which SQL min-over-window does for NULL and would not for −1.
+    * ≤ days×256 rows however many keys ship — the h33/b45 state bound.
+    */
+  def dailyKmvCells(keyed: DataFrame, keyCol: String, tagCol: String,
+                    tagA: String, tagB: String): DataFrame =
+    kmvObservations(keyed, keyCol, Seq("ship_day", tagCol))
+      .groupBy(col("ship_day"), col("bucket"))
+      .agg(min(when(col(tagCol) === tagA, col("v"))).as("va"),
+        min(when(col(tagCol) === tagB, col("v"))).as("vb"))
+
+  /** B48 close: trailing-`windowDays` KMV SET OPERATIONS per day —
+    * |A|, |B|, |A∪B|, |A∩B| and Jaccard between two slices' trailing
+    * windows, the b38c algebra keyed by ship_day. Bucket-wise MIN is
+    * associative/commutative/idempotent, so the per-register RANGE
+    * window over the daily cells IS the trailing union sketch (the
+    * b36_hll_merge/b45 law applied to KMV), the union of the two
+    * slices is the row-local null-guarded min of the two windowed
+    * minima, and everything downstream of the eager cell checkpoint
+    * runs on the dense days×256 frame — the corpus is scanned once,
+    * inside the checkpoint (PlanSpec pins zero finalized parquet
+    * scans). The governance question this answers online at 100 TB:
+    * "how much does this week's corpus overlap last week's slice"
+    * per day, with 256 integers of state per day and no distinct key
+    * ever shuffled. The null-min is spelled as an explicit CASE on
+    * both engines (never least(): NULL-handling of least is
+    * engine-defined); sums are exact integers (≤ 2^60), the estimator
+    * one correctly-rounded division — fully oracle-able.
+    */
+  def windowKmvSetops(rawCells: DataFrame, windowDays: Int = 60): DataFrame = {
+    val s = rawCells.sparkSession
+    val cells = rawCells.localCheckpoint(true)
+    val days = cells.select(col("ship_day")).distinct()
+      .select(col("ship_day"),
+        datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
+    val buckets = s.range(0, kmvK).select(col("id").as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1), 0)
+    days.crossJoin(buckets)
+      .join(cells, Seq("ship_day", "bucket"), "left")
+      .select(col("ship_day"), col("day_num"), col("bucket"),
+        min(col("va")).over(w).as("wa"),
+        min(col("vb")).over(w).as("wb"))
+      .select(col("ship_day"), col("wa"), col("wb"),
+        when(col("wa").isNull, col("wb"))
+          .when(col("wb").isNull, col("wa"))
+          .when(col("wa") < col("wb"), col("wa"))
+          .otherwise(col("wb")).as("wu"))
+      .groupBy(col("ship_day")).agg(
+        sum(when(col("wa").isNull, lit(0L)).otherwise(col("wa") + lit(1L))).as("sa"),
+        sum(when(col("wa").isNull, lit(0L)).otherwise(lit(1L))).as("ca"),
+        sum(when(col("wb").isNull, lit(0L)).otherwise(col("wb") + lit(1L))).as("sb"),
+        sum(when(col("wb").isNull, lit(0L)).otherwise(lit(1L))).as("cb"),
+        sum(when(col("wu").isNull, lit(0L)).otherwise(col("wu") + lit(1L))).as("su"),
+        sum(when(col("wu").isNull, lit(0L)).otherwise(lit(1L))).as("cu"))
+      .select(col("ship_day"),
+        kmvEst(col("sa"), col("ca")).as("est_a"),
+        kmvEst(col("sb"), col("cb")).as("est_b"),
+        kmvEst(col("su"), col("cu")).as("est_union"))
+      .select(col("ship_day"), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+          .as("jaccard_est"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: JSON field extraction from raw event payloads
@@ -711,6 +779,19 @@ object Relational {
         .select(col("ship_day"), col("exact_ndv"), col("est_ndv"),
           (abs(col("est_ndv") - col("exact_ndv").cast("double"))
             / col("exact_ndv").cast("double")).as("rel_err"))
+    }),
+
+    // B48: SLIDING-WINDOW KMV set-ops — the b45/b46 merge-law-along-
+    // the-time-axis pattern applied to the one sketch with set
+    // algebra: per ship day, |A|/|B|/|A∪B|/|A∩B|/Jaccard of the
+    // trailing-60-day returnflag-A vs -R orderkey slices (b38c's
+    // question, online). Closes the sketch×window matrix: HLL (b45),
+    // histogram (b46), KMV (here).
+    "b48_window_kmv" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        .select(to_date(col("l_shipdate")).as("ship_day"),
+          col("l_returnflag").as("tag"), col("l_orderkey"))
+      windowKmvSetops(dailyKmvCells(li, "l_orderkey", "tag", "A", "R"))
     }),
 
     // B46: SLIDING-WINDOW quantiles from mergeable daily histogram
@@ -1594,21 +1675,29 @@ object Relational {
     * estimate is one correctly-rounded division. Sum cast back to
     * BIGINT (DuckDB SUM(BIGINT) → HUGEINT, the §6b rule).
     */
+  /** The KMV harmonic estimator as SQL — ONE generator for every
+    * oracle in the b38/b48 family (the round-8 shared-generator rule:
+    * repeated float expressions interpolate once, so operand order
+    * cannot diverge between positions). `s`/`c` are the occupied-sum
+    * and occupied-count SQL expressions.
+    */
+  private def kmvEstSql(s: String, c: String): String =
+    s"CAST(295147905179352825856 AS DOUBLE) / CAST($s + (256 - $c) * " +
+      "CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE)"
+
   private val kmvOracleSql: String =
-    """WITH hk AS (
+    s"""WITH hk AS (
       |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       |  FROM lineitem),
       |m AS (SELECT h & 255 AS bucket, min(h >> 8) AS v FROM hk GROUP BY 1),
       |s AS (SELECT CAST(sum(v + 1) AS BIGINT) AS s_occ, count(*) AS buckets_set FROM m)
-      |SELECT CAST(295147905179352825856 AS DOUBLE)
-      |         / CAST(s_occ + (256 - buckets_set) * CAST(4503599627370496 AS BIGINT) AS DOUBLE)
-      |       - CAST(256 AS DOUBLE) AS est_ndv,
+      |SELECT ${kmvEstSql("s_occ", "buckets_set")} AS est_ndv,
       |       buckets_set
       |FROM s""".stripMargin
 
   /** B38c oracle: the same three estimates by inclusion-exclusion. */
   private val kmvSetopsOracleSql: String =
-    """WITH hk AS (
+    s"""WITH hk AS (
       |  SELECT l_returnflag AS tag,
       |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
@@ -1626,11 +1715,69 @@ object Relational {
       |         CAST(sum(vu + 1) AS BIGINT) AS su, count(*) AS cu
       |  FROM m),
       |e AS (
-      |  SELECT CAST(295147905179352825856 AS DOUBLE) / CAST(sa + (256 - ca) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE) AS est_a,
-      |         CAST(295147905179352825856 AS DOUBLE) / CAST(sb + (256 - cb) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE) AS est_b,
-      |         CAST(295147905179352825856 AS DOUBLE) / CAST(su + (256 - cu) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) - CAST(256 AS DOUBLE) AS est_union
+      |  SELECT ${kmvEstSql("sa", "ca")} AS est_a,
+      |         ${kmvEstSql("sb", "cb")} AS est_b,
+      |         ${kmvEstSql("su", "cu")} AS est_union
       |  FROM s)
       |SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersect,
+      |       (est_a + est_b - est_union) / est_union AS jaccard_est
+      |FROM e""".stripMargin
+
+  /** B48 oracle: the b38c conditional-minima + estimator algebra keyed
+    * by ship_day, with the trailing union as a per-bucket RANGE-window
+    * MIN over the dense days×256 frame (the windowHllOracleSql shape).
+    * NULL marks slice-absent (window min ignores it on both engines);
+    * the two-slice union min is the SAME explicit CASE the engine
+    * spells (never least() — its NULL handling is engine-defined).
+    */
+  private val windowKmvOracleSql: String =
+    s"""WITH hk AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_day, l_returnflag AS tag,
+      |         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      |cells AS (
+      |  SELECT ship_day, h & 255 AS bucket,
+      |         min(CASE WHEN tag = 'A' THEN h >> 8 END) AS va,
+      |         min(CASE WHEN tag = 'R' THEN h >> 8 END) AS vb
+      |  FROM hk GROUP BY 1, 2),
+      |days AS (
+      |  SELECT DISTINCT ship_day,
+      |         date_diff('day', DATE '1970-01-01', ship_day) AS day_num
+      |  FROM cells),
+      |regs AS (SELECT range AS bucket FROM range(0, 256)),
+      |dense AS (
+      |  SELECT d.ship_day, d.day_num, r.bucket, c.va, c.vb
+      |  FROM days d CROSS JOIN regs r
+      |  LEFT JOIN cells c ON c.ship_day = d.ship_day AND c.bucket = r.bucket),
+      |w AS (
+      |  SELECT ship_day,
+      |         min(va) OVER (PARTITION BY bucket ORDER BY day_num
+      |                       RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS wa,
+      |         min(vb) OVER (PARTITION BY bucket ORDER BY day_num
+      |                       RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS wb
+      |  FROM dense),
+      |u AS (
+      |  SELECT ship_day, wa, wb,
+      |         CASE WHEN wa IS NULL THEN wb WHEN wb IS NULL THEN wa
+      |              WHEN wa < wb THEN wa ELSE wb END AS wu
+      |  FROM w),
+      |s AS (
+      |  SELECT ship_day,
+      |         CAST(sum(CASE WHEN wa IS NULL THEN 0 ELSE wa + 1 END) AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN wa IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN wb IS NULL THEN 0 ELSE wb + 1 END) AS BIGINT) AS sb,
+      |         CAST(sum(CASE WHEN wb IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+      |         CAST(sum(CASE WHEN wu IS NULL THEN 0 ELSE wu + 1 END) AS BIGINT) AS su,
+      |         CAST(sum(CASE WHEN wu IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS cu
+      |  FROM u GROUP BY 1),
+      |e AS (
+      |  SELECT ship_day,
+      |         ${kmvEstSql("sa", "ca")} AS est_a,
+      |         ${kmvEstSql("sb", "cb")} AS est_b,
+      |         ${kmvEstSql("su", "cu")} AS est_union
+      |  FROM s)
+      |SELECT ship_day, est_a, est_b, est_union,
+      |       est_a + est_b - est_union AS est_intersect,
       |       (est_a + est_b - est_union) / est_union AS jaccard_est
       |FROM e""".stripMargin
 
@@ -1998,6 +2145,7 @@ object Relational {
     "b38_kmv_distinct" -> kmvOracleSql,
     "b38_kmv_merge" -> kmvOracleSql,
     "b38_kmv_setops" -> kmvSetopsOracleSql,
+    "b48_window_kmv" -> windowKmvOracleSql,
 
     // I14: lead() over ALL changes stamps each U version's closing ts;
     // the version number ranks U rows only. NULL valid_to survives

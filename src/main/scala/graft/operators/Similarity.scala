@@ -1613,6 +1613,12 @@ object Similarity {
     "e17_ann_ivfpq_join" -> ((s, d) =>
       ivfPqKnnJoin(t(s, d, "embeddings"), 0L until 8L, 10)),
 
+    // E17 at the production batch: 256 queries — past the literal
+    // threshold, so the broadcast-model path serves (round-10: now an
+    // oracled query so the cross-sf scaling audit covers it).
+    "e17_join_q256" -> ((s, d) =>
+      ivfPqKnnJoin(t(s, d, "embeddings"), 0L until 256L, 10)),
+
     // E4: IVF with k-means-learned centroids (rows-only).
     "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20)),
 
@@ -1765,6 +1771,130 @@ object Similarity {
        |  AND co.cell IN (SELECT cent_id FROM probes)
        |ORDER BY score DESC, e.vec_id
        |LIMIT 20""".stripMargin
+
+  /** E17 shared oracle generator: e15's CTE chain generalized over a
+    * query batch — qs is multi-row, probes/dot tables group per qid
+    * (nsq stays shared), codes compute once per corpus vector,
+    * candidates are cellof ⋈ probes with per-pair self-exclusion, and
+    * the close is e5's per-query QUALIFY row_number. The QUERY LIST is
+    * the one parameter (the round-8 shared-generator rule): the 8-query
+    * verify batch and the 256-query production batch — which exercises
+    * the engine's broadcast-model path past ivfPqJoinLiteralLimit —
+    * grade through the SAME SQL, so the two paths cannot diverge
+    * oracle-side either.
+    */
+  private def e17JoinSql(qids: Seq[Long]): String =
+    s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |qs AS (
+        |  SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
+        |  FROM e WHERE vec_id IN (${qids.mkString(", ")})),
+        |cscore AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
+        |  FROM e, cents c),
+        |cellof AS (
+        |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cent_id FROM (
+        |    SELECT q.qid, c.cent_id,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, len(c.embedding) + 1),
+        |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+        |               (x, y) -> x + y) / (c.nrm * q.q_nrm) DESC, c.cent_id) AS rn
+        |    FROM cents c, qs q) WHERE rn <= 2),
+        |cl AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cent_id) AS sc FROM (
+        |      SELECT sp.s AS s, c.cent_id AS cent_id,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
+        |    GROUP BY s)),
+        |ntab AS (
+        |  SELECT list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(nsqv ORDER BY cent_id) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cent_id AS cent_id,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
+        |    GROUP BY s)),
+        |tabs AS (
+        |  SELECT qid, list(dots ORDER BY s) AS dot_tab FROM (
+        |    SELECT qid, s, list(dotv ORDER BY cent_id) AS dots FROM (
+        |      SELECT q.qid AS qid, sp.s AS s, c.cent_id AS cent_id,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS dotv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c, qs q)
+        |    GROUP BY qid, s)
+        |  GROUP BY qid),
+        |codes AS (
+        |  SELECT e2.vec_id,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(e2.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(e2.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM e e2, cl, ntab t),
+        |cand AS (
+        |  SELECT p.qid, co.vec_id, co.cell
+        |  FROM cellof co JOIN probes p ON co.cell = p.cent_id
+        |  WHERE co.vec_id <> p.qid),
+        |adc AS (
+        |  SELECT c.qid, c.vec_id, c.cell,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.dot_tab[s + 1][k.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_dot,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             n.nsq_tab[s + 1][k.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_nsq
+        |  FROM cand c
+        |  JOIN codes k ON c.vec_id = k.vec_id
+        |  JOIN tabs t ON t.qid = c.qid, ntab n),
+        |scored AS (
+        |  SELECT a.qid AS q_id, a.vec_id, a.cell,
+        |         a.adc_dot / (sqrt(a.adc_nsq) * q.q_nrm) AS score
+        |  FROM adc a JOIN qs q ON q.qid = a.qid
+        |  WHERE a.adc_nsq > 0)
+        |SELECT q_id, vec_id, cell, score,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY score DESC, vec_id) AS INT) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 10""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
     // E20: e1's scoring CTE unlimited, the metadata join, a per-source
@@ -1928,123 +2058,13 @@ object Similarity {
         |ORDER BY score DESC, a.vec_id
         |LIMIT 20""".stripMargin,
 
-    // E17: e15's CTE chain generalized over the 8-query batch — qs is
-    // multi-row, probes/dot tables group per qid (nsq stays shared),
-    // codes compute once per corpus vector, candidates are
-    // cellof ⋈ probes with per-pair self-exclusion, and the close is
-    // e5's per-query QUALIFY row_number.
-    "e17_ann_ivfpq_join" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(embedding) + 1),
-        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-        |           (x, y) -> x + y)) AS nrm
-        |  FROM embeddings
-        |  WHERE nrm > 0),
-        |cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding, nrm
-        |  FROM e ORDER BY vec_id LIMIT 16),
-        |qs AS (
-        |  SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
-        |  FROM e WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
-        |cscore AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(e.embedding) + 1),
-        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
-        |           (x, y) -> x + y) / (e.nrm * c.nrm) AS s
-        |  FROM e, cents c),
-        |cellof AS (
-        |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
-        |    SELECT vec_id, cent_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
-        |    FROM cscore) WHERE rn = 1),
-        |probes AS (
-        |  SELECT qid, cent_id FROM (
-        |    SELECT q.qid, c.cent_id,
-        |           row_number() OVER (PARTITION BY q.qid ORDER BY
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, len(c.embedding) + 1),
-        |                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
-        |               (x, y) -> x + y) / (c.nrm * q.q_nrm) DESC, c.cent_id) AS rn
-        |    FROM cents c, qs q) WHERE rn <= 2),
-        |cl AS (
-        |  SELECT list(sc ORDER BY s) AS cents FROM (
-        |    SELECT s, list(sv ORDER BY cent_id) AS sc FROM (
-        |      SELECT sp.s AS s, c.cent_id AS cent_id,
-        |             list_transform(range(1, 9),
-        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
-        |    GROUP BY s)),
-        |ntab AS (
-        |  SELECT list(nsqs ORDER BY s) AS nsq_tab FROM (
-        |    SELECT s, list(nsqv ORDER BY cent_id) AS nsqs FROM (
-        |      SELECT sp.s AS s, c.cent_id AS cent_id,
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, 9), d ->
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
-        |               (x, y) -> x + y) AS nsqv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c)
-        |    GROUP BY s)),
-        |tabs AS (
-        |  SELECT qid, list(dots ORDER BY s) AS dot_tab FROM (
-        |    SELECT qid, s, list(dotv ORDER BY cent_id) AS dots FROM (
-        |      SELECT q.qid AS qid, sp.s AS s, c.cent_id AS cent_id,
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, 9), d ->
-        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
-        |               (x, y) -> x + y) AS dotv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cents c, qs q)
-        |    GROUP BY qid, s)
-        |  GROUP BY qid),
-        |codes AS (
-        |  SELECT e2.vec_id,
-        |         list_transform(range(0, 8), s ->
-        |           list_position(
-        |             list_transform(range(0, 16), c ->
-        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
-        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                   list_transform(range(1, 9), d ->
-        |                     CAST(e2.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
-        |                   (x, y) -> x + y)),
-        |             list_min(
-        |               list_transform(range(0, 16), c ->
-        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
-        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                     list_transform(range(1, 9), d ->
-        |                       CAST(e2.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
-        |                     (x, y) -> x + y)))) - 1) AS codes
-        |  FROM e e2, cl, ntab t),
-        |cand AS (
-        |  SELECT p.qid, co.vec_id, co.cell
-        |  FROM cellof co JOIN probes p ON co.cell = p.cent_id
-        |  WHERE co.vec_id <> p.qid),
-        |adc AS (
-        |  SELECT c.qid, c.vec_id, c.cell,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(0, 8), s ->
-        |             t.dot_tab[s + 1][k.codes[s + 1] + 1])),
-        |           (x, y) -> x + y) AS adc_dot,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(0, 8), s ->
-        |             n.nsq_tab[s + 1][k.codes[s + 1] + 1])),
-        |           (x, y) -> x + y) AS adc_nsq
-        |  FROM cand c
-        |  JOIN codes k ON c.vec_id = k.vec_id
-        |  JOIN tabs t ON t.qid = c.qid, ntab n),
-        |scored AS (
-        |  SELECT a.qid AS q_id, a.vec_id, a.cell,
-        |         a.adc_dot / (sqrt(a.adc_nsq) * q.q_nrm) AS score
-        |  FROM adc a JOIN qs q ON q.qid = a.qid
-        |  WHERE a.adc_nsq > 0)
-        |SELECT q_id, vec_id, cell, score,
-        |       CAST(row_number() OVER (PARTITION BY q_id
-        |                               ORDER BY score DESC, vec_id) AS INT) AS rnk
-        |FROM scored
-        |QUALIFY rnk <= 10""".stripMargin,
+    "e17_ann_ivfpq_join" -> e17JoinSql(0L until 8L),
+
+    // E17 at the PRODUCTION batch: 256 queries, 8× past the engine's
+    // 32-query literal threshold, so this grades the broadcast-joined
+    // model path end-to-end (SimilaritySpec pins bit-parity between
+    // paths; this pins it against DuckDB too).
+    "e17_join_q256" -> e17JoinSql(0L until 256L),
 
     // E8: centroid seeding, argmin encode, and ADC table lookups are all
     // deterministic double arithmetic; the 2-D tables are rebuilt in SQL

@@ -12,6 +12,18 @@ import graft.sources.Tables
   */
 class BucketingSpec extends AnyFunSuite with SparkTestBase {
 
+  /** Force the non-broadcast join path for the Exchange assertions,
+    * restoring the SESSION's actual threshold afterwards (round-9
+    * ADVICE: a hard-coded restore silently clobbers a non-default
+    * session config for every later test).
+    */
+  private def withNoBroadcast[A](body: => A): A = {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("join of co-bucketed tables is shuffle-free") {
     val li = Tables.table(spark, SF, "lineitem")
       .select("l_orderkey", "l_extendedprice")
@@ -19,9 +31,8 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       .select("o_orderkey", "o_custkey")
     Tables.writeBucketed(li, "graft_li_bucketed", "l_orderkey", 8)
     Tables.writeBucketed(o, "graft_o_bucketed", "o_orderkey", 8)
-    try {
+    try withNoBroadcast {
       // force the join path (not broadcast) so the Exchange check is real
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("graft_li_bucketed")
         .join(spark.table("graft_o_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
@@ -30,7 +41,6 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
         s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() === li.count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_o_bucketed")
     }
@@ -53,8 +63,7 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       Dedup.lshBands(df).select(col("doc_id").as(idAs),
         concat_ws(":", col("band_id"), col("band_key")).as("bkey"))
     Tables.writeBucketed(keyed(base, "base_id"), "graft_bands_bucketed", "bkey", 8)
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withNoBroadcast {
       val joined = spark.table("graft_bands_bucketed")
         .join(keyed(delta, "delta_id"), Seq("bkey"))
         .select(least(col("base_id"), col("delta_id")).as("doc_a"),
@@ -80,67 +89,44 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       assert(persisted === crossOnly,
         "the persisted-table join must reproduce the inline base-delta pairs")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS graft_bands_bucketed")
     }
   }
 
-  test("D23b production shape: persisted prefix table makes the delta collision join one-sided") {
+  test("D23b production shape: persisted on-disk index makes the delta join one-sided, base never re-shingled") {
     import graft.operators.Dedup
     val docs = Tables.table(spark, SF, "documents")
     val base = docs.filter(col("doc_id") % 7 =!= 0)
     val delta = docs.filter(col("doc_id") % 7 === 0)
-    // the previous load's persisted index: base shingles → frozen df
-    // order → prefixes; the PREFIX table is what every future delta's
-    // collision join scans, so it persists A12-bucketed on its join
-    // key `s` (a single column — the round-6 lesson: the planner only
+    // the real seam (round-10): the previous load persisted the index
+    // ONCE — shingles, frozen df order, and the prefix cut bucketed on
+    // its single join key `s` (the round-6 lesson: the planner only
     // reuses a bucketed layout when the bucket column IS the join key)
-    val shBase = Dedup.setSimShingles(base)
-    val dfBase = shBase.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val prefBase = Dedup.setSimPrefixes(shBase, dfBase, 7, 10)
-    Tables.writeBucketed(prefBase.select(col("doc_id").as("base_id"), col("s")),
-      "graft_pref_bucketed", "s", 8)
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // the delta pass materializes its (small) prefix cut first — in
-      // production it lands as the NEXT load's index slice — so the
-      // collision join below is exactly the per-load recurring cost
-      val prefDelta = Dedup.setSimPrefixes(Dedup.setSimShingles(delta),
-        dfBase, 7, 10)
-        .select(col("doc_id").as("delta_id"), col("s"))
-        .localCheckpoint(true)
-      val joined = spark.table("graft_pref_bucketed")
-        .join(prefDelta, Seq("s"))
-        .select(least(col("base_id"), col("delta_id")).as("doc_a"),
-          greatest(col("base_id"), col("delta_id")).as("doc_b"))
-      val plan = joined.queryExecution.executedPlan.toString
-      // only the delta side may exchange; the base prefix table scans
-      // its bucketed layout with no shuffle at all
-      val keyedExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-      assert(keyedExchanges === 1,
-        s"only the delta side may hash-shuffle (got $keyedExchanges):\n$plan")
+    Dedup.buildSetSimIndex(base, "graft_ssidx", buckets = 8)
+    try withNoBroadcast {
+      val result = Dedup.setSimJoinIncrementalIndexed(spark, "graft_ssidx", delta)
+      val plan = result.queryExecution.executedPlan.toString
+      // the base prefix table scans its bucketed layout — no exchange
+      // under it — and the base CORPUS never appears in the plan: the
+      // delta shingles/prefixes are checkpointed, so the only file
+      // scans left are the three index tables (structural proof that
+      // the base is never re-shingled: the API takes no base at all)
       assert(plan.contains("Bucketed: true"),
-        s"base side must use the bucketed layout:\n$plan")
-      val persisted = joined.distinct().collect()
+        s"collision join must use the bucketed prefix layout:\n$plan")
+      assert(!plan.contains("documents"),
+        s"no corpus scan may survive into the indexed delta plan:\n$plan")
+      val indexed = result.collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-      // equals the inline (table-free) cross-candidate computation...
-      val inlineCross = prefBase.as("a")
-        .join(prefDelta.as("b"), col("a.s") === col("b.s"))
-        .select(least(col("doc_id"), col("delta_id")).as("doc_a"),
-          greatest(col("doc_id"), col("delta_id")).as("doc_b"))
-        .distinct().collect()
+      // output SET-EQUAL to the lineage-fresh form — the same frozen
+      // order, the same verify, just read from disk
+      val fresh = Dedup.setSimJoinIncremental(base, delta).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-      assert(persisted === inlineCross,
-        "the persisted-table join must reproduce the inline base-delta candidates")
-      // ...and LOSSLESS: it covers every verified base×delta pair
-      val truth = Dedup.setSimJoinIncremental(base, delta).collect()
-        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
-        .filter { case (a, b) => (a % 7 == 0) != (b % 7 == 0) }.toSet
-      assert(truth.subsetOf(persisted),
-        "prefix-filter candidates must contain every true delta-touching pair")
+      assert(indexed === fresh,
+        "indexed incremental join must equal the lineage-fresh incremental join")
+      assert(indexed.nonEmpty, "the sf0.01 split has delta-touching pairs")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS graft_pref_bucketed")
+      for (t <- Seq("graft_ssidx_pref", "graft_ssidx_sh", "graft_ssidx_df"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 }

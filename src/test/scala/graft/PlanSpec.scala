@@ -533,6 +533,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"b46 must read the checkpointed cell table\n$fin")
   }
 
+  test("b48 window KMV: the trailing set-ops never re-scan the corpus; state is days x 256") {
+    // same contract as b45/b46: the one fact pass lives in the eager
+    // cell checkpoint; the dense frame, both trailing mins, the union
+    // CASE and the estimator all read the <= days x 256-row LogicalRDD
+    val df = SparkEntry.queries("b48_window_kmv")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    val finalSection = fin.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalSection).size
+    assert(scans == 0, s"b48 must read only the checkpointed cells, got $scans\n$fin")
+    assert(finalSection.contains("Scan ExistingRDD"),
+      s"b48 must read the checkpointed cell table\n$fin")
+    // the cells-bounded claim, asserted (the h33 lesson: a bound, not
+    // equality): the checkpointed cell table holds at most days x 256
+    // rows however many keys ship
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val li = Tables.table(spark, SF, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        col("l_returnflag").as("tag"), col("l_orderkey"))
+    val cells = graft.operators.Relational.dailyKmvCells(li, "l_orderkey", "tag", "A", "R")
+    val nDays = li.select(col("ship_day")).distinct().count()
+    assert(cells.count() <= nDays * 256,
+      "daily KMV cell table must stay within days x 256 rows")
+  }
+
   test("c40/c41 Holt-Winters: the fact collapses in one scan; the backtest reads only checkpointed cells") {
     // c40: one corpus scan into the (type, day) aggregate, then the
     // per-type fold — two exchanges total, no join anywhere

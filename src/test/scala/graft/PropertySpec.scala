@@ -421,6 +421,32 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B48 closure law: window >= span makes the last day the GLOBAL b38c set-ops exactly") {
+    // the b45/b46 closure law for the KMV set-op window: at windowDays
+    // >= the corpus span, the last day's trailing conditional minima
+    // ARE the global ones (min over all days of per-day minima = the
+    // one-shot min; a never-occupied bucket is NULL here and -1 in
+    // b38c — both contribute zero to every sum and count), so all five
+    // estimates must be bit-identical to the one-shot b38c row.
+    import org.apache.spark.sql.functions.{max => fmax, to_date}
+    import java.lang.Double.doubleToLongBits
+    val R = graft.operators.Relational
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        col("l_returnflag").as("tag"), col("l_orderkey"))
+    val win = R.windowKmvSetops(
+      R.dailyKmvCells(li, "l_orderkey", "tag", "A", "R"), 1000000)
+    val lastDay = win.agg(fmax(col("ship_day"))).head().getDate(0)
+    val last = win.filter(col("ship_day") === lastDay).head()
+    val global = R.queries("b38_kmv_setops")(spark, SF).head()
+    (0 until 5).foreach { i =>
+      assert(doubleToLongBits(last.getDouble(i + 1)) ===
+        doubleToLongBits(global.getDouble(i)),
+        s"all-span windowed KMV column $i must equal the global b38c estimate")
+    }
+  }
+
   test("C40 Holt-Winters laws: +7-day translation is bit-neutral; value doubling doubles every output exactly") {
     // the seasonal state is a linear map of the values with dyadic
     // coefficients, and slots are calendar-mod-7: shifting all dates
