@@ -692,6 +692,110 @@ object Similarity {
     }
   }
 
+  /** E26 (OPQ-lite): the number of fixed Householder reflections in the
+    * seeded orthogonal rotation applied before the PQ subspace split.
+    * Full OPQ learns the rotation that minimizes quantization error;
+    * this is the deterministic middle ground — a FIXED energy-spreading
+    * rotation that mixes every coordinate into every subspace (the
+    * corpus's per-coordinate scale structure no longer aligns with the
+    * subspace boundaries) at identical code size and identical serve
+    * cost, and, unlike a learned rotation, fully oracle-able.
+    */
+  private val opqReflections = 4
+
+  /** Reflection vector i: integer components in [−8, 7] derived from
+    * md5("opq:i:d") — the §6b md5-derived-constants trick, computed
+    * ONCE driver-side and interpolated as literals into both the Spark
+    * plan and the DuckDB oracle (one generator, so the two sides
+    * cannot diverge). Integer u keeps u·u exact and every rotation
+    * step a fixed-count IEEE chain (mult, sub, one division by an
+    * integer literal) — engine-portable with no fold-order ceremony
+    * beyond the spelled left-to-right u·x.
+    */
+  private[graft] def opqU(i: Int, dim: Int = 64): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val h = md.digest(s"opq:$i:$d".getBytes("UTF-8"))
+      (h(0) & 0xf) - 8
+    }
+  }
+
+  /** Apply the fixed reflection chain: x ← x − (2·(u·x)/(u·u))·u per
+    * reflection, in index order. Expression-shape notes (both traps
+    * hit while building this):
+    *  - NOT unrolled per-component: a 64-term unrolled fold × 4 stages
+    *    fused into one whole-stage-codegen method blows the JVM's
+    *    64 KB method limit (janino "Code grows beyond 64 KB", which
+    *    Spark 4 surfaces as an internal error instead of falling
+    *    back). Single-level higher-order functions instead — they run
+    *    interpreted (bounded per-row work, one level, never the
+    *    nested-HOF 4 ms/row trap of the first PQ encode) and keep the
+    *    generated code tiny.
+    *  - The coef alias never appears inside a LAMBDA BODY (the §6b
+    *    single-reference-consumer inline trap, and a passthrough
+    *    column would just get column-pruned away): it enters as
+    *    array_repeat(coef, dim) — a plain child, evaluated once per
+    *    row — and the update is zip_with over (emb, coef·u), lambdas
+    *    referencing only their own variables.
+    * The close casts back to float (CAST AS REAL ↔ cast("float") has
+    * §6b parity), making the rotated corpus a drop-in source for the
+    * whole PQ serve family.
+    */
+  def opqRotate(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    var cur = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    (0 until opqReflections).foreach { i =>
+      val u = opqU(i, dim)
+      val uu = u.map(x => x.toLong * x).sum
+      require(uu > 0, s"opq reflection $i degenerate")
+      val uLit = typedLit(u.map(_.toDouble).toSeq)
+      val ud = aggregate(zip_with(col("emb"), uLit, (x, uv) => x * uv),
+        lit(0.0), (acc, t) => acc + t)
+      cur = cur
+        .select(col("vec_id"), col("emb"),
+          (lit(2.0) * ud / lit(uu.toDouble)).as("coef"))
+        .select(col("vec_id"),
+          zip_with(col("emb"),
+            zip_with(uLit, array_repeat(col("coef"), dim), (uv, c) => c * uv),
+            (x, s) => x - s).as("emb"))
+    }
+    cur.select(col("vec_id"), col("emb").cast("array<float>").as("embedding"))
+  }
+
+  /** E26: seeded-PQ/ADC search over the ROTATED corpus — e8's exact
+    * machinery (codebook seeding, encode argmin, ADC lookups) applied
+    * after [[opqRotate]]: the rotation is one bounded per-row
+    * expression chain ahead of the same fixed-size plan, so the scale
+    * story is e8's. Scores are cosines in the rotated space (an
+    * orthogonal map preserves the true cosines; only the QUANTIZATION
+    * changes), so recall grades directly against the unrotated exact
+    * top-k — which is what [[opqRecallReport]] does.
+    */
+  def opqPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                dim: Int = 64): DataFrame = {
+    val rot = opqRotate(embeddings, dim)
+    pqTopKWith(rot, pqCentroidTable(withNorm(rot), dim), queryVecId, k)
+  }
+
+  /** E26 recall grade: recall@k of the unrotated (e8) and rotated
+    * (e26) PQ retrievals against the exact cosine top-k, side by side
+    * — the decision row for "is the rotation worth it on THIS corpus".
+    * All three lists are bounded (k rows); the joins are k-row
+    * semi-joins (e24's shape).
+    */
+  def opqRecallReport(embeddings: DataFrame, queryVecId: Long = 0L,
+                      k: Int = 20): DataFrame = {
+    val exact = cosineTopK(embeddings, queryVecId, k).select(col("vec_id"))
+    def grade(ann: DataFrame, codec: String) =
+      ann.select(col("vec_id")).join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(codec).as("codec"), lit(k.toLong).as("k"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))
+    grade(pqTopK(embeddings, queryVecId, k), "pq")
+      .unionByName(grade(opqPqTopK(embeddings, queryVecId, k), "pq_opq"))
+  }
+
   /** (vec_id, codes): `m` 4-bit codes per vector — per subspace, the
     * argmin over centroids of `‖c‖² − 2·x_s·c` (the squared-L2 argmin
     * with the constant ‖x_s‖² term dropped), first-min tie ⇒ lowest
@@ -1361,18 +1465,17 @@ object Similarity {
     * [[pqEncodeCarrying]]'s argmin.
     */
   def quantErrorReport(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val o = withNorm(embeddings)
+    def refOf(src: DataFrame) = withNorm(src)
       .select(col("vec_id"), col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
-    def cosOf(recon: DataFrame, codec: String) =
+    val o = refOf(embeddings)
+    def cosOf(recon: DataFrame, codec: String, ref: DataFrame = o) =
       withNorm(recon)
         .select(col("vec_id"), col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
-        .join(o, Seq("vec_id"))
+        .join(ref, Seq("vec_id"))
         .select(lit(codec).as("codec"), col("vec_id"),
           (dot(col("o_emb"), col("r_emb")) / (col("o_nrm") * col("r_nrm")))
             .as("recon_cos"))
     val sq8 = cosOf(dequantizeSq8(quantizeSq8(embeddings)), "sq8")
-    val cents = pqCentroidTable(withNorm(embeddings), dim)
-    val centsLit = typedLit(cents.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
     // the 8 code lookups are TOP-LEVEL expressions in one projection,
     // never a lambda over `codes`: a transform-lambda references the
     // codes alias once, so CollapseProject inlines the ENTIRE encode
@@ -1380,13 +1483,23 @@ object Similarity {
     // measured 8× the whole-op cost (26 s vs 3 s at sf0.1) before this
     // rewrite. The round-4 §6b rule, now with a lambda as the
     // single-reference consumer.
-    val pqRecon = quantizePqWith(embeddings, cents)
-      .select(col("vec_id"),
-        concat((0 until pqSubspaces).map { s =>
-          element_at(element_at(centsLit, s + 1),
-            element_at(col("codes"), s + 1) + 1)
-        }: _*).as("embedding"))
-    sq8.unionByName(cosOf(pqRecon, "pq"))
+    def pqReconOf(src: DataFrame) = {
+      val cents = pqCentroidTable(withNorm(src), dim)
+      val centsLit = typedLit(cents.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+      quantizePqWith(src, cents)
+        .select(col("vec_id"),
+          concat((0 until pqSubspaces).map { s =>
+            element_at(element_at(centsLit, s + 1),
+              element_at(col("codes"), s + 1) + 1)
+          }: _*).as("embedding"))
+    }
+    // E26 comparison row (round 10): the pq_opq codec quantizes the
+    // ROTATED corpus and measures recon error in the rotated space —
+    // directly comparable to 'pq' because the rotation is orthogonal
+    // (true cosines are preserved; only quantization differs)
+    val rot = opqRotate(embeddings, dim)
+    sq8.unionByName(cosOf(pqReconOf(embeddings), "pq"))
+      .unionByName(cosOf(pqReconOf(rot), "pq_opq", refOf(rot)))
   }
 
   /** E18: hybrid retrieval by reciprocal-rank fusion — the production
@@ -1628,8 +1741,15 @@ object Similarity {
     // E24: per-query recall of the batch IVF-PQ join vs exact batch kNN.
     "e24_batch_recall" -> ((s, d) => batchRecall(t(s, d, "embeddings"))),
 
-    // E25: per-vector SQ8/PQ reconstruction cosine — the codec decider.
-    "e25_quant_error" -> ((s, d) => quantErrorReport(t(s, d, "embeddings")))
+    // E25: per-vector SQ8/PQ/OPQ reconstruction cosine — the codec
+    // decider (pq_opq added round 10: rotated-space recon error).
+    "e25_quant_error" -> ((s, d) => quantErrorReport(t(s, d, "embeddings"))),
+
+    // E26: seeded-PQ search over the fixed md5-seeded rotation.
+    "e26_ann_opq" -> ((s, d) => opqPqTopK(t(s, d, "embeddings"), 0L, 20)),
+
+    // E26b: recall@20 of rotated vs unrotated PQ against exact cosine.
+    "e26_opq_recall" -> ((s, d) => opqRecallReport(t(s, d, "embeddings")))
   )
 
   def oracles: Map[String, String] = {
@@ -1637,7 +1757,23 @@ object Similarity {
     // E14/E18 compose the retrieval oracles verbatim (each keeps its
     // own WITH scope inside a derived table), so the fusion/recall
     // oracles can never drift from the lists they grade.
-    base + ("e18_hybrid_rrf" ->
+    base + ("e26_opq_recall" ->
+      // E26b composes the e1/e8/e26 oracles verbatim (the e24 shape):
+      // recall@20 of each PQ variant against the exact list, one row
+      // per codec.
+      s"""WITH exact AS (SELECT vec_id FROM (${base("e1_cosine_topk")})),
+         |pq AS (SELECT vec_id FROM (${base("e8_ann_pq")})),
+         |opq AS (SELECT vec_id FROM (${base("e26_ann_opq")}))
+         |SELECT 'pq' AS codec, CAST(20 AS BIGINT) AS k,
+         |       CAST(count(*) AS BIGINT) AS n_hit,
+         |       CAST(count(*) AS DOUBLE) / CAST(20 AS DOUBLE) AS recall
+         |FROM pq JOIN exact USING (vec_id)
+         |UNION ALL
+         |SELECT 'pq_opq' AS codec, CAST(20 AS BIGINT) AS k,
+         |       CAST(count(*) AS BIGINT) AS n_hit,
+         |       CAST(count(*) AS DOUBLE) / CAST(20 AS DOUBLE) AS recall
+         |FROM opq JOIN exact USING (vec_id)""".stripMargin) +
+      ("e18_hybrid_rrf" ->
       s"""WITH d AS (
          |  SELECT vec_id AS doc_id,
          |         row_number() OVER (ORDER BY score DESC, vec_id) AS cos_rank
@@ -1896,6 +2032,248 @@ object Similarity {
         |FROM scored
         |QUALIFY rnk <= 10""".stripMargin
 
+  /** E26 rotation CTE chain: the SAME reflection constants the engine
+    * interpolates ([[opqU]] — one generator, both sides), each step
+    * two CTEs (fold, update) mirroring the engine's two projections,
+    * closed by the CAST AS REAL that makes the rotated corpus a
+    * drop-in PQ source. Returns "r0 AS (...), ..., rot AS (...)".
+    */
+  private def opqRotCtes(src: String, dim: Int = 64): String = {
+    val n1 = dim + 1
+    val init =
+      s"""r0 AS (
+         |  SELECT vec_id, list_transform(range(1, $n1),
+         |    d -> CAST(embedding[d] AS DOUBLE)) AS emb
+         |  FROM $src)""".stripMargin
+    val stages = (0 until opqReflections).map { i =>
+      val u = opqU(i, dim)
+      val uu = u.map(x => x.toLong * x).sum
+      val ul = u.mkString("[", ", ", "]")
+      s"""rs$i AS (
+         |  SELECT vec_id, emb,
+         |         CAST(2 AS DOUBLE) * list_reduce(list_transform(range(1, $n1),
+         |           d -> emb[d] * CAST(($ul)[d] AS DOUBLE)), (x, y) -> x + y)
+         |           / CAST($uu AS DOUBLE) AS coef
+         |  FROM r$i),
+         |r${i + 1} AS (
+         |  SELECT vec_id, list_transform(range(1, $n1),
+         |    d -> emb[d] - coef * CAST(($ul)[d] AS DOUBLE)) AS emb
+         |  FROM rs$i)""".stripMargin
+    }
+    val close =
+      s"""rot AS (
+         |  SELECT vec_id, list_transform(range(1, $n1),
+         |    d -> CAST(emb[d] AS REAL)) AS embedding
+         |  FROM r$opqReflections)""".stripMargin
+    (init +: stages :+ close).mkString(",\n")
+  }
+
+  /** E8/E26 shared oracle generator: the seeded-PQ/ADC search SQL with
+    * the corpus relation as the parameter — e8 passes the raw
+    * embeddings, e26 passes the rotated CTE (prepended via `pre`), so
+    * the search arithmetic exists once for both codecs.
+    */
+  private def pqSearchSql(src: String, pre: String = ""): String =
+    "WITH " + s"""${pre}e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM $src
+        |  WHERE nrm > 0),
+        |cseed AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        |cl AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
+        |    GROUP BY s)),
+        |tabs AS (
+        |  SELECT list(dots ORDER BY s) AS dot_tab, list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(dotv ORDER BY cid) AS dots, list(nsqv ORDER BY cid) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS dotv,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c, qv q)
+        |    GROUP BY s)),
+        |codes AS (
+        |  SELECT emb.vec_id,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM $src emb, cl, tabs t),
+        |adc AS (
+        |  SELECT co.vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.dot_tab[s + 1][co.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_dot,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(0, 8), s ->
+        |             t.nsq_tab[s + 1][co.codes[s + 1] + 1])),
+        |           (x, y) -> x + y) AS adc_nsq
+        |  FROM codes co, tabs t
+        |  WHERE co.vec_id <> 0)
+        |SELECT a.vec_id, a.adc_dot / (sqrt(a.adc_nsq) * qv.q_nrm) AS score
+        |FROM adc a, qv
+        |WHERE a.adc_nsq > 0
+        |ORDER BY score DESC, a.vec_id
+        |LIMIT 20""".stripMargin
+
+  /** E25 shared recon-chain generator: the seeded-PQ codebook/encode/
+    * reconstruct CTEs over an arbitrary (norm-filtered, raw) source
+    * pair — the unrotated report uses (e, embeddings), the E26 rotated
+    * row uses (e2, rot) with suffixed CTE names, so the recon
+    * arithmetic exists once for both codecs.
+    */
+  private def pqReconCtes(normSrc: String, rawSrc: String, sfx: String): String =
+    s"""|cseed$sfx AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+        |  FROM $normSrc ORDER BY vec_id LIMIT 16),
+        |cl$sfx AS (
+        |  SELECT list(sc ORDER BY s) AS cents FROM (
+        |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_transform(range(1, 9),
+        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed$sfx c)
+        |    GROUP BY s)),
+        |nsqt$sfx AS (
+        |  SELECT list(nsqs ORDER BY s) AS nsq_tab FROM (
+        |    SELECT s, list(nsqv ORDER BY cid) AS nsqs FROM (
+        |      SELECT sp.s AS s, c.cid AS cid,
+        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |               list_transform(range(1, 9), d ->
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
+        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
+        |               (x, y) -> x + y) AS nsqv
+        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed$sfx c)
+        |    GROUP BY s)),
+        |codes$sfx AS (
+        |  SELECT emb.vec_id,
+        |         list_transform(range(0, 8), s ->
+        |           list_position(
+        |             list_transform(range(0, 16), c ->
+        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                   list_transform(range(1, 9), d ->
+        |                     CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl$sfx.cents[s + 1][c + 1][d])),
+        |                   (x, y) -> x + y)),
+        |             list_min(
+        |               list_transform(range(0, 16), c ->
+        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
+        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                     list_transform(range(1, 9), d ->
+        |                       CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl$sfx.cents[s + 1][c + 1][d])),
+        |                     (x, y) -> x + y)))) - 1) AS codes
+        |  FROM $rawSrc emb, cl$sfx, nsqt$sfx t),
+        |pqr$sfx AS (
+        |  SELECT vec_id, r_emb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(r_emb) + 1),
+        |             i -> r_emb[i] * r_emb[i])),
+        |           (x, y) -> x + y)) AS r_nrm
+        |  FROM (
+        |    SELECT co.vec_id,
+        |           flatten(list_transform(range(0, 8),
+        |             s -> cl$sfx.cents[s + 1][co.codes[s + 1] + 1])) AS r_emb
+        |    FROM codes$sfx co, cl$sfx)
+        |  WHERE r_nrm > 0)""".stripMargin
+
+  /** E25 oracle, round 10: the sq8 + pq blocks unchanged, plus the
+    * pq_opq codec — the SAME recon chain over the rotated corpus
+    * measured against the rotated originals (orthogonality preserves
+    * true cosines, so the two error columns are directly comparable).
+    */
+  private def quantErrorOracleSql: String =
+    s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(embedding) + 1),
+        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS nrm
+        |  FROM embeddings
+        |  WHERE nrm > 0),
+        |qs AS (
+        |  SELECT vec_id, qmin,
+        |         CASE WHEN qmax > qmin THEN (qmax - qmin) / 255.0 ELSE 1.0 END AS qstep
+        |  FROM (SELECT vec_id,
+        |               CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |               CAST(list_max(embedding) AS DOUBLE) AS qmax
+        |        FROM embeddings)),
+        |deq AS (
+        |  SELECT e.vec_id,
+        |         list_transform(e.embedding, x ->
+        |           CAST(s.qmin +
+        |             ((CAST(round((CAST(x AS DOUBLE) - s.qmin) / s.qstep) AS INTEGER) - 128)
+        |              + 128) * s.qstep AS REAL)) AS r_emb
+        |  FROM embeddings e JOIN qs s ON e.vec_id = s.vec_id),
+        |sq8n AS (
+        |  SELECT vec_id, r_emb,
+        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, len(r_emb) + 1),
+        |             i -> CAST(r_emb[i] AS DOUBLE) * CAST(r_emb[i] AS DOUBLE))),
+        |           (x, y) -> x + y)) AS r_nrm
+        |  FROM deq
+        |  WHERE r_nrm > 0)""".stripMargin + ",\n" +
+      pqReconCtes("e", "embeddings", "") + ",\n" +
+      opqRotCtes("embeddings") + ",\n" +
+      s"""e2 AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |           (x, y) -> x + y)) AS nrm
+       |  FROM rot
+       |  WHERE nrm > 0)""".stripMargin + ",\n" +
+      pqReconCtes("e2", "rot", "2") + "\n" +
+      s"""|SELECT 'sq8' AS codec, e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(r.r_emb[i] AS DOUBLE))),
+        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
+        |FROM e JOIN sq8n r ON e.vec_id = r.vec_id
+        |UNION ALL
+        |SELECT 'pq' AS codec, e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * r.r_emb[i])),
+        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
+        |FROM e JOIN pqr r ON e.vec_id = r.vec_id
+        |UNION ALL
+        |SELECT 'pq_opq' AS codec, e.vec_id,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(1, len(e.embedding) + 1),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * r.r_emb[i])),
+        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
+        |FROM e2 e JOIN pqr2 r ON e.vec_id = r.vec_id""".stripMargin
+
   private def baseOracles: Map[String, String] = Map(
     // E20: e1's scoring CTE unlimited, the metadata join, a per-source
     // QUALIFY cap, and the global top-k — ranks are integers over the
@@ -2075,175 +2453,14 @@ object Similarity {
     // half of e8's tabs), recon = flatten of per-subspace centroid
     // lookups, then one cosine fold per codec in the e1 spelling with
     // the recon norm guarded > 0 exactly like withNorm.
-    "e25_quant_error" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(embedding) + 1),
-        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-        |           (x, y) -> x + y)) AS nrm
-        |  FROM embeddings
-        |  WHERE nrm > 0),
-        |qs AS (
-        |  SELECT vec_id, qmin,
-        |         CASE WHEN qmax > qmin THEN (qmax - qmin) / 255.0 ELSE 1.0 END AS qstep
-        |  FROM (SELECT vec_id,
-        |               CAST(list_min(embedding) AS DOUBLE) AS qmin,
-        |               CAST(list_max(embedding) AS DOUBLE) AS qmax
-        |        FROM embeddings)),
-        |deq AS (
-        |  SELECT e.vec_id,
-        |         list_transform(e.embedding, x ->
-        |           CAST(s.qmin +
-        |             ((CAST(round((CAST(x AS DOUBLE) - s.qmin) / s.qstep) AS INTEGER) - 128)
-        |              + 128) * s.qstep AS REAL)) AS r_emb
-        |  FROM embeddings e JOIN qs s ON e.vec_id = s.vec_id),
-        |sq8n AS (
-        |  SELECT vec_id, r_emb,
-        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(r_emb) + 1),
-        |             i -> CAST(r_emb[i] AS DOUBLE) * CAST(r_emb[i] AS DOUBLE))),
-        |           (x, y) -> x + y)) AS r_nrm
-        |  FROM deq
-        |  WHERE r_nrm > 0),
-        |cseed AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-        |  FROM e ORDER BY vec_id LIMIT 16),
-        |cl AS (
-        |  SELECT list(sc ORDER BY s) AS cents FROM (
-        |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
-        |      SELECT sp.s AS s, c.cid AS cid,
-        |             list_transform(range(1, 9),
-        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
-        |    GROUP BY s)),
-        |nsqt AS (
-        |  SELECT list(nsqs ORDER BY s) AS nsq_tab FROM (
-        |    SELECT s, list(nsqv ORDER BY cid) AS nsqs FROM (
-        |      SELECT sp.s AS s, c.cid AS cid,
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, 9), d ->
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
-        |               (x, y) -> x + y) AS nsqv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
-        |    GROUP BY s)),
-        |codes AS (
-        |  SELECT emb.vec_id,
-        |         list_transform(range(0, 8), s ->
-        |           list_position(
-        |             list_transform(range(0, 16), c ->
-        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
-        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                   list_transform(range(1, 9), d ->
-        |                     CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
-        |                   (x, y) -> x + y)),
-        |             list_min(
-        |               list_transform(range(0, 16), c ->
-        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
-        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                     list_transform(range(1, 9), d ->
-        |                       CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
-        |                     (x, y) -> x + y)))) - 1) AS codes
-        |  FROM embeddings emb, cl, nsqt t),
-        |pqr AS (
-        |  SELECT vec_id, r_emb,
-        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(r_emb) + 1),
-        |             i -> r_emb[i] * r_emb[i])),
-        |           (x, y) -> x + y)) AS r_nrm
-        |  FROM (
-        |    SELECT co.vec_id,
-        |           flatten(list_transform(range(0, 8),
-        |             s -> cl.cents[s + 1][co.codes[s + 1] + 1])) AS r_emb
-        |    FROM codes co, cl)
-        |  WHERE r_nrm > 0)
-        |SELECT 'sq8' AS codec, e.vec_id,
-        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |         list_transform(range(1, len(e.embedding) + 1),
-        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(r.r_emb[i] AS DOUBLE))),
-        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
-        |FROM e JOIN sq8n r ON e.vec_id = r.vec_id
-        |UNION ALL
-        |SELECT 'pq' AS codec, e.vec_id,
-        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |         list_transform(range(1, len(e.embedding) + 1),
-        |           i -> CAST(e.embedding[i] AS DOUBLE) * r.r_emb[i])),
-        |         (x, y) -> x + y) / (e.nrm * r.r_nrm) AS recon_cos
-        |FROM e JOIN pqr r ON e.vec_id = r.vec_id""".stripMargin,
+    "e25_quant_error" -> quantErrorOracleSql,
 
-    "e8_ann_pq" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(1, len(embedding) + 1),
-        |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-        |           (x, y) -> x + y)) AS nrm
-        |  FROM embeddings
-        |  WHERE nrm > 0),
-        |cseed AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-        |  FROM e ORDER BY vec_id LIMIT 16),
-        |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
-        |cl AS (
-        |  SELECT list(sc ORDER BY s) AS cents FROM (
-        |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
-        |      SELECT sp.s AS s, c.cid AS cid,
-        |             list_transform(range(1, 9),
-        |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
-        |    GROUP BY s)),
-        |tabs AS (
-        |  SELECT list(dots ORDER BY s) AS dot_tab, list(nsqs ORDER BY s) AS nsq_tab FROM (
-        |    SELECT s, list(dotv ORDER BY cid) AS dots, list(nsqv ORDER BY cid) AS nsqs FROM (
-        |      SELECT sp.s AS s, c.cid AS cid,
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, 9), d ->
-        |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
-        |               (x, y) -> x + y) AS dotv,
-        |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |               list_transform(range(1, 9), d ->
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE) *
-        |                 CAST(c.embedding[sp.s * 8 + d] AS DOUBLE))),
-        |               (x, y) -> x + y) AS nsqv
-        |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c, qv q)
-        |    GROUP BY s)),
-        |codes AS (
-        |  SELECT emb.vec_id,
-        |         list_transform(range(0, 8), s ->
-        |           list_position(
-        |             list_transform(range(0, 16), c ->
-        |               t.nsq_tab[s + 1][c + 1] - 2.0 *
-        |                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                   list_transform(range(1, 9), d ->
-        |                     CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
-        |                   (x, y) -> x + y)),
-        |             list_min(
-        |               list_transform(range(0, 16), c ->
-        |                 t.nsq_tab[s + 1][c + 1] - 2.0 *
-        |                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                     list_transform(range(1, 9), d ->
-        |                       CAST(emb.embedding[s * 8 + d] AS DOUBLE) * cl.cents[s + 1][c + 1][d])),
-        |                     (x, y) -> x + y)))) - 1) AS codes
-        |  FROM embeddings emb, cl, tabs t),
-        |adc AS (
-        |  SELECT co.vec_id,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(0, 8), s ->
-        |             t.dot_tab[s + 1][co.codes[s + 1] + 1])),
-        |           (x, y) -> x + y) AS adc_dot,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list_transform(range(0, 8), s ->
-        |             t.nsq_tab[s + 1][co.codes[s + 1] + 1])),
-        |           (x, y) -> x + y) AS adc_nsq
-        |  FROM codes co, tabs t
-        |  WHERE co.vec_id <> 0)
-        |SELECT a.vec_id, a.adc_dot / (sqrt(a.adc_nsq) * qv.q_nrm) AS score
-        |FROM adc a, qv
-        |WHERE a.adc_nsq > 0
-        |ORDER BY score DESC, a.vec_id
-        |LIMIT 20""".stripMargin,
+    "e8_ann_pq" -> pqSearchSql("embeddings"),
+
+    // E26: the same seeded-PQ search over the md5-seeded orthogonal
+    // rotation (OPQ-lite) — rotation CTEs prepended, search SQL shared
+    // with e8 via one generator.
+    "e26_ann_opq" -> pqSearchSql("rot", opqRotCtes("embeddings") + ",\n"),
 
     // E7: the SQ8 round trip is pure deterministic arithmetic — min/max
     // per vector, round() (ties away from zero in BOTH engines for the
