@@ -226,7 +226,7 @@ object Bench {
     * name:number pairs inside the "queries" object — values are never
     * nested), so there is no JSON library dependency.
     */
-  private def priorReadings(path: String = "BENCH_FULL.json"): Map[String, Double] =
+  private def priorReadings(path: String): Map[String, Double] =
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -240,6 +240,41 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The artifact-of-record path for a scale dir — ONE rule shared by
+    * the writer and [[priorReadings]] (round-10 advice: the guard read
+    * the sf0.1 record regardless of the running scale, so any larger-SF
+    * run would have re-run nearly every query 3 extra times). The
+    * committed record is the sf0.1 capture; other scales use a side
+    * file so a small-SF iteration can never silently replace it.
+    */
+  private[graft] def artifactFor(sfDir: String): String =
+    if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
+    else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
+
+  /** Stall-guard decision for one fresh reading vs the committed prior:
+    * `reruns` extra min-of reps to absorb a host stall, `suspect` =
+    * record ONCE with a flag and never re-run. Pure and unit-tested
+    * (BenchSpec) because round 10 showed the cost of getting it wrong
+    * twice over: the >2×-mover rule had NO absolute ceiling, so a
+    * genuine ~2.5× regression (e25's exploded plan, multi-minute runs)
+    * was re-run 3 more times and the driver killed the whole bench at
+    * its timeout — rc=124, no artifact of record. Rules:
+    *  - no prior / prior ≤ 0 → measure once, trust it (new queries and
+    *    scales with no committed record run unguarded);
+    *  - fresh ≤ 2×prior or fresh ≤ 0.5 s → normal reading (sub-second
+    *    jitter never burns reps);
+    *  - fresh > `ceilingSecs` → a re-run cannot help and would eat the
+    *    driver's bench budget: record once, flag `suspect`;
+    *  - otherwise → 3 extra reps, min wins (a stall, not a plan).
+    */
+  private[graft] def stallGuard(prior: Option[Double], fresh: Double,
+                                ceilingSecs: Double = 60.0): (Int, Boolean) =
+    prior match {
+      case Some(p) if p > 0 && fresh > 2 * p && fresh > 0.5 =>
+        if (fresh > ceilingSecs) (0, true) else (3, false)
+      case _ => (0, false)
+    }
 
   /** One bench reading. `seconds=false` marks study metrics in OTHER
     * units (bytes-on-disk MB, rows/s, cells/batch, state rows): they
@@ -280,7 +315,8 @@ object Bench {
       }
     }
 
-    val prior = priorReadings()
+    val prior = priorReadings(artifactFor(sfDir))
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = (headline ++ extended).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
@@ -300,17 +336,23 @@ object Bench {
         val reps = if (minOfFour(name)) 4 else 2
         val ts = Seq.fill(reps)(once()).filter(_ >= 0)
         val fresh = if (ts.isEmpty) -1.0 else ts.min
-        // the generalized >2×-mover rule (see priorReadings): a reading
-        // that doubled vs the committed record re-measures min-of-3
-        // more before it may enter the artifact; the 0.5 s floor keeps
-        // sub-second jitter from burning reps
-        val guarded = prior.get(name) match {
-          case Some(p) if p > 0 && fresh > 2 * p && fresh > 0.5 =>
-            val extra = Seq.fill(3)(once()).filter(_ >= 0)
+        // the generalized >2×-mover rule with an absolute ceiling (see
+        // stallGuard): a doubled reading re-measures min-of-3 before it
+        // may enter the artifact; a reading past the ceiling is a
+        // regression no re-run can absorb — record once, flag suspect
+        val guarded = stallGuard(prior.get(name), fresh) match {
+          case (reruns, false) if reruns > 0 =>
+            val extra = Seq.fill(reruns)(once()).filter(_ >= 0)
             val v = (fresh +: extra).min
             System.err.println(f"[bench] $name moved >2x vs committed " +
-              f"($p%.3f -> $fresh%.3f); min-of-3 re-run -> $v%.3f")
+              f"(${prior(name)}%.3f -> $fresh%.3f); min-of-$reruns re-run -> $v%.3f")
             v
+          case (_, true) =>
+            suspects += name
+            System.err.println(f"[bench] $name SUSPECT: $fresh%.3f s is >2x " +
+              f"committed ${prior(name)}%.3f s AND past the re-run ceiling — " +
+              "recorded once, flagged, not re-run")
+            fresh
           case _ => fresh
         }
         name -> guarded
@@ -355,16 +397,16 @@ object Bench {
     println(s"""{"metric":"studies","queries":${qmap(studyQs)}$scalingPart,"sf":"$sfDir"}""")
     // 2. the complete artifact on disk (cwd = repo root under the driver);
     // non_seconds names which queries entries are NOT wall-seconds
+    val suspectList = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${qmap(all)},"non_seconds":$nonSecondsList,""" +
-      s""""sf":"$sfDir"$scalingPart}"""
+      s""""suspect":$suspectList,"sf":"$sfDir"$scalingPart}"""
     // the committed artifact of record is the sf0.1 capture (the
     // driver's scale); local runs at OTHER scales write a side file so
     // a small-SF iteration can never silently replace the record (it
-    // happened twice this round via blanket `git add -u`)
-    val artifact =
-      if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
-      else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
+    // happened twice in round 6 via blanket `git add -u`); the rule
+    // lives in artifactFor, shared with the stall guard's prior read
+    val artifact = artifactFor(sfDir)
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {

@@ -264,21 +264,11 @@ object Dedup {
         (row_number().over(w) === 1).as("is_keeper"))
   }
 
-  /** Eager localCheckpoint + STATS RESET. localCheckpoint's LogicalRDD
-    * inherits the child plan's *estimated* sizeInBytes; in an iterative
-    * loop whose rounds join the previous result with itself, those
-    * estimates multiply every round — the BigInt's digit count grows
-    * exponentially and the driver ends up spending its time in
-    * Catalyst's stats arithmetic (observed: 0.4s rounds degrading to
-    * 40s by round 13). Re-wrapping the materialized RDD in a fresh
-    * DataFrame resets stats to the constant default and keeps rounds
-    * flat. The extra Row conversion layer is irrelevant for the small
-    * label/edge tables this loop touches.
+  /** Eager localCheckpoint + stats reset — see [[Stage.checkpointFresh]]
+    * (the single project-wide definition of the barrier idiom).
     */
-  private def checkpointFresh(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  private def checkpointFresh(df: DataFrame): DataFrame =
+    Stage.checkpointFresh(df)
 
   /** Min-label propagation over an explicit pair list (`doc_a`,`doc_b`) —
     * the component core of [[dedupClusters]], usable with any candidate

@@ -288,7 +288,7 @@ object Relational {
                               windowDays: Int = 60,
                               qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     val s = rawCells.sparkSession
-    val cells = rawCells.localCheckpoint(true)
+    val cells = Stage.checkpointFresh(rawCells)
     val days = cells.select(col("ship_day")).distinct()
       .select(col("ship_day"),
         datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
@@ -385,7 +385,7 @@ object Relational {
     */
   def windowHllFromCells(rawCells: DataFrame, windowDays: Int = 60): DataFrame = {
     val s = rawCells.sparkSession
-    val cells = rawCells.localCheckpoint(true)
+    val cells = Stage.checkpointFresh(rawCells)
     val days = cells.select(col("ship_day")).distinct()
       .select(col("ship_day"),
         datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))
@@ -435,7 +435,7 @@ object Relational {
     */
   def windowKmvSetops(rawCells: DataFrame, windowDays: Int = 60): DataFrame = {
     val s = rawCells.sparkSession
-    val cells = rawCells.localCheckpoint(true)
+    val cells = Stage.checkpointFresh(rawCells)
     val days = cells.select(col("ship_day")).distinct()
       .select(col("ship_day"),
         datediff(col("ship_day"), lit("1970-01-01")).as("day_num"))

@@ -737,6 +737,19 @@ object Similarity {
     *    array_repeat(coef, dim) — a plain child, evaluated once per
     *    row — and the update is zip_with over (emb, coef·u), lambdas
     *    referencing only their own variables.
+    *  - The output is MATERIALIZED ([[Stage.checkpointFresh]]) before
+    *    any consumer sees it. Even with coef top-level, CollapseProject
+    *    inlines each single-referenced stage into the next, the emb
+    *    subtree doubles per reflection (emb enters both the coef fold
+    *    and the update zip_with), and the PQ encode's
+    *    transform/slice lambda then inlines the WHOLE rotation tree as
+    *    a single-reference consumer — round 10 measured a ~225 MiB
+    *    serialized task binary that OOMed an 8 GiB test JVM and timed
+    *    out the bench. The barrier turns the rotated corpus into a
+    *    `Scan ExistingRDD` leaf, so every downstream plan (encode, ADC,
+    *    recon) is its own fixed size — which is also the honest 100 TB
+    *    shape: OPQ systems (e.g. FAISS) store rotated vectors at index
+    *    build and never re-derive the rotation per query.
     * The close casts back to float (CAST AS REAL ↔ cast("float") has
     * §6b parity), making the rotated corpus a drop-in source for the
     * whole PQ serve family.
@@ -759,7 +772,8 @@ object Similarity {
             zip_with(uLit, array_repeat(col("coef"), dim), (uv, c) => c * uv),
             (x, s) => x - s).as("emb"))
     }
-    cur.select(col("vec_id"), col("emb").cast("array<float>").as("embedding"))
+    Stage.checkpointFresh(
+      cur.select(col("vec_id"), col("emb").cast("array<float>").as("embedding")))
   }
 
   /** E26: seeded-PQ/ADC search over the ROTATED corpus — e8's exact
@@ -1468,8 +1482,16 @@ object Similarity {
     def refOf(src: DataFrame) = withNorm(src)
       .select(col("vec_id"), col("embedding").as("o_emb"), col("nrm").as("o_nrm"))
     val o = refOf(embeddings)
+    // the recon is MATERIALIZED before withNorm's zero-norm filter: a
+    // .filter on a derived column predicate-pushes below the recon
+    // projections and re-evaluates the WHOLE encode+decode chain per
+    // row in an interpreted Filter (the §6b round-4 trap — measured
+    // here as two 1.4 MB filter predicates carrying the full inlined
+    // argmin tree). The barrier is also the honest harness shape: an
+    // evaluation pass materializes its reconstructions once, then
+    // grades them.
     def cosOf(recon: DataFrame, codec: String, ref: DataFrame = o) =
-      withNorm(recon)
+      withNorm(Stage.checkpointFresh(recon))
         .select(col("vec_id"), col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
         .join(ref, Seq("vec_id"))
         .select(lit(codec).as("codec"), col("vec_id"),
@@ -1485,12 +1507,17 @@ object Similarity {
     // single-reference consumer.
     def pqReconOf(src: DataFrame) = {
       val cents = pqCentroidTable(withNorm(src), dim)
-      val centsLit = typedLit(cents.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+      // PER-SUBSPACE codebook literals: one shared full-codebook
+      // literal referenced from all 8 concat arms puts 8 copies of the
+      // whole 8x16x8 table into the serialized plan (each Literal
+      // occurrence carries its own value) — with three report branches
+      // that printed a 3 MB plan. Each arm only ever indexes its own
+      // subspace, so it carries just that 16x8 subtable.
+      val subLits = cents.map(s => typedLit(s.map(_.map(_.toFloat).toSeq).toSeq))
       quantizePqWith(src, cents)
         .select(col("vec_id"),
           concat((0 until pqSubspaces).map { s =>
-            element_at(element_at(centsLit, s + 1),
-              element_at(col("codes"), s + 1) + 1)
+            element_at(subLits(s), element_at(col("codes"), s + 1) + 1)
           }: _*).as("embedding"))
     }
     // E26 comparison row (round 10): the pq_opq codec quantizes the
@@ -2051,8 +2078,9 @@ object Similarity {
       val ul = u.mkString("[", ", ", "]")
       s"""rs$i AS (
          |  SELECT vec_id, emb,
-         |         CAST(2 AS DOUBLE) * list_reduce(list_transform(range(1, $n1),
-         |           d -> emb[d] * CAST(($ul)[d] AS DOUBLE)), (x, y) -> x + y)
+         |         CAST(2 AS DOUBLE) * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, $n1),
+         |           d -> emb[d] * CAST(($ul)[d] AS DOUBLE))), (x, y) -> x + y)
          |           / CAST($uu AS DOUBLE) AS coef
          |  FROM r$i),
          |r${i + 1} AS (

@@ -113,8 +113,18 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       // the base is never re-shingled: the API takes no base at all)
       assert(plan.contains("Bucketed: true"),
         s"collision join must use the bucketed prefix layout:\n$plan")
-      assert(!plan.contains("documents"),
-        s"no corpus scan may survive into the indexed delta plan:\n$plan")
+      // structural corpus-free proof (round-10 advice: a bare
+      // !plan.contains("documents") false-fails on any unrelated path
+      // or column name): every file scan in the plan must read one of
+      // the three graft_ssidx_* index tables — nothing else is on disk
+      // for this query, so the base corpus cannot be re-shingled
+      val scanLocs = "Location: [^\\[\\n]*\\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(scanLocs.nonEmpty, s"expected file scans in the plan:\n$plan")
+      scanLocs.foreach { loc =>
+        assert(loc.contains("graft_ssidx_"),
+          s"file scan outside the index tables (corpus leak?): $loc\n$plan")
+      }
       val indexed = result.collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
       // output SET-EQUAL to the lineage-fresh form — the same frozen

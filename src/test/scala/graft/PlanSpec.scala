@@ -751,4 +751,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // only nested-loop shapes allowed
     assert(cart === 0, s"no cartesian in the recall harness\n$p")
   }
+
+  test("e25/e26 OPQ serve family: the PQ encode reads a materialized rotation and the plan stays small") {
+    // The §6b lambda-inline trap's mechanical tripwire (it bit in round
+    // 8 as e25 and again in round 10 as e26, where the unstaged
+    // 4-reflection rotation tree inlined into the encode lambdas and
+    // serialized a ~225 MiB task binary — OOMing an 8 GiB test JVM).
+    // Two assertions per query: the rotation boundary is a
+    // Scan ExistingRDD leaf (the checkpointFresh cut held), and the
+    // whole executed-plan string stays bounded — a direct proxy for the
+    // serialized task size (the exploded plan printed hundreds of MB;
+    // healthy PQ plans with their 8x16 literal centroid tables print
+    // well under 1 MB).
+    Seq("e26_ann_opq", "e25_quant_error", "e26_opq_recall").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, SF)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(fin.contains("Scan ExistingRDD"),
+        s"$name must consume the materialized rotated corpus\n" +
+          fin.linesIterator.take(40).mkString("\n"))
+      assert(fin.length < 1000000,
+        s"$name executed plan printed ${fin.length} chars — the rotation " +
+          "tree is inlining into the encode again (round-10 regression)")
+    }
+  }
 }

@@ -520,7 +520,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getAs[String]("codec"), r.getAs[Long]("vec_id"),
         r.getAs[Double]("recon_cos")))
     val byCodec = out.groupBy(_._1)
-    assert(byCodec.keySet === Set("sq8", "pq"))
+    assert(byCodec.keySet === Set("sq8", "pq", "pq_opq"))
     val total = e.count()
     byCodec.foreach { case (c, rows) =>
       assert(rows.length.toLong === total, s"$c must cover every vector")
@@ -534,6 +534,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val pqMean = byCodec("pq").map(_._3).sum / byCodec("pq").length
     assert(sq8Min > 0.999, s"SQ8 must be near-lossless, worst $sq8Min")
     assert(sq8Min > pqMean, s"SQ8 worst ($sq8Min) must beat PQ mean ($pqMean)")
+  }
+
+  test("E26 OPQ: rotation preserves true cosines, recall report grades both codecs") {
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    // orthogonality in action: the rotated corpus's exact cosine top-k
+    // (query = rotated vec 0) must equal the unrotated exact top-k —
+    // Householder chains preserve inner products and norms
+    val rot = Similarity.opqRotate(e)
+    val exactRaw = Similarity.cosineTopK(e, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val exactRot = Similarity.cosineTopK(rot, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(exactRot === exactRaw,
+      "orthogonal rotation must preserve the exact cosine ranking")
+    val rep = Similarity.opqRecallReport(e).collect()
+      .map(r => r.getAs[String]("codec") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    assert(rep.keySet === Set("pq", "pq_opq"))
+    rep.foreach { case (c, (hit, rec)) =>
+      assert(hit >= 0L && hit <= 20L, s"$c n_hit $hit out of range")
+      assert(math.abs(rec - hit / 20.0) < 1e-12, s"$c recall must be n_hit/k")
+    }
   }
 
   test("E18 RRF equals the driver-recomputed fusion of the two ranked lists") {
