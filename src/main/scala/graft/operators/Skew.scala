@@ -41,6 +41,63 @@ object Skew {
       .drop("__graft_salt")
   }
 
+  /** The salting DECISION, as a pure function over measured data:
+    * salt iff some single key carries more than `hotShare` of the fact
+    * — the point where AQE's skew split stops helping (it splits
+    * partitions, not one key's hash bucket) and the deterministic
+    * salted plan earns its dim-replication overhead. Pure and
+    * spec-pinned so the threshold semantics can't drift into the
+    * plan-building code.
+    */
+  private[graft] def shouldSalt(maxHotRows: Long, totalRows: Long,
+                                hotShare: Double = 0.05): Boolean =
+    totalRows > 0 && maxHotRows.toDouble > hotShare * totalRows
+
+  /** The b32-shaped bounded heavy-hitter table over a join key: the
+    * single-pass freqItems sketch (fixed memory, no key shuffle — b32's
+    * approx path) nominates ≤1/support candidates, and one filtered
+    * pass counts exactly those (broadcast semi-join — the candidate set
+    * is bounded by construction, so the count aggregate's key space is
+    * too). At 100 TB this is the table a pipeline MAINTAINS per load
+    * (b32/b35 already compute it for governance); the join planner
+    * just reads it.
+    */
+  def hotKeyCounts(df: DataFrame, key: String,
+                   support: Double = 0.001): DataFrame =
+    df.join(broadcast(df.stat.freqItems(Seq(key), support)
+        .select(explode(col(s"${key}_freqItems")).as(key))),
+        Seq(key), "left_semi")
+      .groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+
+  /** Salting as DATA: compile salted-vs-plain from a maintained
+    * heavy-hitter table instead of hard-coding the plan shape. The
+    * driver reads the BOUNDED `hitters` relation (b32's output shape:
+    * key, n_rows — ≤1/support rows) plus the fact's row count, decides
+    * via [[shouldSalt]], and emits either the plain equi-join (no
+    * dim-replication overhead when the corpus is uniform) or
+    * [[saltedJoin]] (parallel hot key when it isn't). Both arms are
+    * row-for-row equivalent, so the decision is oracle-neutral — the
+    * spec flips the plan on an engineered skew corpus and pins equal
+    * results either way.
+    *
+    * This is the c1-enrich production seam: key distributions drift
+    * (yesterday's uniform merchant table grows a whale), and the
+    * mitigation should follow the DATA at plan-build time, not a code
+    * change. The decision inputs are one bounded-table max and a count
+    * the load pipeline already tracks.
+    */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                         hitters: DataFrame, totalRows: Long,
+                         saltFrom: Column, buckets: Int,
+                         joinType: String = "inner",
+                         hotShare: Double = 0.05): DataFrame = {
+    val head = hitters.agg(max(col("n_rows"))).head()
+    val maxHot = if (head.isNullAt(0)) 0L else head.getLong(0)
+    if (shouldSalt(maxHot, totalRows, hotShare))
+      saltedJoin(big, small, keys, saltFrom, buckets, joinType)
+    else big.join(small, keys, joinType)
+  }
+
   /** Synthetic hot-key fact for the skew study: 80% of transactions
     * remapped to one user — the "single merchant carries most of the
     * volume" pathology — then amplified `amp`× with an explode replica
@@ -89,7 +146,22 @@ object Skew {
           saltFrom = col("tx_okey") * 64 + col("tx_lineno") * 8 + col("__rep"),
           buckets = 16, joinType = "left")
         .groupBy(col("user_country"))
-        .agg(count(lit(1)).as("n_tx"), dsum2(col("amount")).as("total_amount")))
+        .agg(count(lit(1)).as("n_tx"), dsum2(col("amount")).as("total_amount"))),
+
+    // Auto: the DATA decides. The driver reads the b32-shaped bounded
+    // heavy-hitter table + the fact count, and compiles the salted plan
+    // only because this corpus is engineered hot (SkewSpec proves the
+    // uniform corpus compiles the plain join from the same code path).
+    "c1_skew_auto" -> ((s, d) => {
+      val tx = skewedTx(s, d)
+      adaptiveSaltedJoin(tx, Fraud.users(s, d).hint("shuffle_hash"),
+          Seq("user_id"),
+          hitters = hotKeyCounts(tx, "user_id"), totalRows = tx.count(),
+          saltFrom = col("tx_okey") * 64 + col("tx_lineno") * 8 + col("__rep"),
+          buckets = 16, joinType = "left")
+        .groupBy(col("user_country"))
+        .agg(count(lit(1)).as("n_tx"), dsum2(col("amount")).as("total_amount"))
+    })
   )
 
   /** Both variants hash-match the SAME oracle — the equivalence claim of
@@ -105,6 +177,7 @@ object Skew {
         |LEFT JOIN customer ON tx.user_id = c_custkey
         |LEFT JOIN nation un ON c_nationkey = un.n_nationkey
         |GROUP BY un.n_name""".stripMargin
-    Map("c1_skew_plain" -> sql, "c1_skew_salted" -> sql)
+    Map("c1_skew_plain" -> sql, "c1_skew_salted" -> sql,
+      "c1_skew_auto" -> sql)
   }
 }

@@ -326,6 +326,44 @@ object Stateful {
       }
   }
 
+  /** H36: streaming LEARNED-VOCAB token-budget admission — [[tokenBudgetGate]]
+    * with the tokenizer moved INTO the stream: raw documents arrive
+    * (doc_id, source, text) and each micro-batch segments them against
+    * a learned merge table before the per-source greedy admission — the
+    * batch I11b pipeline (bpeSegment → tokenBudgetCapFrom) as a serve
+    * path.
+    *
+    * The seam this operator exists to force (build-once/apply-many,
+    * the C17/H27 rules-as-data class): the merge table is LEARNED once
+    * from the batch corpus (TextAnalysis.pmiCollocations, a bounded
+    * top-k lexicon) and enters the streaming plan as literal model
+    * state — the stream never re-learns, never scans the corpus, and a
+    * retrained lexicon is a new query deployment, not new stream
+    * state. Segmentation is TextAnalysis.bpeSegmentWith — the SAME
+    * single-fold expressions the batch i11b counts with — and the
+    * admission hash is Profile.tokenAdmissionHash, so a
+    * hash-order-monotone replay admits exactly the batch i11b prefix
+    * (the H13/H14 shared-arithmetic rule; the spec pins set equality).
+    *
+    * Scale: per-row work is one bounded fold over the token array
+    * against a ≤k-entry literal table; state is H14's one long per
+    * source. Nothing grows with stream volume and the corpus is never
+    * touched at serve time.
+    */
+  def bpeTokenBudgetGate(docs: org.apache.spark.sql.DataFrame,
+                         merges: Seq[String],
+                         budget: Long = 800L): Dataset[AdmittedDoc] = {
+    import org.apache.spark.sql.functions.col
+    implicit val obsEnc = Encoders.product[DocTokens]
+    val obs = graft.operators.TextAnalysis
+      .bpeSegmentWith(docs, merges, carry = Seq("source"))
+      .select(col("doc_id"), col("source"),
+        col("bpe_tokens").as("n_tokens"),
+        graft.operators.Profile.tokenAdmissionHash.as("hk"))
+      .as[DocTokens]
+    tokenBudgetGate(obs, budget)
+  }
+
   case class ShardObs(doc_id: Long, shard: Long, n_tokens: Long, hv: Long)
   case class ManifestState(n_docs: Long, shard_tokens: Long, min_doc: Long,
                            max_doc: Long, checksum: Long)

@@ -42,6 +42,40 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salts > 4, s"hot key only reached $salts of 8 buckets")
   }
 
+  test("salting-as-data: the heavy-hitter table flips the plan, never the rows") {
+    import spark.implicits._
+    import graft.operators.Fraud
+    // pure decision semantics, pinned (the threshold lives in ONE place)
+    assert(Skew.shouldSalt(maxHotRows = 51, totalRows = 1000, hotShare = 0.05))
+    assert(!Skew.shouldSalt(maxHotRows = 50, totalRows = 1000, hotShare = 0.05))
+    assert(!Skew.shouldSalt(maxHotRows = 10, totalRows = 0))
+
+    // engineered skew corpus (the c1_skew fact): the b32-shaped hitter
+    // table must nominate the hot key and the compiled plan must salt
+    val auto = Skew.queries("c1_skew_auto")(spark, SF)
+    val autoPlan = auto.queryExecution.executedPlan.toString
+    assert(autoPlan.contains("__graft_salt"),
+      s"engineered skew must compile the salted join:\n$autoPlan")
+    val plain = Skew.queries("c1_skew_plain")(spark, SF)
+    assert(auto.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(auto).count() === 0)
+
+    // uniform corpus (the raw fact, no hot-key remap): same code path,
+    // same threshold — compiles the PLAIN join, and equals it
+    val tx = Fraud.transactions(spark, SF)
+    val uniform = Skew.adaptiveSaltedJoin(tx,
+      Fraud.users(spark, SF).hint("shuffle_hash"), Seq("user_id"),
+      hitters = Skew.hotKeyCounts(tx, "user_id"), totalRows = tx.count(),
+      saltFrom = col("tx_okey") * 8 + col("tx_lineno"), buckets = 16,
+      joinType = "left")
+    val uniformPlan = uniform.queryExecution.executedPlan.toString
+    assert(!uniformPlan.contains("__graft_salt"),
+      s"a uniform corpus must compile the plain join:\n$uniformPlan")
+    val plainJoin = tx.join(Fraud.users(spark, SF).hint("shuffle_hash"),
+      Seq("user_id"), "left")
+    assert(uniform.count() === plainJoin.count())
+  }
+
   test("c1_skew_salted ≡ c1_skew_plain on the synthetic hot-key enrich") {
     val plain = Skew.queries("c1_skew_plain")(spark, SF)
     val salted = Skew.queries("c1_skew_salted")(spark, SF)

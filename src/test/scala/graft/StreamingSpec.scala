@@ -1230,6 +1230,60 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("H36 streaming learned-vocab gate admits exactly the batch I11b prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    import graft.operators.TextAnalysis
+    val in = tmpDir("graft_bpegate_in")
+    val ckpt = tmpDir("graft_bpegate_ckpt")
+    val docs = Tables.table(spark, SF, "documents")
+    // BUILD once: the lexicon is learned from the batch corpus with
+    // bpeSegment's own defaults (the i11b path) and becomes literal
+    // model state for the stream — the build-once/apply-many seam
+    val merges = TextAnalysis.pmiCollocations(docs, 5, 16)
+      .select(col("gram")).collect().map(_.getString(0)).toIndexedSeq
+    assert(merges.nonEmpty, "the corpus must yield a non-trivial lexicon")
+    // APPLY many: raw documents (not pre-counted observations — the
+    // stream tokenizes) delivered hash-order-monotone in two slices
+    val rows = docs
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("source"), col("text"))).as("j"),
+        graft.operators.Profile.tokenAdmissionHash.as("hk"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("j"), r.getAs[Long]("hk")))
+      .sortBy(t => (t._3, t._1))
+    val cut = rows.length / 2
+    Files.writeString(Paths.get(in, "a.json"), rows.take(cut).map(_._2).mkString("\n"))
+    Files.writeString(Paths.get(in, "b.json"), rows.drop(cut).map(_._2).mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    Stateful.bpeTokenBudgetGate(stream, merges)
+      .writeStream.format("memory").queryName("bpe_gate")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val online = spark.sql("SELECT * FROM bpe_gate").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    val offline = graft.operators.Profile.queries("i11b_budget_bpe")(spark, SF)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(online === offline,
+      s"streaming learned-vocab gate and batch I11b disagree: " +
+        s"${online.diff(offline).size} extra, ${offline.diff(online).size} missing")
+    // the learned vocab must actually bind: at least one admitted doc's
+    // count differs from its whitespace count (the merges fired), and
+    // the i11/i11b prefixes differ on this corpus (the budget effect
+    // the operator exists to surface)
+    val ws = graft.operators.Profile.queries("i11_token_budget")(spark, SF)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(online.map(_._1) !== ws,
+      "learned-vocab admission must differ from whitespace admission on this corpus")
+  }
+
   test("H15 streaming SCD2 maintenance equals the batch build; replay is idempotent") {
     import org.apache.spark.sql.functions.{col, when}
     val wh = tmpDir("graft_scd2_wh") + "/scd2"
