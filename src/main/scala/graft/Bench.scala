@@ -133,7 +133,12 @@ object Bench {
     // windowed KMV set-ops: one corpus pass into the checkpointed
     // days×256 conditional-minima cells; two RANGE mins + the b38c
     // estimator algebra on the dense frame (round 10)
-    "b48_window_kmv")
+    "b48_window_kmv",
+    // round-11 additions: rotated-PQ search (the staged rotation pass +
+    // e8's fixed-size serve plan) and the data-driven skew join (the
+    // freqItems nomination + candidate-count decision passes + whichever
+    // join the hitter table compiles — here the salted one)
+    "e26_ann_opq", "c1_skew_auto")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since
