@@ -700,6 +700,21 @@ object Similarity {
     * corpus's per-coordinate scale structure no longer aligns with the
     * subspace boundaries) at identical code size and identical serve
     * cost, and, unlike a learned rotation, fully oracle-able.
+    *
+    * DOES IT EARN ITS KEEP (the d21 honesty standard, measured round
+    * 11 on the generated corpus): NO — plain PQ is the better default
+    * here. sf0.1: mean recon cosine 0.5636 (pq_opq) vs 0.5652 (pq),
+    * recall@20 0.2 vs 0.3; sf0.01: +0.0016 mean cosine, one extra hit
+    * in a single 20-item query — noise. The theory says exactly this:
+    * a FIXED rotation pays off only when per-coordinate scale
+    * structure aligns with subspace boundaries, and the generated
+    * embeddings are near-isotropic, so spreading energy changes
+    * nothing while the worst-vector reconstruction degrades. The
+    * operator stays (the plan shape, the staged-rotation seam and the
+    * oracle pattern are what a learned-OPQ deployment needs; on real
+    * block-structured embeddings the decision can flip), but
+    * [[opqRecallReport]] is the gate to run per corpus — do not route
+    * a workload through the rotation without it.
     */
   private val opqReflections = 4
 
