@@ -776,4 +776,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
           "tree is inlining into the encode again (round-10 regression)")
     }
   }
+
+  test("global plan-size census: every query's physical plan stays bounded") {
+    // The generalized round-10 lesson: a plan explosion anywhere in the
+    // 200+ query surface takes out BOTH gates (the exploded tree OOMs
+    // the suite's JVM and times out the driver's bench) — so the bound
+    // is checked for EVERY query, not just the family that has bitten.
+    // Plans are built, never collected (the pre-execution physical plan
+    // is what gets serialized per task); eager model/checkpoint work at
+    // build time is part of the census on purpose — it must also stay
+    // cheap. Census (round 11, sf0.001): max 362 KB (b34's bloom
+    // literal), median ~3 KB; the 1 MB bound gives 2.7x headroom while
+    // sitting 200x under the round-10 explosion.
+    val sizes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, SF)
+      name -> df.queryExecution.executedPlan.toString.length
+    }
+    val offenders = sizes.filter(_._2 >= 1000000)
+    assert(offenders.isEmpty,
+      "plan explosion (round-10 class): " +
+        offenders.map { case (n, s) => s"$n=$s chars" }.mkString(", "))
+  }
 }
