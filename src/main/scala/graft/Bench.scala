@@ -135,10 +135,11 @@ object Bench {
     // estimator algebra on the dense frame (round 10)
     "b48_window_kmv",
     // round-11 additions: rotated-PQ search (the staged rotation pass +
-    // e8's fixed-size serve plan) and the data-driven skew join (the
+    // e8's fixed-size serve plan), the data-driven skew join (the
     // freqItems nomination + candidate-count decision passes + whichever
-    // join the hitter table compiles — here the salted one)
-    "e26_ann_opq", "c1_skew_auto")
+    // join the hitter table compiles — here the salted one), and the
+    // two-generation incremental set-sim (d23b + the absorbed delta1)
+    "e26_ann_opq", "c1_skew_auto", "d23c_setsim_refresh")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since
@@ -1296,7 +1297,16 @@ object Bench {
     "d23b_setsim_incremental" -> "documents",
     "f24_bpe_segment" -> "documents",
     "i11b_budget_bpe" -> "documents",
-    "e17_join_q256" -> "embeddings")
+    "e17_join_q256" -> "embeddings",
+    // round-11: the windowed KMV set-ops (cells bounded days×256, so
+    // exp should track the fact scan like b45/b46), the staged-rotation
+    // PQ search (one materialization pass + e8's fixed-size serve —
+    // exp should track e8's), and the data-driven skew join (the
+    // freqItems nomination + candidate-count decision passes + the
+    // compiled salted join — exp should track c1_skew_salted's)
+    "b48_window_kmv" -> "lineitem",
+    "e26_ann_opq" -> "embeddings",
+    "c1_skew_auto" -> "lineitem")
 
   /** The streaming member of the scaling set: not a SparkEntry query, so
     * it gets its own per-sf setup + runner (h10Runner). Its sf0.1 time

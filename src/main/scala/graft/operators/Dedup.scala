@@ -599,6 +599,62 @@ object Dedup {
     dfTab.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_df")
   }
 
+  /** D23c (lineage-fresh form): two-generation incremental set-sim —
+    * the index lifecycle's missing middle step proven as one
+    * composition: build freezes the order over `base`, a first load
+    * `delta1` is ABSORBED (its shingles and frozen-order prefixes
+    * union into the index relations — the df table is never
+    * re-ranked), and a second load `delta2` joins the refreshed index.
+    * Losslessness survives refresh because the prefix-filter proof
+    * needs only a total order applied CONSISTENTLY to both join sides
+    * — (frozen base df, s) ranks base, delta1 and delta2 alike, every
+    * index-absent shingle slotting at df 0. The trade documented
+    * honestly: as absorbed loads grow, the frozen order drifts from
+    * true rarity, so candidate PRUNING degrades gracefully (more
+    * collisions, never a lost pair) — the periodic full rebuild
+    * ([[buildSetSimIndex]]) is what re-freshens pruning, not
+    * correctness. Output: exactly the delta2-touching true pairs over
+    * base ∪ delta1 ∪ delta2 — the verify makes candidates exact, so
+    * the oracle is the full-corpus d23 join filtered to delta2.
+    */
+  def setSimJoinRefreshed(base: DataFrame, delta1: DataFrame,
+                          delta2: DataFrame,
+                          tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    val shBase = checkpointFresh(setSimShingles(base))
+    val dfBase = shBase.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefBase = setSimPrefixes(shBase, dfBase, tNum, tDen)
+    val shD1 = checkpointFresh(setSimShingles(delta1))
+    val prefD1 = setSimPrefixes(shD1, dfBase, tNum, tDen)
+    setSimIncrementalCore(shBase.unionByName(shD1), dfBase,
+      prefBase.unionByName(prefD1), delta2, tNum, tDen)
+  }
+
+  /** D23c (persisted form): absorb a landed delta into the ON-DISK
+    * index so the NEXT load's [[setSimJoinIncrementalIndexed]] sees it
+    * — two appends, no rebuild: the delta's shingles extend `_sh` and
+    * its frozen-order prefixes extend `_pref` WITH the bucketed layout
+    * preserved (append-mode saveAsTable validates the bucket/sort spec
+    * against the existing table, so the collision join stays
+    * one-sided); `_df` is untouched — the order froze at build time
+    * (see [[setSimJoinRefreshed]] for why that is lossless and what it
+    * trades). At 100 TB this is the per-load index maintenance cost:
+    * shingle+rank the delta once, write delta-sized files.
+    */
+  def refreshSetSimIndex(spark: SparkSession, name: String,
+                         delta: DataFrame,
+                         tNum: Int = 7, tDen: Int = 10): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_pref"))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"${name}_pref is not bucketed"))
+    val dfBase = spark.table(s"${name}_df")
+    val shD = checkpointFresh(setSimShingles(delta))
+    setSimPrefixes(shD, dfBase, tNum, tDen).write
+      .mode("append").bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").saveAsTable(s"${name}_pref")
+    shD.write.mode("append").format("parquet").saveAsTable(s"${name}_sh")
+  }
+
   /** D23b against the ON-DISK index [[buildSetSimIndex]] persisted:
     * output SET-EQUAL to [[setSimJoinIncremental]] on the same split
     * (same core, same frozen order — the df table IS the one the
@@ -1181,6 +1237,17 @@ object Dedup {
         docs.filter(col("doc_id") % 7 === 0))
     }),
 
+    // D23c: two-generation incremental — delta1 absorbed under the
+    // frozen order, delta2 joins the refreshed index (slices: d18's
+    // %7 convention split three ways).
+    "d23c_setsim_refresh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      setSimJoinRefreshed(
+        docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 1),
+        docs.filter(col("doc_id") % 7 === 1),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
+
     // D22: longest shared aligned passage per doc pair (g11's close on
     // word 8-gram shingles; the pairwise "WHERE is it shared" d4's
     // Jaccard can't answer).
@@ -1568,6 +1635,14 @@ object Dedup {
       // order incremental composition must reproduce the full run's
       // delta-touching pairs exactly; the d18 equivalence pattern).
       "d23b_setsim_incremental" ->
+        d23SetSimSql(" AND (doc_a % 7 = 0 OR doc_b % 7 = 0)"),
+
+      // D23c: the SAME full-corpus join again — the refreshed-index
+      // composition (frozen order + absorbed delta1) must also
+      // reproduce the full run's delta2-touching pairs exactly; the
+      // output claim is identical to d23b's because the verify makes
+      // any consistent-order candidate superset exact.
+      "d23c_setsim_refresh" ->
         d23SetSimSql(" AND (doc_a % 7 = 0 OR doc_b % 7 = 0)"),
 
       // D22: g11's oracle shape on word 8-grams — the SQL shingles RAW

@@ -139,4 +139,54 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("D23c refresh: the absorbed delta is visible to the next load; the join stays one-sided") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables.table(spark, SF, "documents")
+      .select(col("doc_id"), col("text"))
+    // a guaranteed cross-GENERATION near-dup pair (identical synthetic
+    // text, ids in the delta1/delta2 residue classes, outside the
+    // corpus id range) so "the refresh actually matters" never depends
+    // on the generated corpus having a delta1 x delta2 duplicate
+    val probeText = "zqx1 zqx2 zqx3 zqx4 zqx5 zqx6"
+    val base = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 1)
+    val delta1 = docs.filter(col("doc_id") % 7 === 1)
+      .unionByName(Seq((700001L, probeText)).toDF("doc_id", "text"))
+    val delta2 = docs.filter(col("doc_id") % 7 === 0)
+      .unionByName(Seq((700000L, probeText)).toDF("doc_id", "text"))
+    Dedup.buildSetSimIndex(base, "graft_ssidx2", buckets = 8)
+    try {
+      // absorb the first load, then join the second against the
+      // refreshed on-disk index — the index lifecycle end-to-end
+      Dedup.refreshSetSimIndex(spark, "graft_ssidx2", delta1)
+      withNoBroadcast {
+        val result = Dedup.setSimJoinIncrementalIndexed(spark, "graft_ssidx2", delta2)
+        val plan = result.queryExecution.executedPlan.toString
+        // appended prefix files must keep the bucketed layout (the
+        // refresh's whole point: the next load's join stays one-sided)
+        assert(plan.contains("Bucketed: true"),
+          s"refreshed prefix table must keep its bucketed layout:\n$plan")
+        val scanLocs = "Location: [^\\[\\n]*\\[([^\\]]*)\\]".r
+          .findAllMatchIn(plan).map(_.group(1)).toSeq
+        assert(scanLocs.nonEmpty, s"expected file scans in the plan:\n$plan")
+        scanLocs.foreach { loc =>
+          assert(loc.contains("graft_ssidx2_"),
+            s"file scan outside the index tables (corpus leak?): $loc\n$plan")
+        }
+        val got = result.collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+        assert(got.contains((700000L, 700001L)),
+          "a delta2 doc must find its near-dup in the ABSORBED delta1")
+        // set-equal to the lineage-fresh two-generation composition
+        val fresh = Dedup.setSimJoinRefreshed(base, delta1, delta2).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+        assert(got === fresh,
+          "refreshed on-disk index must equal the lineage-fresh composition")
+      }
+    } finally {
+      for (t <- Seq("graft_ssidx2_pref", "graft_ssidx2_sh", "graft_ssidx2_df"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
