@@ -1138,6 +1138,67 @@ object Dedup {
     cross.unionByName(minhashCandidates(delta)).distinct()
   }
 
+  /** The band rows in their persisted layout: the compound
+    * (band_id, band_key) embedded into ONE string column — the round-6
+    * lesson: the planner reuses a bucketed layout only when the bucket
+    * column IS the join key, so a compound-key join would re-shuffle
+    * both sides.
+    */
+  private def bandKeyed(docs: DataFrame): DataFrame =
+    lshBands(docs).select(col("doc_id"),
+      concat_ws(":", col("band_id"), col("band_key")).as("bkey"))
+
+  /** D18 persisted form, API-ified (round 11 — the d23b lesson "make
+    * the production seam impossible to misuse" applied to the MinHash
+    * family): build the ON-DISK band index the incremental dedup
+    * reads — one managed table `<name>_bands` (doc_id, bkey) bucketed
+    * on the embedded key, so every future load's collision join is
+    * one-sided: only the (small) delta shuffles; the corpus is never
+    * re-sketched or re-shuffled.
+    */
+  def buildBandIndex(base: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val spark = base.sparkSession
+    // DROP TABLE only clears the catalog; delete the physical path too
+    // (§6b round 3) so rebuilds are self-cleaning
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${name}_bands")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.writeBucketed(bandKeyed(base), s"${name}_bands", "bkey", buckets)
+  }
+
+  /** [[incrementalCandidates]] against the on-disk [[buildBandIndex]]
+    * table — no base argument: re-sketching the corpus is impossible
+    * by API. Candidates = (index × delta bucket collisions) ∪
+    * delta-internal collisions, exactly the lineage-fresh form's.
+    */
+  def incrementalCandidatesIndexed(spark: SparkSession, name: String,
+                                   delta: DataFrame): DataFrame = {
+    val bb = spark.table(s"${name}_bands")
+      .select(col("doc_id").as("base_id"), col("bkey"))
+    val db = bandKeyed(delta).select(col("doc_id").as("delta_id"), col("bkey"))
+    val cross = bb.join(db, Seq("bkey"))
+      .select(least(col("base_id"), col("delta_id")).as("doc_a"),
+        greatest(col("base_id"), col("delta_id")).as("doc_b"))
+    cross.unionByName(minhashCandidates(delta)).distinct()
+  }
+
+  /** D18's refresh: absorb a landed delta with ONE bucketed append.
+    * Even simpler than [[refreshSetSimIndex]]: band keys are pure
+    * content hashes — no corpus-dependent order exists, so nothing
+    * degrades with refresh count; a rebuild is only ever compaction.
+    */
+  def refreshBandIndex(spark: SparkSession, name: String,
+                       delta: DataFrame): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_bands"))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"${name}_bands is not bucketed"))
+    bandKeyed(delta).write
+      .mode("append").bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(s"${name}_bands")
+  }
+
   /** D19: similarity-threshold calibration — the histogram a curation
     * team reads before choosing the near-dup cut: every LSH-bucketed
     * candidate pair's exact cosine, binned over [−1, 1] into `bins`
