@@ -384,6 +384,48 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("D23c refreshed-index losslessness: equals brute force on random corpora") {
+    import spark.implicits._
+    // the refresh claim under test: the order FREEZES over the base
+    // alone (delta1 and delta2 shingles absent from it all rank at
+    // df 0), yet the two-generation composition must still find every
+    // true delta2-touching pair — losslessness needs only a consistent
+    // total order, not a rarity-accurate one
+    for (seed <- Seq(3L, 17L)) {
+      val base0 = genDocs(30, seed)
+      val docsSeq = base0 ++ base0.filter(_._2.split(" ", -1).length >= 10)
+        .take(6).map { case (id, t) => (id + 100L, t + " appended") }
+      // three-way residue split; a near-dup copy (id+100 ≡ id+1 mod 3)
+      // always lands in a DIFFERENT slice than its original, so
+      // cross-generation true pairs exist by construction
+      val all = docsSeq.toDF("doc_id", "text")
+      val out = Dedup.setSimJoinRefreshed(
+        all.filter(col("doc_id") % 3 === 2),
+        all.filter(col("doc_id") % 3 === 0),
+        all.filter(col("doc_id") % 3 === 1)).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("inter"), r.getAs[Long]("un")))).toMap
+      def shingles(t: String): Set[String] = {
+        val tok = t.split(" ", -1)
+        if (tok.length < 5) Set.empty
+        else (0 to tok.length - 5).map(i => tok.slice(i, i + 5).mkString(" ")).toSet
+      }
+      val sets = docsSeq.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets
+        (b, sb) <- sets if a < b
+        if a % 3 == 1 || b % 3 == 1
+        inter = (sa & sb).size
+        un = sa.size + sb.size - inter
+        if 10 * inter >= 7 * un
+      } yield (a, b) -> ((inter.toLong, un.toLong))).toMap
+      assert(want.nonEmpty, s"seed $seed produced no delta2-touching pairs - fixture broken")
+      assert(out === want,
+        s"seed $seed: refreshed-index filtering must be exact - no misses, no extras")
+    }
+  }
+
   test("B45/B46 closure law: window >= span makes the last day the GLOBAL sketch exactly") {
     // the windowed sketches are the global ones restricted to a
     // trailing frame — at windowDays >= the corpus span the last day's
