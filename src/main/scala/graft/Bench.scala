@@ -139,7 +139,10 @@ object Bench {
     // freqItems nomination + candidate-count decision passes + whichever
     // join the hitter table compiles — here the salted one), and the
     // two-generation incremental set-sim (d23b + the absorbed delta1)
-    "e26_ann_opq", "c1_skew_auto", "d23c_setsim_refresh")
+    "e26_ann_opq", "c1_skew_auto", "d23c_setsim_refresh",
+    // trailing uniform sample: one fact pass into days x k checkpointed
+    // cells; the bounded cells x 60 expansion + one re-cut rank
+    "b49_window_sample")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

@@ -469,6 +469,64 @@ object Relational {
           .as("jaccard_est"))
   }
 
+  /** B49 cells: per ship_day, the k smallest (hk, key) fact rows — a
+    * daily bottom-k sample sketch (i25's mergeable summary keyed by
+    * day). hk is the salted md5 rank ("wsamp:" — every sampler salts
+    * its own hash, the i8/i10/i12 rule), so the cells are
+    * deterministic and engine-portable. One ship_day exchange; the
+    * per-partition rank prunes to k rows pre-shuffle via
+    * WindowGroupLimit. State: ≤ days×k rows however large the fact.
+    */
+  def dailySampleCells(keyed: DataFrame, k: Int = 100): DataFrame = {
+    val h = graft.functions.HashFunctions
+      .md5Prefix60(concat(lit("wsamp:"), col("key")))
+    val w = Window.partitionBy(col("ship_day")).orderBy(col("hk"), col("key"))
+    keyed
+      .select(col("ship_day"), col("key"), h.as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("ship_day"),
+        datediff(col("ship_day"), lit("1970-01-01")).as("day_num"),
+        col("key"), col("hk"))
+  }
+
+  /** B49 close: the trailing-`windowDays` UNIFORM SAMPLE per day —
+    * "a fresh unbiased k-row sample of the last 60 days' rows, every
+    * day" (the daily-eval / drift-inspection shape), completing the
+    * sketch×window matrix: b45 HLL∪, b46 histogram, b48 KMV set-ops,
+    * this = bottom-k. The law (i25's, along the time axis): the k
+    * smallest of a union are each smallest within their own day, so
+    * bottom-k(trailing window) = re-cut of the union of daily
+    * bottom-k cells — the window never touches the fact again.
+    *
+    * Unlike b45/b48 the merge is a RE-CUT, not a per-register fold,
+    * so the trailing union is spelled as a bounded expansion: each
+    * cell row serves its next `windowDays` days (cells×60 rows — ≤
+    * days×k×60 REGARDLESS of fact size; the b47 exact-side shape,
+    * but over k-bounded cells instead of the raw fact), equi-joined
+    * to the real-day list, then one rank per serve-day re-cuts to k.
+    * Everything downstream of the eager cell checkpoint runs on that
+    * bounded frame — the corpus is scanned once, inside the
+    * checkpoint. Fully oracle-able: md5 ranks, integer day windows,
+    * deterministic (hk, key) total order.
+    */
+  def windowSample(rawCells: DataFrame, windowDays: Int = 60,
+                   k: Int = 100): DataFrame = {
+    val cells = Stage.checkpointFresh(rawCells)
+    val days = cells.select(col("ship_day"), col("day_num")).distinct()
+    val expanded = cells
+      .select(col("key"), col("hk"),
+        explode(sequence(col("day_num"),
+          col("day_num") + lit(windowDays - 1))).as("day_num"))
+      .join(broadcast(days), Seq("day_num"))
+    val w = Window.partitionBy(col("ship_day")).orderBy(col("hk"), col("key"))
+    expanded
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("ship_day"), col("rk").cast("long").as("rk"),
+        col("key"), col("hk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: JSON field extraction from raw event payloads
@@ -792,6 +850,15 @@ object Relational {
         .select(to_date(col("l_shipdate")).as("ship_day"),
           col("l_returnflag").as("tag"), col("l_orderkey"))
       windowKmvSetops(dailyKmvCells(li, "l_orderkey", "tag", "A", "R"))
+    }),
+
+    // B49: trailing-60-day uniform k-row sample per day, from daily
+    // bottom-k cells (row identity: orderkey:lineno).
+    "b49_window_sample" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_day"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("key"))
+      windowSample(dailySampleCells(li))
     }),
 
     // B46: SLIDING-WINDOW quantiles from mergeable daily histogram
@@ -2146,6 +2213,39 @@ object Relational {
     "b38_kmv_merge" -> kmvOracleSql,
     "b38_kmv_setops" -> kmvSetopsOracleSql,
     "b48_window_kmv" -> windowKmvOracleSql,
+
+    // B49: the same cells → bounded expansion → re-cut, spelled in
+    // SQL — md5 ranks are byte-identical across engines (the i12
+    // spelling), day windows are integer arithmetic, and the
+    // (hk, key) order is a total order (keys unique per fact row), so
+    // every rank boundary is deterministic. The BETWEEN join mirrors
+    // the engine's explode+equi-join: same (cell serves day) pairs.
+    "b49_window_sample" ->
+      """WITH f AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |         CAST(l_orderkey AS VARCHAR) || ':' ||
+        |           CAST(l_linenumber AS VARCHAR) AS key
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT ship_day, key,
+        |         CAST(('0x' || substr(md5('wsamp:' || key), 1, 15)) AS BIGINT) AS hk,
+        |         datediff('day', DATE '1970-01-01', ship_day) AS day_num
+        |  FROM f),
+        |cells AS (
+        |  SELECT ship_day, day_num, key, hk
+        |  FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY ship_day ORDER BY hk, key) <= 100),
+        |days AS (SELECT DISTINCT ship_day, day_num FROM h),
+        |exp AS (
+        |  SELECT d.ship_day, c.key, c.hk
+        |  FROM cells c JOIN days d
+        |    ON d.day_num BETWEEN c.day_num AND c.day_num + 59)
+        |SELECT ship_day,
+        |       CAST(row_number() OVER (PARTITION BY ship_day
+        |                               ORDER BY hk, key) AS BIGINT) AS rk,
+        |       key, hk
+        |FROM exp
+        |QUALIFY rk <= 100""".stripMargin,
 
     // I14: lead() over ALL changes stamps each U version's closing ts;
     // the version number ranks U rows only. NULL valid_to survives

@@ -777,6 +777,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("b49 window sample: the trailing re-cut never re-scans the corpus; state is days x k") {
+    // same contract as b45/b46/b48: the one fact pass lives in the
+    // eager cell checkpoint; the bounded expansion, the day join and
+    // the re-cut rank all read the <= days x 100-row LogicalRDD
+    val df = SparkEntry.queries("b49_window_sample")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(fin).size
+    assert(scans == 0, s"b49 must read only the checkpointed cells, got $scans\n$fin")
+    assert(fin.contains("Scan ExistingRDD"),
+      s"b49 must read the checkpointed cell table\n$fin")
+    // the state bound, asserted: cells hold at most days x k rows
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val li = Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("key"))
+    val cells = graft.operators.Relational.dailySampleCells(li)
+    val nDays = li.select(col("ship_day")).distinct().count()
+    assert(cells.count() <= nDays * 100,
+      "daily sample cell table must stay within days x k rows")
+    // the per-day cut engages WindowGroupLimit (per-partition rank
+    // prune BEFORE the day exchange — the fact never shuffles whole)
+    val cellPlan = cells.queryExecution.executedPlan.toString
+    assert(cellPlan.contains("WindowGroupLimit"),
+      s"cell build must prune per-partition via WindowGroupLimit\n$cellPlan")
+  }
+
   test("global plan-size census: every query's physical plan stays bounded") {
     // The generalized round-10 lesson: a plan explosion anywhere in the
     // 200+ query surface takes out BOTH gates (the exploded tree OOMs

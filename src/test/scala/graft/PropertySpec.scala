@@ -426,6 +426,34 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("B49 closure law: window >= span makes the last day the GLOBAL bottom-k sample exactly") {
+    // the windowed sample is the one-shot bottom-k restricted to a
+    // trailing frame — at windowDays >= the corpus span the last day's
+    // frame covers everything, so its k rows must equal the global
+    // bottom-k over the whole fact under the same salt (i25's law with
+    // days as the shards). Seals that the cell/re-cut composition
+    // cannot drift from the sample family it extends.
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, max => fmax, to_date}
+    val R = graft.operators.Relational
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("key"))
+    val win = R.windowSample(R.dailySampleCells(li), windowDays = 1000000)
+    val lastDay = win.agg(fmax(col("ship_day"))).head().getDate(0)
+    val got = win.filter(col("ship_day") === lastDay).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[String]("key"), r.getAs[Long]("hk")))
+      .sortBy(_._1)
+    val global = li.select(col("key"),
+        graft.functions.HashFunctions
+          .md5Prefix60(concat(lit("wsamp:"), col("key"))).as("hk"))
+      .orderBy(col("hk"), col("key")).limit(100).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i + 1L, r.getAs[String]("key"), r.getAs[Long]("hk")) }
+    assert(got.toSeq === global.toSeq,
+      "all-span windowed sample must equal the one-shot global bottom-k")
+  }
+
   test("B45/B46 closure law: window >= span makes the last day the GLOBAL sketch exactly") {
     // the windowed sketches are the global ones restricted to a
     // trailing frame — at windowDays >= the corpus span the last day's
