@@ -142,7 +142,10 @@ object Bench {
     "e26_ann_opq", "c1_skew_auto", "d23c_setsim_refresh",
     // trailing uniform sample: one fact pass into days x k checkpointed
     // cells; the bounded cells x 60 expansion + one re-cut rank
-    "b49_window_sample")
+    "b49_window_sample",
+    // trailing top-k heavy hitters: one (day, key) aggregate into
+    // days x m cells; bounded expansion + integer sums + per-day re-cut
+    "b50_window_topk")
 
   /** Headline set: one representative per operator family, weighted
     * toward the scan/join/agg shapes that dominate at 100 TB. Since

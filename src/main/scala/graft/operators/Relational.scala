@@ -527,6 +527,64 @@ object Relational {
         col("key"), col("hk"))
   }
 
+  /** B50 cells: per ship_day, the top-`m` keys by exact count — the
+    * daily space-saving-style summary the windowed heavy-hitter merge
+    * reads. One (day, key) aggregate is the corpus pass; the per-day
+    * cut is deterministic ((count desc, key) total order) and prunes
+    * per-partition via WindowGroupLimit. State: ≤ days×m rows.
+    * Sized against the corpus before building (§6b): per-day key
+    * cardinality maxes at 253 at sf0.1 (8 at sf0.001), so at every
+    * verify scale the m=256 cells are COMPLETE — no truncation — and
+    * the windowed counts are exact; past ~2× that scale the cut
+    * engages and estimates become one-sided UNDER-counts (a key's
+    * absent-day counts are lost), the standard mergeable-summary
+    * trade, mirrored to b35's one-sided over-count.
+    */
+  def dailyTopCells(keyed: DataFrame, m: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("ship_day"))
+      .orderBy(col("c").desc, col("key"))
+    keyed
+      .groupBy(col("ship_day"), col("key")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select(col("ship_day"),
+        datediff(col("ship_day"), lit("1970-01-01")).as("day_num"),
+        col("key"), col("c"))
+  }
+
+  /** B50 close: trailing-`windowDays` TOP-K heavy hitters per day —
+    * "which keys are trending over the last 60 days, every day" (the
+    * governance twin of b32/b35 along the time axis; the FREQUENCY
+    * cell of the sketch×window matrix beside b45 HLL∪, b46 histogram,
+    * b48 KMV set-ops and b49 bottom-k sample). Counts are additive,
+    * so the trailing count is the sum of a key's daily cells in the
+    * window — spelled as the b49 bounded expansion (each cell serves
+    * its next 60 days: ≤ days×m×60 rows regardless of fact size),
+    * one (serve_day, key) integer sum, and a per-day rank re-cut to
+    * k. Everything downstream of the eager cell checkpoint runs on
+    * the bounded frame; integer sums and the (count desc, key) total
+    * order make it fully oracle-able.
+    */
+  def windowTopK(rawCells: DataFrame, windowDays: Int = 60,
+                 k: Int = 10): DataFrame = {
+    val cells = Stage.checkpointFresh(rawCells)
+    val days = cells.select(col("ship_day"), col("day_num")).distinct()
+    val expanded = cells
+      .select(col("key"), col("c"),
+        explode(sequence(col("day_num"),
+          col("day_num") + lit(windowDays - 1))).as("day_num"))
+      .join(broadcast(days), Seq("day_num"))
+    val sums = expanded.groupBy(col("ship_day"), col("key"))
+      .agg(sum(col("c")).as("w_count"))
+    val w = Window.partitionBy(col("ship_day"))
+      .orderBy(col("w_count").desc, col("key"))
+    sums
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("ship_day"), col("rk").cast("long").as("rk"),
+        col("key"), col("w_count"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A3: JSON field extraction from raw event payloads
@@ -859,6 +917,16 @@ object Relational {
         .select(to_date(col("l_shipdate")).as("ship_day"),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("key"))
       windowSample(dailySampleCells(li))
+    }),
+
+    // B50: trailing-60-day top-10 suppliers per day, from daily
+    // top-256 count cells (complete at every verify scale — see
+    // dailyTopCells).
+    "b50_window_topk" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).as("ship_day"),
+          col("l_suppkey").as("key"))
+      windowTopK(dailyTopCells(li))
     }),
 
     // B46: SLIDING-WINDOW quantiles from mergeable daily histogram
@@ -2246,6 +2314,36 @@ object Relational {
         |       key, hk
         |FROM exp
         |QUALIFY rk <= 100""".stripMargin,
+
+    // B50: integer counts end to end — the per-day m-cut, the window
+    // sum, and the top-k re-cut all rank on (count desc, key) total
+    // orders, so every boundary is deterministic; the BETWEEN join
+    // mirrors the engine's explode+equi-join.
+    "b50_window_topk" ->
+      """WITH f AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_day, l_suppkey AS key
+        |  FROM lineitem),
+        |dc AS (
+        |  SELECT ship_day, key, CAST(count(*) AS BIGINT) AS c,
+        |         datediff('day', DATE '1970-01-01', ship_day) AS day_num
+        |  FROM f GROUP BY ship_day, key),
+        |cells AS (
+        |  SELECT ship_day, day_num, key, c
+        |  FROM dc
+        |  QUALIFY row_number() OVER (PARTITION BY ship_day
+        |                             ORDER BY c DESC, key) <= 256),
+        |days AS (SELECT DISTINCT ship_day, day_num FROM dc),
+        |sums AS (
+        |  SELECT d.ship_day, c.key, CAST(sum(c.c) AS BIGINT) AS w_count
+        |  FROM cells c JOIN days d
+        |    ON d.day_num BETWEEN c.day_num AND c.day_num + 59
+        |  GROUP BY d.ship_day, c.key)
+        |SELECT ship_day,
+        |       CAST(row_number() OVER (PARTITION BY ship_day
+        |                               ORDER BY w_count DESC, key) AS BIGINT) AS rk,
+        |       key, w_count
+        |FROM sums
+        |QUALIFY rk <= 10""".stripMargin,
 
     // I14: lead() over ALL changes stamps each U version's closing ts;
     // the version number ranks U rows only. NULL valid_to survives

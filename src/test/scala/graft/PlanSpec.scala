@@ -806,6 +806,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"cell build must prune per-partition via WindowGroupLimit\n$cellPlan")
   }
 
+  test("b50 window top-k: the trailing merge never re-scans the corpus; state is days x m") {
+    val df = SparkEntry.queries("b50_window_topk")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(fin).size
+    assert(scans == 0, s"b50 must read only the checkpointed cells, got $scans\n$fin")
+    assert(fin.contains("Scan ExistingRDD"),
+      s"b50 must read the checkpointed cell table\n$fin")
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val li = Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        col("l_suppkey").as("key"))
+    val cells = graft.operators.Relational.dailyTopCells(li)
+    val nDays = li.select(col("ship_day")).distinct().count()
+    assert(cells.count() <= nDays * 256,
+      "daily top-count cell table must stay within days x m rows")
+    val cellPlan = cells.queryExecution.executedPlan.toString
+    assert(cellPlan.contains("WindowGroupLimit"),
+      s"cell build must prune per-partition via WindowGroupLimit\n$cellPlan")
+  }
+
   test("global plan-size census: every query's physical plan stays bounded") {
     // The generalized round-10 lesson: a plan explosion anywhere in the
     // 200+ query surface takes out BOTH gates (the exploded tree OOMs

@@ -454,6 +454,49 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       "all-span windowed sample must equal the one-shot global bottom-k")
   }
 
+  test("B50 exactness where the cells are complete: equals brute-force trailing top-k") {
+    // the m=256 daily cut is a NO-OP at every verify scale (per-day
+    // key cardinality maxes at 253 at sf0.1 — sized before building,
+    // §6b), so the windowed counts must be EXACT here: compare against
+    // a brute-force trailing count over the raw fact. The claim runs
+    // where its precondition holds (the b47 lesson) — and the
+    // precondition itself is asserted, so a corpus regeneration that
+    // breaks it fails loudly instead of silently weakening the test.
+    import org.apache.spark.sql.functions.{col, concat_ws, to_date}
+    val R = graft.operators.Relational
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        col("l_suppkey").as("key"))
+    val perDay = li.groupBy(col("ship_day"), col("key")).count()
+      .groupBy(col("ship_day")).count().collect().map(_.getLong(1))
+    assert(perDay.max <= 256,
+      s"cells no longer complete at this scale (max ${perDay.max} keys/day) - retune m")
+    val got = R.windowTopK(R.dailyTopCells(li)).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("rk")) ->
+        ((r.getAs[Long]("key"), r.getAs[Long]("w_count")))).toMap
+    // brute force: every (day, key) trailing count from the raw rows
+    val rows = li.collect().map(r => (r.getDate(0), r.getAs[Long]("key")))
+    val dayNums = rows.map(_._1.toLocalDate.toEpochDay).distinct.sorted
+    val byDayKey = rows.groupBy(t => (t._1.toLocalDate.toEpochDay, t._2))
+      .view.mapValues(_.length.toLong).toMap
+    val want = dayNums.flatMap { d =>
+      // toSeq before mapping to counts: keys is a SET, and mapping a
+      // set of composite keys to their count VALUES deduplicates equal
+      // counts before the sum
+      val counts = byDayKey.keys.toSeq.filter(k => k._1 <= d && k._1 > d - 60)
+        .groupBy(_._2).map { case (k, cells) =>
+          k -> cells.map(byDayKey).sum }
+      counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10).zipWithIndex
+        .map { case ((k, c), i) =>
+          (java.time.LocalDate.ofEpochDay(d).toString, i + 1L) -> ((k, c)) }
+    }.toMap
+    val diff = (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+    assert(diff.isEmpty,
+      s"windowed top-k must equal the brute-force trailing counts exactly; " +
+        s"${diff.size} diffs, first: " +
+        diff.take(3).map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+  }
+
   test("B45/B46 closure law: window >= span makes the last day the GLOBAL sketch exactly") {
     // the windowed sketches are the global ones restricted to a
     // trailing frame — at windowDays >= the corpus span the last day's
