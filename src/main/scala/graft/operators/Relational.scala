@@ -476,6 +476,11 @@ object Relational {
     * deterministic and engine-portable. One ship_day exchange; the
     * per-partition rank prunes to k rows pre-shuffle via
     * WindowGroupLimit. State: ≤ days×k rows however large the fact.
+    * At extreme scale the per-day reducer still receives ≤ tasks×k
+    * rows (WindowGroupLimit's residue); if that binds, the bottom-k
+    * law composes — insert a salted pre-cut level (rank within
+    * (day, salt), keep k, then this day cut) exactly as i25 merges
+    * shards: bottom-k of per-shard bottom-k's is the true bottom-k.
     */
   def dailySampleCells(keyed: DataFrame, k: Int = 100): DataFrame = {
     val h = graft.functions.HashFunctions
