@@ -477,17 +477,34 @@ object Relational {
     * per-partition rank prunes to k rows pre-shuffle via
     * WindowGroupLimit. State: ≤ days×k rows however large the fact.
     * At extreme scale the per-day reducer still receives ≤ tasks×k
-    * rows (WindowGroupLimit's residue); if that binds, the bottom-k
-    * law composes — insert a salted pre-cut level (rank within
-    * (day, salt), keep k, then this day cut) exactly as i25 merges
-    * shards: bottom-k of per-shard bottom-k's is the true bottom-k.
+    * rows (WindowGroupLimit's residue); if that binds, set
+    * `preCutSalts` > 0: a salted pre-cut level ranks within
+    * (day, salt) and keeps k BEFORE the day cut — the bottom-k law
+    * composes (i25's shard merge: bottom-k of per-salt bottom-k's IS
+    * the true bottom-k), so the output is bit-identical and
+    * RelationalSpec pins that, while the day reducer's input shrinks
+    * to ≤ salts×k rows per day.
     */
-  def dailySampleCells(keyed: DataFrame, k: Int = 100): DataFrame = {
+  def dailySampleCells(keyed: DataFrame, k: Int = 100,
+                       preCutSalts: Int = 0): DataFrame = {
     val h = graft.functions.HashFunctions
       .md5Prefix60(concat(lit("wsamp:"), col("key")))
+    val hashed = keyed.select(col("ship_day"), col("key"), h.as("hk"))
+    val preCut =
+      if (preCutSalts <= 0) hashed
+      else {
+        val wp = Window
+          .partitionBy(col("ship_day"), col("salt"))
+          .orderBy(col("hk"), col("key"))
+        hashed
+          .withColumn("salt",
+            pmod(xxhash64(col("key")), lit(preCutSalts.toLong)))
+          .withColumn("prk", row_number().over(wp))
+          .filter(col("prk") <= k)
+          .select(col("ship_day"), col("key"), col("hk"))
+      }
     val w = Window.partitionBy(col("ship_day")).orderBy(col("hk"), col("key"))
-    keyed
-      .select(col("ship_day"), col("key"), h.as("hk"))
+    preCut
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("ship_day"),

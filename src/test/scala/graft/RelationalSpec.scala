@@ -364,4 +364,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       s"mean rel_err ${errs.sum / errs.length} above the theory margin")
     assert(errs.max <= 0.30, s"max rel_err ${errs.max} above the tail margin")
   }
+
+  test("B49 salted pre-cut is a no-op on the result: bottom-k composes") {
+    // the extreme-scale path (rank within (day, salt), keep k, then
+    // the day cut) must be BIT-IDENTICAL to the direct day cut — the
+    // i25 bottom-k composition law, pinned on the real corpus so the
+    // pre-cut can be flipped on at any scale without re-validation
+    import org.apache.spark.sql.functions.{col, concat_ws, to_date}
+    val R = graft.operators.Relational
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("key"))
+    def rows(preCut: Int) = R.dailySampleCells(li, preCutSalts = preCut)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("day_num"),
+        r.getAs[String]("key"), r.getAs[Long]("hk"))).toSet
+    val direct = rows(0)
+    assert(direct.nonEmpty)
+    assert(rows(8) === direct, "8-salt pre-cut must not change the cells")
+    assert(rows(3) === direct, "3-salt pre-cut must not change the cells")
+  }
 }
