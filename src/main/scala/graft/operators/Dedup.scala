@@ -1144,7 +1144,7 @@ object Dedup {
     * column IS the join key, so a compound-key join would re-shuffle
     * both sides.
     */
-  private def bandKeyed(docs: DataFrame): DataFrame =
+  private[graft] def bandKeyed(docs: DataFrame): DataFrame =
     lshBands(docs).select(col("doc_id"),
       concat_ws(":", col("band_id"), col("band_key")).as("bkey"))
 
@@ -1181,6 +1181,32 @@ object Dedup {
       .select(least(col("base_id"), col("delta_id")).as("doc_a"),
         greatest(col("base_id"), col("delta_id")).as("doc_b"))
     cross.unionByName(minhashCandidates(delta)).distinct()
+  }
+
+  /** [[incrementalCandidates]] against the on-disk base index PLUS a
+    * STREAM-LANDED band delta (the H37 serve path —
+    * `streaming.IndexStream.maintainBandDelta` lands each micro-batch's
+    * band rows exactly-once by layout under `deltaDir`): candidates =
+    * (index × new) ∪ (landed delta × new) ∪ new-internal, which is
+    * set-equal to the lineage-fresh form over base ∪ everything the
+    * stream has landed — the spec pins the equality. The landed delta
+    * is read as plain parquet (per-batch files; small beside the
+    * bucketed base — at compaction time [[refreshBandIndex]] folds it
+    * into the bucketed table and the delta dir resets).
+    */
+  def incrementalCandidatesStreamed(spark: SparkSession, name: String,
+                                    deltaDir: String,
+                                    newLoad: DataFrame): DataFrame = {
+    val nb = bandKeyed(newLoad).select(col("doc_id").as("new_id"), col("bkey"))
+    def cross(idx: DataFrame) = idx.join(nb, Seq("bkey"))
+      .select(least(col("idx_id"), col("new_id")).as("doc_a"),
+        greatest(col("idx_id"), col("new_id")).as("doc_b"))
+    val base = spark.table(s"${name}_bands")
+      .select(col("doc_id").as("idx_id"), col("bkey"))
+    val landed = spark.read.parquet(deltaDir)
+      .select(col("doc_id").as("idx_id"), col("bkey"))
+    cross(base).unionByName(cross(landed))
+      .unionByName(minhashCandidates(newLoad)).distinct()
   }
 
   /** D18's refresh: absorb a landed delta with ONE bucketed append.

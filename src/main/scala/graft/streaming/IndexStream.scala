@@ -151,4 +151,44 @@ object IndexStream {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** H37: streaming BAND-INDEX maintenance — the dedup twin of
+    * [[maintainIvfIndex]]: documents arriving on a stream are banded
+    * per micro-batch (the SAME `Dedup.bandKeyed` expressions the batch
+    * index build uses — the H12 shared-arithmetic rule) and landed
+    * under `dir` partitioned by `batch_id` with dynamic partition
+    * overwrite, so a replayed micro-batch replaces exactly its own
+    * subtree: the delta is exactly-once BY LAYOUT. This is what makes
+    * streamed dedup-index maintenance sound where a managed-table
+    * append is not (a replayed append would double band rows; see
+    * PLANS round 11 — the set-sim index keeps the batch-refresh path
+    * for exactly that reason). Serving is
+    * `Dedup.incrementalCandidatesStreamed` (bucketed base ∪ landed
+    * delta vs the new load); compaction is [[graft.operators.Dedup.refreshBandIndex]]
+    * absorbing the landed rows into the bucketed table.
+    */
+  def maintainBandDelta(stream: DataFrame, dir: String,
+                        checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spk = batch.sparkSession
+        val prev = spk.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spk.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          graft.operators.Dedup.bandKeyed(batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        } finally {
+          prev match {
+            case Some(v) => spk.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spk.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -1284,6 +1284,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "learned-vocab admission must differ from whitespace admission on this corpus")
   }
 
+  test("H37 streaming band-index maintenance equals the batch form; replay is idempotent") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    import graft.operators.Dedup
+    val dir = tmpDir("graft_banddelta")
+    val ckpt = tmpDir("graft_banddelta_ckpt")
+    val in = tmpDir("graft_banddelta_in")
+    val docs = Tables.table(spark, SF, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 1
+      && col("doc_id") % 7 =!= 2)
+    val s1 = docs.filter(col("doc_id") % 7 === 1)
+    val s2 = docs.filter(col("doc_id") % 7 === 2)
+    val newLoad = docs.filter(col("doc_id") % 7 === 0)
+    def slice(df: org.apache.spark.sql.DataFrame, f: String): Unit =
+      Files.writeString(Paths.get(in, f),
+        df.select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+          .collect().map(_.getString(0)).mkString("\n"))
+    slice(s1, "a.json")
+    slice(s2, "b.json")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(ck: String): Unit =
+      graft.streaming.IndexStream.maintainBandDelta(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+        dir, ck).awaitTermination()
+    Dedup.buildBandIndex(base, "graft_bidx_h37", buckets = 8)
+    try {
+      drain(ckpt)
+      def candidates(): Set[(Long, Long)] =
+        Dedup.incrementalCandidatesStreamed(spark, "graft_bidx_h37", dir, newLoad)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      val got = candidates()
+      // the serve contract: bucketed base + stream-landed delta equals
+      // the lineage-fresh incremental candidates over everything landed
+      val fresh = Dedup.incrementalCandidates(
+        base.unionByName(s1).unionByName(s2), newLoad).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got === fresh,
+        "streamed band delta must equal the lineage-fresh incremental candidates")
+      assert(got.nonEmpty, "the sf0.01 split has cross pairs")
+      // replay: the same batches land again under a fresh checkpoint —
+      // dynamic partition overwrite replaces each batch's own subtree,
+      // so the landed content (and the serve result) is unchanged
+      drain(tmpDir("graft_banddelta_ckpt2"))
+      assert(candidates() === got, "a full replay must be idempotent by layout")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bidx_h37_bands")
+    }
+  }
+
   test("H15 streaming SCD2 maintenance equals the batch build; replay is idempotent") {
     import org.apache.spark.sql.functions.{col, when}
     val wh = tmpDir("graft_scd2_wh") + "/scd2"
