@@ -238,20 +238,63 @@ object Bench {
     * name:number pairs inside the "queries" object — values are never
     * nested), so there is no JSON library dependency.
     */
-  private def priorReadings(path: String): Map[String, Double] =
+  private[graft] def priorReadings(path: String): Map[String, Double] =
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      val start = text.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
-      else {
-        val body = text.substring(start + "\"queries\":{".length,
-          text.indexOf('}', start))
-        """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // tolerate BOTH record shapes: the harness's own flat artifact
+      // (`"queries":{`) and the driver's pretty-printed round wrapper
+      // (`"queries": {` under "parsed") — whitespace-insensitive key
+      // match, body to the first '}' (values are always flat numbers).
+      // The wrapper's escaped "tail" string cannot false-match: its
+      // quotes are backslash-escaped, so `"queries"` never appears.
+      val keyRx = """"queries"\s*:\s*\{""".r
+      keyRx.findFirstMatchIn(text) match {
+        case None => Map.empty
+        case Some(m) =>
+          val body = text.substring(m.end, text.indexOf('}', m.end))
+          """"([^"]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Per-query MIN across several committed records — the stall-guard
+    * prior (round-11 verdict item 2: the artifact of record is
+    * whatever capture the driver last committed, and a HOST-CONTENDED
+    * capture — r11's 275.7 s vs the quiet-host 232.5 s — would
+    * otherwise inflate every prior and silently loosen the >2× guard
+    * next round). Min-merging the last few records keeps the guard
+    * anchored to the best recent quiet reading, while the bounded
+    * lookback (the caller passes BENCH_FULL + the last two driver
+    * round artifacts) lets priors adapt when the regenerated corpus
+    * legitimately moves a query. Non-positive readings never become
+    * priors: -1 is a failed run, and 0.0 is the round wrapper's
+    * 1-decimal rounding of a sub-0.05 s query — min-merging it would
+    * erase a real prior. Pure and unit-tested (BenchSpec).
+    */
+  private[graft] def mergedPriors(records: Seq[Map[String, Double]]): Map[String, Double] =
+    records.flatMap(_.toSeq).filter(_._2 > 0)
+      .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** The committed records the prior reads: the artifact of record for
+    * this scale plus, at the driver scale, the last two driver round
+    * artifacts (`BENCH_r{NN}.json`) present in the working directory.
+    */
+  private[graft] def priorRecordPaths(sfDir: String): Seq[String] = {
+    val primary = artifactFor(sfDir)
+    val rounds =
+      if (primary != "BENCH_FULL.json") Seq.empty
+      else {
+        val rx = """BENCH_r(\d+)\.json""".r
+        val dir = new java.io.File(".")
+        Option(dir.list()).toSeq.flatten.flatMap {
+          case n @ rx(num) => Some(num.toInt -> n)
+          case _ => None
+        }.sortBy(-_._1).take(2).map(_._2)
+      }
+    primary +: rounds
+  }
 
   /** The artifact-of-record path for a scale dir — ONE rule shared by
     * the writer and [[priorReadings]] (round-10 advice: the guard read
@@ -261,7 +304,9 @@ object Bench {
     * file so a small-SF iteration can never silently replace it.
     */
   private[graft] def artifactFor(sfDir: String): String =
-    if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
+    // path-normalized (round-11 advice: endsWith("sf0.1") misrouted a
+    // trailing-slash path or a sibling dir like "mysf0.1")
+    if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_FULL.json"
     else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
 
   /** Stall-guard decision for one fresh reading vs the committed prior:
@@ -327,7 +372,7 @@ object Bench {
       }
     }
 
-    val prior = priorReadings(artifactFor(sfDir))
+    val prior = mergedPriors(priorRecordPaths(sfDir).map(priorReadings))
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = (headline ++ extended).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -1601,60 +1646,110 @@ object Bench {
     }
   }
 
+  /** Maintenance cost split into its two REAL components (round-11
+    * verdict item 3): a streamed sink's wall time is
+    * `t = batches × fixed + rows × marginal`, and the old single
+    * `rows_per_s = rows/t` denomination conflated them — h20 read as a
+    * 150× "regression" vs h12 when the embeddings corpus is simply ~50×
+    * smaller than events, so its reading was almost pure per-batch
+    * fixed job latency. The two-volume protocol (the h33/h34/h35 x1/x4
+    * design): stream the corpus once at 16 files / 4 per trigger and
+    * once at 4× the rows in 64 files / 16 per trigger — four
+    * micro-batches either way, so the fixed term cancels in the
+    * difference:  marginal rows/s = 3·r / (t4 − t1),
+    * fixed s/batch = (t1 − r/marginal) / 4. Both numbers are
+    * corpus-size-invariant (that is the point), so round-over-round
+    * they are comparable even as the driver regenerates testdata. A
+    * noise inversion (t4 ≤ t1 — the marginal term lost in jitter)
+    * reports marginal = -1 rather than a fabricated huge number; the
+    * fixed term then falls back to t1/4.
+    */
   private def maintenanceStudy(spark: SparkSession,
                                sfDir: String): Seq[Metric] = {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
-    val names = Seq("h12_cms_maintain_rows_per_s", "h12_cms_cells_per_batch",
-      "h17_drift_maintain_rows_per_s", "h17_drift_cells_per_batch",
-      "h20_ivf_maintain_rows_per_s")
+    val names = Seq(
+      "h12_cms_fixed_s_per_batch", "h12_cms_marginal_rows_per_s",
+      "h12_cms_cells_per_batch",
+      "h17_drift_fixed_s_per_batch", "h17_drift_marginal_rows_per_s",
+      "h17_drift_cells_per_batch",
+      "h20_ivf_fixed_s_per_batch", "h20_ivf_marginal_rows_per_s")
+    val nBatches = 4.0
+    def split(t1: Double, t4: Double, r: Double): (Double, Double) =
+      if (t4 > t1) {
+        val marginal = 3.0 * r / (t4 - t1)
+        ((t1 - r / marginal) / nBatches, marginal)
+      } else (t1 / nBatches, -1.0)
+    var tmp: String = null
     try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_maint").toString
+      tmp = java.nio.file.Files.createTempDirectory("graft_bench_maint").toString
+      // x4 = four id-shifted copies (genuinely new keys, the h33 rule)
+      def x4(df: org.apache.spark.sql.DataFrame,
+             idCol: String): org.apache.spark.sql.DataFrame =
+        df.withColumn("__copy", explode(sequence(lit(0L), lit(3L))))
+          .withColumn(idCol, col(idCol) + col("__copy") * lit(1000000000L))
+          .drop("__copy")
       val ev = Tables.table(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("value"))
       val nRows = ev.count().toDouble
-      ev.repartition(16).write.parquet(s"$tmp/in")
-      val schema = spark.read.parquet(s"$tmp/in").schema
-      val nBatches = 4.0
-      def stream() = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4).parquet(s"$tmp/in")
-      val t0 = System.nanoTime()
-      graft.streaming.SketchStream.maintainCms(stream(), "user_id",
-        s"$tmp/cms_cells", s"$tmp/cms_ckpt").awaitTermination()
-      val tCms = (System.nanoTime() - t0) / 1e9
+      ev.repartition(16).write.parquet(s"$tmp/in1")
+      x4(ev, "user_id").repartition(64).write.parquet(s"$tmp/in4")
+      val schema = spark.read.parquet(s"$tmp/in1").schema
+      def stream(vol: Int) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4 * vol).parquet(s"$tmp/in$vol")
+      def timed(run: => Unit): Double = {
+        val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e9
+      }
+      val tCms1 = timed(graft.streaming.SketchStream.maintainCms(stream(1),
+        "user_id", s"$tmp/cms_cells", s"$tmp/cms_ckpt").awaitTermination())
+      val tCms4 = timed(graft.streaming.SketchStream.maintainCms(stream(4),
+        "user_id", s"$tmp/cms_cells4", s"$tmp/cms_ckpt4").awaitTermination())
+      val (cmsFix, cmsMarg) = split(tCms1, tCms4, nRows)
       val cmsCells = spark.read.parquet(s"$tmp/cms_cells").count().toDouble
       val b = ev.filter(col("value").isNotNull)
         .agg(min(col("value")), max(col("value"))).head()
-      val t1 = System.nanoTime()
-      graft.streaming.DriftStream.maintainDriftCells(
-        stream().select(col("value")), b.getDouble(0), b.getDouble(1),
-        s"$tmp/drift_cells", s"$tmp/drift_ckpt").awaitTermination()
-      val tDrift = (System.nanoTime() - t1) / 1e9
-      val driftCells = spark.read.parquet(s"$tmp/drift_cells").count().toDouble
+      def driftRun(vol: Int) = graft.streaming.DriftStream.maintainDriftCells(
+        stream(vol).select(col("value")), b.getDouble(0), b.getDouble(1),
+        s"$tmp/drift_cells$vol", s"$tmp/drift_ckpt$vol").awaitTermination()
+      val tDrift1 = timed(driftRun(1))
+      val tDrift4 = timed(driftRun(4))
+      val (driftFix, driftMarg) = split(tDrift1, tDrift4, nRows)
+      val driftCells = spark.read.parquet(s"$tmp/drift_cells1").count().toDouble
       // H20: vector-index delta maintenance — the embeddings corpus
       // streamed through cell assignment into the (cell, batch_id)
       // delta layout; base index built first (centroid model source)
       val emb = Tables.table(spark, sfDir, "embeddings")
       val nVecs = emb.count().toDouble
-      graft.operators.Similarity.buildIvfIndex(emb, s"$tmp/ivf")
-      emb.select(col("vec_id"), col("embedding"))
-        .repartition(16).write.parquet(s"$tmp/ivf_in")
-      val embSchema = spark.read.parquet(s"$tmp/ivf_in").schema
-      val t2 = System.nanoTime()
-      graft.streaming.IndexStream.maintainIvfIndex(
-        spark.readStream.schema(embSchema).option("maxFilesPerTrigger", 4)
-          .parquet(s"$tmp/ivf_in"),
-        s"$tmp/ivf", s"$tmp/ivf_ckpt").awaitTermination()
-      val tIvf = (System.nanoTime() - t2) / 1e9
-      Seq(Metric("h12_cms_maintain_rows_per_s", nRows / tCms, seconds = false),
+      val embIn = emb.select(col("vec_id"), col("embedding"))
+      embIn.repartition(16).write.parquet(s"$tmp/ivf_in1")
+      x4(embIn, "vec_id").repartition(64).write.parquet(s"$tmp/ivf_in4")
+      val embSchema = spark.read.parquet(s"$tmp/ivf_in1").schema
+      def ivfRun(vol: Int): Double = {
+        graft.operators.Similarity.buildIvfIndex(emb, s"$tmp/ivf$vol")
+        timed(graft.streaming.IndexStream.maintainIvfIndex(
+          spark.readStream.schema(embSchema).option("maxFilesPerTrigger", 4 * vol)
+            .parquet(s"$tmp/ivf_in$vol"),
+          s"$tmp/ivf$vol", s"$tmp/ivf_ckpt$vol").awaitTermination())
+      }
+      val tIvf1 = ivfRun(1)
+      val tIvf4 = ivfRun(4)
+      val (ivfFix, ivfMarg) = split(tIvf1, tIvf4, nVecs)
+      Seq(Metric("h12_cms_fixed_s_per_batch", cmsFix, seconds = false),
+          Metric("h12_cms_marginal_rows_per_s", cmsMarg, seconds = false),
           Metric("h12_cms_cells_per_batch", cmsCells / nBatches, seconds = false),
-          Metric("h17_drift_maintain_rows_per_s", nRows / tDrift, seconds = false),
+          Metric("h17_drift_fixed_s_per_batch", driftFix, seconds = false),
+          Metric("h17_drift_marginal_rows_per_s", driftMarg, seconds = false),
           Metric("h17_drift_cells_per_batch", driftCells / nBatches, seconds = false),
-          Metric("h20_ivf_maintain_rows_per_s", nVecs / tIvf, seconds = false))
+          Metric("h20_ivf_fixed_s_per_batch", ivfFix, seconds = false),
+          Metric("h20_ivf_marginal_rows_per_s", ivfMarg, seconds = false))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] maintenance study failed: ${e.getMessage}")
         names.map(Metric(_, -1.0, seconds = false))
+    } finally {
+      if (tmp != null)
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

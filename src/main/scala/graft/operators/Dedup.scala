@@ -639,6 +639,21 @@ object Dedup {
     * (see [[setSimJoinRefreshed]] for why that is lossless and what it
     * trades). At 100 TB this is the per-load index maintenance cost:
     * shingle+rank the delta once, write delta-sized files.
+    *
+    * RETRY SAFETY (round-11 advice): the two appends are not one
+    * atomic unit — a crash between them, or a scheduler re-running the
+    * whole refresh, would re-append rows; and since [[setSimVerify]]
+    * derives per-doc set sizes from `_sh` ROW COUNTS, doubled shingle
+    * rows inflate |set| and silently DROP true pairs. So each append
+    * anti-joins the delta's doc_ids against ITS OWN target table
+    * first: a full retry is a no-op per table, and a retry after a
+    * crash between the appends skips the landed `_pref` rows and
+    * fills only the missing `_sh` rows — per-doc idempotent either
+    * way. (Each single append commits through the file committer, the
+    * same at-most-once unit every A12 write relies on; this is the
+    * batch-side twin of the H37 note — the STREAMING maintenance path
+    * gets its idempotence from the partition-overwrite layout
+    * instead.)
     */
   def refreshSetSimIndex(spark: SparkSession, name: String,
                          delta: DataFrame,
@@ -649,10 +664,14 @@ object Dedup {
       throw new IllegalStateException(s"${name}_pref is not bucketed"))
     val dfBase = spark.table(s"${name}_df")
     val shD = checkpointFresh(setSimShingles(delta))
-    setSimPrefixes(shD, dfBase, tNum, tDen).write
+    def notYetIn(rows: DataFrame, table: String): DataFrame =
+      rows.join(spark.table(table).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    notYetIn(setSimPrefixes(shD, dfBase, tNum, tDen), s"${name}_pref").write
       .mode("append").bucketBy(buckets, "s").sortBy("s")
       .format("parquet").saveAsTable(s"${name}_pref")
-    shD.write.mode("append").format("parquet").saveAsTable(s"${name}_sh")
+    notYetIn(shD, s"${name}_sh").write
+      .mode("append").format("parquet").saveAsTable(s"${name}_sh")
   }
 
   /** D23b against the ON-DISK index [[buildSetSimIndex]] persisted:
@@ -1192,7 +1211,12 @@ object Dedup {
     * stream has landed — the spec pins the equality. The landed delta
     * is read as plain parquet (per-batch files; small beside the
     * bucketed base — at compaction time [[refreshBandIndex]] folds it
-    * into the bucketed table and the delta dir resets).
+    * into the bucketed table and the delta dir resets). Before the
+    * stream has landed ANY micro-batch the delta dir does not exist
+    * (or holds no data files), so the read is guarded (round-11
+    * advice): serving falls back to base-cross ∪ new-internal — which
+    * IS the lineage-fresh answer over everything landed so far,
+    * i.e. the base alone.
     */
   def incrementalCandidatesStreamed(spark: SparkSession, name: String,
                                     deltaDir: String,
@@ -1203,9 +1227,11 @@ object Dedup {
         greatest(col("idx_id"), col("new_id")).as("doc_b"))
     val base = spark.table(s"${name}_bands")
       .select(col("doc_id").as("idx_id"), col("bkey"))
-    val landed = spark.read.parquet(deltaDir)
-      .select(col("doc_id").as("idx_id"), col("bkey"))
-    cross(base).unionByName(cross(landed))
+    val landed =
+      try Some(spark.read.parquet(deltaDir)
+        .select(col("doc_id").as("idx_id"), col("bkey")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    landed.map(cross).foldLeft(cross(base))(_ unionByName _)
       .unionByName(minhashCandidates(newLoad)).distinct()
   }
 

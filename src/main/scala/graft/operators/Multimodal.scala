@@ -46,8 +46,9 @@ object Multimodal {
         .cast("int").as("height"))
 
   /** STUB decode: deterministic fake features standing in for a codec.
-    * ??? would be the real pixel decode; the fake keeps the full
-    * dataflow testable without codec libraries.
+    * A real deployment swaps this one function for the actual pixel
+    * decode; the fake keeps the full dataflow testable without codec
+    * libraries.
     */
   private def stubDecode(r: MediaRow): MediaFeatures = {
     val bytes = r.payload

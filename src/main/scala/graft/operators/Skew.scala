@@ -85,6 +85,18 @@ object Skew {
     * mitigation should follow the DATA at plan-build time, not a code
     * change. The decision inputs are one bounded-table max and a count
     * the load pipeline already tracks.
+    *
+    * EAGER at construction time (round-11 advice): deciding the plan
+    * shape requires the decision inputs NOW, so this overload runs one
+    * Spark job (`hitters.agg(max).head()`) before any caller collects
+    * — and callers typically also pay a `totalRows` count and the
+    * [[hotKeyCounts]] freqItems corpus pass to produce the arguments.
+    * Merely CONSTRUCTING the join therefore triggers corpus passes —
+    * surprising for an API that looks lazy. A pipeline that already
+    * maintains the hot-key table (b32/b35 governance) should read the
+    * two scalars from its last load's bookkeeping and call the
+    * precomputed overload below, which builds the plan without running
+    * any job.
     */
   def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                          hitters: DataFrame, totalRows: Long,
@@ -93,10 +105,23 @@ object Skew {
                          hotShare: Double = 0.05): DataFrame = {
     val head = hitters.agg(max(col("n_rows"))).head()
     val maxHot = if (head.isNullAt(0)) 0L else head.getLong(0)
+    adaptiveSaltedJoin(big, small, keys, maxHot, totalRows, saltFrom,
+      buckets, joinType, hotShare)
+  }
+
+  /** [[adaptiveSaltedJoin]] from PRE-COMPUTED decision scalars — fully
+    * lazy: no job runs until the caller executes the returned plan.
+    * `maxHot` is the hottest key's row count (the max of the b32-shape
+    * hitter table a load pipeline maintains anyway).
+    */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                         maxHot: Long, totalRows: Long,
+                         saltFrom: Column, buckets: Int,
+                         joinType: String,
+                         hotShare: Double): DataFrame =
     if (shouldSalt(maxHot, totalRows, hotShare))
       saltedJoin(big, small, keys, saltFrom, buckets, joinType)
     else big.join(small, keys, joinType)
-  }
 
   /** Synthetic hot-key fact for the skew study: 80% of transactions
     * remapped to one user — the "single merchant carries most of the

@@ -171,21 +171,16 @@ object IndexStream {
                         checkpoint: String): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spk = batch.sparkSession
-        val prev = spk.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spk.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          graft.operators.Dedup.bandKeyed(batch)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        } finally {
-          prev match {
-            case Some(v) => spk.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => spk.conf.unset("spark.sql.sources.partitionOverwriteMode")
-          }
-        }
+        // dynamic overwrite scoped to THIS write (round-11 advice: the
+        // previous session-conf toggle leaked dynamic semantics into
+        // any concurrent write during the batch window, and the
+        // restore raced with it)
+        graft.operators.Dedup.bandKeyed(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dir)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -45,5 +45,73 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.artifactFor("/root/testdata/sf0.1") === "BENCH_FULL.json")
     assert(Bench.artifactFor("/root/testdata/sf0.01") === "BENCH_FULL_sf0.01.json")
     assert(Bench.artifactFor("/root/testdata/sf0.001") === "BENCH_FULL_sf0.001.json")
+    // round-11 advice: the rule is path-NORMALIZED — a trailing slash
+    // or a sibling dir merely ENDING in "sf0.1" must not misroute the
+    // committed record
+    assert(Bench.artifactFor("/root/testdata/sf0.1/") === "BENCH_FULL.json")
+    assert(Bench.artifactFor("/root/testdata/mysf0.1") === "BENCH_FULL_mysf0.1.json")
+  }
+
+  test("bench-record policy: a noisy committed capture cannot loosen the stall-guard prior") {
+    // the round-11 shape: the driver committed a host-contended 275.7s
+    // capture over the quiet-host 232.5s record; min-merging with the
+    // last round artifacts keeps each prior at its best recent reading
+    val noisyFull = Map("q1" -> 4.0, "q2" -> 0.8, "q_new" -> 1.0)
+    val quietRound = Map("q1" -> 1.9, "q2" -> 0.3)
+    val merged = Bench.mergedPriors(Seq(noisyFull, quietRound))
+    assert(merged === Map("q1" -> 1.9, "q2" -> 0.3, "q_new" -> 1.0))
+    // with the quiet prior, a fresh 4.1s on q1 is a >2x mover (re-runs);
+    // against the noisy prior alone it would have read as normal
+    assert(Bench.stallGuard(merged.get("q1"), 4.1) === ((3, false)))
+    assert(Bench.stallGuard(noisyFull.get("q1"), 4.1) === ((0, false)))
+  }
+
+  test("bench-record policy: failed (-1) and rounded-to-zero readings never become priors") {
+    val merged = Bench.mergedPriors(Seq(
+      Map("q1" -> 0.181, "q2" -> 2.0), Map("q1" -> 0.0, "q2" -> -1.0)))
+    assert(merged === Map("q1" -> 0.181, "q2" -> 2.0))
+  }
+
+  test("prior parser reads both record shapes: flat artifact and pretty-printed round wrapper") {
+    def parse(content: String): Map[String, Double] = {
+      val f = java.nio.file.Files.createTempFile("graft_bench_prior", ".json")
+      java.nio.file.Files.writeString(f, content)
+      try Bench.priorReadings(f.toString)
+      finally java.nio.file.Files.deleteIfExists(f)
+    }
+    val flat = """{"metric":"total","value":1.0,"unit":"sec","queries":{"a":0.5,"b":2.25},"sf":"x"}"""
+    assert(parse(flat) === Map("a" -> 0.5, "b" -> 2.25))
+    // the driver's round wrapper: pretty-printed "parsed" object, plus
+    // an escaped "tail" string that must NOT false-match the key
+    val wrapper =
+      """{
+        |  "n": 11,
+        |  "tail": "{\"metric\":\"total\",\"queries\":{\"a\":9.9}}",
+        |  "parsed": {
+        |    "metric": "total",
+        |    "queries": {
+        |      "a": 0.2,
+        |      "b": 3.0
+        |    }
+        |  }
+        |}""".stripMargin
+    assert(parse(wrapper) === Map("a" -> 0.2, "b" -> 3.0))
+  }
+
+  test("prior record paths: the driver scale min-merges the last two round artifacts") {
+    val paths = Bench.priorRecordPaths("/root/testdata/sf0.1")
+    assert(paths.head === "BENCH_FULL.json")
+    // the repo carries BENCH_r01..rNN — the two most recent win, in
+    // descending round order (property, not names: rounds keep coming)
+    val rx = """BENCH_r(\d+)\.json""".r
+    val nums = paths.tail.map { case rx(n) => n.toInt }
+    val all = new java.io.File(".").list().toSeq.collect {
+      case rx(n) => n.toInt }
+    assert(nums === all.sorted.reverse.take(2),
+      s"expected the two most recent round artifacts, got $paths")
+    // other scales read only their own side file: a round artifact is
+    // always an sf0.1 capture and must not gate a small-SF iteration
+    assert(Bench.priorRecordPaths("/root/testdata/sf0.01") ===
+      Seq("BENCH_FULL_sf0.01.json"))
   }
 }

@@ -187,6 +187,14 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       // absorb the first load, then join the second against the
       // refreshed on-disk index — the index lifecycle end-to-end
       Dedup.refreshSetSimIndex(spark, "graft_ssidx2", delta1)
+      // a RETRY of the same refresh (scheduler re-run / crash replay)
+      // must be a per-doc no-op — round-11 advice: doubled _sh rows
+      // would inflate |set| in setSimVerify and silently DROP pairs
+      Dedup.refreshSetSimIndex(spark, "graft_ssidx2", delta1)
+      val shRows = spark.table("graft_ssidx2_sh").count()
+      Dedup.refreshSetSimIndex(spark, "graft_ssidx2", delta1)
+      assert(spark.table("graft_ssidx2_sh").count() === shRows,
+        "a re-applied refresh must not append duplicate shingle rows")
       withNoBroadcast {
         val result = Dedup.setSimJoinIncrementalIndexed(spark, "graft_ssidx2", delta2)
         val plan = result.queryExecution.executedPlan.toString

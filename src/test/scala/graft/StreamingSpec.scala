@@ -1311,11 +1311,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         dir, ck).awaitTermination()
     Dedup.buildBandIndex(base, "graft_bidx_h37", buckets = 8)
     try {
-      drain(ckpt)
       def candidates(): Set[(Long, Long)] =
         Dedup.incrementalCandidatesStreamed(spark, "graft_bidx_h37", dir, newLoad)
           .collect()
           .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      // serve BEFORE the stream has landed anything (round-11 advice:
+      // this used to throw on the empty delta dir): the answer is the
+      // lineage-fresh form over the base alone
+      val preStream = candidates()
+      val baseOnly = Dedup.incrementalCandidates(base, newLoad).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(preStream === baseOnly,
+        "serving before any landed batch must fall back to base-only candidates")
+      drain(ckpt)
       val got = candidates()
       // the serve contract: bucketed base + stream-landed delta equals
       // the lineage-fresh incremental candidates over everything landed
