@@ -202,6 +202,20 @@ object Tables {
         Seq(col("topic"), col("partition"), col("offset"))).toIndexedSeq: _*)
   }
 
+  /** Everything the kafka branch does AFTER `.load()`: wire records →
+    * [[parseTxWire]] → drop quarantined/tombstone rows → exactly
+    * [[transactionSchema]]'s columns. Factored out so the wire-contract
+    * spec (SourcesSpec A2d) drives the PRODUCTION expressions over a
+    * kafka-shaped stream — the broker round-trip is the only hop the
+    * sandbox cannot exercise (no spark-sql-kafka/kafka-clients jar
+    * anywhere on the image or in the offline coursier cache —
+    * re-verified round 12).
+    */
+  def txFromWire(wire: DataFrame): DataFrame =
+    parseTxWire(wire)
+      .filter(col("_corrupt_record").isNull && col("transaction_id").isNotNull)
+      .select(transactionSchema.fieldNames.map(col).toIndexedSeq: _*)
+
   /** Transaction-stream ingest with a source-format switch — the code
     * path a user of the reference runs first is
     * `readStream.format("kafka")` + the JSON value parse; the file
@@ -223,9 +237,7 @@ object Tables {
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
         .load()
-      parseTxWire(wire)
-        .filter(col("_corrupt_record").isNull && col("transaction_id").isNotNull)
-        .select(transactionSchema.fieldNames.map(col).toIndexedSeq: _*)
+      txFromWire(wire)
     case "csv" =>
       readCsvStream(spark, location, transactionSchema, maxFilesPerTrigger)
     case "json" =>

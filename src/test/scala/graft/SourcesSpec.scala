@@ -253,6 +253,85 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("A2d kafka wire contract: streamed wire records land exactly-once and equal the csv branch") {
+    // The reference's front door is producer → topic → readStream
+    // (transaction_producer.py / consumer.py). This sandbox has NO
+    // kafka broker and NO spark-sql-kafka/kafka-clients jar anywhere
+    // (image jars + offline coursier cache re-checked, round 12), so
+    // the broker hop itself — offsets advancing, rebalances,
+    // startingOffsets — remains UNPROVEN here and is documented as
+    // such (SURVEY §2 A11). Everything after `.load()` IS proven, by
+    // driving the production transform (Tables.txFromWire — the exact
+    // expressions readTxStream's kafka branch applies) over a
+    // STREAMING source whose rows carry the kafka source's exact
+    // public record shape, through the A6b exactly-once sink:
+    //  wire stream → parse → quarantine → tx schema → land → replay.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val wireDir = tmpDir("graft_wire_in")
+    val csvDir = tmpDir("graft_wire_csv")
+    val sinkK = tmpDir("graft_wire_sink_k")
+    val sinkC = tmpDir("graft_wire_sink_c")
+    def b(s: String): Array[Byte] = if (s == null) null else s.getBytes("UTF-8")
+    def payload(id: String, uid: Int, amt: Double, method: String): String =
+      s"""{"transaction_id":"$id","user_id":$uid,"product_id":10,"store_id":"s1",""" +
+        s""""amount":$amt,"payment_method":"$method","country":"FRANCE",""" +
+        s""""timestamp":"2024-03-0${1 + uid % 2}T10:00:00.000Z"}"""
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:05")
+    // two "fetches" (files) so the stream runs multiple micro-batches;
+    // the second carries a corrupt record and a tombstone that the
+    // quarantine filter must drop without failing the load
+    val fetch1 = Seq(
+      Row(b("k1"), b(payload("t1", 1, 10.5, "card")), "tx", 0, 0L, ts, 0),
+      Row(b("k2"), b(payload("t2", 2, 20.0, "cash")), "tx", 0, 1L, ts, 0))
+    val fetch2 = Seq(
+      Row(b("k3"), b(payload("t3", 3, 30.0, "mobile")), "tx", 1, 0L, ts, 0),
+      Row(b("k4"), b("not json at all"), "tx", 1, 1L, ts, 0),
+      Row(b("k5"), null, "tx", 1, 2L, ts, 0))
+    Seq(fetch1, fetch2).foreach { rows =>
+      spark.createDataFrame(rows.asJava, Tables.kafkaWireSchema)
+        .coalesce(1).write.mode("append").parquet(wireDir)
+    }
+    // §6b round 8: FileStreamSource tie-breaks same-millisecond mtimes
+    // arbitrarily — pin distinct mtimes so batch order is deterministic
+    new java.io.File(wireDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000) }
+    Files.writeString(Paths.get(csvDir, "t.csv"),
+      "transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp\n" +
+        "t1,1,10,s1,10.5,card,FRANCE,2024-03-02T10:00:00.000Z\n" +
+        "t2,2,10,s1,20.0,cash,FRANCE,2024-03-01T10:00:00.000Z\n" +
+        "t3,3,10,s1,30.0,mobile,FRANCE,2024-03-02T10:00:00.000Z\n")
+    def wireTx() = Tables.txFromWire(spark.readStream
+      .schema(Tables.kafkaWireSchema).option("maxFilesPerTrigger", 1)
+      .parquet(wireDir))
+    assert(wireTx().isStreaming &&
+      wireTx().schema === Tables.transactionSchema)
+    def land(df: org.apache.spark.sql.DataFrame, sink: String, ckpt: String): Unit =
+      df.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Tables.writeDatePartitionedExactlyOnce(batch, "timestamp", sink, id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    land(wireTx(), sinkK, tmpDir("graft_wire_ck1"))
+    land(Tables.readTxStream(spark, "csv", csvDir), sinkC, tmpDir("graft_wire_ck2"))
+    def landed(sink: String): Set[String] =
+      Tables.readPartitioned(spark, sink)
+        .select(Tables.transactionSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .collect().map(_.toString).toSet
+    val k = landed(sinkK)
+    assert(k === landed(sinkC),
+      "kafka-wire branch must land the same result set as the csv branch")
+    assert(k.size === 3, "quarantine must drop the corrupt record and the tombstone")
+    // crash-replay: the SAME wire batches land again under a fresh
+    // checkpoint — the batch_id dynamic-overwrite layout replaces each
+    // batch's own subtree, so the landed content is unchanged
+    land(wireTx(), sinkK, tmpDir("graft_wire_ck3"))
+    assert(landed(sinkK) === k, "a full wire replay must be idempotent by layout")
+  }
+
   test("A10 malformed CSV rows quarantine instead of failing the load") {
     val dir = tmpDir("graft_badcsv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"),
