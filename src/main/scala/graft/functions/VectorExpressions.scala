@@ -74,10 +74,71 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]]'s mixed-width sibling: `array<float>` (corpus
+  * vector) × `array<double>` (a LEARNED centroid — Lloyd means are
+  * doubles). Same left-to-right double-precision fold, so the DuckDB
+  * `list_reduce` over `CAST(emb[i] AS DOUBLE) * cemb[i]` is bit-equal.
+  */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> x array<double> inputs, got $l / $r")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_double_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd `array<float>` dot product (see [[FloatVecDot]]). */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(FloatVecDot(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Codegen'd `array<float>` × `array<double>` dot product (see
+    * [[FloatDoubleVecDot]]).
+    */
+  def vecDotD(a: Column, b: Column): Column =
+    GraftShims.column(FloatDoubleVecDot(
       GraftShims.expression(a), GraftShims.expression(b)))
 }

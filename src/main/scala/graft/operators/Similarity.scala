@@ -1774,8 +1774,10 @@ object Similarity {
     "e17_join_q256" -> ((s, d) =>
       ivfPqKnnJoin(t(s, d, "embeddings"), 0L until 256L, 10)),
 
-    // E4: IVF with k-means-learned centroids (rows-only).
-    "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLearned(t(s, d, "embeddings"), 0L, 20)),
+    // E4: IVF with LEARNED centroids — the portable fixed-seed Lloyd
+    // fit (oracle-checked since round 12; MLlib k-means‖ remains the
+    // sampled-init alternative, spec-covered + bench-priced).
+    "e4_ann_ivf_kmeans" -> ((s, d) => ivfTopKLloyd(t(s, d, "embeddings"), 0L, 20)),
 
     // E23: the IVF probe-count planner sweep (recall@20 vs nprobe).
     "e23_ivf_probe_sweep" -> ((s, d) => ivfProbeSweep(t(s, d, "embeddings"))),
@@ -1904,6 +1906,128 @@ object Similarity {
     * probe count as the one parameter (`rn <= nProbes`) — the sweep
     * grades exactly the retrieval e3 serves.
     */
+  /** Scores of each DOUBLE-component centroid (a Lloyd mean) against
+    * the row's float vector — [[centScores]]' mixed-width sibling, on
+    * the native [[graft.functions.FloatDoubleVecDot]] fold.
+    */
+  private[graft] def centScoresD(cents: Array[(Array[Double], Double)],
+                                 embCol: Column, nrmCol: Column): Column = array(
+    cents.toIndexedSeq.map { case (cv, cn) =>
+      graft.functions.VectorFunctions.vecDotD(embCol, typedLit(cv.toSeq)) /
+        (nrmCol * lit(cn))
+    }: _*)
+
+  /** L2 norm of a double centroid, as the SAME left-to-right IEEE fold
+    * the DuckDB oracle's `list_reduce(list_transform(c, x -> x*x))`
+    * runs — driver-side Scala, but bit-identical by op sequence.
+    */
+  private def centNormD(cv: Array[Double]): Double =
+    math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** E4 fit, the PORTABLE form — fixed-seed, fixed-iteration Lloyd
+    * k-means in exact arithmetic, the round-8 principle ("approximate
+    * ops have exact parameter points") applied to learned clustering:
+    *
+    *  - init = the e3 seeding (first `nCentroids` corpus vectors by
+    *    vec_id — deterministic, engine-portable);
+    *  - assignment = cosine argmax against the current centroids, ties
+    *    to the lowest centroid id (the proven e3 argmax pattern);
+    *  - update = per-cell per-dimension MEAN computed through a
+    *    floor-quantized INTEGER sum: q = floor(x·10⁹) per component
+    *    (floor is the §6b-portable double→int path), Σq is an exact,
+    *    order-independent BIGINT — so the shuffle layout cannot change
+    *    the result — and the mean is ONE double division
+    *    `Σq / (n · 10⁹)` whose operands are exact; an empty cell keeps
+    *    its previous centroid.
+    *
+    * Every float→double widening, fold order, tie rule and the single
+    * rounding point are mirrored verbatim in [[lloydOracleSql]], which
+    * is why this fit — unlike MLlib's k-means‖ ([[fitIvfKmeans]], whose
+    * init samples an RNG — hash-matches a DuckDB oracle. Driver state
+    * is the centroid model only (k·d doubles per iteration), collected
+    * from a 16×d-row aggregate; the corpus-side work per iteration is
+    * one argmax projection + one map-side-combined integer aggregate —
+    * at 100 TB that is `iters` linear passes, the textbook distributed
+    * Lloyd shape.
+    */
+  def lloydCentroids(embeddings: DataFrame, nCentroids: Int = 16,
+                     iters: Int = 2): Array[(Array[Double], Double)] = {
+    val e = withNorm(embeddings)
+    var cents: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.nonEmpty, "corpus has no non-zero vectors to seed centroids")
+    for (_ <- 1 to iters) {
+      val withCents = cents.map(c => (c, centNormD(c)))
+      val agg = e
+        .withColumn("cs", centScoresD(withCents, col("embedding"), col("nrm")))
+        .withColumn("cell",
+          (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * lit(1.0e9))).as("sq"))
+        .collect()
+      val byCell = agg.groupBy(_.getAs[Int]("cell"))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("i")).map { r =>
+              r.getAs[Long]("sq").toDouble /
+                (r.getAs[Long]("n").toDouble * 1.0e9)
+            }
+          case None => old // empty cell: centroid carries over
+        }
+      }
+    }
+    cents.map(c => (c, centNormD(c)))
+  }
+
+  /** The query's nProbes closest LEARNED cells — [[probeCellsFor]] over
+    * double centroids, explicit left fold (mirrors the oracle's probes
+    * CTE op-for-op).
+    */
+  private[graft] def probeCellsForD(cents: Array[(Array[Double], Double)],
+                                    qVec: Array[Float], qNrm: Double,
+                                    nProbes: Int): Seq[Int] =
+    cents.zipWithIndex.map { case ((cv, cn), i) =>
+      val num = qVec.zip(cv).foldLeft(0.0) { case (a, (q, c)) =>
+        a + q.toDouble * c
+      }
+      (i, num / (cn * qNrm))
+    }.sortBy { case (i, d) => (-d, i) }.take(nProbes).map(_._1).toSeq
+
+  /** E4, the oracle-checked form: IVF whose centroids are LEARNED by
+    * [[lloydCentroids]] — same probe interface and exact-cosine close
+    * as [[ivfTopK]], but the cells come from real (deterministic,
+    * portable) training instead of raw seeds. [[ivfTopKLearned]] keeps
+    * the MLlib k-means‖ fit for corpora where sampled init matters;
+    * SimilaritySpec records the recall parity between the two.
+    */
+  def ivfTopKLloyd(embeddings: DataFrame, queryVecId: Long, k: Int,
+                   nCentroids: Int = 16, nProbes: Int = 2,
+                   iters: Int = 2): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = lloydCentroids(embeddings, nCentroids, iters)
+    val qRows = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).take(1)
+    if (qRows.isEmpty) {
+      return e.select(col("vec_id"), lit(0).as("cell"), lit(0.0).as("score")).limit(0)
+    }
+    val qVec = qRows(0).getSeq[Float](0).toArray
+    val qNrm = qRows(0).getDouble(1)
+    val probeCells = probeCellsForD(cents, qVec, qNrm, nProbes)
+    e.filter(col("vec_id") =!= queryVecId)
+      .withColumn("cs", centScoresD(cents, col("embedding"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), typedLit(qVec.toSeq)) / (col("nrm") * lit(qNrm))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   private def ivfOracleSql(nProbes: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
@@ -1949,6 +2073,100 @@ object Similarity {
        |  AND co.cell IN (SELECT cent_id FROM probes)
        |ORDER BY score DESC, e.vec_id
        |LIMIT 20""".stripMargin
+
+  /** E4 oracle generator — [[lloydCentroids]]/[[ivfTopKLloyd]] mirrored
+    * op-for-op in DuckDB SQL, iterations UNROLLED (the count is a fixed
+    * parameter, so no recursive CTE is needed). The portability
+    * load-bearers, each §6b-proven elsewhere: float→double widening
+    * inside the fold; one left-to-right `list_reduce` per dot/norm;
+    * argmax ties to the lowest centroid id via `row_number`; the
+    * centroid mean through floor-quantized BIGINT sums (`CAST(SUM
+    * AS BIGINT)` collapses DuckDB's HUGEINT) and ONE double division;
+    * empty cells carry the previous centroid via LEFT JOIN + CASE.
+    * ONE generator emits every iteration's CTEs, so the per-iteration
+    * arithmetic cannot drift between positions (the round-8
+    * shared-generator rule).
+    */
+  private def lloydOracleSql(nCentroids: Int, iters: Int, nProbes: Int,
+                             k: Int): String = {
+    def foldFD(emb: String, cemb: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(range(1, len($emb) + 1),
+         |             i -> CAST($emb[i] AS DOUBLE) * $cemb[i])),
+         |           (x, y) -> x + y)""".stripMargin
+    def cnrm(cemb: String) =
+      s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform($cemb, x -> x * x)), (x, y) -> x + y))""".stripMargin
+    val iterCtes = (1 to iters).map { j =>
+      s"""s$j AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         ${foldFD("e.embedding", "c.cemb")}
+         |           / (e.nrm * ${cnrm("c.cemb")}) AS s
+         |  FROM e, c${j - 1} c),
+         |l$j AS (
+         |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+         |    FROM s$j) WHERE rn = 1),
+         |a$j AS (
+         |  SELECT cell, i, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq FROM (
+         |    SELECT l.cell,
+         |           UNNEST(range(1, len(e.embedding) + 1)) AS i,
+         |           UNNEST(list_transform(e.embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT))) AS q
+         |    FROM e JOIN l$j l ON e.vec_id = l.vec_id)
+         |  GROUP BY cell, i),
+         |c$j AS (
+         |  SELECT p.cent_id,
+         |         CASE WHEN m.cemb IS NULL THEN p.cemb ELSE m.cemb END AS cemb
+         |  FROM c${j - 1} p LEFT JOIN (
+         |    SELECT cell AS cent_id,
+         |           list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+         |                ORDER BY i) AS cemb
+         |    FROM a$j GROUP BY cell) m ON p.cent_id = m.cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |           (x, y) -> x + y)) AS nrm
+       |  FROM embeddings
+       |  WHERE nrm > 0),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+       |  FROM e ORDER BY vec_id LIMIT $nCentroids),
+       |$iterCtes,
+       |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |fs AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ${foldFD("e.embedding", "c.cemb")}
+       |           / (e.nrm * ${cnrm("c.cemb")}) AS s
+       |  FROM e, c$iters c
+       |  WHERE e.vec_id <> 0),
+       |fl AS (
+       |  SELECT vec_id, CAST(cent_id AS INTEGER) AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+       |    FROM fs) WHERE rn = 1),
+       |probes AS (
+       |  SELECT cent_id FROM (
+       |    SELECT c.cent_id,
+       |           row_number() OVER (ORDER BY
+       |             ${foldFD("qv.q_emb", "c.cemb")}
+       |               / (${cnrm("c.cemb")} * qv.q_nrm) DESC, c.cent_id) AS rn
+       |    FROM c$iters c, qv) WHERE rn <= $nProbes)
+       |SELECT e.vec_id, fl.cell,
+       |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, len(e.embedding) + 1),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE))),
+       |         (x, y) -> x + y) / (e.nrm * qv.q_nrm) AS score
+       |FROM e JOIN fl ON e.vec_id = fl.vec_id, qv
+       |WHERE fl.cell IN (SELECT cent_id FROM probes)
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+  }
 
   /** E17 shared oracle generator: e15's CTE chain generalized over a
     * query batch — qs is multi-row, probes/dot tables group per qid
@@ -2662,6 +2880,12 @@ object Similarity {
     // comes from ivfOracleSql(2): ONE generator parameterized on the
     // probe count, shared verbatim with the e23 sweep.
     "e3_ann_ivf" -> ivfOracleSql(2),
+
+    // E4: the learned-centroid IVF earns a full oracle (round 12) by
+    // fixing every free choice of the fit — seeded init, 2 Lloyd
+    // iterations, floor-quantized integer-sum means — see
+    // lloydOracleSql for the portability inventory.
+    "e4_ann_ivf_kmeans" -> lloydOracleSql(16, 2, 2, 20),
 
     // E2 is exactly reproducible now that the LSH planes are md5-derived:
     // the multi-probe set {q_bucket} ∪ {one flipped bit} is precisely

@@ -356,6 +356,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(split === oneShot)
   }
 
+  test("E4 Lloyd recall parity: the portable fit serves as well as MLlib k-means on this corpus") {
+    // the round-12 oracle trade, measured (the d21 honesty standard):
+    // e4's driver query now runs the DETERMINISTIC Lloyd fit (2
+    // iterations, seeded init, integer-sum means) instead of MLlib
+    // k-means‖ — this records that the portability did not cost recall.
+    val e = graft.sources.Tables.table(spark, SF, "embeddings")
+    val exact = graft.operators.Similarity.cosineTopK(e, 0L, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recall(ids: Set[Long]): Double =
+      exact.intersect(ids).size.toDouble / exact.size
+    val lloyd = recall(graft.operators.Similarity.ivfTopKLloyd(e, 0L, 20)
+      .collect().map(_.getLong(0)).toSet)
+    val mllib = recall(graft.operators.Similarity.ivfTopKLearned(e, 0L, 20)
+      .collect().map(_.getLong(0)).toSet)
+    info(f"recall@20 vs exact — lloyd: $lloyd%.2f, mllib k-means: $mllib%.2f")
+    // both are 2-probe/16-cell ANN sweeps on a tiny corpus; the pin is
+    // parity (the portable fit must not LOSE to the sampled one), not
+    // an absolute recall bar (that is e23's probe-sweep job)
+    assert(lloyd >= mllib - 0.10001,
+      f"portable Lloyd recall $lloyd%.2f fell behind MLlib $mllib%.2f")
+    assert(lloyd > 0.0, "Lloyd IVF found none of the true top-20")
+  }
+
   test("E8 PQ codes are 4-bit and ADC search keeps useful recall vs exact") {
     val e = graft.sources.Tables.table(spark, SF, "embeddings")
     val codes = graft.operators.Similarity.quantizePq(e).collect()
