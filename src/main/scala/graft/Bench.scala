@@ -156,6 +156,10 @@ object Bench {
     * `extended` (still measured, still in BENCH_FULL.json).
     */
   val headline: Seq[String] = Seq(
+    // M1 beside its stages (f15/d8/i13/i9 are priced individually in
+    // the same artifact): one DAG vs the sum of islands, measured in
+    // the SAME run
+    "m1_curation_pipeline",
     "b1_filter_project", "b3_join_inner",
     "b5_agg_basic", "b8_sliding_window",
     "b9_upsert_latest", "b11_rank_topn", "b16_session_window", "b22_asof_join",

@@ -264,6 +264,49 @@ object Dedup {
         (row_number().over(w) === 1).as("is_keeper"))
   }
 
+  /** M1 (round 12): the realistic curation DAG priced as ONE query
+    * instead of 221 islands — quality gate (f15) → near-dup clusters +
+    * best-copy keepers (d2/d8/d16) → leakage-safe cluster-atomic split
+    * (i13) → training-shard packing (i9) over the kept train docs.
+    * Every stage is the PRODUCTION operator (gopherRules,
+    * qualityKeepers, splitAssign, packSequencesFrom — zero re-spelled
+    * arithmetic), and the oracle composes the same stages' proven SQL
+    * generators over a gated-corpus CTE.
+    *
+    * Scan discipline (the round-8 AQE-reuse rule, solved structurally):
+    * the gate output is materialized ONCE through the shared barrier —
+    * in production this is the landed post-gate table — so the corpus
+    * parquet is scanned exactly twice (the doc side and the row-local
+    * rule side of the gate), and every downstream stage (shingles,
+    * quality scores, token counts) reads the barrier; PlanSpec asserts
+    * the final plan contains NO corpus file scan. At 100 TB the DAG
+    * costs gate (2 linear passes) + the d8 loop on the gated set + one
+    * windowed pack — no stage re-reads the raw corpus.
+    */
+  def curationPipeline(docs: DataFrame, maxIter: Int = 25,
+                       budget: Int = 512, shards: Int = 32): DataFrame = {
+    // Gate = f15's four STRUCTURAL rules. The fifth (required-stopword
+    // hits) is vocabulary-bound and the synthetic corpus contains zero
+    // English stopwords, so the full conjunction admits 0 docs — the
+    // round-8 "size against the generated corpus first" rule; measured:
+    // structural gate admits 277/500 at sf0.01. A real English corpus
+    // would gate on `passes_gopher`.
+    val gated = checkpointFresh(
+      docs.select(col("doc_id"), col("text"))
+        .join(TextAnalysis.gopherRules(docs)
+          .filter(col("r_word_count") && col("r_mean_len")
+            && col("r_symbol") && col("r_alpha"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val kept = Profile.splitAssign(qualityKeepers(gated, maxIter), "cluster_id")
+      .filter(col("is_keeper") && col("split") === "train")
+      .select(col("doc_id"))
+    Profile.packSequencesFrom(
+      gated.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget, shards)
+  }
+
   /** Eager localCheckpoint + stats reset — see [[Stage.checkpointFresh]]
     * (the single project-wide definition of the barrier idiom).
     */
@@ -1438,6 +1481,11 @@ object Dedup {
     // D2: MinHash + LSH banding near-dup candidate pairs.
     "d2_minhash_lsh" -> ((s, d) => minhashCandidates(t(s, d, "documents"))),
 
+    // M1: the macro curation DAG — gate → dedup keepers → split → pack
+    // as ONE query (round 12; priced against the per-stage queries).
+    "m1_curation_pipeline" -> ((s, d) =>
+      curationPipeline(t(s, d, "documents"))),
+
     // D3: SimHash fingerprints — oracle hash-matched (md5-portable token
     // hashes); structural properties still in the spec.
     "d3_simhash" -> ((s, d) => simhash(t(s, d, "documents"))),
@@ -1541,10 +1589,11 @@ object Dedup {
     * i13b's split wrapper, so the checked keeper semantics live in one
     * string.
     */
-  private def d16KeeperSql(bandsCte: String): String =
+  private def d16KeeperSql(bandsCte: String,
+                           src: String = "documents"): String =
     s"""WITH clustered AS (
        |  SELECT doc_id, cluster_id, cluster_size FROM (
-       |${d8ClustersSql(bandsCte)}) c),
+       |${d8ClustersSql(bandsCte, src)}) c),
        |q AS (
        |  SELECT doc_id, quality_score FROM (
        |${TextAnalysis.oracles("f2_quality")}) f)
@@ -1614,9 +1663,42 @@ object Dedup {
        |       CAST(inter AS DOUBLE) / un AS jaccard
        |FROM ver WHERE 10 * inter >= 7 * un$extraWhere""".stripMargin
 
-  private def d8ClustersSql(bandsCte: String): String =
+  /** The MinHash/LSH banding CTE chain over a caller-named corpus
+    * relation — `src` is `documents` for the d2/d8/d16/i13 family and
+    * the GATED corpus CTE for the m1 macro pipeline (round 12), so the
+    * banding arithmetic exists exactly once.
+    */
+  private def bandsCteFor(src: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, str_split(text, ' ') AS t FROM $src),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |hs AS (
+       |  SELECT doc_id,
+       |         list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 16), i ->
+       |           list_min(list_transform(h, x ->
+       |             (((i * 2654435761 + 1) % 2147483647) * x + (i * 40503 + 17)) % 2147483647))) AS m
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, j.j AS band_id,
+       |         CAST(m[j.j*4+1] AS VARCHAR) || '-' || CAST(m[j.j*4+2] AS VARCHAR) || '-' ||
+       |         CAST(m[j.j*4+3] AS VARCHAR) || '-' || CAST(m[j.j*4+4] AS VARCHAR) AS band_key
+       |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS j) j),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def d8ClustersSql(bandsCte: String,
+                            src: String = "documents"): String =
     bandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """,
+      s""",
         |edges AS (
         |  SELECT doc_a AS u, doc_b AS v FROM cand
         |  UNION ALL
@@ -1631,7 +1713,7 @@ object Dedup {
         |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
         |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS cluster_size,
         |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
+        |FROM $src d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
 
   /** DuckDB oracles reproduce the md5-based sketches exactly — same
     * shingling, same 60-bit hash, same affine permutations, same banding.
@@ -1662,32 +1744,7 @@ object Dedup {
          |FROM cand c
          |JOIN e ea ON c.vec_a = ea.vec_id
          |JOIN e eb ON c.vec_b = eb.vec_id""".stripMargin
-    val bandsCte =
-      """WITH toks AS (
-        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |hs AS (
-        |  SELECT doc_id,
-        |         list_transform(s, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS h
-        |  FROM sh),
-        |mh AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, 16), i ->
-        |           list_min(list_transform(h, x ->
-        |             (((i * 2654435761 + 1) % 2147483647) * x + (i * 40503 + 17)) % 2147483647))) AS m
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, j.j AS band_id,
-        |         CAST(m[j.j*4+1] AS VARCHAR) || '-' || CAST(m[j.j*4+2] AS VARCHAR) || '-' ||
-        |         CAST(m[j.j*4+3] AS VARCHAR) || '-' || CAST(m[j.j*4+4] AS VARCHAR) AS band_key
-        |  FROM mh, (SELECT unnest([0, 1, 2, 3]) AS j) j),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+    val bandsCte = bandsCteFor("documents")
     Map(
       // D21: integer-exponent powers as fixed-count multiply chains
       // (left fold from a prepended 1.0 ↔ Spark aggregate's init) —
@@ -1951,6 +2008,38 @@ object Dedup {
           |FROM hs""".stripMargin,
 
       "d2_minhash_lsh" -> (bandsCte + "\nSELECT doc_a, doc_b FROM cand"),
+
+      // M1: the macro DAG composes the PROVEN stage oracles — the f15
+      // gate as a corpus CTE, d16's keeper query re-generated over it
+      // (bandsCteFor("gdocs") — the banding arithmetic exists once),
+      // i13's split CASE, and i9's pack close at budget 512.
+      "m1_curation_pipeline" ->
+        s"""WITH gdocs AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM documents d JOIN (
+           |${TextAnalysis.oracles("f15_gopher_rules")}) f ON d.doc_id = f.doc_id
+           |  WHERE f.r_word_count AND f.r_mean_len AND f.r_symbol AND f.r_alpha),
+           |k AS (SELECT * FROM (
+           |${d16KeeperSql(bandsCteFor("gdocs"), "gdocs")}) kk),
+           |kept AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, is_keeper, ${splitCaseSql("cluster_id")} AS split
+           |    FROM k) s
+           |  WHERE is_keeper AND split = 'train'),
+           |d AS (
+           |  SELECT g.doc_id, g.doc_id % 32 AS shard,
+           |         CAST(len(str_split(g.text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM gdocs g JOIN kept USING (doc_id)),
+           |p AS (
+           |  SELECT doc_id, shard, n_tokens,
+           |         CAST(coalesce(sum(n_tokens) OVER (
+           |           PARTITION BY shard ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+           |  FROM d)
+           |SELECT doc_id, shard, n_tokens,
+           |       CAST(prior // 512 AS BIGINT) AS seq_id,
+           |       CAST(prior % 512 AS BIGINT) AS seq_offset
+           |FROM p""".stripMargin,
 
       // D18: the full-corpus banding filtered to delta-touching pairs —
       // the equivalence the incremental composition must honor.

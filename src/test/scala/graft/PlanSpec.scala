@@ -829,6 +829,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"cell build must prune per-partition via WindowGroupLimit\n$cellPlan")
   }
 
+  test("m1 macro pipeline: downstream stages never re-read the corpus; the gate barrier is the only reader") {
+    // the round-12 shared-scan discipline, structural form: the gate
+    // output is materialized once (checkpointFresh), so the FINAL plan
+    // — keepers join, split, pack — must contain ZERO corpus parquet
+    // scans; every stage reads the ExistingRDD barrier. (The corpus is
+    // scanned exactly twice, both inside the gate materialization: the
+    // doc side and the row-local rule side.)
+    val df = SparkEntry.queries("m1_curation_pipeline")(spark, SF)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(fin).size
+    assert(scans == 0,
+      s"m1 downstream stages must read the gate barrier, found $scans corpus scans\n$fin")
+    assert(fin.contains("Scan ExistingRDD"),
+      s"m1 must consume the materialized gate output\n$fin")
+    assert(fin.length < 1000000,
+      s"m1 executed plan printed ${fin.length} chars")
+  }
+
   test("global plan-size census: every query's physical plan stays bounded") {
     // The generalized round-10 lesson: a plan explosion anywhere in the
     // 200+ query surface takes out BOTH gates (the exploded tree OOMs
