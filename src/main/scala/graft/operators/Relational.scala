@@ -783,9 +783,31 @@ object Relational {
     // depth× map-side but partial aggregation collapses each partition
     // to ≤ depth×w cells before the exchange; the estimate join
     // broadcasts the 4 MB sketch.
+    // Round-12 measurement pass: the cost was never the md5 (b36's one
+    // digest pass over the same fact runs 0.3 s) but the 4×-depth
+    // posexplode VOLUME — the one-shot form exploded 600k rows for the
+    // cells AND 150k distinct keys again for the estimate (~3M
+    // generator rows at sf0.1). Both sides now derive from ONE
+    // groupBy(key) count: cells = Σ key-multiplicities per bucket
+    // (integers — bit-identical to the row-driven cmsCells, same
+    // oracle), and the estimate explodes the same 150k-key frame. The
+    // key shuffle replaces the estimate side's old distinct() — same
+    // NDV-bound exchange the estimate always paid, now feeding both
+    // sides (canonically equal aggregate → one exchange, reused). The
+    // row-driven cmsCells stays as the H12 streaming build (per-batch
+    // rows are the stream's natural unit). Measured 3.3 → 1.9 s.
     "b35_heavy_hitters_cms" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"))
-      cmsThresholdEstimate(li, cmsCells(li, "l_orderkey"), "l_orderkey", 8)
+      val keyCounts = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("kcnt"))
+      val exploded = keyCounts.select(col("l_orderkey"), col("kcnt"),
+        posexplode(cmsBucketArray(cmsKeyHash(col("l_orderkey")))).as(Seq("r", "bucket")))
+      val cells = exploded.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("kcnt")).as("cnt"))
+      exploded
+        .join(broadcast(cells), Seq("r", "bucket"), "left")
+        .groupBy(col("l_orderkey"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+        .filter(col("est_count") >= 8)
     }),
 
     // B35b: the MERGE path of the same sketch — one CMS per load slice
@@ -796,12 +818,16 @@ object Relational {
     // rows-check for HLL is exactly verifiable for CMS.
     "b35_cms_merge" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      // per-slice cells from per-slice key counts (the b35 round-12
+      // rewrite applied within each load slice — cells bit-identical,
+      // merge law untouched: cell-wise ADDITION across slices)
       val perSlice = li
         .withColumn("slice", col("l_orderkey") % 4)
-        .select(col("slice"), cmsKeyHash(col("l_orderkey")).as("h"))
-        .select(col("slice"), posexplode(cmsBucketArray(col("h"))).as(Seq("r", "bucket")))
+        .groupBy(col("slice"), col("l_orderkey")).agg(count(lit(1)).as("kcnt"))
+        .select(col("slice"), col("kcnt"),
+          posexplode(cmsBucketArray(cmsKeyHash(col("l_orderkey")))).as(Seq("r", "bucket")))
         .groupBy(col("slice"), col("r"), col("bucket"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("kcnt")).as("cnt"))
       val merged = perSlice
         .groupBy(col("r"), col("bucket"))
         .agg(sum(col("cnt")).as("cnt"))
