@@ -927,6 +927,58 @@ object Similarity {
                     dim: Int = 64): DataFrame =
     pqTopKWith(embeddings, fitPqKmeans(embeddings, dim), queryVecId, k)
 
+  /** E8 learned fit, the PORTABLE form — [[lloydCentroids]]' recipe
+    * applied per subspace: init = the seeded table, assignment = the
+    * PRODUCTION encode ([[pqEncodeCarrying]] over the current book —
+    * argmin of ‖c‖² − 2·q·c with the book float-rounded for the native
+    * dot, exactly what serving does), update = per-(subspace, code,
+    * dim) means through floor-quantized BIGINT sums and one double
+    * division; empty cells keep their centroid. Because Lloyd starts
+    * AT the seeded book and each step cannot increase quantization
+    * error, the learned book provably beats (or ties) the seeded one —
+    * asserted in SimilaritySpec — while staying bit-portable:
+    * [[lloydPqSql]] mirrors every fold, so e8's learned path earns the
+    * full oracle MLlib's k-means‖ cannot.
+    */
+  def fitPqLloyd(embeddings: DataFrame, dim: Int = 64,
+                 iters: Int = 2): Array[Array[Array[Double]]] = {
+    require(dim % pqSubspaces == 0, s"dim $dim not divisible by $pqSubspaces")
+    val sub = dim / pqSubspaces
+    val e = withNorm(embeddings)
+    var book = pqCentroidTable(e, dim)
+    for (_ <- 1 to iters) {
+      val agg = pqEncodeCarrying(e, book, Seq("embedding"))
+        .select(col("embedding"), posexplode(col("codes")).as(Seq("s", "cell")))
+        .select(col("s"), col("cell"),
+          slice(col("embedding"), col("s") * sub + 1, lit(sub)).as("sv"))
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("s"), col("cell"), col("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * lit(1.0e9))).as("sq"))
+        .collect()
+      val byCell = agg.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cell")))
+      book = Array.tabulate(pqSubspaces, pqCentroids) { (s, c) =>
+        byCell.get((s, c)) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("d")).map { r =>
+              r.getAs[Long]("sq").toDouble /
+                (r.getAs[Long]("n").toDouble * 1.0e9)
+            }
+          case None => book(s)(c)
+        }
+      }
+    }
+    book
+  }
+
+  /** E8, the oracle-checked learned form: ADC search over the
+    * [[fitPqLloyd]] book. [[pqTopKLearned]] keeps MLlib for corpora
+    * where sampled init matters.
+    */
+  def pqTopKLloyd(embeddings: DataFrame, queryVecId: Long, k: Int,
+                  dim: Int = 64): DataFrame =
+    pqTopKWith(embeddings, fitPqLloyd(embeddings, dim), queryVecId, k)
+
   /** [[pqTopK]] with an explicit codebook (seeded or learned). */
   def pqTopKWith(embeddings: DataFrame, cents: Array[Array[Array[Double]]],
                  queryVecId: Long, k: Int): DataFrame = {
@@ -1710,7 +1762,9 @@ object Similarity {
     // E8b: PQ with k-means-learned codebooks (rows-only: k-means init
     // is engine-private; the spec asserts the learned codebook beats
     // the seeded one on quantization error).
-    "e8_ann_pq_kmeans" -> ((s, d) => pqTopKLearned(t(s, d, "embeddings"), 0L, 20)),
+    // E8 learned: the portable per-subspace Lloyd fit (oracle-checked
+    // since round 12; MLlib k-means stays as pqTopKLearned, spec'd).
+    "e8_ann_pq_kmeans" -> ((s, d) => pqTopKLloyd(t(s, d, "embeddings"), 0L, 20)),
 
     // E21: ADC shortlist (e8's top-20) → exact rescore → exact top-10.
     "e21_pq_refine" -> ((s, d) => pqRefineTopK(t(s, d, "embeddings"), 0L, 10)),
@@ -2407,6 +2461,126 @@ object Similarity {
         |ORDER BY score DESC, a.vec_id
         |LIMIT 20""".stripMargin
 
+  /** E8-learned oracle generator — [[fitPqLloyd]]/[[pqTopKLloyd]]
+    * mirrored op-for-op, iterations unrolled (the e4 `lloydOracleSql`
+    * pattern per subspace). The learned-book-specific parity points on
+    * top of the seeded tail: the ENCODE dot float-rounds the centroid
+    * element (`CAST(cemb AS REAL)` ↔ the engine's `.toFloat` for the
+    * native dot — a no-op in generation 0 where the book is data
+    * floats) while the nsq/ADC tables stay double; centroid means go
+    * through floor-quantized BIGINT sums and one double division;
+    * empty (subspace, code) cells carry the previous centroid.
+    */
+  private def lloydPqSql(src: String, iters: Int): String = {
+    // dist(s, c) of row `emb` against book relation alias `b` — the
+    // encode argmin body, shared by every iteration and the final codes
+    def dist(bAlias: String, sExpr: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform($bAlias.cents[$sExpr + 1][c + 1], x -> x * x)),
+         |  (x, y) -> x + y)
+         |- 2.0 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, 9), d ->
+         |    CAST(emb.embedding[$sExpr * 8 + d] AS DOUBLE) *
+         |    CAST(CAST($bAlias.cents[$sExpr + 1][c + 1][d] AS REAL) AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    val iterCtes = (1 to iters).map { j =>
+      s"""cd$j AS (
+         |  SELECT emb.vec_id, sp.s AS s,
+         |         CAST(list_position(
+         |           list_transform(range(0, 16), c -> ${dist(s"bk${j - 1}", "sp.s")}),
+         |           list_min(list_transform(range(0, 16), c -> ${dist(s"bk${j - 1}", "sp.s")})))
+         |           - 1 AS INTEGER) AS cell
+         |  FROM e emb, bk${j - 1}, (SELECT unnest(range(0, 8)) AS s) sp),
+         |ag$j AS (
+         |  SELECT s, cell, d, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq FROM (
+         |    SELECT c.s, c.cell,
+         |           UNNEST(range(1, 9)) AS d,
+         |           UNNEST(list_transform(range(1, 9), d2 ->
+         |             CAST(floor(CAST(e.embedding[c.s * 8 + d2] AS DOUBLE)
+         |                        * 1000000000.0) AS BIGINT))) AS q
+         |    FROM e JOIN cd$j c ON e.vec_id = c.vec_id)
+         |  GROUP BY s, cell, d),
+         |bk$j AS (
+         |  SELECT list(sc ORDER BY s) AS cents FROM (
+         |    SELECT s, list(cv ORDER BY c) AS sc FROM (
+         |      SELECT g.s AS s, g.c AS c,
+         |             coalesce(m.cemb, b.cents[g.s + 1][g.c + 1]) AS cv
+         |      FROM (SELECT sp.s AS s, ci.c AS c
+         |            FROM (SELECT unnest(range(0, 8)) AS s) sp,
+         |                 (SELECT unnest(range(0, 16)) AS c) ci) g
+         |      CROSS JOIN bk${j - 1} b
+         |      LEFT JOIN (
+         |        SELECT s, cell,
+         |               list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+         |                    ORDER BY d) AS cemb
+         |        FROM ag$j GROUP BY s, cell) m
+         |        ON m.s = g.s AND m.cell = g.c)
+         |    GROUP BY s))""".stripMargin
+    }.mkString(",\n")
+    val bkF = s"bk$iters"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+       |           (x, y) -> x + y)) AS nrm
+       |  FROM $src
+       |  WHERE nrm > 0),
+       |cseed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |bk0 AS (
+       |  SELECT list(sc ORDER BY s) AS cents FROM (
+       |    SELECT s, list(sv ORDER BY cid) AS sc FROM (
+       |      SELECT sp.s AS s, c.cid AS cid,
+       |             list_transform(range(1, 9),
+       |               d -> CAST(c.embedding[sp.s * 8 + d] AS DOUBLE)) AS sv
+       |      FROM (SELECT unnest(range(0, 8)) AS s) sp, cseed c)
+       |    GROUP BY s)),
+       |$iterCtes,
+       |qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |tabs AS (
+       |  SELECT list(dots ORDER BY s) AS dot_tab, list(nsqs ORDER BY s) AS nsq_tab FROM (
+       |    SELECT s, list(dotv ORDER BY c) AS dots, list(nsqv ORDER BY c) AS nsqs FROM (
+       |      SELECT sp.s AS s, ci.c AS c,
+       |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               list_transform(range(1, 9), d ->
+       |                 CAST(q.q_emb[sp.s * 8 + d] AS DOUBLE) *
+       |                 b.cents[sp.s + 1][ci.c + 1][d])),
+       |               (x, y) -> x + y) AS dotv,
+       |             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |               list_transform(b.cents[sp.s + 1][ci.c + 1], x -> x * x)),
+       |               (x, y) -> x + y) AS nsqv
+       |      FROM (SELECT unnest(range(0, 8)) AS s) sp,
+       |           (SELECT unnest(range(0, 16)) AS c) ci, $bkF b, qv q)
+       |    GROUP BY s)),
+       |codes AS (
+       |  SELECT emb.vec_id,
+       |         list_transform(range(0, 8), s ->
+       |           list_position(
+       |             list_transform(range(0, 16), c -> ${dist(s"b", "s")}),
+       |             list_min(
+       |               list_transform(range(0, 16), c -> ${dist(s"b", "s")}))) - 1) AS codes
+       |  FROM $src emb, $bkF b),
+       |adc AS (
+       |  SELECT co.vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(0, 8), s ->
+       |             t.dot_tab[s + 1][co.codes[s + 1] + 1])),
+       |           (x, y) -> x + y) AS adc_dot,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(0, 8), s ->
+       |             t.nsq_tab[s + 1][co.codes[s + 1] + 1])),
+       |           (x, y) -> x + y) AS adc_nsq
+       |  FROM codes co, tabs t
+       |  WHERE co.vec_id <> 0)
+       |SELECT a.vec_id, a.adc_dot / (sqrt(a.adc_nsq) * qv.q_nrm) AS score
+       |FROM adc a, qv
+       |WHERE a.adc_nsq > 0
+       |ORDER BY score DESC, a.vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** E25 shared recon-chain generator: the seeded-PQ codebook/encode/
     * reconstruct CTEs over an arbitrary (norm-filtered, raw) source
     * pair — the unrotated report uses (e, embeddings), the E26 rotated
@@ -2717,6 +2891,11 @@ object Similarity {
     "e25_quant_error" -> quantErrorOracleSql,
 
     "e8_ann_pq" -> pqSearchSql("embeddings"),
+
+    // E8 learned: per-subspace Lloyd (2 iterations, seeded init,
+    // floor-quantized BIGINT means) — the e4 recipe per subspace; see
+    // lloydPqSql for the float-rounding parity of the encode dot.
+    "e8_ann_pq_kmeans" -> lloydPqSql("embeddings", 2),
 
     // E26: the same seeded-PQ search over the md5-seeded orthogonal
     // rotation (OPQ-lite) — rotation CTEs prepended, search SQL shared

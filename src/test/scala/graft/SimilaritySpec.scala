@@ -436,6 +436,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val learned = meanErr(Similarity.fitPqKmeans(e))
     assert(learned < seeded,
       s"k-means codebook must beat seeds: learned $learned vs seeded $seeded")
+    // the PORTABLE Lloyd fit (round 12, the e8 oracle path) starts AT
+    // the seeded book, and each assignment/update step cannot increase
+    // quantization error (the 1e-9 mean quantization is noise-level) —
+    // so it must beat the seeds too
+    val lloyd = meanErr(Similarity.fitPqLloyd(e))
+    info(f"mean sq quantization error — seeded $seeded%.4f, " +
+      f"lloyd $lloyd%.4f, mllib $learned%.4f")
+    assert(lloyd < seeded,
+      s"Lloyd codebook must beat its own seeds: lloyd $lloyd vs seeded $seeded")
     // and the learned search still returns a full, deterministic top-k
     val r1 = Similarity.pqTopKLearned(e, 0L, 10).collect().map(_.getLong(0)).toSeq
     val r2 = Similarity.pqTopKLearned(e, 0L, 10).collect().map(_.getLong(0)).toSeq
