@@ -26,7 +26,7 @@ object SparkEntry {
     * the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Fraud.oracles ++ Dedup.oracles ++
+    Relational.oracles ++ Fraud.oracles ++ FraudModel.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
       Profile.oracles ++ Skew.oracles
 }

@@ -25,6 +25,29 @@ import graft.sources.Tables
   */
 object Fraud {
 
+  /** The full scored-transaction relation in DuckDB SQL — c1's oracle,
+    * shared by c5 (adds the threshold filter) and FraudModel's c13b
+    * oracle (builds GD features on top). `private[operators]` so the
+    * scoring arithmetic exists in exactly one string.
+    */
+  private[operators] val scoredSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS transaction_id,
+      |       o_custkey AS user_id, l_partkey AS product_id, l_extendedprice AS amount,
+      |       un.n_name AS user_country, sn.n_name AS product_country, p_type AS category,
+      |       CASE WHEN un.n_name <> sn.n_name THEN 1 ELSE 0 END AS country_mismatch,
+      |       CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END AS high_value_flag,
+      |       CASE WHEN un.n_name <> sn.n_name THEN 1 ELSE 0 END * CAST(0.5 AS DOUBLE)
+      |         + CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END * CAST(0.5 AS DOUBLE) AS fraud_score,
+      |       CASE WHEN p_retailprice IS NOT NULL AND l_discount IS NOT NULL
+      |            THEN p_retailprice * (CAST(1.0 AS DOUBLE) - l_discount) ELSE NULL END AS discounted_price
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation un ON c_nationkey = un.n_nationkey
+      |LEFT JOIN part ON l_partkey = p_partkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey""".stripMargin
+
   /** Amount above which a transaction is flagged high-value. The reference
     * used 500 against a 0–1000 amount range (src/spark/jobs/spark.py
     * high_value_flag); l_extendedprice spans ~900–105000 with a ~53000
@@ -1539,23 +1562,7 @@ object Fraud {
         |WHERE c3 >= 5
         |ORDER BY lift DESC, t1, t2, t3
         |LIMIT 20""".stripMargin
-    val scoredSql =
-      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS transaction_id,
-        |       o_custkey AS user_id, l_partkey AS product_id, l_extendedprice AS amount,
-        |       un.n_name AS user_country, sn.n_name AS product_country, p_type AS category,
-        |       CASE WHEN un.n_name <> sn.n_name THEN 1 ELSE 0 END AS country_mismatch,
-        |       CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END AS high_value_flag,
-        |       CASE WHEN un.n_name <> sn.n_name THEN 1 ELSE 0 END * CAST(0.5 AS DOUBLE)
-        |         + CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END * CAST(0.5 AS DOUBLE) AS fraud_score,
-        |       CASE WHEN p_retailprice IS NOT NULL AND l_discount IS NOT NULL
-        |            THEN p_retailprice * (CAST(1.0 AS DOUBLE) - l_discount) ELSE NULL END AS discounted_price
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |LEFT JOIN customer ON o_custkey = c_custkey
-        |LEFT JOIN nation un ON c_nationkey = un.n_nationkey
-        |LEFT JOIN part ON l_partkey = p_partkey
-        |LEFT JOIN supplier ON l_suppkey = s_suppkey
-        |LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey""".stripMargin
+    val scoredSql = Fraud.scoredSql
     Map(
       "c1_fraud_enrich" -> scoredSql,
 

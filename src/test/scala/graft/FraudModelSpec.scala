@@ -22,6 +22,34 @@ class FraudModelSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("C13b portable GD risk model separates the classes like the MLlib one") {
+    // the round-12 oracle twin (linear probability model, 3 fixed GD
+    // iterations, quantized integer gradient sums): record that the
+    // portable training actually LEARNED — class separation on the
+    // same read-out the C13 test uses, and AUC beside MLlib's.
+    val scored = Fraud.scoredTransactions(spark, SF)
+    val out = FraudModel.queries("c13b_risk_score_gd")(spark, SF)
+      .select("fraud_score", "model_score").collect()
+    val hot = out.filter(_.getDouble(0) >= 1.0).map(_.getDouble(1))
+    val cold = out.filter(_.getDouble(0) === 0.0).map(_.getDouble(1))
+    assert(hot.nonEmpty && cold.nonEmpty)
+    val hotAvg = hot.sum / hot.length
+    val coldAvg = cold.sum / cold.length
+    info(f"GD separation: hot $hotAvg%.3f vs cold $coldAvg%.3f")
+    assert(hotAvg > coldAvg + 0.2,
+      s"GD model failed to separate: hot=$hotAvg cold=$coldAvg")
+    assert(out.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // AUC on the rule label, recorded beside MLlib's (both in-sample
+    // here; C14 owns the held-out protocol)
+    val gdAuc = FraudModel.evaluate(
+      FraudModel.queries("c13b_risk_score_gd")(spark, SF)
+        .withColumn("label", org.apache.spark.sql.functions
+          .when(org.apache.spark.sql.functions.col("fraud_score") >= 1.0, 1.0)
+          .otherwise(0.0)))
+    info(f"GD in-sample AUC on the rule label: $gdAuc%.3f")
+    assert(gdAuc > 0.9, s"portable GD AUC $gdAuc should separate rule labels")
+  }
+
   test("C14 held-out AUC beats chance by a wide margin on the rule label") {
     // genuine held-out split: train on the hash-assigned train rows,
     // evaluate on the disjoint val+test rows
