@@ -1372,7 +1372,13 @@ object Bench {
   private def scalingStudy(spark: SparkSession, sfDir: String,
                            mainTimes: Map[String, Double]): Option[String] = {
     if (!sfDir.endsWith("sf0.1")) return None
-    val sfs = Seq("sf0.001", "sf0.01").map(s => s -> sfDir.replace("sf0.1", s))
+    // opt-in fourth decade (round 12): a tools/scale_up.py-generated
+    // sf1 dir extends every exponent one decade upward. Env-gated so
+    // the driver's run is unchanged when no sf1 dir exists.
+    val sf1 = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .filter(d => new java.io.File(d).isDirectory).map("sf1" -> _)
+    val sfs = Seq("sf0.001", "sf0.01").map(s => s -> sfDir.replace("sf0.1", s)) ++
+      sf1.toSeq
     try {
       val rowCounts: Map[String, Map[String, Long]] =
         (sfs :+ ("sf0.1" -> sfDir)).map { case (sf, dir) =>
@@ -1430,8 +1436,16 @@ object Bench {
         } yield {
           val rowRatio = rowCounts("sf0.1")(tbl).toDouble / rowCounts("sf0.01")(tbl)
           val exp = math.log(t01 / t001) / math.log(rowRatio)
+          // the opt-in fourth decade: exponent of the sf0.1 -> sf1 leg
+          val sf1Part = (for {
+            t1 <- times.get("sf1").flatMap(_.get(name))
+            if t1 > 0
+            r1 = rowCounts("sf1")(tbl).toDouble / rowCounts("sf0.1")(tbl)
+            if r1 > 1
+          } yield s""","t_sf1":${num(t1)},"exp_sf1":${
+            num(math.log(t1 / t01) / math.log(r1))}""").getOrElse("")
           s""""$name":{"t_sf0001":${num(t0001)},"t_sf001":${num(t001)},""" +
-            s""""t_sf01":${num(t01)},"row_ratio":${num(rowRatio)},"exp":${num(exp)}}"""
+            s""""t_sf01":${num(t01)},"row_ratio":${num(rowRatio)},"exp":${num(exp)}$sf1Part}"""
         }
       }
       Some(entries.mkString("{", ",", "}"))

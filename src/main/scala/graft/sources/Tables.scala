@@ -653,6 +653,70 @@ object Tables {
     * newest-per-key), which is the property the orchestration retry
     * loop relies on.
     */
+  /** A17 (round 12): EXTERNAL warehouse connectivity over JDBC — the
+    * reference bulk-loads staged parquet into Snowflake
+    * (src/snowflake_loader/load_to_snowflake_transction.py:57:
+    * CREATE TABLE IF NOT EXISTS with typed columns, then COPY). The
+    * sandbox has no network warehouse, but Spark's REAL JDBC connector
+    * against the embedded Derby engine (already on the image) proves
+    * the path the reference user runs: dialect type mapping, batched
+    * inserts, predicate pushdown INTO the external system's scan, and
+    * the retry-safe incremental-load shape. Swapping `url` (and the
+    * column-type overrides) for a network warehouse is configuration,
+    * not code — exactly the seam the reference's loader scripts sit
+    * behind. SourcesSpec A17 drives round-trip, pushdown, and replay
+    * idempotence.
+    */
+  def jdbcUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
+
+  private val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** Typed CREATE + load (mode Overwrite creates the table with the
+    * dialect's column types; `columnTypes` overrides them — e.g.
+    * VARCHAR(k) where a dialect would default a string to CLOB, the
+    * reference loader's explicit-typed-columns discipline).
+    */
+  def jdbcWriteTyped(df: DataFrame, url: String, table: String,
+                     columnTypes: String = ""): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", derbyDriver)
+    (if (columnTypes.nonEmpty) w.option("createTableColumnTypes", columnTypes)
+     else w).mode("overwrite").save()
+  }
+
+  def jdbcRead(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", derbyDriver)
+      .load()
+
+  /** Retry-safe incremental JDBC load: first load CREATEs the typed
+    * table; later loads append ONLY the keys the warehouse does not
+    * already hold (the batch anti-joins the pushed-down key projection
+    * of the external table), so a crashed-and-replayed load — or the
+    * same batch landing twice from an orchestrator retry — is a
+    * per-key no-op: the refreshSetSimIndex idempotence recipe at the
+    * warehouse boundary. Insert-only by design, matching the
+    * reference's COPY loader; versioned UPDATE semantics live in the
+    * parquet-side MERGE ([[mergeIntoWarehouse]]).
+    */
+  def jdbcIncrementalLoad(spark: SparkSession, batch: DataFrame, url: String,
+                          table: String, keys: Seq[String],
+                          columnTypes: String = ""): Unit = {
+    val existing =
+      try Some(jdbcRead(spark, url, table).select(keys.map(col): _*))
+      catch { case _: Exception => None } // first load: table absent
+    existing match {
+      case None => jdbcWriteTyped(batch, url, table, columnTypes)
+      case Some(ex) =>
+        batch.join(ex, keys, "left_anti").write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("driver", derbyDriver)
+          .mode("append").save()
+    }
+  }
+
   def incrementalLoad(spark: SparkSession, sinkDir: String, warehouseDir: String,
                       keys: Seq[String], versionDesc: Seq[Column]): Unit = {
     val batch = readMergedSchema(spark, sinkDir)

@@ -332,6 +332,52 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(landed(sinkK) === k, "a full wire replay must be idempotent by layout")
   }
 
+  test("A17 JDBC warehouse load: typed round-trip, pushdown into the external scan, replay-idempotent") {
+    import spark.implicits._
+    // embedded Derby = the real Spark JDBC connector end-to-end (the
+    // reference's Snowflake loader seam; no network warehouse in the
+    // sandbox). Keep Derby's log out of the repo root.
+    val home = tmpDir("graft_derby_home")
+    System.setProperty("derby.system.home", home)
+    val url = Tables.jdbcUrl(tmpDir("graft_derby") + "/wh")
+    val batch1 = Seq(
+      ("t1", 1L, 10.5, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      ("t2", 2L, 20.0, java.sql.Timestamp.valueOf("2024-03-02 10:00:00")))
+      .toDF("transaction_id", "user_id", "amount", "ts")
+    // explicit VARCHAR (the reference's typed-columns discipline — the
+    // dialect would default the string to a CLOB no predicate can push to)
+    Tables.jdbcIncrementalLoad(spark, batch1, url, "transactions",
+      Seq("transaction_id"), "transaction_id VARCHAR(64)")
+    def readBack() = Tables.jdbcRead(spark, url, "transactions")
+    assert(readBack().count() === 2)
+    // replay of the SAME batch (orchestrator retry): per-key no-op
+    Tables.jdbcIncrementalLoad(spark, batch1, url, "transactions",
+      Seq("transaction_id"))
+    assert(readBack().count() === 2, "a replayed load must not duplicate keys")
+    // a second batch overlapping one key: only the new key lands
+    val batch2 = Seq(
+      ("t2", 2L, 99.0, java.sql.Timestamp.valueOf("2024-03-02 11:00:00")),
+      ("t3", 3L, 30.0, java.sql.Timestamp.valueOf("2024-03-03 10:00:00")))
+      .toDF("transaction_id", "user_id", "amount", "ts")
+    Tables.jdbcIncrementalLoad(spark, batch2, url, "transactions",
+      Seq("transaction_id"))
+    val rows = readBack().collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(rows === Map("t1" -> 10.5, "t2" -> 20.0, "t3" -> 30.0),
+      "insert-only load: existing keys keep their first-landed row")
+    // values survive the dialect round-trip (timestamp + bigint + double)
+    val t1 = readBack().filter(col("transaction_id") === "t1").head()
+    assert(t1.getAs[Long]("user_id") === 1L)
+    assert(t1.getAs[java.sql.Timestamp]("ts") ===
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00"))
+    // the filter must push INTO the external system's scan, not run in
+    // Spark over a full table fetch
+    val plan = readBack().filter(col("amount") > 15.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("amount"),
+      s"predicate must push down to the JDBC scan:\n$plan")
+  }
+
   test("A10 malformed CSV rows quarantine instead of failing the load") {
     val dir = tmpDir("graft_badcsv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"),
