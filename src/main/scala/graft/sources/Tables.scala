@@ -717,6 +717,28 @@ object Tables {
     }
   }
 
+  /** A17b: the reference's actual topology closed end-to-end minus the
+    * broker — STREAM → external warehouse: each micro-batch lands
+    * through [[jdbcIncrementalLoad]], whose per-key anti-join makes a
+    * replayed batch (crash between sink write and checkpoint commit,
+    * or a full re-run from a fresh checkpoint) a warehouse no-op. The
+    * exactly-once unit here is the KEY, not the batch layout (a JDBC
+    * table has no partition subtree to overwrite) — the right
+    * mechanism for an insert-only external warehouse.
+    */
+  def jdbcStreamLoad(stream: DataFrame, url: String, table: String,
+                     keys: Seq[String], checkpoint: String,
+                     columnTypes: String = ""): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        jdbcIncrementalLoad(batch.sparkSession, batch, url, table, keys,
+          columnTypes)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def incrementalLoad(spark: SparkSession, sinkDir: String, warehouseDir: String,
                       keys: Seq[String], versionDesc: Seq[Column]): Unit = {
     val batch = readMergedSchema(spark, sinkDir)

@@ -378,6 +378,39 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       s"predicate must push down to the JDBC scan:\n$plan")
   }
 
+  test("A17b stream -> JDBC warehouse: micro-batches land per-key exactly-once, replay is a no-op") {
+    System.setProperty("derby.system.home", tmpDir("graft_derby_home2"))
+    val url = Tables.jdbcUrl(tmpDir("graft_derby2") + "/wh")
+    val in = tmpDir("graft_jdbc_stream_in")
+    Files.writeString(Paths.get(in, "a.csv"),
+      "transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp\n" +
+        "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z\n" +
+        "t2,2,10,s1,20.0,cash,KENYA,2024-03-01T11:00:00.000Z\n")
+    Files.writeString(Paths.get(in, "b.csv"),
+      "transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp\n" +
+        "t2,2,10,s1,20.0,cash,KENYA,2024-03-01T11:00:00.000Z\n" + // cross-batch dup
+        "t3,3,20,s2,30.0,mobile,BRAZIL,2024-03-01T12:00:00.000Z\n")
+    // deterministic batch order (§6b: same-ms mtimes tie-break arbitrarily)
+    new java.io.File(in).listFiles().sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000) }
+    def drain(ck: String): Unit = Tables.jdbcStreamLoad(
+      Tables.readTxStream(spark, "csv", in, maxFilesPerTrigger = 1),
+      url, "tx_stream", Seq("transaction_id"), ck,
+      "transaction_id VARCHAR(64)").awaitTermination()
+    drain(tmpDir("graft_jdbc_ck1"))
+    def landed(): Map[String, Double] =
+      Tables.jdbcRead(spark, url, "tx_stream").collect()
+        .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    val first = landed()
+    assert(first === Map("t1" -> 10.0, "t2" -> 20.0, "t3" -> 30.0),
+      "cross-batch duplicate keys must land once")
+    // full replay from a fresh checkpoint: every batch re-lands, the
+    // warehouse key anti-join makes it a no-op
+    drain(tmpDir("graft_jdbc_ck2"))
+    assert(landed() === first, "a replayed stream must not duplicate warehouse keys")
+    assert(Tables.jdbcRead(spark, url, "tx_stream").count() === 3)
+  }
+
   test("A10 malformed CSV rows quarantine instead of failing the load") {
     val dir = tmpDir("graft_badcsv")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.csv"),
