@@ -36,21 +36,16 @@ object IndexStream {
     val cents = Similarity.readCentroids(spark, dir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spk = batch.sparkSession
-        val prev = spk.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spk.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          Similarity.assignCells(Similarity.withNorm(batch), cents)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .partitionBy("cell", "batch_id")
-            .parquet(s"$dir/delta")
-        } finally {
-          prev match {
-            case Some(v) => spk.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => spk.conf.unset("spark.sql.sources.partitionOverwriteMode")
-          }
-        }
+        // per-WRITE dynamic overwrite (round-12 advice: the session-conf
+        // toggle here raced any concurrent writer on the shared session
+        // — its sibling maintainBandDelta was fixed in r11, this one
+        // kept the old shape)
+        Similarity.assignCells(Similarity.withNorm(batch), cents)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "batch_id")
+          .parquet(s"$dir/delta")
         ()
       }
       .option("checkpointLocation", checkpoint)

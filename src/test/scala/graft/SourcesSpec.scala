@@ -378,6 +378,103 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
       s"predicate must push down to the JDBC scan:\n$plan")
   }
 
+  test("A17c a transient existence-probe failure fails the load LOUDLY — it can never clobber the warehouse") {
+    import spark.implicits._
+    // round-12 advice defect: the old probe was `try read catch { _ =>
+    // absent }`, so a connection reset on an EXISTING table routed to
+    // mode("overwrite") and silently recreated it with only the current
+    // batch. The probe is now an injectable seam backed by
+    // jdbcTableExists (catalog metadata, exceptions propagate).
+    System.setProperty("derby.system.home", tmpDir("graft_derby_home3"))
+    val url = Tables.jdbcUrl(tmpDir("graft_derby3") + "/wh")
+    val batch1 = Seq(("t1", 10.5), ("t2", 20.0)).toDF("transaction_id", "amount")
+    Tables.jdbcIncrementalLoad(spark, batch1, url, "tx_guard",
+      Seq("transaction_id"), "transaction_id VARCHAR(64)")
+    assert(Tables.jdbcRead(spark, url, "tx_guard").count() === 2)
+    // simulated transient failure (connection reset / lock timeout /
+    // auth hiccup) while the table EXISTS: the load must throw, and the
+    // landed data must be byte-for-byte intact
+    val boom = intercept[RuntimeException] {
+      Tables.jdbcIncrementalLoad(spark,
+        Seq(("t9", 99.0)).toDF("transaction_id", "amount"), url, "tx_guard",
+        Seq("transaction_id"),
+        tableExists = (_, _) => throw new RuntimeException("connection reset"))
+    }
+    assert(boom.getMessage === "connection reset")
+    val rows = Tables.jdbcRead(spark, url, "tx_guard").collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(rows === Map("t1" -> 10.5, "t2" -> 20.0),
+      "a failed probe must leave the warehouse untouched")
+    // the real probe: explicit catalog answer, both polarities
+    assert(Tables.jdbcTableExists(url, "tx_guard"))
+    assert(!Tables.jdbcTableExists(url, "tx_no_such_table"))
+  }
+
+  test("A17c incremental probe is BOUNDED: the batch's key envelope pushes into the external scan") {
+    import spark.implicits._
+    System.setProperty("derby.system.home", tmpDir("graft_derby_home4"))
+    val url = Tables.jdbcUrl(tmpDir("graft_derby4") + "/wh")
+    Tables.jdbcIncrementalLoad(spark,
+      Seq(("t1", 1L, 10.0), ("t5", 5L, 50.0), ("t9", 9L, 90.0))
+        .toDF("transaction_id", "user_id", "amount"),
+      url, "tx_bounded", Seq("transaction_id"), "transaction_id VARCHAR(64)")
+    // the probe the anti-join consumes: warehouse key projection
+    // filtered to the batch's [lo, hi] — the range must appear in
+    // PushedFilters (external-side evaluation), keeping per-batch probe
+    // cost O(batch key span) instead of O(warehouse history)
+    val probe = Tables.jdbcKeyProbe(spark, url, "tx_bounded",
+      Seq("transaction_id"), org.apache.spark.sql.Row("t4", "t6"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(transaction_id,t4)") &&
+      plan.contains("LessThanOrEqual(transaction"),
+      s"batch key envelope must push into the JDBC scan:\n$plan")
+    assert(probe.collect().map(_.getString(0)).toSeq === Seq("t5"))
+    // an overlapping second batch still lands exactly the new keys
+    // through the bounded probe (functional end-to-end)
+    Tables.jdbcIncrementalLoad(spark,
+      Seq(("t5", 5L, 55.0), ("t7", 7L, 70.0))
+        .toDF("transaction_id", "user_id", "amount"),
+      url, "tx_bounded", Seq("transaction_id"))
+    val landed = Tables.jdbcRead(spark, url, "tx_bounded").collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(landed === Map("t1" -> 10.0, "t5" -> 50.0, "t9" -> 90.0, "t7" -> 70.0))
+    // the bulk-extract shape: a range-partitioned read fans the
+    // external scan across N connections/tasks
+    val part = Tables.jdbcReadPartitioned(spark, url, "tx_bounded",
+      "user_id", 0L, 10L, 3)
+    assert(part.rdd.getNumPartitions === 3)
+    assert(part.count() === 4)
+  }
+
+  test("A17d staged warehouse-side MERGE upsert: matched keys UPDATE, new keys insert, replay idempotent") {
+    import spark.implicits._
+    // the reference loader's exact shape (load_to_snowflake_transction
+    // .py: stage + MERGE WHEN MATCHED THEN UPDATE) — the semantics
+    // jdbcIncrementalLoad deliberately does NOT have
+    System.setProperty("derby.system.home", tmpDir("graft_derby_home5"))
+    val url = Tables.jdbcUrl(tmpDir("graft_derby5") + "/wh")
+    Tables.jdbcMergeLoad(spark,
+      Seq(("t1", 10.5), ("t2", 20.0)).toDF("transaction_id", "amount"),
+      url, "tx_merge", Seq("transaction_id"), "transaction_id VARCHAR(64)")
+    def landed(): Map[String, Double] =
+      Tables.jdbcRead(spark, url, "tx_merge").collect()
+        .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(landed() === Map("t1" -> 10.5, "t2" -> 20.0))
+    // overlapping batch: t2 must take the NEW value (the reference's
+    // WHEN MATCHED THEN UPDATE — where jdbcIncrementalLoad keeps 20.0)
+    val batch2 = Seq(("t2", 99.0), ("t3", 30.0)).toDF("transaction_id", "amount")
+    Tables.jdbcMergeLoad(spark, batch2, url, "tx_merge", Seq("transaction_id"))
+    assert(landed() === Map("t1" -> 10.5, "t2" -> 99.0, "t3" -> 30.0),
+      "matched keys must update, unmatched insert")
+    // replaying the same batch is idempotent (update to identical values)
+    Tables.jdbcMergeLoad(spark, batch2, url, "tx_merge", Seq("transaction_id"))
+    assert(landed() === Map("t1" -> 10.5, "t2" -> 99.0, "t3" -> 30.0))
+    assert(Tables.jdbcRead(spark, url, "tx_merge").count() === 3)
+    // the staging table is transient — dropped after every merge
+    assert(!Tables.jdbcTableExists(url, "tx_merge_stage"))
+  }
+
   test("A17b stream -> JDBC warehouse: micro-batches land per-key exactly-once, replay is a no-op") {
     System.setProperty("derby.system.home", tmpDir("graft_derby_home2"))
     val url = Tables.jdbcUrl(tmpDir("graft_derby2") + "/wh")
