@@ -337,6 +337,90 @@ object Bench {
       case _ => (0, false)
     }
 
+  /** Suspect decision for STUDY seconds (round-12 verdict item 5:
+    * `h1_trend_vol_x4` read 3.2× its prior — a host-contended
+    * streaming read — and nothing flagged it, silently swinging the
+    * derived marginal-rows/s 3×). Studies are multi-minute protocols,
+    * not single queries, so there is no cheap re-run: a >2× mover is
+    * recorded once and FLAGGED, the same record-once arm stallGuard
+    * takes past its ceiling. Same jitter floor as stallGuard (sub-0.5 s
+    * readings never flag).
+    */
+  private[graft] def studySuspect(prior: Option[Double], fresh: Double): Boolean =
+    prior.exists(p => p > 0 && fresh > 2 * p && fresh > 0.5)
+
+  /** The two-volume fixed/marginal split (h12/h17/h20 maintenance
+    * protocol): t = batches×fixed + rows×marginal, measured at x1 and
+    * x4 row volume over the same batch count, so
+    * marginal = 3r/(t4−t1). The difference is only trustworthy when
+    * the volumes actually separate: t4 ≤ t1 is a noise inversion, and
+    * (round-12 advice) t4 a hair above t1 fabricates an arbitrarily
+    * huge marginal from pure jitter — both report marginal = -1 and
+    * fall back to fixed = t1/batches. 10% minimum separation ≈ 3× the
+    * observed sub-second jitter on these multi-second readings.
+    */
+  private[graft] def volumeSplit(t1: Double, t4: Double, r: Double,
+                                 nBatches: Double): (Double, Double) =
+    if (t4 > 1.1 * t1) {
+      val marginal = 3.0 * r / (t4 - t1)
+      ((t1 - r / marginal) / nBatches, marginal)
+    } else (t1 / nBatches, -1.0)
+
+  /** Parse one artifact's `"scaling":{...}` block into per-query
+    * ordered (key, literal-value) lists. Inner entry objects are flat
+    * (no nested braces), so the regex walk is exact; values stay
+    * verbatim strings so a parse→merge→serialize round-trip is
+    * byte-stable.
+    */
+  private[graft] def parseScalingBlock(text: String): Seq[(String, Seq[(String, String)])] = {
+    val start = text.indexOf("\"scaling\":{")
+    if (start < 0) return Seq.empty
+    val body = {
+      // walk to the matching close brace of the scaling object
+      var depth = 0; var i = text.indexOf('{', start); var end = -1
+      while (end < 0 && i < text.length) {
+        text.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return Seq.empty
+      text.substring(text.indexOf('{', start) + 1, end)
+    }
+    """"([^"]+)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(body).map { m =>
+      m.group(1) ->
+        """"([^"]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(m.group(2))
+          .map(kv => kv.group(1) -> kv.group(2)).toSeq
+    }.toSeq
+  }
+
+  /** Carry scaling DECADES forward across artifact rewrites (round-12
+    * verdict item 4: the driver's per-round capture runs without
+    * SPARK_GRAFT_SF1_DIR, and committing it as-is erased the committed
+    * record's 47 `t_sf1`/`exp_sf1` columns — the four-decade scaling
+    * evidence). For every query present in the FRESH capture, keys the
+    * fresh entry lacks are appended from the previous artifact of
+    * record, so a decade measured once survives until a capture
+    * actually re-measures it (fresh values always win on shared keys —
+    * t_sf1 and exp_sf1 travel as a pair from ONE capture, so the
+    * carried exponent stays internally consistent even when the new
+    * t_sf01 moved). Queries only in the previous record are dropped:
+    * a renamed or retired scaling entry must not linger forever.
+    */
+  private[graft] def carryForwardScaling(fresh: String, prevArtifact: String): String = {
+    val prev = parseScalingBlock(prevArtifact).toMap
+    val freshEntries = parseScalingBlock("\"scaling\":" + fresh)
+    if (freshEntries.isEmpty) return fresh
+    freshEntries.map { case (name, kvs) =>
+      val have = kvs.map(_._1).toSet
+      val carried = prev.getOrElse(name, Seq.empty).filterNot(kv => have(kv._1))
+      s""""$name":${(kvs ++ carried).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")}"""
+    }.mkString("{", ",", "}")
+  }
+
   /** One bench reading. `seconds=false` marks study metrics in OTHER
     * units (bytes-on-disk MB, rows/s, cells/batch, state rows): they
     * ride the studies map and BENCH_FULL.json like everything else but
@@ -436,8 +520,30 @@ object Bench {
       streaming ++ bucketed ++ curation ++ annIndex ++
       compaction ++ codec ++ layout ++ prune ++ colPrune ++ zorder ++
       maintenance ++ wvol ++ ssidx
-    val scaling = scalingStudy(spark, sfDir,
+    // study seconds ride the same suspect discipline as query seconds
+    // (round-12 verdict item 5) — flag-only, studies have no cheap
+    // re-run; the guarded headline/extended names were already handled
+    val guardedNames = results.map(_._1).toSet
+    all.foreach { m =>
+      if (m.seconds && !guardedNames(m.name) &&
+          studySuspect(prior.get(m.name), m.value)) {
+        suspects += m.name
+        System.err.println(f"[bench] study ${m.name} SUSPECT: ${m.value}%.3f s " +
+          f"is >2x committed ${prior(m.name)}%.3f s — recorded once, flagged")
+      }
+    }
+    val scaling0 = scalingStudy(spark, sfDir,
       all.map(m => m.name -> m.value).toMap)
+    // decades the fresh capture lacks (t_sf1/exp_sf1) carry forward
+    // from the artifact of record instead of being erased by the write
+    val scaling = scaling0.map { s =>
+      val prevText =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(artifactFor(sfDir))),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch { case scala.util.control.NonFatal(_) => "" }
+      carryForwardScaling(s, prevText)
+    }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double, decimals: Int = 3): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
@@ -1693,11 +1799,12 @@ object Bench {
       "h17_drift_cells_per_batch",
       "h20_ivf_fixed_s_per_batch", "h20_ivf_marginal_rows_per_s")
     val nBatches = 4.0
+    // volumeSplit (shared, BenchSpec-pinned): the r12 advice closed the
+    // near-tie hole — t4 barely above t1 fabricated an arbitrarily huge
+    // marginal with no flag; now sub-10%-separation reports -1 like the
+    // inversion case
     def split(t1: Double, t4: Double, r: Double): (Double, Double) =
-      if (t4 > t1) {
-        val marginal = 3.0 * r / (t4 - t1)
-        ((t1 - r / marginal) / nBatches, marginal)
-      } else (t1 / nBatches, -1.0)
+      volumeSplit(t1, t4, r, nBatches)
     var tmp: String = null
     try {
       tmp = java.nio.file.Files.createTempDirectory("graft_bench_maint").toString

@@ -114,4 +114,50 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.priorRecordPaths("/root/testdata/sf0.01") ===
       Seq("BENCH_FULL_sf0.01.json"))
   }
+
+  test("study suspect: a >2x study mover flags (no re-run), jitter and new studies never flag") {
+    // the r12 hole: h1_trend_vol_x4 read 21.1 s vs a 6.6 s prior and
+    // nothing flagged it — volume studies feed the fixed/marginal fit
+    assert(Bench.studySuspect(Some(6.6), 21.1))
+    assert(!Bench.studySuspect(Some(6.6), 12.0), "under 2x is a normal reading")
+    assert(!Bench.studySuspect(None, 100.0), "no prior = unguarded first reading")
+    assert(!Bench.studySuspect(Some(0.1), 0.4), "sub-0.5s jitter never flags")
+    assert(!Bench.studySuspect(Some(-1.0), 50.0), "a failed prior guards nothing")
+  }
+
+  test("volume split: marginal requires real separation — near-ties and inversions report -1") {
+    // clean separation: t = 4*fixed + rows*marginal with fixed=0.5s,
+    // marginal=1e5 rows/s over 1e6 rows: t1 = 2+10=12, t4 = 2+40=42
+    val (fix, marg) = Bench.volumeSplit(12.0, 42.0, 1e6, 4.0)
+    assert(math.abs(marg - 1e5) < 1e-6 && math.abs(fix - 0.5) < 1e-9)
+    // the r12 advice hole: t4 a hair above t1 fabricated a huge
+    // marginal from jitter — sub-10% separation now refuses the fit
+    val (fixTie, margTie) = Bench.volumeSplit(10.0, 10.4, 1e6, 4.0)
+    assert(margTie === -1.0 && fixTie === 2.5)
+    // inversion keeps its r11 behavior
+    assert(Bench.volumeSplit(10.0, 9.0, 1e6, 4.0) === ((2.5, -1.0)))
+  }
+
+  test("scaling carry-forward: decades the fresh capture lacks survive the artifact rewrite") {
+    val prev = """{"metric":"total","value":220.7,"queries":{"a":1.0},""" +
+      """"scaling":{"q1":{"t_sf001":0.5,"t_sf01":1.2,"exp":0.4,"t_sf1":3.0,"exp_sf1":0.42},""" +
+      """"gone":{"t_sf01":9.9,"t_sf1":8.8}},"sf":"x"}"""
+    val fresh = """{"q1":{"t_sf001":0.6,"t_sf01":1.4,"exp":0.38},"q2":{"t_sf001":0.1,"exp":0.2}}"""
+    val merged = Bench.carryForwardScaling(fresh, prev)
+    val entries = Bench.parseScalingBlock("\"scaling\":" + merged).toMap
+    // fresh values win on shared keys; the sf1 decade carries forward
+    assert(entries("q1").toMap === Map("t_sf001" -> "0.6", "t_sf01" -> "1.4",
+      "exp" -> "0.38", "t_sf1" -> "3.0", "exp_sf1" -> "0.42"))
+    // a brand-new entry passes through untouched
+    assert(entries("q2").toMap === Map("t_sf001" -> "0.1", "exp" -> "0.2"))
+    // retired entries do not linger
+    assert(!entries.contains("gone"))
+    // no previous artifact (or none parseable): fresh passes through
+    assert(Bench.carryForwardScaling(fresh, "") ===
+      """{"q1":{"t_sf001":0.6,"t_sf01":1.4,"exp":0.38},"q2":{"t_sf001":0.1,"exp":0.2}}""")
+    // the round-trip is stable: merging twice changes nothing
+    val again = Bench.carryForwardScaling(merged,
+      s"""{"metric":"total","scaling":$merged,"sf":"x"}""")
+    assert(again === merged)
+  }
 }
