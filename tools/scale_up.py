@@ -13,11 +13,28 @@ tool class as local_verify.py (repo-side harness, not library code):
   so referential integrity and per-key multiplicities are exactly
   preserved and cross-copy keys never collide. Timestamps/values are
   untouched (time windows get copies-x density — the scale-up shape).
-- documents: copy 0 verbatim; copy i>0 suffixes every token with _i
-  (disjoint vocab per copy), so near-dup structure within a copy is
-  statistically the original's and CROSS-copy near-dups are zero —
-  dedup families scale linearly by construction instead of exploding
-  on artificial 10-cliques of identical text. n_chars recomputed.
+- documents: copy 0 verbatim; copy i>0 rewrites every token w as
+  w + '_' + i + 'z'*(hash(w|i) % 3) — a per-copy vocab BIJECTION
+  (disjoint across copies), with a WORD-AND-COPY-dependent suffix
+  length — and then applies a per-copy affine permutation of the a-z
+  alphabet (letter j -> (k_i*j + i) mod 26, k_i coprime with 26).
+  Why both, and why the variable length (the round-12 verdict's g5
+  fix): the corpus's aHash/pHash features reduce to a letter-vs-
+  separator THRESHOLD MASK of the first N bytes (every a-z code sits
+  above the code mean, every space/digit/underscore below), so the
+  fingerprint is a function of the token-LENGTH pattern alone. A
+  fixed-width suffix ('_i') preserves that pattern copy-to-copy
+  exactly — replicas stayed true pHash duplicates (exp_sf1 1.29,
+  3.6M of 4.0M sf1 pairs cross-copy when measured) — and no letter
+  permutation/rotation can help because the mask never looks at
+  WHICH letter. Varying the suffix length by hash(word|copy)
+  decorrelates the length pattern itself across copies while staying
+  a bijection per copy (same word -> same token), so token-level
+  dedup structure within a copy is exactly the original's and
+  cross-copy collisions drop to band-collision noise at BOTH the
+  token and the byte level. The alphabet permutation still rides
+  along so raw byte CONTENT is copy-distinct even where lengths tie.
+  n_chars recomputed.
 - embeddings: copy i cyclically rotates the 64 components by i.
   Rotation preserves norms and all WITHIN-copy dot products exactly
   (each copy's ANN structure is the original corpus's), while
@@ -101,17 +118,30 @@ def main():
                '{{"k": ' || CAST(CAST(json_extract(props, '$.k') AS INT)
                                  + c * {kspan} AS VARCHAR) || '}}' AS props
         FROM {src_t('events')}, {rng}""")
+    # per-copy affine alphabet permutation (see module doc): k coprime
+    # with 26, shift = c; copy 0 is the identity
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    ks = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]  # coprime with 26
+
+    def perm(c):
+        k = ks[c % len(ks)]
+        return "".join(alpha[(k * j + c) % 26] for j in range(26))
+
+    scramble = "CASE " + " ".join(
+        f"WHEN c = {i} THEN translate(suffixed, '{alpha}', '{perm(i)}')"
+        for i in range(1, copies)) + " ELSE suffixed END"
     copy_table("documents", f"""
-        SELECT doc_id + c * {doc} AS doc_id,
-               CASE WHEN c = 0 THEN text
-                    ELSE array_to_string(list_transform(str_split(text, ' '),
-                           w -> w || '_' || CAST(c AS VARCHAR)), ' ') END AS text,
-               lang, source,
-               CAST(length(CASE WHEN c = 0 THEN text
-                    ELSE array_to_string(list_transform(str_split(text, ' '),
-                           w -> w || '_' || CAST(c AS VARCHAR)), ' ') END)
-                    AS BIGINT) AS n_chars
-        FROM {src_t('documents')}, {rng}""")
+        SELECT doc_id + c * {doc} AS doc_id, {scramble} AS text,
+               lang, source, CAST(length({scramble}) AS BIGINT) AS n_chars
+        FROM (SELECT doc_id, c,
+                     CASE WHEN c = 0 THEN text
+                          ELSE array_to_string(list_transform(str_split(text, ' '),
+                                 w -> w || '_' || CAST(c AS VARCHAR)
+                                        || repeat('z', CAST(hash(w || '|' ||
+                                             CAST(c AS VARCHAR)) % 3 AS INT))), ' ') END
+                       AS suffixed,
+                     lang, source
+              FROM {src_t('documents')}, {rng})""")
     copy_table("embeddings", f"""
         SELECT vec_id + c * {vec} AS vec_id,
                CAST(CASE WHEN c = 0 THEN embedding
