@@ -263,6 +263,54 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Corpus-generation fingerprint: md5 over the sorted
+    * `file:bytes:rows` listing of the scale dir's parquet files (rows
+    * from the footers — no data scan). The driver REGENERATES testdata
+    * every round, and round 13 proved a regeneration alone moves the
+    * pair-graph family 2× (corpus pair density, zero code change) —
+    * without a generation id in the record, a corpus move and a code
+    * regression are indistinguishable, and per-query MIN priors
+    * straddle generations (the r13 verdict item). The fingerprint
+    * rides the artifact as `"corpus":"<hex>"`; prior records from a
+    * DIFFERENT generation are excluded from the stall-guard prior.
+    */
+  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = root.getFileSystem(conf)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        val rows = try rd.getRecordCount finally rd.close()
+        lines += s"${f.getPath.getName}:${f.getLen}:$rows"
+      }
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Fingerprint recorded in an artifact's text, tolerant of the
+    * driver wrapper's backslash-escaped "tail" form. None = a record
+    * that predates fingerprinting.
+    */
+  private[graft] def parseCorpus(text: String): Option[String] =
+    """\\?"corpus\\?":\\?"([0-9a-f]{6,})""".r
+      .findFirstMatchIn(text).map(_.group(1))
+
+  /** Prior-eligibility rule: a record from a DIFFERENT corpus
+    * generation never feeds the stall-guard prior (its per-query MINs
+    * belong to other data); a record with NO fingerprint predates the
+    * mechanism and stays eligible until it ages out of the lookback.
+    */
+  private[graft] def corpusMatches(recorded: Option[String], current: String): Boolean =
+    recorded.forall(_ == current)
+
   /** Per-query MIN across several committed records — the stall-guard
     * prior (round-11 verdict item 2: the artifact of record is
     * whatever capture the driver last committed, and a HOST-CONTENDED
@@ -460,7 +508,23 @@ object Bench {
       }
     }
 
-    val prior = mergedPriors(priorRecordPaths(sfDir).map(priorReadings))
+    // priors only from records of THIS corpus generation (regeneration
+    // moves corpus-dependent timings legitimately — r13's pair family
+    // doubled on zero code change; a cross-generation MIN would read
+    // that as a permanent >2× mover every round)
+    val corpusFp = corpusFingerprint(spark, sfDir)
+    val prior = mergedPriors(priorRecordPaths(sfDir).map { p =>
+      val text =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        catch { case scala.util.control.NonFatal(_) => "" }
+      if (corpusMatches(parseCorpus(text), corpusFp)) priorReadings(p)
+      else {
+        System.err.println(s"[bench] $p is from corpus ${parseCorpus(text).get} " +
+          s"(current $corpusFp) — excluded from the stall-guard prior")
+        Map.empty[String, Double]
+      }
+    })
     val suspects = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = (headline ++ extended).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -516,10 +580,11 @@ object Bench {
     val maintenance = maintenanceStudy(spark, sfDir)
     val wvol = windowedVolumeStudy(spark, sfDir)
     val ssidx = setSimIndexStudy(spark, sfDir)
+    val pairs = pairDensityStudy(spark, sfDir)
     val all: Seq[Metric] = results.map(e => Metric(e._1, e._2)) ++
       streaming ++ bucketed ++ curation ++ annIndex ++
       compaction ++ codec ++ layout ++ prune ++ colPrune ++ zorder ++
-      maintenance ++ wvol ++ ssidx
+      maintenance ++ wvol ++ ssidx ++ pairs
     // study seconds ride the same suspect discipline as query seconds
     // (round-12 verdict item 5) — flag-only, studies have no cheap
     // re-run; the guarded headline/extended names were already handled
@@ -567,7 +632,7 @@ object Bench {
     val suspectList = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${qmap(all)},"non_seconds":$nonSecondsList,""" +
-      s""""suspect":$suspectList,"sf":"$sfDir"$scalingPart}"""
+      s""""suspect":$suspectList,"corpus":"$corpusFp","sf":"$sfDir"$scalingPart}"""
     // the committed artifact of record is the sf0.1 capture (the
     // driver's scale); local runs at OTHER scales write a side file so
     // a small-SF iteration can never silently replace the record (it
@@ -584,12 +649,82 @@ object Bench {
     // window — precision drops until it fits (at headline.size ≈ 78
     // names the 3-decimal form runs ~1.9 KB, right at the edge; 0
     // decimals is the last resort and still ranks regressions coarsely)
+    // the headline carries the corpus fingerprint too: the driver's
+    // round record is a stdout capture, and the prior filter must be
+    // able to date THOSE records to a generation as well
     def headLine(decimals: Int): String =
       s"""{"metric":"total","value":${num(total, decimals)},"unit":"sec",""" +
-        s""""queries":${qmap(headQs, decimals)},"sf":"$sfDir"}"""
+        s""""queries":${qmap(headQs, decimals)},"corpus":"$corpusFp","sf":"$sfDir"}"""
     println(Iterator(3, 2, 1, 0).map(headLine)
       .find(_.length <= 1900).getOrElse(headLine(0)))
     spark.stop()
+  }
+
+  /** Shuffle bytes WRITTEN by the finalized plan of df's own execution
+    * (never a .write's separate QueryExecution — the round-7 rule):
+    * walk adaptive stages, dedup shared stage objects, skip reused
+    * exchanges (their metrics alias the original's). The wire-cost
+    * instrument behind the j1 `_mb` twins and the d14/d22 scaling
+    * measurements (graft.ScaleProbe).
+    */
+  private[graft] def shuffleWriteMb(df: org.apache.spark.sql.DataFrame): Double = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val seen = scala.collection.mutable.Set[Int]()
+    var bytes = 0L
+    def walk(p: SparkPlan): Unit = {
+      if (!seen.add(System.identityHashCode(p))) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _: ReusedExchangeExec => ()
+        case other =>
+          other.metrics.get("shuffleBytesWritten").foreach(m => bytes += m.value)
+          other.children.foreach(walk)
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    bytes / 1e6
+  }
+
+  /** Pair-density companions for the pair-graph family (round-13
+    * verdict item 5): the candidate/edge-pair COUNT of each family's
+    * graph, recorded beside its timing so a corpus regeneration that
+    * moves the density (r13: the family doubled on zero code change)
+    * is distinguishable from a plan regression in the record itself.
+    * Counts, not seconds (`seconds = false` — the round-6 rule keeps
+    * them out of the `"unit":"sec"` total by TYPE):
+    *  - `g5_pairs`: the banded pHash pair graph — g8's clusters and
+    *    g9's keepers consume this IDENTICAL graph, so one metric
+    *    covers the phash trio;
+    *  - `c28_pairs`: the minShared=6 strong-edge collusion graph the
+    *    ring components resolve over;
+    *  - `d16_pairs`: the MinHash-LSH candidate pairs d8/d16 cluster;
+    *  - `e17_pairs`: the (query, vector) candidates the 256-query
+    *    batch ADC scan evaluates (cell-histogram form — bounded
+    *    driver state, no extra corpus pass).
+    */
+  private def pairDensityStudy(spark: SparkSession, sfDir: String): Seq[Metric] = {
+    import graft.sources.Tables
+    import graft.operators.{Dedup, Fraud, Multimodal, Similarity}
+    def m(name: String)(f: => Long): Metric =
+      try Metric(name, f.toDouble, seconds = false)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Metric(name, -1.0, seconds = false)
+      }
+    Seq(
+      m("g5_pairs")(Multimodal.phashNearDup(
+        Multimodal.withPayload(Tables.table(spark, sfDir, "documents"))).count()),
+      m("c28_pairs")(Fraud.collusionPairs(
+        Tables.table(spark, sfDir, "events"), minShared = 6).count()),
+      m("d16_pairs")(Dedup.minhashCandidates(
+        Tables.table(spark, sfDir, "documents")).count()),
+      m("e17_pairs")(Similarity.ivfPqJoinCandidateCount(
+        Tables.table(spark, sfDir, "embeddings"), 0L until 256L)))
   }
 
   /** Bytes an object-store reader must FETCH for a parquet scan,
@@ -1583,31 +1718,6 @@ object Bench {
                                 sfDir: String): Seq[Metric] = {
     import org.apache.spark.sql.functions._
     import graft.sources.Tables
-    // shuffle bytes WRITTEN by the finalized plan of df's own execution
-    // (never a .write's separate QueryExecution — the round-7 rule):
-    // walk adaptive stages, dedup shared stage objects, skip reused
-    // exchanges (their metrics alias the original's)
-    def shuffleWriteMb(df: org.apache.spark.sql.DataFrame): Double = {
-      df.collect()
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      val seen = scala.collection.mutable.Set[Int]()
-      var bytes = 0L
-      def walk(p: SparkPlan): Unit = {
-        if (!seen.add(System.identityHashCode(p))) return
-        p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case q: QueryStageExec => walk(q.plan)
-          case _: ReusedExchangeExec => ()
-          case other =>
-            other.metrics.get("shuffleBytesWritten").foreach(m => bytes += m.value)
-            other.children.foreach(walk)
-        }
-      }
-      walk(df.queryExecution.executedPlan)
-      bytes / 1e6
-    }
     def joined(li: org.apache.spark.sql.DataFrame,
                o: org.apache.spark.sql.DataFrame) =
       li.join(o, li("l_orderkey") === o("o_orderkey"))

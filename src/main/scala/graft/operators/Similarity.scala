@@ -1260,6 +1260,36 @@ object Similarity {
     * the IVF routing's pruning applied to the join, not just the
     * point lookup.
     */
+  /** Candidate-pair cardinality of the [[ivfPqKnnJoin]] ADC scan — the
+    * pair-density instrument (round-13 verdict: the e17/pair-graph
+    * family moved 2× on a corpus regeneration alone, and the bench
+    * record needs the DENSITY beside the TIMING so a corpus move and a
+    * plan regression are distinguishable data, not prose). Exactly the
+    * (query, vector) pairs the join's candidate stage evaluates:
+    * Σ_cell rows(cell) × queriesProbing(cell), minus the per-query
+    * self-hit (a query's own row always sits in its nearest — hence
+    * probed — cell and is self-excluded by the join). Driver state is
+    * bounded model state only: the centroid table and one 16-row cell
+    * histogram.
+    */
+  def ivfPqJoinCandidateCount(embeddings: DataFrame, queryIds: Seq[Long],
+                              nCentroids: Int = 16, nProbes: Int = 2): Long = {
+    val e = withNorm(embeddings)
+    val cents = seedCentroids(e, nCentroids)
+    val qRows = e.filter(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    if (qRows.isEmpty) return 0L
+    val probes = qRows.map(r => probeCellsFor(cents,
+      r.getSeq[Float](1).toArray, r.getDouble(2), nProbes))
+    val qPerCell = (0 until nCentroids).map(c => probes.count(_.contains(c)).toLong)
+    val cellRows = assignCells(e, cents).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until nCentroids).map(c => cellRows.getOrElse(c, 0L) * qPerCell(c)).sum -
+      qRows.length
+  }
+
   def ivfPqKnnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                    nCentroids: Int = 16, nProbes: Int = 2,
                    dim: Int = 64,

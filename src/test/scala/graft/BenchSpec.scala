@@ -160,4 +160,42 @@ class BenchSpec extends AnyFunSuite {
       s"""{"metric":"total","scaling":$merged,"sf":"x"}""")
     assert(again === merged)
   }
+
+  test("corpus fingerprint gate: priors never straddle testdata generations") {
+    // the r13 lesson: a regeneration alone moved the pair family 2× on
+    // zero code change — a record must be datable to its generation,
+    // and a foreign-generation record must not feed the MIN prior
+    val flat = """{"metric":"total","value":1.0,"queries":{"a":1.0},""" +
+      """"corpus":"ab12cd34ef56","sf":"x"}"""
+    assert(Bench.parseCorpus(flat) === Some("ab12cd34ef56"))
+    // the driver's round wrapper escapes the stdout capture — the
+    // fingerprint must still parse from the backslash-escaped tail
+    val wrapper = """{"n": 14, "tail": "{\"metric\":\"total\",""" +
+      """\"corpus\":\"ab12cd34ef56\",\"sf\":\"x\"}"}"""
+    assert(Bench.parseCorpus(wrapper) === Some("ab12cd34ef56"))
+    // a pre-fingerprint record parses to None and stays eligible
+    // (ages out of the lookback rather than being discarded)
+    assert(Bench.parseCorpus("""{"queries":{"a":1.0}}""") === None)
+    assert(Bench.corpusMatches(None, "ab12cd34ef56"))
+    assert(Bench.corpusMatches(Some("ab12cd34ef56"), "ab12cd34ef56"))
+    assert(!Bench.corpusMatches(Some("000000000000"), "ab12cd34ef56"),
+      "a foreign-generation record must be excluded from the prior")
+  }
+
+  test("corpus fingerprint is a content hash: stable across re-listing, moved by any row/byte change") {
+    // the one BenchSpec test that needs a session (footer reads) —
+    // the suite-shared one, never stopped here
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val fp1 = Bench.corpusFingerprint(spark, dir)
+    val fp2 = Bench.corpusFingerprint(spark, dir)
+    assert(fp1 === fp2 && fp1.matches("[0-9a-f]{12}"))
+    // a content change (one more row) must move the fingerprint
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Bench.corpusFingerprint(spark, dir) !== fp1)
+  }
 }

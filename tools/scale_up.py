@@ -127,7 +127,10 @@ def main():
         k = ks[c % len(ks)]
         return "".join(alpha[(k * j + c) % 26] for j in range(26))
 
-    scramble = "CASE " + " ".join(
+    # copies=1 leaves the WHEN list empty and 'CASE ELSE x END' is a
+    # DuckDB parse error (round-13 advice) — a single-copy run is a
+    # plain passthrough, so emit the untouched column directly
+    scramble = "suffixed" if copies < 2 else "CASE " + " ".join(
         f"WHEN c = {i} THEN translate(suffixed, '{alpha}', '{perm(i)}')"
         for i in range(1, copies)) + " ELSE suffixed END"
     copy_table("documents", f"""
