@@ -816,12 +816,18 @@ object TextAnalysis {
     * the f6 shuffle; the top-K compiles to TakeOrderedAndProject
     * (per-partition heads, never a vocab sort) and the rank window then
     * runs over the collected K rows only — bounded like e10's pool.
-    * Portability: both lns pinned at 8 dp into DECIMAL(18,8); the four
-    * regression sums are exact decimal ((18,8)² products = (37,16) ≤
-    * 38); the closing slope/intercept algebra runs in DOUBLE as the
-    * IDENTICAL op sequence on identical inputs on both engines (a
-    * decimal n·Σxy would need precision 49 — the c24 overflow class,
-    * avoided by design).
+    * Portability: both lns pinned at 8 dp into DECIMAL(10,8); ALL
+    * closing algebra is exact width-planned decimal — the round-13
+    * sf1 miss proved a double mul-sub chain (n·Σxy − Σx·Σy) is
+    * value-dependently FMA-contractible on the oracle engine, so no
+    * compound double expression survives here. The c24 overflow class
+    * is dodged by casting each sum DOWN to the tightest width its
+    * value range admits (x,y ∈ (−100,100) at 8 dp; ≤ topK=100 terms):
+    * Σ terms at (12,8)/(20,16), products peak at (33,24) ≤ 38. Each
+    * output is then ONE double division of two exact decimals —
+    * single-op IEEE, bit-portable (intercept uses the algebraic form
+    * (Σy·Σx² − Σx·Σxy)/D ≡ (Σy − slope·Σx)/n to stay a single
+    * divide).
     */
   def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -830,22 +836,23 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term"))
       .limit(topK)
     val w = Window.orderBy(col("freq").desc, col("term"))
+    val nd = col("n").cast("decimal(4,0)")
+    val den = (nd * col("sx2") - col("sx") * col("sx")).cast("double")
     top
       .select(col("freq"), row_number().over(w).cast("long").as("rnk"))
       .select(
-        round(log(col("rnk").cast("double")), 8).cast("decimal(18,8)").as("x"),
-        round(log(col("freq").cast("double")), 8).cast("decimal(18,8)").as("y"))
+        round(log(col("rnk").cast("double")), 8).cast("decimal(10,8)").as("x"),
+        round(log(col("freq").cast("double")), 8).cast("decimal(10,8)").as("y"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).cast("double").as("sx"),
-        sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("y")).cast("double").as("sxy"),
-        sum(col("x") * col("x")).cast("double").as("sx2"))
+        sum(col("x")).cast("decimal(12,8)").as("sx"),
+        sum(col("y")).cast("decimal(12,8)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(20,16)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(20,16)").as("sx2"))
       .select(col("n").as("n_terms"),
-        ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sx2") - col("sx") * col("sx"))).as("slope"),
-        ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sx2") - col("sx") * col("sx")) * col("sx"))
-          / col("n")).as("intercept"))
+        ((nd * col("sxy") - col("sx") * col("sy")).cast("double") / den)
+          .as("slope"),
+        ((col("sy") * col("sx2") - col("sx") * col("sxy")).cast("double") / den)
+          .as("intercept"))
   }
 
   /** The term-count cell table of a corpus slice — the unit both F21's
@@ -1235,19 +1242,25 @@ object TextAnalysis {
         |         row_number() OVER (ORDER BY freq DESC, term) AS rnk
         |  FROM tc QUALIFY rnk <= 100),
         |xy AS (
-        |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
-        |         CAST(round(ln(CAST(freq AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(10,8)) AS x,
+        |         CAST(round(ln(CAST(freq AS DOUBLE)), 8) AS DECIMAL(10,8)) AS y
         |  FROM top),
         |s AS (
-        |  SELECT count(*) AS n,
-        |         CAST(SUM(x) AS DOUBLE) AS sx,
-        |         CAST(SUM(y) AS DOUBLE) AS sy,
-        |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
-        |         CAST(SUM(x * x) AS DOUBLE) AS sx2
+        |  SELECT CAST(count(*) AS DECIMAL(4,0)) AS n,
+        |         CAST(SUM(x) AS DECIMAL(12,8)) AS sx,
+        |         CAST(SUM(y) AS DECIMAL(12,8)) AS sy,
+        |         CAST(SUM(x * y) AS DECIMAL(20,16)) AS sxy,
+        |         CAST(SUM(x * x) AS DECIMAL(20,16)) AS sx2
         |  FROM xy)
         |SELECT CAST(n AS BIGINT) AS n_terms,
-        |       (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
-        |       (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n AS intercept
+        |       -- sxw: DuckDB runs int64*int64 products IN int64 (both
+        |       -- widths <= 18 overflows at ~9.2e18 despite the wider
+        |       -- declared result); promoting ONE factor to width 19
+        |       -- forces exact int128 math. Same rational values.
+        |       CAST(n * sxy - CAST(sx AS DECIMAL(19,8)) * sy AS DOUBLE)
+        |         / CAST(n * sx2 - CAST(sx AS DECIMAL(19,8)) * sx AS DOUBLE) AS slope,
+        |       CAST(sy * sx2 - sx * sxy AS DOUBLE)
+        |         / CAST(n * sx2 - CAST(sx AS DECIMAL(19,8)) * sx AS DOUBLE) AS intercept
         |FROM s""".stripMargin,
 
     // F16: exact counts + a (df desc, gram asc) argmax — list_distinct

@@ -208,14 +208,18 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val xs = Seq(1.0, 2.0, 3.0, 4.0).map(ln8)
     val ys = Seq(8.0, 4.0, 2.0, 1.0).map(ln8)
     val n = 4.0
-    // the same decimal-exact sums the engine computes: sums of 8dp
-    // values are exact in BigDecimal, then the identical double algebra
-    def dsum(vs: Seq[Double]) = vs.map(BigDecimal(_)).sum.toDouble
+    // the same EXACT-DECIMAL close the engine computes (round 14: the
+    // whole numerator/denominator algebra stays BigDecimal-exact; each
+    // output is ONE double division — the FMA-proof recipe), so the
+    // hand recompute is bit-identical by construction
+    def dsum(vs: Seq[Double]) = vs.map(BigDecimal(_)).sum
     val (sx, sy) = (dsum(xs), dsum(ys))
-    val sxy = xs.zip(ys).map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum.toDouble
-    val sx2 = xs.map(a => BigDecimal(a) * BigDecimal(a)).sum.toDouble
-    val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
-    val intercept = (sy - slope * sx) / n
+    val sxy = xs.zip(ys).map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum
+    val sx2 = xs.map(a => BigDecimal(a) * BigDecimal(a)).sum
+    val nD = BigDecimal(n)
+    val den = (nD * sx2 - sx * sx).toDouble
+    val slope = (nD * sxy - sx * sy).toDouble / den
+    val intercept = (sy * sx2 - sx * sxy).toDouble / den
     assert(out.getAs[Double]("slope") === slope)
     assert(out.getAs[Double]("intercept") === intercept)
     // freq halves per rank while ln(rank) grows sub-linearly, so the
