@@ -354,6 +354,51 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Oracle-side twin of [[componentLabels]]: the hook+jump component
+    * close as UNROLLED DuckDB SQL (round 14). The previous component
+    * oracles used an all-walks recursive CTE — Σ(comp²) rows, which
+    * does not terminate on sf1's 40.9k-doc giant component (measured:
+    * 45 min of pure CTE grind) even though the engine's pointer
+    * jumping resolves it in seconds. This generator emits the ENGINE'S
+    * OWN algorithm instead: `rounds` chained label tables, each round
+    * taking per-node MIN over {own label's label (pointer jump),
+    * neighbors' labels (hook)} — node-count-sized state per round,
+    * O(log diameter) convergence (sf1's giant component converges in
+    * 19 rounds; 28 gives margin, and an unconverged oracle FAILS the
+    * hash gate loudly rather than passing). Two DuckDB 1.0 traps the
+    * shape must respect: chained CTEs are re-INLINED per reference
+    * (each round references its predecessor twice → exponential plan,
+    * "Too many open files"), so every round is `AS MATERIALIZED`; and
+    * the caller's `edges` CTE is referenced once per round, so the
+    * caller must mark it MATERIALIZED too. `edges` must hold BOTH
+    * directions (u,v)+(v,u); every label value is a node id, so the
+    * jump join always finds its row. Emits `outCte(idCol, labelCol)`
+    * covering exactly the edge endpoints (singletons absent, matching
+    * clustersFromPairsOnly; callers needing full membership coalesce).
+    */
+  private[operators] def jumpCloseSql(edges: String, outCte: String,
+                                      idCol: String, labelCol: String,
+                                      rounds: Int = 28): String = {
+    val init =
+      s"""l0 AS MATERIALIZED (
+         |  SELECT id, MIN(lbl) AS lbl FROM (
+         |    SELECT u AS id, u AS lbl FROM $edges
+         |    UNION ALL SELECT u AS id, v AS lbl FROM $edges) t0
+         |  GROUP BY id)""".stripMargin
+    val steps = (0 until rounds).map { k =>
+      s"""l${k + 1} AS MATERIALIZED (
+         |  SELECT id, MIN(lbl) AS lbl FROM (
+         |    SELECT l.id, p.lbl FROM l$k l JOIN l$k p ON l.lbl = p.id
+         |    UNION ALL
+         |    SELECT g.u AS id, l.lbl FROM $edges g JOIN l$k l ON g.v = l.id) t
+         |  GROUP BY id)""".stripMargin
+    }
+    val close =
+      s"""$outCte AS (
+         |  SELECT id AS $idCol, lbl AS $labelCol FROM l$rounds)""".stripMargin
+    (init +: steps :+ close).mkString(",\n")
+  }
+
   /** D24: per-cluster QUALITY DIAGNOSTICS — the report a curator reads
     * before trusting a dedup threshold: for every multi-document
     * near-dup cluster, its size, its verified-pair count, and the
@@ -2177,7 +2222,7 @@ object Dedup {
           |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin),
 
       "d9_embed_clusters" ->
-        """WITH RECURSIVE e AS (
+        ("""WITH e AS (
           |  SELECT vec_id, embedding,
           |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
           |           list_transform(range(1, len(embedding) + 1),
@@ -2192,21 +2237,18 @@ object Dedup {
           |          list_transform(range(1, len(a.embedding) + 1),
           |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
           |          (x, y) -> x + y) / (a.nrm * b.nrm) > 0.4),
-          |edges AS (
+          |edges AS MATERIALIZED (
           |  SELECT doc_a AS u, doc_b AS v FROM p
           |  UNION ALL
           |  SELECT doc_b, doc_a FROM p),
-          |reach(u, v) AS (
-          |  SELECT u, v FROM edges
-          |  UNION
-          |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
-          |comp AS (
-          |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+          |""".stripMargin +
+          jumpCloseSql("edges", "comp", "vec_id", "cluster_id") +
+          """
           |SELECT emb.vec_id,
           |       coalesce(c.cluster_id, emb.vec_id) AS cluster_id,
           |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, emb.vec_id)) AS cluster_size,
           |       emb.vec_id = coalesce(c.cluster_id, emb.vec_id) AS is_canonical
-          |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
+          |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin),
 
       // D5b: buckets are md5-derived (Similarity.bucketSql) so the oracle
       // reproduces the LSH blocking exactly: candidate pairs are same-
@@ -2234,7 +2276,7 @@ object Dedup {
       // oracle as d9 — clusters over ALL embedding ids, unmatched ids
       // keep their own id as cluster.
       "d10_embed_clusters_blocked" ->
-        s"""WITH RECURSIVE bk AS (
+        (s"""WITH bk AS (
            |  SELECT vec_id, ${Similarity.bucketSql("embedding")} AS bucket
            |  FROM embeddings),
            |cand AS (
@@ -2257,21 +2299,18 @@ object Dedup {
            |          list_transform(range(1, len(ea.embedding) + 1),
            |            i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
            |          (x, y) -> x + y) / (ea.nrm * eb.nrm) > 0.4),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT doc_a AS u, doc_b AS v FROM p
            |  UNION ALL
            |  SELECT doc_b, doc_a FROM p),
-           |reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
-           |comp AS (
-           |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+           |""".stripMargin +
+          jumpCloseSql("edges", "comp", "vec_id", "cluster_id") +
+          """
            |SELECT emb.vec_id,
            |       coalesce(c.cluster_id, emb.vec_id) AS cluster_id,
            |       count(*) OVER (PARTITION BY coalesce(c.cluster_id, emb.vec_id)) AS cluster_size,
            |       emb.vec_id = coalesce(c.cluster_id, emb.vec_id) AS is_canonical
-           |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
+           |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin),
 
       "d5_embed_neardup" ->
         """WITH e AS (

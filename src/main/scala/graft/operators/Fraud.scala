@@ -2016,22 +2016,28 @@ object Fraud {
       // these positive values, SUM(BIGINT)→HUGEINT cast back (§6b), and
       // the only double is the final fp/1e12 division.
       "c30_collusion_pagerank" ->
+        // every generation references e/deg/b (and its predecessor), and
+        // DuckDB re-INLINES plain chained CTEs per reference — 8
+        // generations re-derived the whole pair builder exponentially
+        // (the round-13 "generation-re-inlining-bound" sf1 exclusion).
+        // AS MATERIALIZED computes each table once (round 14, the
+        // jumpCloseSql lesson) — same rows, sf1-feasible.
         (s"WITH $collusionPairCte," +
         """
-          |p AS (
+          |p AS MATERIALIZED (
           |  SELECT user_a, user_b FROM pr GROUP BY 1, 2 HAVING count(*) >= 6),
-          |e AS (
+          |e AS MATERIALIZED (
           |  SELECT user_a AS u, user_b AS v FROM p
           |  UNION ALL
           |  SELECT user_b, user_a FROM p),
-          |deg AS (
+          |deg AS MATERIALIZED (
           |  SELECT u, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),
-          |b AS (
+          |b AS MATERIALIZED (
           |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base FROM deg),
-          |p0 AS (SELECT d.u, b.base AS fp FROM deg d, b),
+          |p0 AS MATERIALIZED (SELECT d.u, b.base AS fp FROM deg d, b),
           |""".stripMargin +
         (1 to 8).map { i =>
-          s"""p$i AS (
+          s"""p$i AS MATERIALIZED (
              |  SELECT e.v AS u,
              |         (15 * b.base +
              |          85 * CAST(SUM(p${i - 1}.fp // d.degree) AS BIGINT)) // 100 AS fp

@@ -657,24 +657,23 @@ object Multimodal {
       |FROM p""".stripMargin
 
   /** The g8/g9-shared cluster derivation: fingerprints → banded+verified
-    * pairs (phashPairSql) → recursive reachability close → per-cluster
-    * sizes. One string, so the cluster semantics g9's keeper ranks over
-    * are EXACTLY the ones g8 reports (the c28 oracle recipe applied to
-    * media pairs).
+    * pairs (phashPairSql) → hook+jump component close (the unrolled
+    * oracle twin of the engine's own pointer jumping —
+    * Dedup.jumpCloseSql; round 14 replaced the all-walks recursive CTE
+    * that could not terminate on sf1's giant component) → per-cluster
+    * sizes. One string, so the cluster semantics g9's keeper ranks
+    * over are EXACTLY the ones g8 reports.
     */
   private lazy val phashClusterPrefix: String =
-    "WITH RECURSIVE " + phashCteSql.stripPrefix("WITH ") + "," + phashPairSql +
+    phashCteSql + "," + phashPairSql +
       """,
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM pv
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM pv),
-        |walks(id, comp) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT e.u, w.comp FROM e JOIN walks w ON e.v = w.id),
-        |clusters AS (
-        |  SELECT id AS doc_id, min(comp) AS cluster_id FROM walks GROUP BY id),
+        |""".stripMargin +
+      Dedup.jumpCloseSql("e", "clusters", "doc_id", "cluster_id") +
+      """,
         |sized AS (
         |  SELECT doc_id, cluster_id,
         |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
