@@ -869,4 +869,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "plan explosion (round-10 class): " +
         offenders.map { case (n, s) => s"$n=$s chars" }.mkString(", "))
   }
+
+  test("d14/d22 exchanges carry digests, not text: shuffle bytes per doc stay flat across scales") {
+    // The round-14 scaling attribution (docs/SCALING_D14_D22.md): both
+    // queries' exponents are explained ONLY IF the wire cost per doc
+    // is scale-invariant — d14 shuffles md5 aggregate partials, d22
+    // positioned 16-byte shingle digests, never the text itself. If a
+    // refactor ever pushed the normalized text (or raw grams) through
+    // an exchange, bytes/doc would jump ~10x; this pins the shape with
+    // the same SQLMetrics instrument the bench studies use. Measured
+    // flat at 39.8->38.4 (d14) and 2159->2137 (d22) B/doc across the
+    // sf0.1->sf1 decade; the 2.5x tolerance is far under the failure
+    // mode while absorbing compression/partitioning jitter.
+    val sfSmall = "/root/testdata/sf0.001"
+    val sfBig = "/root/testdata/sf0.01"
+    def docsIn(dir: String): Long =
+      graft.sources.Tables.table(spark, dir, "documents").count()
+    val (nS, nB) = (docsIn(sfSmall), docsIn(sfBig))
+    for (q <- Seq("d14_dedup_normalized", "d22_shared_passages")) {
+      val perDocS =
+        Bench.shuffleWriteMb(SparkEntry.queries(q)(spark, sfSmall)) * 1e6 / nS
+      val perDocB =
+        Bench.shuffleWriteMb(SparkEntry.queries(q)(spark, sfBig)) * 1e6 / nB
+      assert(perDocB < perDocS * 2.5 && perDocS < perDocB * 2.5,
+        s"$q shuffle bytes/doc moved across a decade: " +
+          f"$perDocS%.1f (sf0.001) vs $perDocB%.1f (sf0.01) — " +
+          "is the exchange carrying text instead of digests?")
+    }
+  }
 }
