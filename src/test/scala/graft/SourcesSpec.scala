@@ -520,7 +520,10 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     Tables.withJdbc(url)(
       _.executeUpdate("CREATE TABLE tx_race_stg_0_deadbeef (x INT)"))
     val swept = Tables.dropOrphanJdbcStages(url, "tx_race")
-    assert(swept.map(_.toLowerCase) === Seq("tx_race_stg_0_deadbeef"),
+    // round-14 advice: sweep names come back SCHEMA-QUALIFIED (the
+    // listing's own TABLE_SCHEM), so the DROP resolved exactly the
+    // listed table and the spec can see which schema it lived in
+    assert(swept.map(_.toLowerCase) === Seq("app.tx_race_stg_0_deadbeef"),
       s"age sweep must take exactly the crashed orphan, got $swept")
     assert(Tables.jdbcRead(spark, url, fresh).count() === 1,
       "the sweep must never take a live stage")
@@ -615,6 +618,114 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     drain(tmpDir("graft_jdbc_ck2"))
     assert(landed() === first, "a replayed stream must not duplicate warehouse keys")
     assert(Tables.jdbcRead(spark, url, "tx_stream").count() === 3)
+  }
+
+  test("A17h a DELAYED first load can never clobber a peer's landed table: create-or-fall-through") {
+    import spark.implicits._
+    // round-14 verdict defect: the first-load arm wrote mode("overwrite")
+    // — loader A probes absent and STALLS; loader B (a concurrent first
+    // load, or an orchestrator retry of a presumed-dead A) creates the
+    // table and lands batches; A resumes and its overwrite DROPS B's
+    // table and everything in it, then reports success. The create arm
+    // is now CREATE-or-fall-through: A's resumed create fails
+    // already-exists and A takes the keyed arm against B's table. The
+    // injected probe simulates A's stall by running B's ENTIRE load
+    // inside A's probe window (absent was true when A probed).
+    System.setProperty("derby.system.home", tmpDir("graft_derby_home9"))
+    val url = Tables.jdbcUrl(tmpDir("graft_derby9") + "/wh")
+    var peerRan = false
+    def peerLoad(): Unit = {
+      Tables.jdbcIncrementalLoad(spark,
+        Seq(("b1", 1.0), ("shared", 2.0)).toDF("transaction_id", "amount"),
+        url, "tx_firstload", Seq("transaction_id"),
+        "transaction_id VARCHAR(64)")
+      Tables.jdbcIncrementalLoad(spark,
+        Seq(("b2", 3.0)).toDF("transaction_id", "amount"),
+        url, "tx_firstload", Seq("transaction_id"))
+      peerRan = true
+    }
+    val batchA = Seq(("a1", 10.0), ("shared", 99.0))
+      .toDF("transaction_id", "amount")
+    Tables.jdbcIncrementalLoad(spark, batchA, url, "tx_firstload",
+      Seq("transaction_id"), "transaction_id VARCHAR(64)",
+      tableExists = (_, _) => { if (!peerRan) peerLoad(); false })
+    def landed(): Map[String, Double] =
+      Tables.jdbcRead(spark, url, "tx_firstload").collect()
+        .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    // ZERO rows lost: both of B's batches survived A's resumed first
+    // load, A's new key landed through the anti-join arm, and the
+    // overlapping key kept B's first-landed row (insert-only semantics)
+    assert(landed() === Map("b1" -> 1.0, "shared" -> 2.0, "b2" -> 3.0, "a1" -> 10.0),
+      "a raced first load must fall through to the anti-join arm, never overwrite")
+    // replaying A's batch stays a per-key no-op
+    Tables.jdbcIncrementalLoad(spark, batchA, url, "tx_firstload",
+      Seq("transaction_id"))
+    assert(landed() === Map("b1" -> 1.0, "shared" -> 2.0, "b2" -> 3.0, "a1" -> 10.0))
+    // the same race through the MERGE loader: A's delayed first load
+    // merges INTO the peer's table (matched keys UPDATE — A is newer)
+    Tables.jdbcMergeLoad(spark,
+      Seq(("m1", 1.0), ("mshared", 2.0)).toDF("transaction_id", "amount"),
+      url, "tx_firstmerge", Seq("transaction_id"), "transaction_id VARCHAR(64)")
+    Tables.jdbcMergeLoad(spark,
+      Seq(("m2", 30.0), ("mshared", 99.0)).toDF("transaction_id", "amount"),
+      url, "tx_firstmerge", Seq("transaction_id"),
+      tableExists = (_, _) => false) // stale probe: absent, though the peer landed
+    val merged = Tables.jdbcRead(spark, url, "tx_firstmerge").collect()
+      .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(merged === Map("m1" -> 1.0, "mshared" -> 99.0, "m2" -> 30.0),
+      "a raced first MERGE load must merge into the peer's table, not overwrite it")
+    // and a transient probe failure still THROWS through the merge
+    // loader's new seam (never absorbed into the create arm)
+    val boom = intercept[RuntimeException] {
+      Tables.jdbcMergeLoad(spark,
+        Seq(("m9", 9.0)).toDF("transaction_id", "amount"),
+        url, "tx_firstmerge", Seq("transaction_id"),
+        tableExists = (_, _) => throw new RuntimeException("connection reset"))
+    }
+    assert(boom.getMessage === "connection reset")
+    assert(Tables.jdbcRead(spark, url, "tx_firstmerge").count() === 3,
+      "a failed probe must leave the warehouse untouched")
+  }
+
+  test("A17i stream -> JDBC warehouse MERGE leg: a late correction UPDATEs, replay lands exactly once") {
+    // round-14 verdict item 6: A17b closes the stream->warehouse path
+    // insert-only (first-landed row wins); this is the update-semantics
+    // twin — each micro-batch lands through the staged warehouse-side
+    // MERGE, so a late-arriving CORRECTION re-lands its key with the
+    // corrected values and a replay is exactly-once by MERGE algebra
+    // (no key history over the wire).
+    System.setProperty("derby.system.home", tmpDir("graft_derby_homeA"))
+    val url = Tables.jdbcUrl(tmpDir("graft_derbyA") + "/wh")
+    val in = tmpDir("graft_jdbc_mstream_in")
+    Files.writeString(Paths.get(in, "a.csv"),
+      "transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp\n" +
+        "t1,1,10,s1,10.0,card,FRANCE,2024-03-01T10:00:00.000Z\n" +
+        "t2,2,10,s1,20.0,cash,KENYA,2024-03-01T11:00:00.000Z\n")
+    Files.writeString(Paths.get(in, "b.csv"),
+      "transaction_id,user_id,product_id,store_id,amount,payment_method,country,timestamp\n" +
+        "t2,2,10,s1,25.0,cash,KENYA,2024-03-01T11:30:00.000Z\n" + // late correction
+        "t3,3,20,s2,30.0,mobile,BRAZIL,2024-03-01T12:00:00.000Z\n")
+    // deterministic batch order (§6b: same-ms mtimes tie-break arbitrarily)
+    new java.io.File(in).listFiles().sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000) }
+    def drain(ck: String): Unit = Tables.jdbcMergeStreamLoad(
+      Tables.readTxStream(spark, "csv", in, maxFilesPerTrigger = 1),
+      url, "tx_mstream", Seq("transaction_id"), ck,
+      "transaction_id VARCHAR(64)").awaitTermination()
+    drain(tmpDir("graft_jdbc_mck1"))
+    def landed(): Map[String, Double] =
+      Tables.jdbcRead(spark, url, "tx_mstream").collect()
+        .map(r => r.getAs[String]("transaction_id") -> r.getAs[Double]("amount")).toMap
+    assert(landed() === Map("t1" -> 10.0, "t2" -> 25.0, "t3" -> 30.0),
+      "a late correction must UPDATE the landed key (insert-only would keep 20.0)")
+    // full replay from a fresh checkpoint: every micro-batch re-merges,
+    // matched keys re-update to the values they already hold
+    drain(tmpDir("graft_jdbc_mck2"))
+    assert(landed() === Map("t1" -> 10.0, "t2" -> 25.0, "t3" -> 30.0))
+    assert(Tables.jdbcRead(spark, url, "tx_mstream").count() === 3,
+      "a replayed merge stream must not duplicate warehouse keys")
+    // no staging residue: every per-micro-batch stage dropped
+    assert(Tables.dropOrphanJdbcStages(url, "tx_mstream", maxAgeMs = 0L).isEmpty)
   }
 
   test("A10 malformed CSV rows quarantine instead of failing the load") {
