@@ -275,24 +275,39 @@ object Bench {
     * DIFFERENT generation are excluded from the stall-guard prior.
     */
   private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(sfDir)
-    val fs = root.getFileSystem(conf)
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-        val rows = try rd.getRecordCount finally rd.close()
-        lines += s"${f.getPath.getName}:${f.getLen}:$rows"
+    // failure-isolated (round-14 advice): every other artifact/prior
+    // read in this path is NonFatal-wrapped, and an unguarded footer
+    // read here let ONE corrupt/partially-written parquet file abort
+    // the entire capture. A file whose footer won't open fingerprints
+    // as name:len only; an unlistable dir fingerprints as "unreadable"
+    // (which corpus-matches nothing but itself, so priors stay fenced).
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(sfDir)
+      val fs = root.getFileSystem(conf)
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val rowsPart =
+            try {
+              val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+              try s":${rd.getRecordCount}" finally rd.close()
+            } catch { case scala.util.control.NonFatal(_) => "" }
+          lines += s"${f.getPath.getName}:${f.getLen}$rowsPart"
+        }
       }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(lines.sorted.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] corpus fingerprint unavailable: ${e.getMessage}")
+        "unreadable"
     }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(lines.sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
   }
 
   /** Fingerprint recorded in an artifact's text, tolerant of the
@@ -396,6 +411,36 @@ object Bench {
     */
   private[graft] def studySuspect(prior: Option[Double], fresh: Double): Boolean =
     prior.exists(p => p > 0 && fresh > 2 * p && fresh > 0.5)
+
+  /** Round-14 verdict item 2: the re-run arm recorded a
+    * PERSISTENTLY-slow reading unflagged — the r14 driver capture has
+    * e3_ann_ivf at 17.1 s vs a 0.967 s committed same-corpus prior
+    * (17.7×), absent from the suspect list, indistinguishable from a
+    * genuine plan regression to any reader. If the min over
+    * fresh+re-runs is STILL >2× the prior, the stall hypothesis failed:
+    * keep the min as the recorded value, but FLAG it (same predicate
+    * and jitter floor as [[studySuspect]]).
+    */
+  private[graft] def rerunStillSuspect(prior: Option[Double], rerunMin: Double): Boolean =
+    studySuspect(prior, rerunMin)
+
+  /** Round-14 verdict item 3: a capture with more than `threshold`
+    * suspect entries is host-contended as a WHOLE (the r14 driver
+    * capture carried 11 vs the quiet capture's 1) — its per-query
+    * readings would poison the stall-guard prior and the scaling
+    * carry-forward if merged. The artifact records
+    * `"contaminated":true` and readers ([[mergedPriors]] input filter,
+    * [[carryForwardScaling]] source) decline it.
+    */
+  private[graft] def contaminated(suspectCount: Int, threshold: Int = 5): Boolean =
+    suspectCount > threshold
+
+  /** Contamination marker in an artifact's text, tolerant of the driver
+    * wrapper's backslash-escaped tail form (like [[parseCorpus]]).
+    * Absent = clean (records predating the mechanism stay eligible).
+    */
+  private[graft] def parseContaminated(text: String): Boolean =
+    """\\?"contaminated\\?":true""".r.findFirstIn(text).isDefined
 
   /** The two-volume fixed/marginal split (h12/h17/h20 maintenance
     * protocol): t = batches×fixed + rows×marginal, measured at x1 and
@@ -518,7 +563,13 @@ object Bench {
         try new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
         catch { case scala.util.control.NonFatal(_) => "" }
-      if (corpusMatches(parseCorpus(text), corpusFp)) priorReadings(p)
+      if (parseContaminated(text)) {
+        // a host-contended capture (round-14: 11 suspects) never feeds
+        // the prior — its MINs are contention readings, not plans
+        System.err.println(s"[bench] $p is marked contaminated — " +
+          "excluded from the stall-guard prior")
+        Map.empty[String, Double]
+      } else if (corpusMatches(parseCorpus(text), corpusFp)) priorReadings(p)
       else {
         System.err.println(s"[bench] $p is from corpus ${parseCorpus(text).get} " +
           s"(current $corpusFp) — excluded from the stall-guard prior")
@@ -555,6 +606,14 @@ object Bench {
             val v = (fresh +: extra).min
             System.err.println(f"[bench] $name moved >2x vs committed " +
               f"(${prior(name)}%.3f -> $fresh%.3f); min-of-$reruns re-run -> $v%.3f")
+            // the re-runs did NOT absorb it: a persistent >2x mover is
+            // recorded once but FLAGGED (round-14 verdict item 2 — the
+            // unflagged arm hid a 17.7x reading from artifact readers)
+            if (rerunStillSuspect(prior.get(name), v)) {
+              suspects += name
+              System.err.println(f"[bench] $name SUSPECT: still >2x committed " +
+                f"${prior(name)}%.3f s after re-runs ($v%.3f s) — flagged")
+            }
             v
           case (_, true) =>
             suspects += name
@@ -607,7 +666,9 @@ object Bench {
           java.nio.file.Paths.get(artifactFor(sfDir))),
           java.nio.charset.StandardCharsets.UTF_8)
         catch { case scala.util.control.NonFatal(_) => "" }
-      carryForwardScaling(s, prevText)
+      // a contaminated previous record never becomes the scaling source
+      // (round-14 verdict item 3) — carry from nothing instead
+      carryForwardScaling(s, if (parseContaminated(prevText)) "" else prevText)
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double, decimals: Int = 3): String =
@@ -630,9 +691,14 @@ object Bench {
     // 2. the complete artifact on disk (cwd = repo root under the driver);
     // non_seconds names which queries entries are NOT wall-seconds
     val suspectList = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val isContaminated = contaminated(suspects.size)
+    if (isContaminated)
+      System.err.println(s"[bench] capture CONTAMINATED: ${suspects.size} " +
+        "suspect entries — this record will not feed priors or scaling")
     val full = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${qmap(all)},"non_seconds":$nonSecondsList,""" +
-      s""""suspect":$suspectList,"corpus":"$corpusFp","sf":"$sfDir"$scalingPart}"""
+      s""""suspect":$suspectList,"contaminated":$isContaminated,""" +
+      s""""corpus":"$corpusFp","sf":"$sfDir"$scalingPart}"""
     // the committed artifact of record is the sf0.1 capture (the
     // driver's scale); local runs at OTHER scales write a side file so
     // a small-SF iteration can never silently replace the record (it
@@ -652,9 +718,14 @@ object Bench {
     // the headline carries the corpus fingerprint too: the driver's
     // round record is a stdout capture, and the prior filter must be
     // able to date THOSE records to a generation as well
+    // the contamination flag rides the headline too — the driver's
+    // round record is a stdout capture, and the prior filter must be
+    // able to decline THOSE records as well (marker-only when true, so
+    // the clean case costs no headline length)
+    val contamPart = if (isContaminated) ""","contaminated":true""" else ""
     def headLine(decimals: Int): String =
       s"""{"metric":"total","value":${num(total, decimals)},"unit":"sec",""" +
-        s""""queries":${qmap(headQs, decimals)},"corpus":"$corpusFp","sf":"$sfDir"}"""
+        s""""queries":${qmap(headQs, decimals)},"corpus":"$corpusFp"$contamPart,"sf":"$sfDir"}"""
     println(Iterator(3, 2, 1, 0).map(headLine)
       .find(_.length <= 1900).getOrElse(headLine(0)))
     spark.stop()
@@ -667,8 +738,18 @@ object Bench {
     * instrument behind the j1 `_mb` twins and the d14/d22 scaling
     * measurements (graft.ScaleProbe).
     */
-  private[graft] def shuffleWriteMb(df: org.apache.spark.sql.DataFrame): Double = {
-    df.collect()
+  private[graft] def shuffleWriteMb(df: org.apache.spark.sql.DataFrame): Double =
+    shuffleWriteMbAndRows(df)._1
+
+  /** [[shuffleWriteMb]] plus the result row count FROM THE SAME
+    * EXECUTION (the collected array's length) — round-14 advice: a
+    * follow-up df.count() silently re-executes the whole query, both
+    * inflating a probe's wall time and reading metrics off a different
+    * run than the rows it reports.
+    */
+  private[graft] def shuffleWriteMbAndRows(
+      df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+    val nRows = df.collect().length.toLong
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -686,7 +767,7 @@ object Bench {
       }
     }
     walk(df.queryExecution.executedPlan)
-    bytes / 1e6
+    (bytes / 1e6, nRows)
   }
 
   /** Pair-density companions for the pair-graph family (round-13

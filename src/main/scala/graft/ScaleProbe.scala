@@ -36,10 +36,12 @@ object ScaleProbe {
     // corpus text volume: the denominator a text operator's work
     // actually rides (bytes/tokens), beside the row count
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    // coalesce: SUM over an empty table is NULL, and getLong would
+    // throw before the guarded ratios ever ran
     val vol = docs.agg(
       count(lit(1)).as("docs"),
-      sum(length(col("text"))).as("text_bytes"),
-      sum(size(split(col("text"), " "))).as("tokens")).head()
+      coalesce(sum(length(col("text"))), lit(0L)).as("text_bytes"),
+      coalesce(sum(size(split(col("text"), " "))), lit(0L)).as("tokens")).head()
     println(s"""{"sf":"$sfDir","docs":${vol.getLong(0)},""" +
       s""""text_bytes":${vol.getLong(1)},"tokens":${vol.getLong(2)}}""")
     names.foreach { name =>
@@ -48,14 +50,20 @@ object ScaleProbe {
         case Some(fn) =>
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
-          val mb = Bench.shuffleWriteMb(df)
+          // rows_out comes from the SAME execution as the metrics
+          // (round-14 advice: a follow-up count() re-executed the whole
+          // query, inflating the probe's wall time)
+          val (mb, out) = Bench.shuffleWriteMbAndRows(df)
           val secs = (System.nanoTime() - t0) / 1e9
-          val out = df.count()
+          // guarded denominators: an empty documents table must emit
+          // valid JSON (-1 sentinel), never Infinity/NaN
+          def perUnit(den: Long): String =
+            if (den > 0) num(mb * 1e6 / den) else "-1"
           println(s"""{"query":"$name","sf":"$sfDir",""" +
             s""""shuffle_mb":${num(mb)},"rows_out":$out,""" +
             s""""secs_with_collect":${num(secs)},""" +
-            s""""shuffle_bytes_per_doc":${num(mb * 1e6 / vol.getLong(0))},""" +
-            s""""shuffle_bytes_per_text_byte":${num(mb * 1e6 / vol.getLong(1))}}""")
+            s""""shuffle_bytes_per_doc":${perUnit(vol.getLong(0))},""" +
+            s""""shuffle_bytes_per_text_byte":${perUnit(vol.getLong(1))}}""")
       }
     }
     spark.stop()

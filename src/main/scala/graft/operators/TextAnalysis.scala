@@ -821,9 +821,12 @@ object TextAnalysis {
     * sf1 miss proved a double mul-sub chain (n·Σxy − Σx·Σy) is
     * value-dependently FMA-contractible on the oracle engine, so no
     * compound double expression survives here. The c24 overflow class
-    * is dodged by casting each sum DOWN to the tightest width its
-    * value range admits (x,y ∈ (−100,100) at 8 dp; ≤ topK=100 terms):
-    * Σ terms at (12,8)/(20,16), products peak at (33,24) ≤ 38. Each
+    * is dodged by casting each sum DOWN to a width its value range
+    * admits with headroom (x,y ∈ (−100,100) at 8 dp; ≤ topK=100
+    * terms): Σ terms at (12,8)/(24,16) — the product widths carry 8
+    * integer digits, safe past freq ≈ e^1000 (round-14 advice: the
+    * old (20,16) overflowed at max ln(freq) ~27) — products peak at
+    * sy·sx2 − sx·sxy = (38,24), exactly 38. Each
     * output is then ONE double division of two exact decimals —
     * single-op IEEE, bit-portable (intercept uses the algebraic form
     * (Σy·Σx² − Σx·Σxy)/D ≡ (Σy − slope·Σx)/n to stay a single
@@ -846,8 +849,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"),
         sum(col("x")).cast("decimal(12,8)").as("sx"),
         sum(col("y")).cast("decimal(12,8)").as("sy"),
-        sum(col("x") * col("y")).cast("decimal(20,16)").as("sxy"),
-        sum(col("x") * col("x")).cast("decimal(20,16)").as("sx2"))
+        // (24,16), not the value-minimal (20,16) (round-14 advice): the
+        // old width held Σxy only while max ln(freq) stayed under ~e²⁷ —
+        // a larger corpus would hit an ANSI cast overflow at runtime.
+        // 8 integer digits push that bound past any physical corpus
+        // (Σy² ≥ 10⁸ over 100 terms needs freq ≥ e^1000), and the
+        // widest downstream product, sy·sx2 − sx·sxy at (38,24), still
+        // fits exactly
+        sum(col("x") * col("y")).cast("decimal(24,16)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(24,16)").as("sx2"))
       .select(col("n").as("n_terms"),
         ((nd * col("sxy") - col("sx") * col("sy")).cast("double") / den)
           .as("slope"),
@@ -1249,8 +1259,8 @@ object TextAnalysis {
         |  SELECT CAST(count(*) AS DECIMAL(4,0)) AS n,
         |         CAST(SUM(x) AS DECIMAL(12,8)) AS sx,
         |         CAST(SUM(y) AS DECIMAL(12,8)) AS sy,
-        |         CAST(SUM(x * y) AS DECIMAL(20,16)) AS sxy,
-        |         CAST(SUM(x * x) AS DECIMAL(20,16)) AS sx2
+        |         CAST(SUM(x * y) AS DECIMAL(24,16)) AS sxy,
+        |         CAST(SUM(x * x) AS DECIMAL(24,16)) AS sx2
         |  FROM xy)
         |SELECT CAST(n AS BIGINT) AS n_terms,
         |       -- sxw: DuckDB runs int64*int64 products IN int64 (both

@@ -182,6 +182,39 @@ class BenchSpec extends AnyFunSuite {
       "a foreign-generation record must be excluded from the prior")
   }
 
+  test("re-run arm: a persistently-slow reading is recorded once but FLAGGED suspect") {
+    // the r14 hole: e3_ann_ivf recorded 17.1 s vs the 0.967 s committed
+    // same-corpus prior, re-runs all slow, and the artifact carried it
+    // UNFLAGGED — indistinguishable from a plan regression to a reader.
+    // The exact shape: stallGuard routes to 3 re-runs, the post-re-run
+    // min is still >2x the prior => suspect.
+    assert(Bench.stallGuard(Some(0.967), 17.147) === ((3, false)))
+    assert(Bench.rerunStillSuspect(Some(0.967), 17.0),
+      "re-runs all >=17 s against a 0.967 s prior must flag")
+    // a re-run that DID absorb the stall stays clean
+    assert(!Bench.rerunStillSuspect(Some(0.967), 1.1))
+    // same jitter floor and prior rules as the study predicate
+    assert(!Bench.rerunStillSuspect(Some(0.1), 0.4))
+    assert(!Bench.rerunStillSuspect(None, 50.0))
+  }
+
+  test("contamination verdict: a capture with >5 suspects is marked and never feeds priors or scaling") {
+    // r14: the driver capture carried 11 suspect entries (quiet capture:
+    // 1) — merging its per-query MINs would poison next round's prior
+    assert(Bench.contaminated(11))
+    assert(Bench.contaminated(6))
+    assert(!Bench.contaminated(5), "at the threshold the capture stays clean")
+    assert(!Bench.contaminated(0))
+    // the marker parses from both record shapes (flat artifact and the
+    // driver wrapper's backslash-escaped tail), absent = clean
+    assert(Bench.parseContaminated("""{"suspect":["a"],"contaminated":true,"sf":"x"}"""))
+    assert(Bench.parseContaminated(
+      """{"n": 14, "tail": "{\"metric\":\"total\",\"contaminated\":true,\"sf\":\"x\"}"}"""))
+    assert(!Bench.parseContaminated("""{"suspect":[],"contaminated":false,"sf":"x"}"""))
+    assert(!Bench.parseContaminated("""{"queries":{"a":1.0}}"""),
+      "records predating the mechanism stay eligible")
+  }
+
   test("corpus fingerprint is a content hash: stable across re-listing, moved by any row/byte change") {
     // the one BenchSpec test that needs a session (footer reads) —
     // the suite-shared one, never stopped here
@@ -196,6 +229,17 @@ class BenchSpec extends AnyFunSuite {
     // a content change (one more row) must move the fingerprint
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/t.parquet")
-    assert(Bench.corpusFingerprint(spark, dir) !== fp1)
+    val fp3 = Bench.corpusFingerprint(spark, dir)
+    assert(fp3 !== fp1)
+    // round-14 advice: one corrupt/partially-written parquet file must
+    // not abort the capture — the bad file fingerprints name:len only
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t.parquet/zz-corrupt.parquet"),
+      "not a parquet footer".getBytes)
+    val fpCorrupt = Bench.corpusFingerprint(spark, dir)
+    assert(fpCorrupt.matches("[0-9a-f]{12}") && (fpCorrupt !== fp3),
+      "a corrupt file still contributes name:len, never an abort")
+    // an unlistable dir degrades to the sentinel instead of throwing
+    assert(Bench.corpusFingerprint(spark, s"$dir/no_such_subdir") === "unreadable")
   }
 }
