@@ -20,6 +20,15 @@ object GraftFunctions {
     (FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (c: Seq[Expression]) => FloatVecDot(c(0), c(1))),
+    (FunctionIdentifier("adc_gather_sum"),
+      new ExpressionInfo(classOf[AdcGatherSum].getName, "adc_gather_sum"),
+      (c: Seq[Expression]) => AdcGatherSum(c(0), c(1))),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (c: Seq[Expression]) => PqEncode(c(0), c(1), c(2))),
+    (FunctionIdentifier("cell_route"),
+      new ExpressionInfo(classOf[CellRoute].getName, "cell_route"),
+      (c: Seq[Expression]) => CellRoute(c(0), c(1), c(2), c(3))),
     (FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (c: Seq[Expression]) => Md5Prefix60(c.head)),

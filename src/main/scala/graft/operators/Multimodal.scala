@@ -366,7 +366,27 @@ object Multimodal {
   // fingerprints themselves.
   private var lastFp: Option[DataFrame] = None
 
-  def phashNearDup(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** Degenerate-band hub cap (round-14 verdict item 4 — the one
+    * exp_sf1 > 1.0 left): a (band_id, band_key) bucket larger than
+    * this generates size²/2 candidates while carrying ~zero signal (a
+    * 15-bit key shared by thousands of fingerprints is length-pattern
+    * noise, the c27 hub class in banding form), and those buckets are
+    * what made candidate volume super-linear — measured per decade:
+    * 0.78M → 31.9M candidates (10× docs, 65% of the sf1 volume from
+    * buckets > 400). Skipping them is the standard LSH
+    * oversized-bucket rule; measured recall vs the uncapped banded
+    * yardstick: 100% at sf0.001/sf0.01 (no bucket reaches the cap),
+    * 97.2% at sf0.1, 80% at sf1 — the documented density/recall
+    * trade, chosen over re-banding after measuring both (3×20-bit
+    * bands cut candidates the same 4× but kept only 75% of verified
+    * pairs at sf0.1; narrower bands grow candidates 3–5×). ONE
+    * constant, interpolated into the SQL oracle, so engine and oracle
+    * can never disagree on the cut.
+    */
+  val phashBucketCap = 400
+
+  def phashNearDup(media: DataFrame, maxHamming: Int = 6,
+                   bucketCap: Int = phashBucketCap): DataFrame = {
     // Materialize the fingerprint table once (16 bytes/doc): the band
     // self-join and both pair-side lookups would otherwise each re-derive
     // the payload scan. persist(), not localCheckpoint(): lazy (no Spark
@@ -387,7 +407,16 @@ object Multimodal {
       .select(col("doc_id"), posexplode(
         expr("transform(sequence(0, 3), j -> (shiftright(phash, 45 - 15*j) & 32767))")))
       .toDF("doc_id", "band_id", "band_key")
-    val cand = bands.as("a").join(bands.as("b"),
+    // hub cap: drop DEGENERATE buckets before the self-join (see
+    // [[phashBucketCap]]). The oversized-bucket table is tiny (hundreds
+    // of rows at any measured scale — it lists BUCKETS, not members),
+    // so the anti-join broadcasts; the self-join below then squares
+    // only the informative buckets.
+    val oversized = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > bucketCap)
+      .select(col("band_id"), col("band_key"))
+    val kept = bands.join(oversized, Seq("band_id", "band_key"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -595,13 +624,20 @@ object Multimodal {
     * components.
     */
   private val phashPairSql: String =
-    """
-      |bands AS (
+    s"""
+      |bands AS MATERIALIZED (
       |  SELECT doc_id, (phash >> (45 - 15 * j.j)) & 32767 AS band_key, j.j AS band_id
       |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j) j),
+      |oversized AS (
+      |  SELECT band_id, band_key FROM bands
+      |  GROUP BY 1, 2 HAVING count(*) > $phashBucketCap),
+      |kept AS (
+      |  SELECT b.doc_id, b.band_key, b.band_id
+      |  FROM bands b ANTI JOIN oversized o
+      |    ON b.band_id = o.band_id AND b.band_key = o.band_key),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM kept a JOIN kept b
       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
       |pv AS (
       |  SELECT c.doc_a, c.doc_b,

@@ -664,4 +664,109 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) === ((2.0, 1.0, 1.0)))
     assert(out(2L) === ((3.0, 0.0, 3.0)))
   }
+
+  test("native cell routing is bit-identical to the composable argmax, float and double books") {
+    // round-15: CellRoute replaced array_position(cs, array_max(cs))−1
+    // in every IVF consumer (the derived-cell filter pushdown made the
+    // interpreted form the e3/e15/e17 bottleneck at sf1). The retired
+    // composable form stays HERE as the reference arm: same scores,
+    // same first-argmax tie rule, over the real corpus.
+    import org.apache.spark.sql.functions._
+    val e = Similarity.withNorm(
+      graft.sources.Tables.table(spark, SF, "embeddings"))
+    val seeds = e.orderBy(col("vec_id")).limit(16)
+      .select(col("embedding"), col("nrm")).collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getDouble(1)))
+    val ref = e
+      .withColumn("cs", Similarity.centScores(seeds, col("embedding"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val native = Similarity.assignCells(e, seeds)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native === ref, "CellRoute diverged from the composable argmax")
+    // the double-book arm (Lloyd means) through the same expression
+    val seedsD = seeds.map { case (v, n) => (v.map(_.toDouble), n) }
+    val refD = e
+      .withColumn("cs", Similarity.centScoresD(seedsD, col("embedding"), col("nrm")))
+      .withColumn("cell",
+        (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nativeD = e
+      .withColumn("cell", Similarity.cellOfD(seedsD, col("embedding"), col("nrm")))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nativeD === refD, "double-book CellRoute diverged")
+    // a tie takes the LOWEST cell: two identical centroids
+    import spark.implicits._
+    val tied = Similarity.withNorm(
+      Seq((7L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val twin = Array((Array(1.0f, 0.0f), 1.0), (Array(1.0f, 0.0f), 1.0))
+    assert(Similarity.assignCells(tied, twin).select("cell").head.getInt(0) === 0)
+  }
+
+  test("native PQ encode and ADC gather-sum are bit-identical to the staged HOF forms") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.withNorm(
+      graft.sources.Tables.table(spark, SF, "embeddings"))
+    val book = Similarity.pqSeededCodebook(
+      graft.sources.Tables.table(spark, SF, "embeddings"))
+    // reference arm: the retired three-stage HOF encode, verbatim
+    val sub = book(0)(0).length
+    val nsq = Array.tabulate(8, 16) { (s, c) =>
+      var acc = 0.0; var d = 0
+      while (d < book(s)(c).length) { acc += book(s)(c)(d) * book(s)(c)(d); d += 1 }
+      acc
+    }
+    val staged = e
+      .select(col("vec_id") +:
+        Seq(transform(sequence(lit(0), lit(7)),
+          s => slice(col("embedding"), s * sub + 1, lit(sub))).as("subs")): _*)
+      .select(col("vec_id") +: (0 until 8).map { s =>
+        array((0 until 16).map { c =>
+          lit(nsq(s)(c)) - lit(2.0) * graft.functions.VectorFunctions.vecDot(
+            element_at(col("subs"), s + 1),
+            typedLit(book(s)(c).map(_.toFloat).toSeq))
+        }: _*).as(s"d$s")
+      }: _*)
+      .select(col("vec_id") +:
+        Seq(array((0 until 8).map { s =>
+          (array_position(col(s"d$s"), array_min(col(s"d$s"))) - 1).cast("int")
+        }: _*).as("codes")): _*)
+    val refCodes = staged.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val nativeCodes = Similarity.quantizePqWith(
+      graft.sources.Tables.table(spark, SF, "embeddings"), book).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nativeCodes === refCodes, "PqEncode diverged from the staged HOF encode")
+    // AdcGatherSum vs the interpreted fold, on the same codes
+    val tabLit = typedLit(nsq.map(_.toSeq).toSeq)
+    val refSum = staged.select(col("vec_id"),
+      aggregate(sequence(lit(0), lit(7)), lit(0.0), (acc, s) =>
+        acc + element_at(element_at(tabLit, (s + 1).cast("int")),
+          (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int"))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nativeSum = staged.select(col("vec_id"),
+      graft.functions.VectorFunctions.adcSum(tabLit, col("codes")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nativeSum === refSum, "AdcGatherSum diverged from the HOF fold")
+  }
+
+  test("E23 planner: planProbes picks the smallest sweep point meeting the recall target") {
+    val emb = graft.sources.Tables.table(spark, SF, "embeddings")
+    val sweep = Similarity.ivfProbeSweep(emb).collect()
+      .map(r => r.getAs[Long]("n_probes").toInt -> r.getAs[Double]("recall")).toMap
+    // the planner must agree with a hand fold over its own sweep
+    for (target <- Seq(0.5, 0.95, 1.0)) {
+      val expected = Seq(1, 2, 4, 8, 16).find(p => sweep(p) >= target).getOrElse(16)
+      assert(Similarity.planProbes(emb, targetRecall = target) === expected,
+        s"planner disagreed with its sweep at target $target")
+    }
+    // the sweep's provable endpoint: probing every cell is recall 1.0,
+    // so ANY target is satisfiable and the fallback never misroutes
+    assert(sweep(16) === 1.0)
+  }
 }
