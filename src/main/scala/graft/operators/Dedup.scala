@@ -72,6 +72,10 @@ object Dedup {
     * no job.)
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
+    // streaming-safe: .rdd is illegal on a streaming frame, and a
+    // micro-batch's parallelism is the source's to decide — the shared
+    // batch/stream derivations (termCells, bpeSegmentWith) pass through
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
@@ -102,7 +106,12 @@ object Dedup {
     */
   def lshBands(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     withMinhashes(docs, textCol, idCol)
-      .select(col(idCol), posexplode(
+      // _outer: the band array is always 4 elements over a non-null
+      // signature, and the plain form's inferred size>0/notnull filter
+      // predicate-pushes the WHOLE minhash tree into the scan (§6b
+      // round-15: InferFiltersFromGenerate) — re-sketching every doc a
+      // second time before the exchange
+      .select(col(idCol), posexplode_outer(
         transform(sequence(lit(0), lit(3)), j => concat_ws("-",
           element_at(col("mh"), j * 4 + 1), element_at(col("mh"), j * 4 + 2),
           element_at(col("mh"), j * 4 + 3), element_at(col("mh"), j * 4 + 4)))))
@@ -123,7 +132,10 @@ object Dedup {
       .groupBy(col("band_id"), col("band_key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
+      // _outer: size(ids) > 1 makes the expansion provably non-empty,
+      // and the plain form's inferred filter re-expands every bucket a
+      // second time (§6b round-15)
+      .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
           |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))
@@ -446,7 +458,9 @@ object Dedup {
     val matches = sh.groupBy(col("sh"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
       .filter(size(col("occ")) > 1 && size(col("occ")) <= maxBucket)
-      .select(explode(expr(
+      // _outer: non-empty by the size guard; the plain form's inferred
+      // filter doubles the pair expansion per bucket (§6b round-15)
+      .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(occ) - 1),
           |  i -> transform(sequence(i + 1, size(occ)),
           |    j -> struct(element_at(occ, i) AS a, element_at(occ, j) AS b))))
@@ -486,15 +500,25 @@ object Dedup {
     */
   def sharedPassages(docs: DataFrame, k: Int = 8, minRun: Int = 2,
                      maxBucket: Int = 64): DataFrame = {
-    val sh = docs
+    // row-filter guard + _outer (not a when/otherwise inside a plain
+    // posexplode): the filtered rows' shingle array is provably
+    // non-empty, and the plain form's inferred filter predicate-pushes
+    // the whole k-gram build into the scan (§6b round-15). spread():
+    // the positioned-shingle build is the operator's CPU — measured
+    // 11.4 s → 2.7 s at sf1 on the 2-split local documents file.
+    val sh = spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), posexplode(
-        when(size(col("tok")) >= k,
-          transform(sequence(lit(1), size(col("tok")) - (k - 1)),
-            i => array_join(slice(col("tok"), i, lit(k)), " ")))
-          .otherwise(array().cast("array<string>"))))
+      .filter(size(col("tok")) >= k)
+      .select(col("doc_id"), posexplode_outer(
+        transform(sequence(lit(1), size(col("tok")) - (k - 1)),
+          i => array_join(slice(col("tok"), i, lit(k)), " "))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        md5(col("col")).as("sh"))
+        // 16-byte binary digest, not the 32-char hex rendering: the
+        // digest is only ever a group key (it never reaches output or
+        // the oracle, which groups RAW gram strings — g10/g11's
+        // digest↔raw equivalence), so the hex doubling was pure wire
+        // cost on the groupBy(sh) exchange
+        unhex(md5(col("col"))).as("sh"))
     alignedRuns(sh, minRun, maxBucket, k, "passage_tokens")
   }
 
@@ -542,15 +566,34 @@ object Dedup {
   /** The distinct word-5-gram shingle table (doc_id, s) both setSim
     * forms element-join on — extracted verbatim from [[setSimJoin]] so
     * the shingle definition exists once.
+    *
+    * `s` is the 60-bit md5-prefix FINGERPRINT of the gram, not the gram
+    * string (round 15): every downstream relation keys on it — the df
+    * count, the (df, s) prefix rank, the prefix collision join, both
+    * verify joins, the persisted `_pref` bucketing — and at sf1 the
+    * string form shuffled 390 MB of 40-byte grams where the longs
+    * shuffle ~2× less and sort/join without byte-wise compares. The
+    * DuckDB oracle hashes with the identical
+    * `CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)` recipe
+    * ([[graft.functions.Md5Prefix60]] is bit-equal by construction), so
+    * engine and oracle agree exactly even in the (≈2⁻⁶⁰-scale) event of
+    * a fingerprint collision — both would merge the same two grams.
+    * One HOF stage per projection (§6b): gram strings are hashed
+    * row-local inside their own transform and never leave the map side.
     */
   private[graft] def setSimShingles(docs: DataFrame): DataFrame =
-    docs
+    spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(
-        when(size(col("tok")) >= 5,
-          transform(sequence(lit(1), size(col("tok")) - 4),
-            i => array_join(slice(col("tok"), i, lit(5)), " ")))
-          .otherwise(array().cast("array<string>"))).as("s"))
+      // row guard + _outer: same drop-out (short docs shingle to
+      // nothing either way), but no inferred filter re-running the
+      // 5-gram build inside the scan (§6b round-15)
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("tok")) - 4),
+          i => array_join(slice(col("tok"), i, lit(5)), " ")).as("g"))
+      .select(col("doc_id"), explode_outer(
+        transform(col("g"),
+          x => graft.functions.HashFunctions.md5Prefix60(x))).as("s"))
       .distinct()
 
   /** The exact-Jaccard verification close shared by [[setSimJoin]] and
@@ -938,14 +981,15 @@ object Dedup {
                           n: Int = 8,
                           benchmarkFromCorpus: Boolean = true): DataFrame = {
     def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      spread(df).select(col("doc_id"), split(col("text"), " ").as("tok"))
+        // row guard (also keeps sequence(1, k) from counting DOWN for
+        // k < 1) + _outer: no inferred filter re-running the gram
+        // build inside the scan (§6b round-15)
+        .filter(size(col("tok")) >= n)
         .select(col("doc_id"),
-          // guard: sequence(1, k) with k < 1 would count DOWN in Spark
-          when(size(col("tok")) >= n,
-            transform(sequence(lit(1), size(col("tok")) - (n - 1)),
-              i => array_join(slice(col("tok"), i, lit(n)), " ")))
-            .otherwise(array().cast("array<string>")).as("grams"))
-        .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+            i => array_join(slice(col("tok"), i, lit(n)), " ")).as("grams"))
+        .select(col("doc_id"), explode_outer(array_distinct(col("grams"))).as("gram"))
     val benchGrams = grams(benchmark)
       .select(col("doc_id").as("bench_id"), col("gram").as("bgram"))
     val joinCond =
@@ -1071,6 +1115,17 @@ object Dedup {
     * (doc_id, gh). One HOF stage per projection (SURVEY §6b); gram text
     * is hashed row-local so only 8-byte longs ever shuffle. `carry`
     * threads extra columns (D15's source) through the stages.
+    *
+    * The explode MUST be the `_outer` form (§6b round-15): a plain
+    * `explode` makes `InferFiltersFromGenerate` synthesize
+    * `size(gh) > 0 AND isnotnull(gh)`, and predicate pushdown drives
+    * that filter — with the ENTIRE gram+md5+distinct tree inlined —
+    * below the spread exchange into the FileScan's DataFilters, where
+    * it re-evaluates interpreted, per row, on the scan's few input
+    * splits. Measured at sf1: 15.6 s vs 1.3 s for the identical
+    * 2.36M-row result (the rule skips outer generates; the arrays are
+    * provably non-empty under the size(tok) >= n row guard, so the
+    * outer form emits the identical row set).
     */
   private[graft] def docGramFingerprints(docs: DataFrame, n: Int,
                                          carry: Seq[String] = Nil): DataFrame = {
@@ -1084,7 +1139,7 @@ object Dedup {
       .select(c :+ col("doc_id") :+
         array_distinct(transform(col("g"),
           x => graft.functions.HashFunctions.md5Prefix60(x))).as("gh"): _*)
-      .select(c :+ col("doc_id") :+ explode(col("gh")).as("gh"): _*)
+      .select(c :+ col("doc_id") :+ explode_outer(col("gh")).as("gh"): _*)
   }
 
   /** D15: all-pairs source-overlap matrix — "which sources duplicate
@@ -1678,7 +1733,8 @@ object Dedup {
     s"""WITH t AS (
        |  SELECT doc_id, str_split(text, ' ') AS tok FROM documents),
        |sh AS (
-       |  SELECT DISTINCT doc_id, array_to_string(tok[i:i+4], ' ') AS s
+       |  SELECT DISTINCT doc_id,
+       |         CAST(('0x' || substr(md5(array_to_string(tok[i:i+4], ' ')), 1, 15)) AS BIGINT) AS s
        |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 3)) AS i
        |        FROM t WHERE len(tok) >= 5)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -311,7 +311,9 @@ object Fraud {
     uk.groupBy(col("day"), col("k"))
       .agg(array_sort(collect_list(col("user_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
+      // _outer: non-empty by the size guard; a plain explode's inferred
+      // filter re-expands every cell a second time (§6b round-15)
+      .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
           |    j -> struct(element_at(ids, i) AS user_a, element_at(ids, j) AS user_b))))
@@ -551,12 +553,18 @@ object Fraud {
     // table is ≤ |types|³ + |types|² rows; checkpointing it (i23's
     // idiom) pins every downstream join to the tiny table.
     val cells = lagged
-      .select(explode(filter(array(
+      // _outer + null post-filter: the filtered 2-struct array CAN be
+      // empty (a user's first event has neither gram), and a plain
+      // explode's inferred filter re-runs the array filter per row
+      // (§6b round-15) — outer emits one null row instead, dropped by
+      // the cheap generated-column filter below (identical cells)
+      .select(explode_outer(filter(array(
         struct(lit("tri").as("kind"), col("t1"), col("t2"), col("t3")),
         struct(lit("bi").as("kind"), lit(null).cast("string").as("t1"),
           col("t2"), col("t3"))),
         c => when(c.getField("kind") === "tri", col("t1").isNotNull)
           .otherwise(col("t2").isNotNull))).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("g.kind").as("kind"), col("g.t1").as("t1"),
         col("g.t2").as("t2"), col("g.t3").as("t3"))
       .groupBy(col("kind"), col("t1"), col("t2"), col("t3"))

@@ -91,13 +91,17 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame =
     media
+      // row guard (empty payload ⇒ zero frames — sequence(0,0) would
+      // fabricate one) + _outer: frame 0 always survives the stride
+      // filter, so the ids array is provably non-empty, and the plain
+      // form's inferred filter re-runs the id build in the scan
+      // (§6b round-15)
+      .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
-        // empty payload ⇒ zero frames (sequence(0,0) would fabricate one)
-        when(length(col("payload")) === 0, expr("array()"))
-          .otherwise(expr(
-            s"filter(sequence(0, cast(ceil(length(payload) / $frameBytes) as int) - 1), i -> i % $every = 0)"))
+        expr(
+          s"filter(sequence(0, cast(ceil(length(payload) / $frameBytes) as int) - 1), i -> i % $every = 0)")
           .as("frame_ids"))
-      .select(col("doc_id"), col("payload"), explode(col("frame_ids")).as("frame_idx"))
+      .select(col("doc_id"), col("payload"), explode_outer(col("frame_ids")).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"),
         expr(s"length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
@@ -131,7 +135,9 @@ object Multimodal {
     val pairs = fd.groupBy(col("fh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
+      // _outer: non-empty by the size guard; a plain explode's inferred
+      // filter re-expands every cell a second time (§6b round-15)
+      .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
           |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))
@@ -404,7 +410,10 @@ object Multimodal {
       f
     }
     val bands = fp
-      .select(col("doc_id"), posexplode(
+      // _outer: the band array is always 4 elements over a non-null
+      // fingerprint; a plain posexplode's inferred filter re-derives
+      // the band transform per row below this projection (§6b round-15)
+      .select(col("doc_id"), posexplode_outer(
         expr("transform(sequence(0, 3), j -> (shiftright(phash, 45 - 15*j) & 32767))")))
       .toDF("doc_id", "band_id", "band_key")
     // hub cap: drop DEGENERATE buckets before the self-join (see

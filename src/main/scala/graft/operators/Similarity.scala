@@ -187,7 +187,9 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
+      // _outer: non-empty by the size guard; a plain explode's inferred
+      // filter re-expands every bucket a second time (§6b round-15)
+      .select(explode_outer(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
           |    j -> struct(element_at(ids, i) AS vec_a, element_at(ids, j) AS vec_b))))

@@ -123,9 +123,13 @@ object TextAnalysis {
     * the 1-row corpus count keeps its hint.
     */
   def tfIdf(docs: DataFrame): DataFrame = {
-    val terms = docs
+    // text guard + _outer: split never yields an empty array, so the
+    // row set is identical — and no inferred size>0 filter re-splits
+    // the corpus inside the scan (§6b round-15)
+    val terms = Dedup.spread(docs)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(col("tok")).as("term"))
+      .select(col("doc_id"), explode_outer(col("tok")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
@@ -144,13 +148,15 @@ object TextAnalysis {
     * map-side-combined, shuffling only counted grams, never raw text.
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = Dedup.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("tok"),
         size(col("tok")).cast("long").as("n_tokens"),
         size(array_distinct(col("tok"))).cast("long").as("n_distinct"))
+    // _outer: non-empty under the n_tokens >= 2 guard; a plain explode's
+    // inferred filter re-runs the bigram build in the scan (§6b round-15)
     val gramStats = toks.filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode_outer(
         transform(sequence(lit(0), size(col("tok")) - 2), i =>
           concat_ws(" ", element_at(col("tok"), i + 1), element_at(col("tok"), i + 2)))).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
@@ -212,7 +218,9 @@ object TextAnalysis {
     * with a default tail log-prob remains the bandwidth optimization).
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // text guard + _outer: identical rows, no scan-side re-split (§6b round-15)
+    val terms = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("term"))
     val tc = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = tc.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
     val lp = tc.crossJoin(broadcast(tot))
@@ -236,7 +244,9 @@ object TextAnalysis {
     * don't depend on aggregation order (cluster-size-independent).
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {
-    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // text guard + _outer: identical rows, no scan-side re-split (§6b round-15)
+    val terms = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
     tf.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
@@ -272,7 +282,9 @@ object TextAnalysis {
     * shuffle, exactly f6's shape.
     */
   def sourceKlDivergence(docs: DataFrame): DataFrame = {
-    val terms = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+    // text guard + _outer: identical rows, no scan-side re-split (§6b round-15)
+    val terms = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(col("source"), explode_outer(split(col("text"), " ")).as("term"))
     // persist the (source, term) counts: ns/ct/tot are all derived from
     // st, and without the cache each derivation RE-TOKENIZES the corpus
     // (measured: four full explode+agg scans). The cached table is the
@@ -333,12 +345,16 @@ object TextAnalysis {
     */
   def chunkSplit(docs: DataFrame, chunk: Int = 64, stride: Int = 48): DataFrame =
     Dedup.spread(docs)
+      // text guard + _outer: nc >= 1 always, so the id range is never
+      // empty and no inferred filter re-derives it in the scan
+      // (§6b round-15)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("tok"),
         (lit(1L) + floor((greatest(lit(0), size(col("tok")) - chunk)
           + (stride - 1)).cast("double") / lit(stride.toDouble)).cast("long")).as("nc"))
       .select(col("doc_id"), col("tok"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+        explode_outer(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         slice(col("tok"), (col("chunk_id") * stride + 1).cast("int"), lit(chunk)).as("ct"))
       .select(col("doc_id"), col("chunk_id"),
@@ -361,12 +377,15 @@ object TextAnalysis {
     * (|vocab∩q|+1) rows — bounded by the query, not the corpus.
     */
   def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    val toks = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("tok"), size(col("tok")).cast("long").as("dl"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_dl"))
     val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
+      // _outer: tok non-empty (split of non-null text), no scan-side
+      // re-split (§6b round-15)
+      .select(col("doc_id"), col("dl"), explode_outer(col("tok")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -462,17 +481,19 @@ object TextAnalysis {
     * across partitionings and engines (f9's recipe).
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
-    val grams = docs
+    // row guard + _outer: same drop-out, no inferred filter re-running
+    // the bigram build in the scan (§6b round-15)
+    val grams = Dedup.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(
-        when(size(col("tok")) >= 2,
-          transform(sequence(lit(1), size(col("tok")) - 1), i =>
-            concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1))))
-          .otherwise(array())).as("gram"))
+      .filter(size(col("tok")) >= 2)
+      .select(col("doc_id"), explode_outer(
+        transform(sequence(lit(1), size(col("tok")) - 1), i =>
+          concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1)))).as("gram"))
     val c2 = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
     val cpre = c2.groupBy(col("w1")).agg(sum(col("c")).as("cpre"))
-    val vocab = docs.select(explode(split(col("text"), " ")).as("term"))
+    val vocab = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(explode_outer(split(col("text"), " ")).as("term"))
       .agg(countDistinct(col("term")).as("vocab"))
     // the w1/gram model joins are vocab-sized — UNHINTED (AQE
     // broadcasts while they fit, term-keyed shuffle join beyond; the
@@ -531,13 +552,14 @@ object TextAnalysis {
 
   /** The corpus pass of F23: one gram-keyed count table. */
   private def gramCounts(docs: DataFrame): DataFrame =
-    docs
+    Dedup.spread(docs)
       .select(split(col("text"), " ").as("tok"))
-      .select(explode(
-        when(size(col("tok")) >= 2,
-          transform(sequence(lit(1), size(col("tok")) - 1), i =>
-            concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1))))
-          .otherwise(array())).as("gram"))
+      // row guard + _outer: no inferred filter re-running the bigram
+      // build in the scan (§6b round-15)
+      .filter(size(col("tok")) >= 2)
+      .select(explode_outer(
+        transform(sequence(lit(1), size(col("tok")) - 1), i =>
+          concat_ws(" ", element_at(col("tok"), i), element_at(col("tok"), i + 1)))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
 
   /** The vocab²-bounded close of F23, shared by the one-shot and
@@ -596,7 +618,9 @@ object TextAnalysis {
                      carry: Seq[String] = Nil): DataFrame = {
     val mergeLit = typedLit(merges)
     val c = carry.map(col)
-    docs
+    // spread: the per-doc merge fold below is the operator's CPU, and
+    // the local documents file has ~2 splits (§6b round-15)
+    Dedup.spread(docs)
       .select(c ++ Seq(col("doc_id"), split(col("text"), " ").as("tok")): _*)
       .select(c ++ Seq(col("doc_id"),
         size(col("tok")).cast("long").as("ws_tokens"),
@@ -632,13 +656,14 @@ object TextAnalysis {
     */
   def boilerplate(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    val grams = Dedup.spread(docs)
       .select(col("source"), col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("source"), col("doc_id"), explode(
-        when(size(col("tok")) >= n,
-          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
-            i => array_join(slice(col("tok"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      // row guard + _outer: no inferred filter re-running the gram
+      // build in the scan (§6b round-15)
+      .filter(size(col("tok")) >= n)
+      .select(col("source"), col("doc_id"), explode_outer(
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => array_join(slice(col("tok"), i, lit(n)), " "))).as("gram"))
       .distinct()
     val df = grams.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("df"))
@@ -676,13 +701,15 @@ object TextAnalysis {
     * full oracle).
     */
   def boilerplateStrip(docs: DataFrame, n: Int = 4, minDf: Int = 3): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
-    val pg = toks.select(col("doc_id"), explode(
-      when(size(col("tok")) >= n,
+    val toks = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    // row guard + _outer: no inferred filter re-running the positioned
+    // gram build in the scan (§6b round-15)
+    val pg = toks.filter(size(col("tok")) >= n)
+      .select(col("doc_id"), explode_outer(
         transform(sequence(lit(1), size(col("tok")) - (n - 1)),
           i => struct(i.as("pos"),
-            array_join(slice(col("tok"), i, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("g"))
+            array_join(slice(col("tok"), i, lit(n)), " ").as("gram")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     val freq = pg.select(col("gram"), col("doc_id")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -690,10 +717,13 @@ object TextAnalysis {
       .select(col("gram"))
     val covered = pg.join(freq, Seq("gram"), "left_semi")
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+        // _outer: an ascending literal-width sequence is never empty;
+        // the plain form's inferred filter allocates and sizes it a
+        // second time per row (§6b round-15)
+        explode_outer(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
       .distinct()
     val tokPos = toks
-      .select(col("doc_id"), posexplode(col("tok")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), posexplode_outer(col("tok")).as(Seq("p0", "tk")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
     val kept = tokPos.join(
       covered.select(col("doc_id"), col("cpos").as("pos")),
@@ -724,12 +754,14 @@ object TextAnalysis {
     */
   def frequentGrams(docs: DataFrame, n: Int = 4, minDf: Int = 3,
                     maxTemplates: Int = 100000): Seq[String] = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
-    val grams = toks.select(col("doc_id"), explode(
-      when(size(col("tok")) >= n,
+    val toks = Dedup.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    // row guard + _outer: no inferred filter re-running the gram build
+    // in the scan (§6b round-15)
+    val grams = toks.filter(size(col("tok")) >= n)
+      .select(col("doc_id"), explode_outer(
         transform(sequence(lit(1), size(col("tok")) - (n - 1)),
-          i => array_join(slice(col("tok"), i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+          i => array_join(slice(col("tok"), i, lit(n)), " "))).as("gram"))
       .distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -792,13 +824,14 @@ object TextAnalysis {
     * (trade: loses the SQL-oracle portability the string form keeps).
     */
   def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
-    val dg = docs
+    val dg = Dedup.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), explode(
-        when(size(col("tok")) >= n,
-          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
-            i => array_join(slice(col("tok"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      // row guard + _outer: no inferred filter re-running the gram
+      // build in the scan (§6b round-15)
+      .filter(size(col("tok")) >= n)
+      .select(col("doc_id"), explode_outer(
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => array_join(slice(col("tok"), i, lit(n)), " "))).as("gram"))
       .distinct()
     val first = dg.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
     dg.join(first, Seq("gram"))
@@ -834,7 +867,8 @@ object TextAnalysis {
     */
   def zipfSlope(docs: DataFrame, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val top = docs.select(explode(split(col("text"), " ")).as("term"))
+    val top = Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(explode_outer(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term"))
       .limit(topK)
@@ -870,7 +904,9 @@ object TextAnalysis {
     * shared derivation, so stream and batch cannot drift).
     */
   def termCells(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("term"))
+    // text guard + _outer: identical rows, no scan-side re-split (§6b round-15)
+    Dedup.spread(docs).filter(col("text").isNotNull)
+      .select(explode_outer(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
 
   /** F21: vocabulary drift — the PSI stability index on TERM cells

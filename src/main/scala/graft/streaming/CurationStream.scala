@@ -33,14 +33,16 @@ object CurationStream {
     */
   def benchmarkGramBloom(benchmark: DataFrame, n: Int = 8,
                          numBits: Long = 1 << 20): Option[Array[Byte]] = {
+    // row guard + _outer: same drop-out (short docs gram to nothing),
+    // no inferred filter re-running the gram build in the scan
+    // (§6b round-15)
     val grams = benchmark
       .select(split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= n)
       .select(
-        when(size(col("tok")) >= n,
-          transform(sequence(lit(1), size(col("tok")) - (n - 1)),
-            i => array_join(slice(col("tok"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("grams"))
-      .select(explode(col("grams")).as("gram"))
+        transform(sequence(lit(1), size(col("tok")) - (n - 1)),
+          i => array_join(slice(col("tok"), i, lit(n)), " ")).as("grams"))
+      .select(explode_outer(col("grams")).as("gram"))
     val row = grams
       .agg(BloomFunctions.bloomFilterAgg(col("gram"), 100000L, numBits).as("bf"))
       .head()

@@ -870,6 +870,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         offenders.map { case (n, s) => s"$n=$s chars" }.mkString(", "))
   }
 
+  test("gram/pair-expansion plans carry no lambda-bearing Filter: the InferFiltersFromGenerate trap stays closed") {
+    // §6b round-15: a plain explode over an expensive derived array
+    // makes InferFiltersFromGenerate synthesize size>0/notnull, and
+    // predicate pushdown re-evaluates the WHOLE gram/md5 tree in an
+    // interpreted Filter (or the scan's DataFilters) — measured 12×
+    // on docGramFingerprints at sf1. Every such site now row-guards
+    // and uses the _outer generator; this pins the shape for the swept
+    // query set. These queries' only legitimate Filter conditions are
+    // attribute comparisons and cheap size/notnull guards — a
+    // `lambdafunction(` inside any Filter condition means the inferred
+    // filter (and the duplicated derivation) is back.
+    val swept = Seq("d12_dup_span_score", "d15_source_overlap",
+      "d22_shared_passages", "d23_setsim_join", "d11_decontaminate",
+      "f17_bigram_logprob", "f18_novelty", "c27_collusion_pairs",
+      "g5_phash_neardup", "d2_minhash_lsh")
+    for (q <- swept) {
+      val plan = SparkEntry.queries(q)(spark, SF).queryExecution.optimizedPlan
+      val offending = plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("lambdafunction(") => f
+      }
+      // headOption: scalatest's assert evaluates the clue EAGERLY —
+      // a bare .head here threw on the passing (empty) case
+      assert(offending.isEmpty,
+        s"$q has ${offending.size} lambda-bearing Filter(s) — the " +
+          s"InferFiltersFromGenerate trap is back:\n${offending.headOption.getOrElse("")}")
+    }
+  }
+
   test("d14/d22 exchanges carry digests, not text: shuffle bytes per doc stay flat across scales") {
     // The round-14 scaling attribution (docs/SCALING_D14_D22.md): both
     // queries' exponents are explained ONLY IF the wire cost per doc
