@@ -377,7 +377,9 @@ object TextAnalysis {
     * (|vocab∩q|+1) rows — bounded by the query, not the corpus.
     */
   def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame = {
-    val toks = Dedup.spread(docs).filter(col("text").isNotNull)
+    // NO spread (termCells' reasoning): the query-term filter prunes
+    // the explode immediately — the map pass is too light to repartition
+    val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("tok"), size(col("tok")).cast("long").as("dl"))
     val stats = toks.agg(count(lit(1)).as("n_docs"),
@@ -551,6 +553,9 @@ object TextAnalysis {
       minCount, k)
 
   /** The corpus pass of F23: one gram-keyed count table. */
+  // spread stays even though this is one light pass — it is also the
+  // reuse barrier that keeps the four f23 consumers on ONE corpus scan
+  // (termCells' reasoning; the PlanSpec scan-count pin)
   private def gramCounts(docs: DataFrame): DataFrame =
     Dedup.spread(docs)
       .select(split(col("text"), " ").as("tok"))
@@ -904,7 +909,12 @@ object TextAnalysis {
     * shared derivation, so stream and batch cannot drift).
     */
   def termCells(docs: DataFrame): DataFrame =
-    // text guard + _outer: identical rows, no scan-side re-split (§6b round-15)
+    // text guard + _outer: identical rows, no scan-side re-split (§6b
+    // round-15). spread stays even though this pass is light: the
+    // repartition exchange is ALSO what keeps the cell table's
+    // downstream branches canonically equal — without it f21's four
+    // consumers re-scanned the corpus 4× (the PlanSpec reuse pin),
+    // which costs more than the exchange ever does
     Dedup.spread(docs).filter(col("text").isNotNull)
       .select(explode_outer(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
