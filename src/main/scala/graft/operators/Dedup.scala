@@ -855,12 +855,30 @@ object Dedup {
     * over the pair endpoints. The pair plan is checkpointed ONCE up
     * front — both union branches and every iteration read the
     * materialized copy.
+    *
+    * Loop shuffle partitioning is SCALE-ADAPTIVE (r15, guide §2):
+    * per-round wall time on output-sized pair graphs is fixed
+    * scheduling/planning latency per shuffle task, and the session's
+    * partition count (sized for corpus-wide scans) is 10–30× too wide
+    * for the loop's label state. The count is derived from the
+    * MATERIALIZED edge table (one cheap job over checkpointed blocks,
+    * ~1M edge rows ≈ 16 MB per partition) and only ever SHRINKS the
+    * session setting — at cluster scale the loop keeps the configured
+    * width, locally a 7.5k-pair graph runs 1-partition rounds
+    * (measured on g8's sf0.1 graph: 9 rounds, 5.3 s → 3.1 s; the
+    * conf is restored in `finally`, and every round's state is
+    * materialized inside the scope so no lazy subplan escapes it).
     */
   private def componentLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
     val p = checkpointFresh(pairs)
     val edges = checkpointFresh(
       p.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    val sessionSp = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).toOption
+    val loopSp = sessionSp.map(sp =>
+      math.max(1L, math.min(edges.count() / 1000000L + 1L, sp)))
     // Initial labels fold the FIRST neighbor-min round in for free:
     // comp_0 = min({id} ∪ neighbors) is exactly what one propagation
     // round over identity labels produces (the pointer jump on
@@ -869,35 +887,42 @@ object Dedup {
     // and with per-round wall time dominated by fixed job-scheduling
     // latency (the round-8 profile) that is a full round-trip saved
     // on every caller.
-    var labels = checkpointFresh(
-      edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u").as("id"), least(col("u"), col("mv")).as("comp")))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("vid"), col("comp")), col("v") === col("vid"))
-        .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
-      val parentComp = labels
-        .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
-          col("comp") === col("pid"))
-        .select(col("id").as("jid"), col("pcomp"))
-      val (stepped, nChanged) = checkpointCountingChanges(labels
-        .join(neighborMin, col("id") === col("u"), "left")
-        .join(parentComp, col("id") === col("jid"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"),
-            coalesce(col("ncomp"), col("comp")),
-            coalesce(col("pcomp"), col("comp"))).as("comp")))
-      changed = nChanged
-      labels = stepped.select("id", "comp")
-      iter += 1
+    try {
+      loopSp.foreach(sp =>
+        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
+      var labels = checkpointFresh(
+        edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+          .select(col("u").as("id"), least(col("u"), col("mv")).as("comp")))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("vid"), col("comp")), col("v") === col("vid"))
+          .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
+        val parentComp = labels
+          .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
+            col("comp") === col("pid"))
+          .select(col("id").as("jid"), col("pcomp"))
+        val (stepped, nChanged) = checkpointCountingChanges(labels
+          .join(neighborMin, col("id") === col("u"), "left")
+          .join(parentComp, col("id") === col("jid"), "left")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"),
+              coalesce(col("ncomp"), col("comp")),
+              coalesce(col("pcomp"), col("comp"))).as("comp")))
+        changed = nChanged
+        labels = stepped.select("id", "comp")
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"clustersFromPairs did not converge in $maxIter rounds " +
+            "(component diameter too large) — raise maxIter")
+      labels
+    } finally {
+      sessionSp.foreach(sp =>
+        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"clustersFromPairs did not converge in $maxIter rounds " +
-          "(component diameter too large) — raise maxIter")
-    labels
   }
 
   /** Exact cosine near-dup pairs above `threshold` — the shared

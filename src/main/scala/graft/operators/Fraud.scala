@@ -485,6 +485,7 @@ object Fraud {
     */
   def pageRankFromPairs(pairs: DataFrame, iters: Int = 8): DataFrame = {
     val scale = 1000000000000L
+    val spark = pairs.sparkSession
     val edges = pairs.localCheckpoint(true)
     val und = edges.select(col("user_a").as("u"), col("user_b").as("v"))
       .union(edges.select(col("user_b").as("u"), col("user_a").as("v")))
@@ -498,16 +499,39 @@ object Fraud {
         lit(0.0).as("pagerank")).limit(0)
     }
     val base = scale / n
-    var ranks = deg.select(col("u"), lit(base).as("fp"))
-    for (_ <- 1 to iters) {
-      ranks = und.join(ranks, Seq("u")).join(deg, Seq("u"))
-        .select(col("v").as("u"), expr("fp div degree").as("c"))
-        .groupBy(col("u")).agg(sum(col("c")).as("contrib"))
-        .select(col("u"),
-          expr(s"(${15L * base} + 85 * contrib) div 100").as("fp"))
+    // The `iters` power-iteration stages run over NODE-sized tables
+    // (ranks/deg), so their shuffles take the componentLabels r15
+    // treatment (guide §2): partition count derived from the measured
+    // graph size, shrink-only vs the session setting, restored in
+    // `finally`. Scoping the conf requires the iterated plan to
+    // EXECUTE inside the scope, so the converged fixed-point table is
+    // materialized here (one localCheckpoint of a node-sized integer
+    // table — the former zero-action form executed the same 3·iters
+    // stages lazily at the sink, each exchange at corpus width). The
+    // arithmetic is exact fixed-point longs; the materialization
+    // changes no value.
+    val sessionSp = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).toOption
+    val loopSp = sessionSp.map(sp =>
+      math.max(1L, math.min(n / 500000L + 1L, sp)))
+    try {
+      loopSp.foreach(sp =>
+        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
+      var ranks = deg.select(col("u"), lit(base).as("fp"))
+      for (_ <- 1 to iters) {
+        ranks = und.join(ranks, Seq("u")).join(deg, Seq("u"))
+          .select(col("v").as("u"), expr("fp div degree").as("c"))
+          .groupBy(col("u")).agg(sum(col("c")).as("contrib"))
+          .select(col("u"),
+            expr(s"(${15L * base} + 85 * contrib) div 100").as("fp"))
+      }
+      Stage.checkpointFresh(ranks)
+        .select(col("u").as("user_id"), col("fp").as("pr_fp"),
+          (col("fp").cast("double") / lit(scale).cast("double")).as("pagerank"))
+    } finally {
+      sessionSp.foreach(sp =>
+        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
     }
-    ranks.select(col("u").as("user_id"), col("fp").as("pr_fp"),
-      (col("fp").cast("double") / lit(scale).cast("double")).as("pagerank"))
   }
 
   /** C31's logic (see the queries-map comment for the full design

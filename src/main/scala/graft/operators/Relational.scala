@@ -591,13 +591,45 @@ object Relational {
                  k: Int = 10): DataFrame = {
     val cells = Stage.checkpointFresh(rawCells)
     val days = cells.select(col("ship_day"), col("day_num")).distinct()
-    val expanded = cells
-      .select(col("key"), col("c"),
-        explode(sequence(col("day_num"),
-          col("day_num") + lit(windowDays - 1))).as("day_num"))
-      .join(broadcast(days), Seq("day_num"))
-    val sums = expanded.groupBy(col("ship_day"), col("key"))
-      .agg(sum(col("c")).as("w_count"))
+    // Counts are ADDITIVE, so when the key universe is compact the
+    // trailing sum has a 60×-lighter exact form than the serve-day
+    // expansion (r15, guide §2.3 — shuffle fewer bytes): a dense
+    // (real day × key-ever-in-cells) grid left-joined to the cells
+    // with a per-key integer RANGE window over day_num replaces the
+    // cells×windowDays explode+re-aggregate (measured at sf0.1:
+    // 34.5M expanded rows → a 580k-row frame, 5.7 s → 4.0 s,
+    // result-identical by construction — exact integer sums either
+    // way, same (count desc, key) cut; w_count > 0 keeps zero-count
+    // grid rows out of the rank, matching the expansion's row set).
+    // The grid is days×|keys| rows, which BEATS cells×windowDays only
+    // while the key universe is compact — the branch is chosen from
+    // the three measured cardinalities of the materialized cell table
+    // (scale-adaptive, not a constant): a corpus whose key universe
+    // outgrows m×windowDays falls back to the bounded expansion.
+    val nCells = cells.count()
+    val nDays = days.count()
+    val nKeys = cells.select(col("key")).distinct().count()
+    val sums =
+      if (nDays * nKeys <= nCells * windowDays) {
+        val grid = days.crossJoin(cells.select(col("key")).distinct())
+        val wr = Window.partitionBy(col("key")).orderBy(col("day_num"))
+          .rangeBetween(-(windowDays - 1), 0)
+        grid
+          .join(cells.select(col("day_num"), col("key"), col("c")),
+            Seq("day_num", "key"), "left")
+          .na.fill(0L, Seq("c"))
+          .select(col("ship_day"), col("key"),
+            sum(col("c")).over(wr).as("w_count"))
+          .filter(col("w_count") > 0)
+      } else {
+        val expanded = cells
+          .select(col("key"), col("c"),
+            explode(sequence(col("day_num"),
+              col("day_num") + lit(windowDays - 1))).as("day_num"))
+          .join(broadcast(days), Seq("day_num"))
+        expanded.groupBy(col("ship_day"), col("key"))
+          .agg(sum(col("c")).as("w_count"))
+      }
     val w = Window.partitionBy(col("ship_day"))
       .orderBy(col("w_count").desc, col("key"))
     sums
