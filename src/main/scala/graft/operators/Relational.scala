@@ -601,16 +601,24 @@ object Relational {
     // result-identical by construction — exact integer sums either
     // way, same (count desc, key) cut; w_count > 0 keeps zero-count
     // grid rows out of the rank, matching the expansion's row set).
-    // The grid is days×|keys| rows, which BEATS cells×windowDays only
-    // while the key universe is compact — the branch is chosen from
-    // the three measured cardinalities of the materialized cell table
-    // (scale-adaptive, not a constant): a corpus whose key universe
-    // outgrows m×windowDays falls back to the bounded expansion.
+    // The grid is days×|keys| rows, and a grid row costs MORE than an
+    // expanded row (two sort-based window passes vs one codegen
+    // explode + a map-side-combinable hash aggregate) — so the branch
+    // gates on the measured grid/cells ratio, not on grid vs the 60×
+    // expansion (that first gate mis-picked grid at sf1: 28.1 s vs
+    // 10.6 s expansion, a 2.7× regression invisible at sf0.1). The
+    // two measured anchor points on this corpus: ratio 4.7 at sf0.1
+    // (1,000 suppkeys; grid 2.5M rows vs 533k cells) — grid WINS
+    // 5.7→4.0 s; ratio 39 at sf1 (10,000 suppkeys, cells capped by
+    // the m=256 daily cut) — grid LOSES 2.7×. The factor-8 cut sits
+    // between them with margin against the known-bad point; both
+    // branches are exact integer sums over the same cells
+    // (PropertySpec forces each), so the gate is a pure cost choice.
     val nCells = cells.count()
     val nDays = days.count()
     val nKeys = cells.select(col("key")).distinct().count()
     val sums =
-      if (nDays * nKeys <= nCells * windowDays) {
+      if (nDays * nKeys <= nCells * 8L) {
         val grid = days.crossJoin(cells.select(col("key")).distinct())
         val wr = Window.partitionBy(col("key")).orderBy(col("day_num"))
           .rangeBetween(-(windowDays - 1), 0)

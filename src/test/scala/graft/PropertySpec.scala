@@ -497,6 +497,49 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         diff.take(3).map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
   }
 
+  test("B50 grid branch (r15): compact key universe takes the RANGE-window " +
+    "form and still equals brute force") {
+    // windowTopK picks between the serve-day expansion and the dense
+    // day×key grid from measured cardinalities (grid iff days×keys <=
+    // 8×cells). The sparse suppkey corpus above exercises the
+    // expansion; this twin compacts the key universe (key % 3) so the
+    // grid branch fires — the precondition is asserted, and the output
+    // must STILL equal the brute-force trailing counts (both forms are
+    // exact integer sums over the same cells).
+    import org.apache.spark.sql.functions.{col, to_date, pmod, lit, countDistinct}
+    val R = graft.operators.Relational
+    val li = graft.sources.Tables.table(spark, SF, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_day"),
+        pmod(col("l_suppkey"), lit(3L)).as("key"))
+    val cells0 = R.dailyTopCells(li)
+    val nCells = cells0.count()
+    val nDays = cells0.select(col("ship_day")).distinct().count()
+    val nKeys = cells0.select(col("key")).distinct().count()
+    assert(nDays * nKeys <= nCells * 8L,
+      s"compacted corpus no longer takes the grid branch " +
+        s"(days=$nDays keys=$nKeys cells=$nCells) - retune the modulus")
+    val got = R.windowTopK(R.dailyTopCells(li)).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("rk")) ->
+        ((r.getAs[Long]("key"), r.getAs[Long]("w_count")))).toMap
+    val rows = li.collect().map(r => (r.getDate(0), r.getAs[Long]("key")))
+    val dayNums = rows.map(_._1.toLocalDate.toEpochDay).distinct.sorted
+    val byDayKey = rows.groupBy(t => (t._1.toLocalDate.toEpochDay, t._2))
+      .view.mapValues(_.length.toLong).toMap
+    val want = dayNums.flatMap { d =>
+      val counts = byDayKey.keys.toSeq.filter(k => k._1 <= d && k._1 > d - 60)
+        .groupBy(_._2).map { case (k, cells) =>
+          k -> cells.map(byDayKey).sum }
+      counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10).zipWithIndex
+        .map { case ((k, c), i) =>
+          (java.time.LocalDate.ofEpochDay(d).toString, i + 1L) -> ((k, c)) }
+    }.toMap
+    val diff = (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))
+    assert(diff.isEmpty,
+      s"grid-branch windowed top-k must equal brute-force trailing counts; " +
+        s"${diff.size} diffs, first: " +
+        diff.take(3).map(k => s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+  }
+
   test("B45/B46 closure law: window >= span makes the last day the GLOBAL sketch exactly") {
     // the windowed sketches are the global ones restricted to a
     // trailing frame — at windowDays >= the corpus span the last day's
