@@ -2200,6 +2200,12 @@ object Bench {
     // Setup (the CSV render) is the only section allowed to fail the
     // whole study; each measured variant catches its own failure so one
     // bad run can't discard completed measurements.
+    // Track what setup persisted so the catch can unpersist it — if the
+    // CSV render below throws AFTER users/products are cached, returning
+    // None without the unpersist would leak both tables for the rest of
+    // the session (r15 advice #1)
+    val setupPersisted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
     val setup: Option[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
       try {
         val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
@@ -2222,6 +2228,7 @@ object Bench {
             col("n_name").as("country"),
             lit("2020-01-01 00:00:00").cast("timestamp").as("signup_date"))
           .persist()
+        setupPersisted += users
         val products = Tables.table(spark, sfDir, "part")
           .select(col("p_partkey").cast("int").as("product_id"),
             col("p_name").as("name"), col("p_type").as("category"),
@@ -2229,6 +2236,7 @@ object Bench {
             lit("FRANCE").as("country"), lit(true).as("in_stock"),
             (col("p_retailprice") % 30).as("discount"))
           .persist()
+        setupPersisted += products
         users.count(); products.count() // materialize in setup, untimed
         Fraud.transactions(spark, sfDir)
           .select(col("transaction_id"), col("user_id").cast("int"),
@@ -2241,6 +2249,9 @@ object Bench {
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] streaming setup failed: ${e.getMessage}")
+          setupPersisted.foreach(df =>
+            try df.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () })
           None
       }
     setup match {

@@ -134,12 +134,10 @@ object Dedup {
       .filter(size(col("ids")) > 1)
       // _outer: size(ids) > 1 makes the expansion provably non-empty,
       // and the plain form's inferred filter re-expands every bucket a
-      // second time (§6b round-15)
-      .select(explode_outer(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))
-          |""".stripMargin)).as("p"))
+      // second time (§6b round-15). pair_expand is the r16 native form
+      // of the nested-HOF expansion (same pairs, same order)
+      .select(explode_outer(graft.functions.PairFunctions.pairExpand(
+        col("ids"), "doc_a", "doc_b")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
@@ -459,12 +457,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
       .filter(size(col("occ")) > 1 && size(col("occ")) <= maxBucket)
       // _outer: non-empty by the size guard; the plain form's inferred
-      // filter doubles the pair expansion per bucket (§6b round-15)
-      .select(explode_outer(expr(
-        """flatten(transform(sequence(1, size(occ) - 1),
-          |  i -> transform(sequence(i + 1, size(occ)),
-          |    j -> struct(element_at(occ, i) AS a, element_at(occ, j) AS b))))
-          |""".stripMargin)).as("p"))
+      // filter doubles the pair expansion per bucket (§6b round-15).
+      // pair_expand is the r16 native form of the nested-HOF expansion
+      // (same pairs, same order — struct elements pass through intact)
+      .select(explode_outer(graft.functions.PairFunctions.pairExpand(
+        col("occ"), "a", "b")).as("p"))
       .filter(col("p.a.doc_id") < col("p.b.doc_id"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         col("p.a.pos").as("pos_a"), col("p.b.pos").as("pos_b"),
@@ -870,15 +867,31 @@ object Dedup {
     * materialized inside the scope so no lazy subplan escapes it).
     */
   private def componentLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
-    val spark = pairs.sparkSession
+    val caller = pairs.sparkSession
     val p = checkpointFresh(pairs)
-    val edges = checkpointFresh(
+    val edges0 = checkpointFresh(
       p.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     val sessionSp = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toLong).toOption
+      caller.conf.get("spark.sql.shuffle.partitions").toLong).toOption
     val loopSp = sessionSp.map(sp =>
-      math.max(1L, math.min(edges.count() / 1000000L + 1L, sp)))
+      math.max(1L, math.min(edges0.count() / 1000000L + 1L, sp)))
+    // The narrowed width lives on a CLONED session (identical conf,
+    // isolated conf map — r15 verdict #7): mutating the shared
+    // session's conf was a latent race under concurrent queries or a
+    // same-session micro-batch, which would have run at the loop's
+    // width (and overlapping scoped calls could restore each other's
+    // values out of order). The loop's frames re-root onto the clone
+    // through the materialization barrier; the converged labels
+    // re-root back. No narrowing needed (width already ≤ derived, or
+    // unset) keeps the caller's session — zero clone cost on the
+    // cluster-scale path.
+    val spark = if (loopSp.exists(l => !sessionSp.contains(l)))
+      org.apache.spark.sql.GraftShims.cloneSession(caller)
+    else caller
+    loopSp.foreach(sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
+    val edges = if (spark eq caller) edges0 else Stage.reRoot(edges0, spark)
     // Initial labels fold the FIRST neighbor-min round in for free:
     // comp_0 = min({id} ∪ neighbors) is exactly what one propagation
     // round over identity labels produces (the pointer jump on
@@ -887,42 +900,37 @@ object Dedup {
     // and with per-round wall time dominated by fixed job-scheduling
     // latency (the round-8 profile) that is a full round-trip saved
     // on every caller.
-    try {
-      loopSp.foreach(sp =>
-        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
-      var labels = checkpointFresh(
-        edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
-          .select(col("u").as("id"), least(col("u"), col("mv")).as("comp")))
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        val neighborMin = edges
-          .join(labels.select(col("id").as("vid"), col("comp")), col("v") === col("vid"))
-          .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
-        val parentComp = labels
-          .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
-            col("comp") === col("pid"))
-          .select(col("id").as("jid"), col("pcomp"))
-        val (stepped, nChanged) = checkpointCountingChanges(labels
-          .join(neighborMin, col("id") === col("u"), "left")
-          .join(parentComp, col("id") === col("jid"), "left")
-          .select(col("id"), col("comp").as("prev"),
-            least(col("comp"),
-              coalesce(col("ncomp"), col("comp")),
-              coalesce(col("pcomp"), col("comp"))).as("comp")))
-        changed = nChanged
-        labels = stepped.select("id", "comp")
-        iter += 1
-      }
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"clustersFromPairs did not converge in $maxIter rounds " +
-            "(component diameter too large) — raise maxIter")
-      labels
-    } finally {
-      sessionSp.foreach(sp =>
-        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
+    var labels = checkpointFresh(
+      edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u").as("id"), least(col("u"), col("mv")).as("comp")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("vid"), col("comp")), col("v") === col("vid"))
+        .groupBy(col("u")).agg(min(col("comp")).as("ncomp"))
+      val parentComp = labels
+        .join(labels.select(col("id").as("pid"), col("comp").as("pcomp")),
+          col("comp") === col("pid"))
+        .select(col("id").as("jid"), col("pcomp"))
+      val (stepped, nChanged) = checkpointCountingChanges(labels
+        .join(neighborMin, col("id") === col("u"), "left")
+        .join(parentComp, col("id") === col("jid"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"),
+            coalesce(col("ncomp"), col("comp")),
+            coalesce(col("pcomp"), col("comp"))).as("comp")))
+      changed = nChanged
+      labels = stepped.select("id", "comp")
+      iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clustersFromPairs did not converge in $maxIter rounds " +
+          "(component diameter too large) — raise maxIter")
+    // converged labels are materialized (every round checkpoints);
+    // re-root them back so downstream plans carry the CALLER's conf
+    if (spark eq caller) labels else Stage.reRoot(labels, caller)
   }
 
   /** Exact cosine near-dup pairs above `threshold` — the shared

@@ -312,12 +312,11 @@ object Fraud {
       .agg(array_sort(collect_list(col("user_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       // _outer: non-empty by the size guard; a plain explode's inferred
-      // filter re-expands every cell a second time (§6b round-15)
-      .select(explode_outer(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> struct(element_at(ids, i) AS user_a, element_at(ids, j) AS user_b))))
-          |""".stripMargin)).as("p"))
+      // filter re-expands every cell a second time (§6b round-15).
+      // pair_expand is the r16 native form of the nested-HOF expansion
+      // (same pairs, same order — see PairExpand's parity contract)
+      .select(explode_outer(graft.functions.PairFunctions.pairExpand(
+        col("ids"), "user_a", "user_b")).as("p"))
       .select(col("p.user_a"), col("p.user_b"))
       .groupBy(col("user_a"), col("user_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -482,56 +481,68 @@ object Fraud {
 
   /** Power iteration over an undirected pair list — see
     * [[collusionPageRank]] for the arithmetic and portability contract.
+    *
+    * EAGER: the power iteration executes inside this call (the scoped
+    * narrow-width materialization below) — the returned frame is a
+    * projection over the converged fixed point, not a lazy 3·iters
+    * plan. Callers that only inspect the plan shape still pay the full
+    * run; the empty-graph early return is the one lazy path.
     */
   def pageRankFromPairs(pairs: DataFrame, iters: Int = 8): DataFrame = {
     val scale = 1000000000000L
-    val spark = pairs.sparkSession
-    val edges = pairs.localCheckpoint(true)
-    val und = edges.select(col("user_a").as("u"), col("user_b").as("v"))
-      .union(edges.select(col("user_b").as("u"), col("user_a").as("v")))
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    val caller = pairs.sparkSession
+    val edges0 = pairs.localCheckpoint(true)
+    val deg0 = edges0
+      .select(col("user_a").as("u"), col("user_b").as("v"))
+      .union(edges0.select(col("user_b").as("u"), col("user_a").as("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("degree"))
       .localCheckpoint(true)
     // node count: one scalar from the (output-sized, checkpointed)
     // degree table — a bounded model value, like the centroid tables
-    val n = deg.count()
+    val n = deg0.count()
     if (n == 0) {
-      return deg.select(col("u").as("user_id"), lit(0L).as("pr_fp"),
+      return deg0.select(col("u").as("user_id"), lit(0L).as("pr_fp"),
         lit(0.0).as("pagerank")).limit(0)
     }
     val base = scale / n
     // The `iters` power-iteration stages run over NODE-sized tables
     // (ranks/deg), so their shuffles take the componentLabels r15
     // treatment (guide §2): partition count derived from the measured
-    // graph size, shrink-only vs the session setting, restored in
-    // `finally`. Scoping the conf requires the iterated plan to
-    // EXECUTE inside the scope, so the converged fixed-point table is
-    // materialized here (one localCheckpoint of a node-sized integer
-    // table — the former zero-action form executed the same 3·iters
-    // stages lazily at the sink, each exchange at corpus width). The
-    // arithmetic is exact fixed-point longs; the materialization
-    // changes no value.
+    // graph size, shrink-only vs the session setting. Scoping the conf
+    // requires the iterated plan to EXECUTE inside the scope, so the
+    // converged fixed-point table is materialized here (one
+    // localCheckpoint of a node-sized integer table — the former
+    // zero-action form executed the same 3·iters stages lazily at the
+    // sink, each exchange at corpus width). The arithmetic is exact
+    // fixed-point longs; the materialization changes no value. The
+    // narrowed width lives on a CLONED session (identical conf,
+    // isolated map — r15 verdict #7: the session-global mutation was a
+    // latent race under concurrent same-session queries).
     val sessionSp = scala.util.Try(
-      spark.conf.get("spark.sql.shuffle.partitions").toLong).toOption
+      caller.conf.get("spark.sql.shuffle.partitions").toLong).toOption
     val loopSp = sessionSp.map(sp =>
       math.max(1L, math.min(n / 500000L + 1L, sp)))
-    try {
-      loopSp.foreach(sp =>
-        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
-      var ranks = deg.select(col("u"), lit(base).as("fp"))
-      for (_ <- 1 to iters) {
-        ranks = und.join(ranks, Seq("u")).join(deg, Seq("u"))
-          .select(col("v").as("u"), expr("fp div degree").as("c"))
-          .groupBy(col("u")).agg(sum(col("c")).as("contrib"))
-          .select(col("u"),
-            expr(s"(${15L * base} + 85 * contrib) div 100").as("fp"))
-      }
-      Stage.checkpointFresh(ranks)
-        .select(col("u").as("user_id"), col("fp").as("pr_fp"),
-          (col("fp").cast("double") / lit(scale).cast("double")).as("pagerank"))
-    } finally {
-      sessionSp.foreach(sp =>
-        spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
+    val spark = if (loopSp.exists(l => !sessionSp.contains(l)))
+      org.apache.spark.sql.GraftShims.cloneSession(caller)
+    else caller
+    loopSp.foreach(sp =>
+      spark.conf.set("spark.sql.shuffle.partitions", sp.toString))
+    val edges = if (spark eq caller) edges0 else Stage.reRoot(edges0, spark)
+    val und = edges.select(col("user_a").as("u"), col("user_b").as("v"))
+      .union(edges.select(col("user_b").as("u"), col("user_a").as("v")))
+    val deg = if (spark eq caller) deg0 else Stage.reRoot(deg0, spark)
+    var ranks = deg.select(col("u"), lit(base).as("fp"))
+    for (_ <- 1 to iters) {
+      ranks = und.join(ranks, Seq("u")).join(deg, Seq("u"))
+        .select(col("v").as("u"), expr("fp div degree").as("c"))
+        .groupBy(col("u")).agg(sum(col("c")).as("contrib"))
+        .select(col("u"),
+          expr(s"(${15L * base} + 85 * contrib) div 100").as("fp"))
     }
+    val converged = Stage.checkpointFresh(ranks)
+    val home = if (spark eq caller) converged else Stage.reRoot(converged, caller)
+    home.select(col("u").as("user_id"), col("fp").as("pr_fp"),
+      (col("fp").cast("double") / lit(scale).cast("double")).as("pagerank"))
   }
 
   /** C31's logic (see the queries-map comment for the full design

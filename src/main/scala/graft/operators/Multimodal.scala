@@ -136,12 +136,11 @@ object Multimodal {
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       // _outer: non-empty by the size guard; a plain explode's inferred
-      // filter re-expands every cell a second time (§6b round-15)
-      .select(explode_outer(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> struct(element_at(ids, i) AS doc_a, element_at(ids, j) AS doc_b))))
-          |""".stripMargin)).as("p"))
+      // filter re-expands every cell a second time (§6b round-15).
+      // pair_expand is the r16 native form of the nested-HOF expansion
+      // (same pairs, same order)
+      .select(explode_outer(graft.functions.PairFunctions.pairExpand(
+        col("ids"), "doc_a", "doc_b")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_frames"))

@@ -188,12 +188,11 @@ object Similarity {
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       // _outer: non-empty by the size guard; a plain explode's inferred
-      // filter re-expands every bucket a second time (§6b round-15)
-      .select(explode_outer(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> struct(element_at(ids, i) AS vec_a, element_at(ids, j) AS vec_b))))
-          |""".stripMargin)).as("p"))
+      // filter re-expands every bucket a second time (§6b round-15).
+      // pair_expand is the r16 native form of the nested-HOF expansion
+      // (same pairs, same order)
+      .select(explode_outer(graft.functions.PairFunctions.pairExpand(
+        col("ids"), "vec_a", "vec_b")).as("p"))
       .select(col("p.vec_a"), col("p.vec_b"))
 
   /** IVF-style ANN: vectors are routed to their nearest of `nCentroids`

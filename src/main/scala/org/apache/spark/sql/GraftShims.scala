@@ -18,4 +18,17 @@ object GraftShims {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Clone a session: same SparkContext, IDENTICAL runtime SQL conf,
+    * but an isolated conf map — a conf set on the clone is invisible to
+    * the original. `newSession()` is NOT a substitute: it resets the
+    * runtime conf to build-time defaults, dropping every conf the
+    * caller set since. Used by the scale-adaptive iterative loops
+    * (Dedup.componentLabels, Fraud.pageRankFromPairs) to narrow
+    * `spark.sql.shuffle.partitions` for their node-sized rounds without
+    * mutating the shared session (r15 verdict #7 — the session-global
+    * scope was a latent race under concurrent queries).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

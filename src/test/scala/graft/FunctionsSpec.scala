@@ -74,4 +74,63 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("pair_expand equals the retired nested-HOF expansion: longs, strings, structs") {
+    // round-16: PairExpand replaced the interpreted
+    // flatten(transform(sequence..., transform(sequence..., struct)))
+    // tree at every grouped-bucket pair site (c27/d2/d22/g11-frames/
+    // annCandidates). The retired HOF form stays HERE as the reference
+    // arm: same pairs, same (i, j)-lexicographic ORDER (compared as
+    // sequences, not sets), over sizes spanning the callers' guards.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def hof(c: String, a: String, b: String) = expr(
+      s"""flatten(transform(sequence(1, size($c) - 1),
+         |  i -> transform(sequence(i + 1, size($c)),
+         |    j -> struct(element_at($c, i) AS $a, element_at($c, j) AS $b))))
+         |""".stripMargin)
+    // repartition defeats ConvertToLocalRelation (which would evaluate
+    // the projection driver-side through the INTERPRETED path), and
+    // codegen.fallback=false makes a generated-code compile failure
+    // THROW instead of silently falling back — both arms below really
+    // exercise doGenCode
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // longs (c27's user ids), sizes 2..64 incl. the callers' maxBucket
+      val longs = Seq(Seq(3L, 7L), Seq(1L, 2L, 5L, 9L, 11L),
+        (1L to 64L).toSeq).toDF("ids").repartition(1)
+      val lRows = longs.select(
+        graft.functions.PairFunctions.pairExpand(col("ids"), "ua", "ub").as("n"),
+        hof("ids", "ua", "ub").as("h")).collect()
+      lRows.foreach { r =>
+        assert(r.getSeq[org.apache.spark.sql.Row](0) === r.getSeq[org.apache.spark.sql.Row](1))
+      }
+      assert(lRows.map(_.getSeq[org.apache.spark.sql.Row](0).length).sorted
+        === Seq(1, 10, 64 * 63 / 2))
+      // strings (d2's doc ids)
+      val strs = Seq(Seq("d1", "d2", "d3", "d4")).toDF("ids").repartition(1)
+      val sRow = strs.select(
+        graft.functions.PairFunctions.pairExpand(col("ids"), "doc_a", "doc_b").as("n"),
+        hof("ids", "doc_a", "doc_b").as("h")).collect()(0)
+      assert(sRow.getSeq[org.apache.spark.sql.Row](0) === sRow.getSeq[org.apache.spark.sql.Row](1))
+      // structs (d22's (doc_id, pos) occurrences) — elements pass intact
+      val occ = Seq(Seq(("a", 1L), ("b", 2L), ("c", 3L))).toDF("raw").repartition(1)
+        .select(expr("transform(raw, x -> struct(x._1 AS doc_id, x._2 AS pos))").as("occ"))
+      val oRow = occ.select(
+        graft.functions.PairFunctions.pairExpand(col("occ"), "a", "b").as("n"),
+        hof("occ", "a", "b").as("h")).collect()(0)
+      assert(oRow.getSeq[org.apache.spark.sql.Row](0) === oRow.getSeq[org.apache.spark.sql.Row](1))
+      // n < 2 yields EMPTY (never a counted-down sequence), null propagates
+      val edge = Seq((Seq(42L), false), (Seq.empty[Long], false), (null, true))
+        .toDF("ids", "isnull").repartition(1)
+      val eRows = edge.select(
+        graft.functions.PairFunctions.pairExpand(col("ids"), "a", "b").as("n"),
+        col("isnull")).collect()
+      eRows.foreach { r =>
+        if (r.getBoolean(1)) assert(r.isNullAt(0))
+        else assert(r.getSeq[org.apache.spark.sql.Row](0).isEmpty)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
 }
