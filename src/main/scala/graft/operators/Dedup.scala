@@ -578,20 +578,27 @@ object Dedup {
     * One HOF stage per projection (§6b): gram strings are hashed
     * row-local inside their own transform and never leave the map side.
     */
-  private[graft] def setSimShingles(docs: DataFrame): DataFrame =
+  private[graft] def setSimShingles(docs: DataFrame,
+                                    carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns (doc-level slice tags, functionally dependent on
+    // doc_id) ride the pipeline so the incremental forms can shingle a
+    // TAGGED UNION of their slices in ONE pass (r16, guide §2.4: the
+    // lineage-fresh d23b/d23c harnesses paid a separate scan + distinct
+    // exchange + checkpoint job per slice for the identical rows)
+    val keys = col("doc_id") +: carry.map(col)
     spread(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(keys :+ split(col("text"), " ").as("tok"): _*)
       // row guard + _outer: same drop-out (short docs shingle to
       // nothing either way), but no inferred filter re-running the
       // 5-gram build inside the scan (§6b round-15)
       .filter(size(col("tok")) >= 5)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("tok")) - 4),
-          i => array_join(slice(col("tok"), i, lit(5)), " ")).as("g"))
-      .select(col("doc_id"), explode_outer(
+      .select(keys :+ transform(sequence(lit(1), size(col("tok")) - 4),
+          i => array_join(slice(col("tok"), i, lit(5)), " ")).as("g"): _*)
+      .select(keys :+ explode_outer(
         transform(col("g"),
-          x => graft.functions.HashFunctions.md5Prefix60(x))).as("s"))
+          x => graft.functions.HashFunctions.md5Prefix60(x))).as("s"): _*)
       .distinct()
+  }
 
   /** The exact-Jaccard verification close shared by [[setSimJoin]] and
     * [[setSimJoinIncremental]]: shingles join only for CANDIDATE pairs
@@ -660,23 +667,35 @@ object Dedup {
                             tNum: Int = 7, tDen: Int = 10): DataFrame = {
     // the "index": in production these three are one persisted load —
     // [[buildSetSimIndex]]/[[setSimJoinIncrementalIndexed]]; recomputed
-    // lineage-fresh here so the harness form needs no catalog state
-    val shBase = checkpointFresh(setSimShingles(base))
+    // lineage-fresh here so the harness form needs no catalog state.
+    // Both slices shingle in ONE tagged pass (r16, guide §2.4): the
+    // separate-slice form paid two scans, two distinct exchanges and
+    // two checkpoint jobs for the identical shingle rows; production
+    // keeps the split inputs — the INDEXED form never sees the base.
+    val shAll = checkpointFresh(setSimShingles(
+      base.select(col("doc_id"), col("text"), lit(false).as("is_delta"))
+        .unionByName(delta.select(col("doc_id"), col("text"),
+          lit(true).as("is_delta"))),
+      carry = Seq("is_delta")))
+    val shBase = shAll.filter(!col("is_delta")).select(col("doc_id"), col("s"))
+    val shDelta = shAll.filter(col("is_delta")).select(col("doc_id"), col("s"))
     val dfBase = shBase.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefBase = setSimPrefixes(shBase, dfBase, tNum, tDen)
-    setSimIncrementalCore(shBase, dfBase, prefBase, delta, tNum, tDen)
+    setSimIncrementalCore(shBase, dfBase, prefBase, shDelta, tNum, tDen)
   }
 
   /** The delta pass shared by the lineage-fresh and PERSISTED-index
     * incremental forms — extracted so the collision-join + verify
     * logic (and with it the losslessness argument) exists exactly
-    * once. Takes the three index relations however they are stored.
+    * once. Takes the three index relations however they are stored,
+    * plus the delta's ALREADY-MATERIALIZED shingle table (r16: the
+    * tagged-union callers derive it from their one shared pass; the
+    * indexed form checkpoints its own).
     */
   private def setSimIncrementalCore(shBase: DataFrame, dfBase: DataFrame,
-                                    prefBase: DataFrame, delta: DataFrame,
+                                    prefBase: DataFrame, shDelta: DataFrame,
                                     tNum: Int, tDen: Int): DataFrame = {
-    // the delta pass: shingle + rank ONLY the delta under the frozen order
-    val shDelta = checkpointFresh(setSimShingles(delta))
+    // the delta pass: rank ONLY the delta under the frozen order
     // two consumers (the cross join and the delta-internal self-join)
     val prefDelta = checkpointFresh(setSimPrefixes(shDelta, dfBase, tNum, tDen))
     val crossCand = prefBase.as("a").join(prefDelta.as("b"),
@@ -748,13 +767,23 @@ object Dedup {
   def setSimJoinRefreshed(base: DataFrame, delta1: DataFrame,
                           delta2: DataFrame,
                           tNum: Int = 7, tDen: Int = 10): DataFrame = {
-    val shBase = checkpointFresh(setSimShingles(base))
+    // all three generations shingle in ONE tagged pass (r16, guide
+    // §2.4 — see [[setSimJoinIncremental]]); the frozen order still
+    // derives from the BASE slice only
+    def tag(docs: DataFrame, g: Int): DataFrame =
+      docs.select(col("doc_id"), col("text"), lit(g).as("gen"))
+    val shAll = checkpointFresh(setSimShingles(
+      tag(base, 0).unionByName(tag(delta1, 1)).unionByName(tag(delta2, 2)),
+      carry = Seq("gen")))
+    def slice(g: Int): DataFrame =
+      shAll.filter(col("gen") === g).select(col("doc_id"), col("s"))
+    val shBase = slice(0)
     val dfBase = shBase.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefBase = setSimPrefixes(shBase, dfBase, tNum, tDen)
-    val shD1 = checkpointFresh(setSimShingles(delta1))
+    val shD1 = slice(1)
     val prefD1 = setSimPrefixes(shD1, dfBase, tNum, tDen)
     setSimIncrementalCore(shBase.unionByName(shD1), dfBase,
-      prefBase.unionByName(prefD1), delta2, tNum, tDen)
+      prefBase.unionByName(prefD1), slice(2), tNum, tDen)
   }
 
   /** D23c (persisted form): absorb a landed delta into the ON-DISK
@@ -815,7 +844,7 @@ object Dedup {
                                    tNum: Int = 7, tDen: Int = 10): DataFrame =
     setSimIncrementalCore(spark.table(s"${name}_sh"),
       spark.table(s"${name}_df"), spark.table(s"${name}_pref"),
-      delta, tNum, tDen)
+      checkpointFresh(setSimShingles(delta)), tNum, tDen)
 
   /** Materialize one loop round AND tally its label changes in the SAME
     * Spark job (the r7 verdict's item 3): the loop's wall time on small

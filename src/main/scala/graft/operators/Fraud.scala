@@ -424,12 +424,21 @@ object Fraud {
     // wedges centered at u (two neighbors, canonically ordered), closed
     // iff the outer pair is itself an edge — each triangle closes one
     // wedge at each of its three corners, so the per-user count is
-    // exact without a /3 correction; capped centers never expand
+    // exact without a /3 correction; capped centers never expand.
+    // r16: the wedge candidates come from pair_expand over each
+    // center's sorted neighbor list (≤ maxDegree elements by the cap)
+    // instead of the centers self-join — same (x < y) wedge set, one
+    // exchange on u instead of the join's two sorted sides, and the
+    // expansion rides the c27 native generator (guide §2.3/§2.4)
     val centers = und.join(
       deg.filter(col("degree") <= maxDegree).select(col("u")), Seq("u"))
-    val tri = centers.as("a").join(centers.as("b"),
-        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
-      .select(col("a.u").as("u"), col("a.v").as("x"), col("b.v").as("y"))
+    val tri = centers
+      .groupBy(col("u")).agg(array_sort(collect_list(col("v"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      // _outer: non-empty by the size guard (the §6b round-15 rule)
+      .select(col("u"), explode_outer(graft.functions.PairFunctions
+        .pairExpand(col("vs"), "x", "y")).as("p"))
+      .select(col("u"), col("p.x").as("x"), col("p.y").as("y"))
       .join(edges.select(col("user_a").as("x"), col("user_b").as("y")),
         Seq("x", "y"))
       .groupBy(col("u")).agg(count(lit(1)).as("n_triangles"))

@@ -957,15 +957,21 @@ object Relational {
     "b47_window_hll_error" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
-      val est = windowHllFromCells(dailyHllCells(li, "l_orderkey"))
+      // ONE corpus scan for both sides (r16, guide §2.4): the exact
+      // side needs distinct (day, key) anyway, and daily HLL cells
+      // from the DISTINCT pairs are bit-identical to cells from raw
+      // rows (groupBy max(rho) is duplicate-insensitive) — the old
+      // shape paid a second full scan + a second corpus-wide shuffle
+      // to re-derive what this checkpoint already holds.
+      val dkPairs = Stage.checkpointFresh(li.distinct())
+      val est = windowHllFromCells(dailyHllCells(dkPairs, "l_orderkey"))
         .select(col("ship_day"),
           datediff(col("ship_day"), lit("1970-01-01")).cast("long").as("dnum"),
           col("est_ndv"))
         .localCheckpoint(true)
-      val pairs = li
+      val pairs = dkPairs
         .select(datediff(col("ship_day"), lit("1970-01-01")).cast("long").as("dn"),
           col("l_orderkey").as("k"))
-        .distinct()
       val nxt = Window.partitionBy(col("k")).orderBy(col("dn"))
       val iv = pairs.withColumn("nx", lead(col("dn"), 1).over(nxt))
         .select(col("dn").as("s"),
